@@ -11,12 +11,28 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Write timestamps as TIMESTAMP_MICROS (not INT96) so DuckDB reads
+      // back exactly what Spark computed.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Session TZ is UTC, so TIMESTAMP → TIMESTAMP_NTZ is wall-clock
+    // identity; without it Spark stamps isAdjustedToUTC=true into parquet
+    // and the driver's DuckDB compare sees TIMESTAMPTZ vs the oracle's
+    // naive TIMESTAMP.
+    def ntz(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+      df.select(df.schema.fields.map { f =>
+        if (f.dataType == TimestampType) col(f.name).cast(TimestampNTZType).as(f.name)
+        else col(f.name)
+      }.toSeq: _*)
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One correctness-gate entry: a Spark query over the testdata tables plus
+  * (when SQL-expressible) an equivalent DuckDB oracle.
+  *
+  * Conventions that make the hash compare deterministic across engines:
+  *   - every computed column is aliased identically on both sides;
+  *   - double-valued SUM/AVG inputs are cast to DECIMAL before summing
+  *     (floating-point summation is order-dependent under partial
+  *     aggregation, decimal summation is exact), then cast back to DOUBLE;
+  *   - integer sums are cast to BIGINT on the DuckDB side (DuckDB widens
+  *     to HUGEINT, Spark to LONG);
+  *   - orderings always carry a unique tiebreaker and explicit NULLS
+  *     FIRST/LAST (Spark and DuckDB have different defaults).
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+object QueryDef {
+  /** Exact, order-independent sum of a double column: decimal-accumulate
+    * then return DOUBLE. Mirrors `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS
+    * DOUBLE)` in the oracle. */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Oracle-side rendering of [[dsum]]. */
+  def dsumSql(expr: String, scale: Int = 4): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** Exact order-independent average of a double column. */
+  def davg(c: Column, scale: Int = 4): Column =
+    (sum(c.cast(DecimalType(18, scale))).cast(DoubleType) /
+      count(when(c.isNotNull, lit(1))))
+
+  def davgSql(expr: String, scale: Int = 4): String =
+    s"(${dsumSql(expr, scale)} / COUNT(CASE WHEN $expr IS NOT NULL THEN 1 END))"
+}

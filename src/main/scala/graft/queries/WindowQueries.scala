@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import QueryDef._
+
+/** Window operators W1–W6 from SURVEY.md §2.5.
+  *
+  * Every window here is keyed (partitionBy) so it parallelizes across
+  * executors — the one global window (W4) is pre-filtered to a bounded
+  * subset first, the same discipline the reference applies (it only ever
+  * sequences within one filtered round). Orderings carry unique tiebreaks
+  * and explicit null ordering so results are deterministic across engines.
+  */
+object WindowQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // W1: dedup via row_number over a composite key with multi-direction
+    // tie-break ordering — the reference's load-bearing dedup (etl.py:572-586).
+    // Keep the latest event per (user_id, event_type); ties broken by
+    // event_id desc. Emits the surviving rows.
+    QueryDef(
+      "w1_dedup_row_number",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("user_id"), col("event_type"))
+          .orderBy(desc_nulls_last("ts"), desc_nulls_last("event_id"))
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""SELECT user_id, event_type, event_id, value FROM (
+                SELECT user_id, event_type, event_id, value,
+                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                  ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
+                FROM events
+              ) WHERE rn = 1 ORDER BY user_id, event_type""")),
+
+    // W2: top/bottom-3 per group via row_number + filter (demo_all_insights
+    // .sql:47-86). Top-3 customers by account balance per market segment.
+    QueryDef(
+      "w2_top3_per_group",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("c_mktsegment"))
+          .orderBy(desc_nulls_last("c_acctbal"), asc_nulls_last("c_custkey"))
+        t(s, d, "customer")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_acctbal"))
+          .orderBy(col("c_mktsegment"), col("rn"))
+      },
+      Some("""SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+                SELECT c_mktsegment, c_custkey, c_acctbal,
+                ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC NULLS LAST) AS rn
+                FROM customer
+              ) WHERE rn <= 3 ORDER BY c_mktsegment, rn""")),
+
+    // W3: LAG + transition classification (queries.py:1010-1026) —
+    // same/changed/first event-type transitions per user, then counted.
+    QueryDef(
+      "w3_lag_transitions",
+      (s, d) => {
+        val w = Window
+          .partitionBy(col("user_id"))
+          .orderBy(asc_nulls_first("ts"), asc_nulls_first("event_id"))
+        t(s, d, "events")
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .withColumn(
+            "transition",
+            when(col("prev_type").isNull, "first")
+              .when(col("prev_type") === col("event_type"), "same")
+              .otherwise("changed"))
+          .groupBy(col("event_type"), col("transition"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type"), col("transition"))
+      },
+      Some("""SELECT event_type, transition, COUNT(*) AS n FROM (
+                SELECT event_type,
+                CASE WHEN prev_type IS NULL THEN 'first'
+                     WHEN prev_type = event_type THEN 'same'
+                     ELSE 'changed' END AS transition
+                FROM (
+                  SELECT event_type,
+                  LAG(event_type, 1) OVER (PARTITION BY user_id
+                    ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS prev_type
+                  FROM events
+                )
+              ) GROUP BY event_type, transition ORDER BY event_type, transition""")),
+
+    // W4: global ROW_NUMBER sequencing over a bounded, pre-filtered slice
+    // (queries.py:1010,1049 sequences one round at a time). A global window
+    // is a single-partition bottleneck at scale, so the filter comes FIRST —
+    // only one user's events are sequenced.
+    QueryDef(
+      "w4_global_sequence",
+      (s, d) => {
+        val w = Window.orderBy(asc_nulls_first("ts"), asc_nulls_first("event_id"))
+        t(s, d, "events")
+          .filter(col("user_id") === 7)
+          .withColumn("seq", row_number().over(w))
+          .select(col("seq"), col("event_id"), col("event_type"))
+          .orderBy(col("seq"))
+      },
+      Some("""SELECT seq, event_id, event_type FROM (
+                SELECT event_id, event_type,
+                ROW_NUMBER() OVER (ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST) AS seq
+                FROM events WHERE user_id = 7
+              ) ORDER BY seq""")),
+
+    // W5: RANK over a score (queries.py:1246) — rank suppliers by balance;
+    // RANK (not row_number) so ties share a rank, deterministic either way.
+    QueryDef(
+      "w5_rank",
+      (s, d) => {
+        val w = Window.orderBy(desc_nulls_last("s_acctbal"))
+        t(s, d, "supplier")
+          .withColumn("balance_rank", rank().over(w))
+          .select(col("balance_rank"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
+          .orderBy(col("balance_rank"), col("s_suppkey"))
+      },
+      Some("""SELECT RANK() OVER (ORDER BY s_acctbal DESC NULLS LAST) AS balance_rank,
+              s_suppkey, s_name, s_acctbal
+              FROM supplier ORDER BY balance_rank, s_suppkey""")),
+
+    // W6: SUM OVER (PARTITION BY ...) pct-of-total without a join
+    // (client_data_insights.md:327,360,389). Decimal-accumulated so the
+    // partition-sum is order-independent, then DOUBLE for the ratio.
+    QueryDef(
+      "w6_pct_of_total_window",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+        t(s, d, "customer")
+          .withColumn(
+            "nation_total",
+            sum(col("c_acctbal").cast(DecimalType(18, 4))).over(w).cast(DoubleType))
+          .select(
+            col("c_custkey"), col("c_nationkey"),
+            (col("c_acctbal") * 100.0 / col("nation_total")).as("pct_of_nation"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_nationkey,
+              c_acctbal * 100.0e0 / nation_total AS pct_of_nation FROM (
+                SELECT c_custkey, c_nationkey, c_acctbal,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER (PARTITION BY c_nationkey) AS DOUBLE) AS nation_total
+                FROM customer
+              ) ORDER BY c_custkey"""))
+  )
+}

@@ -1,0 +1,27 @@
+package graft
+
+import graft.queries.Corpus
+
+/** Smoke-level gate for the correctness corpus: every declared query runs
+  * on sf0.001 and yields rows; deeper value-level checks run through the
+  * DuckDB oracle (tools/oracle_check.py, mirrored by the driver).
+  */
+class CorpusSpec extends SparkSpec {
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has a unique name and every oracle points at a query") {
+    val names = Corpus.defs.map(_.name)
+    assert(names.distinct.sizeIs == names.size)
+    assert(Corpus.oracleSql.keySet.subsetOf(Corpus.queries.keySet))
+  }
+
+  Corpus.defs.foreach { q =>
+    test(s"${q.name} runs and returns rows on sf0.001") {
+      val df = q.run(spark, sfDir)
+      assert(df.count() > 0, s"${q.name} returned no rows")
+    }
+  }
+}
