@@ -7,10 +7,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Corpus {
   def defs: Seq[QueryDef] =
-    AggQueries.defs ++
+    ScanQueries.defs ++
+      ProjQueries.defs ++
+      AggQueries.defs ++
       WindowQueries.defs ++
       JoinQueries.defs ++
-      SortSetQueries.defs
+      SortSetQueries.defs ++
+      FunctionQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(q => q.name -> q.run).toMap
