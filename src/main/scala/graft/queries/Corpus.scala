@@ -13,7 +13,10 @@ object Corpus {
       WindowQueries.defs ++
       JoinQueries.defs ++
       SortSetQueries.defs ++
-      FunctionQueries.defs
+      FunctionQueries.defs ++
+      GoldQueries.defs ++
+      GoldQueries2.defs ++
+      GoldQueries3.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(q => q.name -> q.run).toMap

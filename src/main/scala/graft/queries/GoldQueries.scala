@@ -1,0 +1,408 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.gold.GoldModels
+
+/** Gold-model parity gate (SURVEY §2.8): every model from the reference's
+  * dbt DAG runs — as the REAL `GoldModels` library code — over a
+  * deterministic silver-shaped mapping of `lineitem`, and a DuckDB oracle
+  * reproduces the model's SQL over the same mapping.
+  *
+  * The mapping keeps every double column INTEGER-VALUED so sums/averages
+  * are exact under any accumulation order, which is what lets a
+  * floating-point AVG hash-match across engines without weakening the
+  * library to decimal arithmetic.
+  */
+object GoldQueries {
+
+  // ------------------------------------------------ synthetic silver mapping
+
+  /** lineitem → silver.fact_telemetry_event shape. One lineitem row = one
+    * fix; orders = rounds; returnflag = course. Deterministic NULL
+    * injection exercises every null-handling branch of the models. */
+  def syntheticSilver(li: DataFrame): DataFrame = li.select(
+    col("l_returnflag").as("course_id"),
+    concat(lit("round"), col("l_orderkey")).as("round_id"),
+    col("l_linenumber").as("location_index"),
+    when(col("l_orderkey") % 97 === 0 || col("l_linenumber") === 7, lit(null))
+      .otherwise(col("l_shipdate")).as("fix_timestamp"),
+    (col("l_orderkey") % 97 === 0 || col("l_linenumber") === 7).as("is_timestamp_missing"),
+    (col("l_quantity") >= 45).as("is_location_padding"),
+    when(col("l_partkey") % 19 === 0, lit(null))
+      .otherwise((col("l_partkey") % 18 + 1).cast(IntegerType)).as("hole_number"),
+    (col("l_partkey") % 54 + 1).cast(IntegerType).as("section_number"),
+    (col("l_linenumber") % 3 + 1).cast(IntegerType).as("hole_section"),
+    (col("l_partkey") % 3 + 1).cast(IntegerType).as("nine_number"),
+    when(col("l_discount") > 0.08, lit(null))
+      .otherwise(floor(col("l_extendedprice")).cast(DoubleType)).as("pace"),
+    floor(col("l_discount") * 100).cast(DoubleType).as("pace_gap"),
+    floor(col("l_tax") * 100).cast(DoubleType).as("positional_gap"),
+    (col("l_suppkey") % 180 - 90).cast(DoubleType).as("latitude"),
+    (col("l_suppkey") % 360 - 180).cast(DoubleType).as("longitude"),
+    lit(null).cast(StringType).as("geometry_wkt"),
+    when(col("l_suppkey") % 11 === 0, lit(null))
+      .otherwise((col("l_suppkey") * 7 % 101).cast(DoubleType)).as("battery_percentage"),
+    (col("l_orderkey") % 2 === 0).as("is_cache"),
+    (col("l_quantity") > 40).as("is_projected"),
+    (col("l_quantity") < 5).as("is_problem"),
+    lit("2024-06-01").as("ingest_date"),
+    to_date(col("l_shipdate")).as("event_date"),
+    date_trunc("day", col("l_shipdate")).as("round_start_time"),
+    date_trunc("day", col("l_shipdate")).as("round_end_time"),
+    when(col("l_orderkey") % 10 === 0, lit(null))
+      .otherwise((col("l_orderkey") % 18 + 1).cast(IntegerType)).as("start_hole"),
+    (col("l_orderkey") % 54 + 1).cast(IntegerType).as("start_section"),
+    lit(54).cast(IntegerType).as("end_section"),
+    (col("l_orderkey") % 5 === 0).as("is_nine_hole"),
+    (col("l_orderkey") % 2 + 1).cast(IntegerType).as("current_nine"),
+    when(col("l_orderkey") % 7 === 0, lit(null))
+      .otherwise(lit(14400)).cast(IntegerType).as("goal_time"),
+    (col("l_orderkey") % 3 === 0).as("is_complete"),
+    concat(lit("dev"), col("l_suppkey") % 7).as("device"),
+    lit(null).cast(StringType).as("first_fix"),
+    lit(null).cast(StringType).as("last_fix"),
+    lit("standard").as("goal_name"),
+    (col("l_orderkey") % 4).cast(DoubleType).as("goal_time_fraction"),
+    (col("l_orderkey") % 9 === 0).as("is_incomplete"),
+    (col("l_orderkey") % 13 === 0).as("is_secondary"),
+    (col("l_orderkey") % 17 === 0).as("is_auto_assigned"),
+    lit(0.0).as("last_section_start"),
+    (col("l_orderkey") % 54 + 1).cast(IntegerType).as("current_section"),
+    (col("l_orderkey") % 18 + 1).cast(IntegerType).as("current_hole"),
+    (col("l_linenumber") % 3 + 1).cast(IntegerType).as("current_hole_section"))
+
+  /** The same mapping as DuckDB SQL — every gm oracle starts from this. */
+  val SilverSql: String =
+    """silver AS (
+      SELECT
+        l_returnflag AS course_id,
+        'round' || CAST(l_orderkey AS VARCHAR) AS round_id,
+        l_linenumber AS location_index,
+        CASE WHEN l_orderkey % 97 = 0 OR l_linenumber = 7 THEN NULL ELSE l_shipdate END AS fix_timestamp,
+        (l_orderkey % 97 = 0 OR l_linenumber = 7) AS is_timestamp_missing,
+        l_quantity >= 45 AS is_location_padding,
+        CASE WHEN l_partkey % 19 = 0 THEN NULL ELSE CAST(l_partkey % 18 + 1 AS INTEGER) END AS hole_number,
+        CAST(l_partkey % 54 + 1 AS INTEGER) AS section_number,
+        CAST(l_linenumber % 3 + 1 AS INTEGER) AS hole_section,
+        CAST(l_partkey % 3 + 1 AS INTEGER) AS nine_number,
+        CASE WHEN l_discount > 0.08 THEN NULL ELSE FLOOR(l_extendedprice) END AS pace,
+        FLOOR(l_discount * 100) AS pace_gap,
+        FLOOR(l_tax * 100) AS positional_gap,
+        CAST(l_suppkey % 180 - 90 AS DOUBLE) AS latitude,
+        CAST(l_suppkey % 360 - 180 AS DOUBLE) AS longitude,
+        CAST(NULL AS VARCHAR) AS geometry_wkt,
+        CASE WHEN l_suppkey % 11 = 0 THEN NULL ELSE CAST(l_suppkey * 7 % 101 AS DOUBLE) END AS battery_percentage,
+        l_orderkey % 2 = 0 AS is_cache,
+        l_quantity > 40 AS is_projected,
+        l_quantity < 5 AS is_problem,
+        '2024-06-01' AS ingest_date,
+        CAST(l_shipdate AS DATE) AS event_date,
+        CAST(DATE_TRUNC('day', l_shipdate) AS TIMESTAMP) AS round_start_time,
+        CAST(DATE_TRUNC('day', l_shipdate) AS TIMESTAMP) AS round_end_time,
+        CASE WHEN l_orderkey % 10 = 0 THEN NULL ELSE CAST(l_orderkey % 18 + 1 AS INTEGER) END AS start_hole,
+        CAST(l_orderkey % 54 + 1 AS INTEGER) AS start_section,
+        CAST(54 AS INTEGER) AS end_section,
+        l_orderkey % 5 = 0 AS is_nine_hole,
+        CAST(l_orderkey % 2 + 1 AS INTEGER) AS current_nine,
+        CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE CAST(14400 AS INTEGER) END AS goal_time,
+        l_orderkey % 3 = 0 AS is_complete,
+        'dev' || CAST(l_suppkey % 7 AS VARCHAR) AS device,
+        CAST(NULL AS VARCHAR) AS first_fix,
+        CAST(NULL AS VARCHAR) AS last_fix,
+        'standard' AS goal_name,
+        CAST(l_orderkey % 4 AS DOUBLE) AS goal_time_fraction,
+        l_orderkey % 9 = 0 AS is_incomplete,
+        l_orderkey % 13 = 0 AS is_secondary,
+        l_orderkey % 17 = 0 AS is_auto_assigned,
+        CAST(0.0 AS DOUBLE) AS last_section_start,
+        CAST(l_orderkey % 54 + 1 AS INTEGER) AS current_section,
+        CAST(l_orderkey % 18 + 1 AS INTEGER) AS current_hole,
+        CAST(l_linenumber % 3 + 1 AS INTEGER) AS current_hole_section
+      FROM lineitem
+    )"""
+
+  /** Synthetic topology dim: 3 nines per course (A/N/R). */
+  def syntheticTopology(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("A", 1, "A Front", 1, 18), ("A", 2, "A Middle", 19, 36), ("A", 3, "A Back", 37, 54),
+      ("N", 1, "N Front", 1, 18), ("N", 2, "N Middle", 19, 36), ("N", 3, "N Back", 37, 54),
+      ("R", 1, "R Front", 1, 18), ("R", 2, "R Middle", 19, 36), ("R", 3, "R Back", 37, 54))
+      .toDF("facility_id", "nine_number", "unit_name", "section_start", "section_end")
+  }
+
+  val TopoSql: String =
+    """topo AS (
+      SELECT * FROM (VALUES
+        ('A', 1, 'A Front', 1, 18), ('A', 2, 'A Middle', 19, 36), ('A', 3, 'A Back', 37, 54),
+        ('N', 1, 'N Front', 1, 18), ('N', 2, 'N Middle', 19, 36), ('N', 3, 'N Back', 37, 54),
+        ('R', 1, 'R Front', 1, 18), ('R', 2, 'R Middle', 19, 36), ('R', 3, 'R Back', 37, 54)
+      ) t(facility_id, nine_number, unit_name, section_start, section_end)
+    )"""
+
+  /** fact_rounds reproduced in DuckDB over the synthetic silver. */
+  val FactRoundsSql: String =
+    """fact_rounds AS (
+      SELECT *,
+        ROUND(CAST(duration_sec AS DOUBLE) / 60.0e0, 1) AS round_duration_minutes,
+        CAST(projected_fix_count AS DOUBLE) / NULLIF(fix_count, 0) AS projected_rate,
+        CAST(problem_fix_count AS DOUBLE) / NULLIF(fix_count, 0) AS problem_rate,
+        CAST(cached_fix_count AS DOUBLE) / NULLIF(fix_count, 0) AS cached_rate,
+        CAST(ts_missing_fix_count AS DOUBLE) / NULLIF(fix_count, 0) AS ts_missing_rate,
+        CASE WHEN nines_played >= 3 OR max_section_number > 54 THEN '27'
+             WHEN nines_played = 2 OR max_section_number > 27 THEN '18'
+             WHEN nines_played = 1 THEN '9'
+             ELSE 'unknown' END AS round_length,
+        CAST(round_start_ts AS DATE) AS round_date,
+        CAST(YEAR(round_start_ts) AS INTEGER) AS round_year,
+        CAST(MONTH(round_start_ts) AS INTEGER) AS round_month,
+        CAST(DAY(round_start_ts) AS INTEGER) AS round_day,
+        CAST(ISODOW(round_start_ts) AS INTEGER) AS round_weekday
+      FROM (
+        SELECT
+          course_id, round_id,
+          MIN(fix_timestamp) AS round_start_ts,
+          MAX(fix_timestamp) AS round_end_ts,
+          CAST(FLOOR(EPOCH(MAX(fix_timestamp))) AS BIGINT) - CAST(FLOOR(EPOCH(MIN(fix_timestamp))) AS BIGINT) AS duration_sec,
+          COUNT(*) AS fix_count,
+          CAST(SUM(CASE WHEN is_timestamp_missing THEN 1 ELSE 0 END) AS BIGINT) AS ts_missing_fix_count,
+          COUNT(DISTINCT hole_number) AS holes_played,
+          COUNT(DISTINCT nine_number) AS nines_played,
+          MIN(section_number) AS min_section_number,
+          MAX(section_number) AS max_section_number,
+          MIN(CASE WHEN hole_section = 1 THEN section_number END) AS first_tee_section_number,
+          MAX(start_hole) AS start_hole,
+          MAX(start_section) AS start_section,
+          MAX(end_section) AS end_section,
+          BOOL_OR(COALESCE(is_nine_hole, FALSE)) AS is_nine_hole,
+          BOOL_OR(COALESCE(is_complete, FALSE)) AS is_complete,
+          AVG(pace) AS avg_pace_sec,
+          MAX(pace) AS max_pace_sec,
+          AVG(pace_gap) AS avg_pace_gap_sec,
+          AVG(positional_gap) AS avg_positional_gap,
+          CAST(SUM(CASE WHEN is_projected THEN 1 ELSE 0 END) AS BIGINT) AS projected_fix_count,
+          CAST(SUM(CASE WHEN is_problem THEN 1 ELSE 0 END) AS BIGINT) AS problem_fix_count,
+          MIN(battery_percentage) AS min_battery_pct,
+          AVG(battery_percentage) AS avg_battery_pct,
+          CAST(SUM(CASE WHEN battery_percentage < 20 THEN 1 ELSE 0 END) AS BIGINT) AS low_battery_fix_count,
+          CAST(SUM(CASE WHEN battery_percentage < 10 THEN 1 ELSE 0 END) AS BIGINT) AS critical_battery_fix_count,
+          CAST(SUM(CASE WHEN is_cache THEN 1 ELSE 0 END) AS BIGINT) AS cached_fix_count
+        FROM silver WHERE is_location_padding = FALSE
+        GROUP BY course_id, round_id
+      )
+    )"""
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  private def silverOf(s: SparkSession, d: String): DataFrame =
+    syntheticSilver(t(s, d, "lineitem"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // §2.8 fact_rounds — the A14 mega-rollup as the real library model.
+    QueryDef(
+      "gm_fact_rounds",
+      (s, d) =>
+        GoldModels.factRounds(silverOf(s, d))
+          .select(
+            col("course_id"), col("round_id"), col("round_start_ts"), col("round_end_ts"),
+            col("duration_sec"), col("fix_count"), col("ts_missing_fix_count"),
+            col("holes_played"), col("nines_played"),
+            col("min_section_number"), col("max_section_number"),
+            col("first_tee_section_number"),
+            col("start_hole"), col("is_nine_hole"), col("is_complete"),
+            col("avg_pace_sec"), col("max_pace_sec"), col("avg_pace_gap_sec"),
+            col("projected_fix_count"), col("problem_fix_count"),
+            col("min_battery_pct"), col("avg_battery_pct"),
+            col("low_battery_fix_count"), col("cached_fix_count"),
+            col("round_duration_minutes"), col("projected_rate"), col("cached_rate"),
+            col("round_length"), col("round_date"), col("round_year"),
+            col("round_month"), col("round_day"), col("round_weekday"))
+          .orderBy(col("course_id"), col("round_id")),
+      Some(s"""WITH $SilverSql, $FactRoundsSql
+               SELECT course_id, round_id, round_start_ts, round_end_ts,
+               duration_sec, fix_count, ts_missing_fix_count, holes_played,
+               nines_played, min_section_number, max_section_number,
+               first_tee_section_number, start_hole, is_nine_hole, is_complete,
+               avg_pace_sec, max_pace_sec, avg_pace_gap_sec,
+               projected_fix_count, problem_fix_count, min_battery_pct,
+               avg_battery_pct, low_battery_fix_count, cached_fix_count,
+               round_duration_minutes, projected_rate, cached_rate,
+               round_length, round_date, round_year, round_month, round_day,
+               round_weekday
+               FROM fact_rounds ORDER BY course_id, round_id""")),
+
+    // §2.8 fact_round_hole_performance — fatigue grain + topo enrich (J2).
+    QueryDef(
+      "gm_hole_performance",
+      (s, d) =>
+        GoldModels.factRoundHolePerformance(silverOf(s, d), syntheticTopology(s))
+          .orderBy(col("course_id"), col("round_id"), col("hole_number"), col("nine_number")),
+      Some(s"""WITH $SilverSql, $TopoSql
+               SELECT h.course_id, h.round_id, h.hole_number, h.nine_number,
+               t.unit_name AS course_unit,
+               h.hole_start_time, h.hole_end_time, h.duration_sec,
+               h.avg_pace_sec, h.max_pace_sec, h.avg_pace_gap_sec, h.round_was_completed
+               FROM (
+                 SELECT course_id, round_id, hole_number, nine_number,
+                 MIN(fix_timestamp) AS hole_start_time,
+                 MAX(fix_timestamp) AS hole_end_time,
+                 CAST(FLOOR(EPOCH(MAX(fix_timestamp))) AS BIGINT) - CAST(FLOOR(EPOCH(MIN(fix_timestamp))) AS BIGINT) AS duration_sec,
+                 AVG(pace) AS avg_pace_sec, MAX(pace) AS max_pace_sec,
+                 AVG(pace_gap) AS avg_pace_gap_sec,
+                 BOOL_OR(is_complete) AS round_was_completed
+                 FROM silver
+                 WHERE is_location_padding = FALSE AND hole_number IS NOT NULL
+                 GROUP BY course_id, round_id, hole_number, nine_number
+               ) h
+               LEFT JOIN topo t ON h.course_id = t.facility_id AND h.nine_number = t.nine_number
+               ORDER BY h.course_id, h.round_id, h.hole_number, h.nine_number""")),
+
+    // §2.8 pace_summary_by_round + signal_quality_rounds projections.
+    QueryDef(
+      "gm_pace_summary",
+      (s, d) =>
+        GoldModels.paceSummaryByRound(GoldModels.factRounds(silverOf(s, d)))
+          .orderBy(col("course_id"), col("round_id")),
+      Some(s"""WITH $SilverSql, $FactRoundsSql
+               SELECT course_id, round_id, round_start_ts, round_end_ts, fix_count,
+               avg_pace_sec AS avg_pace, avg_pace_gap_sec AS avg_pace_gap,
+               avg_positional_gap
+               FROM fact_rounds ORDER BY course_id, round_id""")),
+
+    QueryDef(
+      "gm_signal_quality",
+      (s, d) =>
+        GoldModels.signalQualityRounds(GoldModels.factRounds(silverOf(s, d)))
+          .orderBy(col("course_id"), col("round_id")),
+      Some(s"""WITH $SilverSql, $FactRoundsSql
+               SELECT course_id, round_id, fix_count, projected_fix_count,
+               problem_fix_count, projected_rate, problem_rate
+               FROM fact_rounds ORDER BY course_id, round_id""")),
+
+    // §2.8 device_health_errors — fix-grain battery filter.
+    QueryDef(
+      "gm_device_health",
+      (s, d) =>
+        GoldModels.deviceHealthErrors(silverOf(s, d))
+          .orderBy(col("course_id"), col("round_id"), col("fix_timestamp"), col("battery_percentage")),
+      Some(s"""WITH $SilverSql
+               SELECT course_id, round_id, fix_timestamp, battery_percentage,
+               CASE WHEN battery_percentage IS NULL THEN NULL
+                    WHEN battery_percentage < 10 THEN 'battery_critical'
+                    WHEN battery_percentage < 20 THEN 'battery_low'
+                    ELSE NULL END AS health_flag
+               FROM silver
+               WHERE is_location_padding = FALSE AND battery_percentage IS NOT NULL
+                 AND battery_percentage < 20
+               ORDER BY course_id, round_id, fix_timestamp, battery_percentage""")),
+
+    // §2.8 course_rounds_by_month — sentinel month bucketing + pct-of-total.
+    QueryDef(
+      "gm_rounds_by_month",
+      (s, d) =>
+        GoldModels.courseRoundsByMonth(GoldModels.factRounds(silverOf(s, d)))
+          .orderBy(col("course_id"), col("month_start"), col("month_name")),
+      Some(s"""WITH $SilverSql, $FactRoundsSql,
+               keyed AS (
+                 SELECT course_id, round_id,
+                 CASE WHEN round_start_ts IS NULL THEN TIMESTAMP '1900-01-01'
+                      ELSE CAST(DATE_TRUNC('month', round_start_ts) AS TIMESTAMP) END AS month_start,
+                 CASE WHEN round_start_ts IS NULL THEN 0
+                      ELSE CAST(MONTH(round_start_ts) AS INTEGER) END AS month_number,
+                 CASE WHEN round_start_ts IS NULL THEN 'Unknown (missing timestamp)'
+                      ELSE MONTHNAME(round_start_ts) END AS month_name
+                 FROM fact_rounds
+               ),
+               monthly AS (
+                 SELECT course_id, month_start, month_number, month_name,
+                 COUNT(DISTINCT round_id) AS rounds
+                 FROM keyed GROUP BY 1, 2, 3, 4
+               ),
+               totals AS (
+                 SELECT course_id AS t_course_id, CAST(SUM(rounds) AS BIGINT) AS total_rounds
+                 FROM monthly GROUP BY 1
+               )
+               SELECT m.course_id, m.month_start, m.month_number, m.month_name, m.rounds,
+               ROUND(CAST(m.rounds AS DOUBLE) / t.total_rounds * 100, 2) AS pct_total
+               FROM monthly m JOIN totals t ON m.course_id = t.t_course_id
+               ORDER BY m.course_id, m.month_start, m.month_name""")),
+
+    // §2.8 course_rounds_by_weekday — Trino day_of_week + unknown bucket.
+    QueryDef(
+      "gm_rounds_by_weekday",
+      (s, d) =>
+        GoldModels.courseRoundsByWeekday(GoldModels.factRounds(silverOf(s, d)))
+          .orderBy(col("course_id"), col("weekday_number")),
+      Some(s"""WITH $SilverSql, $FactRoundsSql
+               SELECT course_id,
+               CASE WHEN round_start_ts IS NULL THEN 0
+                    ELSE CAST(ISODOW(round_start_ts) AS INTEGER) END AS weekday_number,
+               CASE WHEN round_start_ts IS NULL THEN 'Unknown (missing timestamp)'
+                    ELSE DAYNAME(round_start_ts) END AS weekday_name,
+               COUNT(*) AS rounds
+               FROM fact_rounds GROUP BY 1, 2, 3
+               ORDER BY course_id, weekday_number""")),
+
+    // §2.8 course_start_hole_distribution — shotgun starts + sanity ranges.
+    QueryDef(
+      "gm_start_hole_distribution",
+      (s, d) =>
+        GoldModels.courseStartHoleDistribution(GoldModels.factRounds(silverOf(s, d)))
+          .orderBy(col("course_id"), col("start_hole")),
+      Some(s"""WITH $SilverSql, $FactRoundsSql,
+               start_stats AS (
+                 SELECT course_id, start_hole,
+                 COUNT(*) AS rounds_with_this_start,
+                 CAST(SUM(CASE WHEN is_complete THEN 1 ELSE 0 END) AS BIGINT) AS complete_rounds_with_this_start,
+                 MIN(min_section_number) AS min_min_section_number,
+                 MAX(min_section_number) AS max_min_section_number,
+                 MIN(start_section) AS min_start_section,
+                 MAX(start_section) AS max_start_section,
+                 MIN(first_tee_section_number) AS min_first_tee_section_number,
+                 MAX(first_tee_section_number) AS max_first_tee_section_number
+                 FROM fact_rounds WHERE start_hole IS NOT NULL
+                 GROUP BY course_id, start_hole
+               ),
+               course_totals AS (
+                 SELECT course_id AS t_course_id,
+                 CAST(SUM(rounds_with_this_start) AS BIGINT) AS total_rounds,
+                 CAST(SUM(complete_rounds_with_this_start) AS BIGINT) AS total_complete_rounds,
+                 COUNT(DISTINCT start_hole) AS distinct_start_holes
+                 FROM start_stats GROUP BY 1
+               )
+               SELECT s.course_id, s.start_hole, s.rounds_with_this_start,
+               s.complete_rounds_with_this_start, t.total_rounds,
+               t.total_complete_rounds, t.distinct_start_holes,
+               ROUND(100.0e0 * s.rounds_with_this_start / NULLIF(t.total_rounds, 0), 2) AS pct_rounds_with_this_start,
+               ROUND(100.0e0 * s.complete_rounds_with_this_start / NULLIF(t.total_complete_rounds, 0), 2) AS pct_complete_rounds_with_this_start,
+               s.min_min_section_number, s.max_min_section_number,
+               s.min_start_section, s.max_start_section,
+               s.min_first_tee_section_number, s.max_first_tee_section_number
+               FROM start_stats s JOIN course_totals t ON s.course_id = t.t_course_id
+               ORDER BY s.course_id, s.start_hole""")),
+
+    // §2.8 telemetry_completeness_summary.
+    QueryDef(
+      "gm_completeness_summary",
+      (s, d) =>
+        GoldModels.telemetryCompletenessSummary(silverOf(s, d))
+          .orderBy(col("course_id")),
+      Some(s"""WITH $SilverSql
+               SELECT course_id,
+               COUNT(*) AS total_rows,
+               CAST(SUM(CASE WHEN is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS padding_rows,
+               CAST(SUM(CASE WHEN NOT is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS non_padding_rows,
+               CAST(SUM(CASE WHEN is_timestamp_missing THEN 1 ELSE 0 END) AS BIGINT) AS ts_missing_rows,
+               CAST(SUM(CASE WHEN is_timestamp_missing AND NOT is_location_padding THEN 1 ELSE 0 END) AS BIGINT) AS ts_missing_non_padding_rows,
+               ROUND(100.0e0 * SUM(CASE WHEN is_location_padding THEN 1 ELSE 0 END) / NULLIF(COUNT(*), 0), 2) AS pct_padding_total,
+               ROUND(100.0e0 * SUM(CASE WHEN is_timestamp_missing THEN 1 ELSE 0 END) / NULLIF(COUNT(*), 0), 2) AS pct_ts_missing_total,
+               ROUND(100.0e0 * SUM(CASE WHEN is_timestamp_missing AND NOT is_location_padding THEN 1 ELSE 0 END) / NULLIF(SUM(CASE WHEN NOT is_location_padding THEN 1 ELSE 0 END), 0), 2) AS pct_ts_missing_non_padding
+               FROM silver GROUP BY course_id ORDER BY course_id"""))
+  )
+}
