@@ -16,7 +16,8 @@ object Corpus {
       FunctionQueries.defs ++
       GoldQueries.defs ++
       GoldQueries2.defs ++
-      GoldQueries3.defs
+      GoldQueries3.defs ++
+      MaintenanceQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(q => q.name -> q.run).toMap

@@ -1,0 +1,304 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.ingest.{IngestionRegistry, Topology}
+import graft.tables.ParquetTable
+import QueryDef._
+
+/** Maintenance operators M1–M9 (SURVEY §2.10) as oracle-checked
+  * roundtrips: the engine performs the real table mutation (partition
+  * refresh, merge, schema evolution, quarantine write, registry dedup,
+  * topology inference) against scratch parquet, and the DuckDB oracle
+  * states the expected FINAL state directly over the source tables.
+  */
+object MaintenanceQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  private def scratch(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_maint_q", name)
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // M1/M2 — idempotent partition refresh (etl.py:639-682): land orders
+    // partitioned by priority, re-ingest ONE partition with doubled
+    // prices (twice — idempotency), verify the final table state.
+    QueryDef(
+      "m1_partition_refresh",
+      (s, d) => {
+        val path = scratch("m1")
+        val orders = t(s, d, "orders")
+        ParquetTable.createOrReplace(
+          orders.select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")),
+          path, Seq("o_orderpriority"))
+        val reingest = orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+            col("o_orderpriority"))
+        ParquetTable.refreshPartitions(reingest, path, Seq("o_orderpriority"))
+        ParquetTable.refreshPartitions(reingest, path, Seq("o_orderpriority")) // idempotent
+        s.read.parquet(path)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS total
+               FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // M3 — schema evolution: incoming frame missing a target column and
+    // carrying an extra one, aligned by name before append
+    // (etl.py:654-673).
+    QueryDef(
+      "m3_schema_evolution",
+      (s, d) => {
+        val target = StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_name", StringType),
+          StructField("c_acctbal", DoubleType),
+          StructField("is_vip", BooleanType)))
+        val incoming = t(s, d, "customer")
+          .select(col("c_acctbal"), col("c_custkey"), lit("extra").as("junk"))
+        ParquetTable.alignToSchema(incoming, target)
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("c_name")).as("n_name"),
+            count(col("is_vip")).as("n_vip"),
+            sum(col("c_custkey")).as("sum_key"),
+            dsum(col("c_acctbal")).as("sum_bal"))
+      },
+      Some(s"""SELECT COUNT(*) AS n, 0::BIGINT AS n_name, 0::BIGINT AS n_vip,
+               CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+               ${dsumSql("c_acctbal")} AS sum_bal FROM customer""")),
+
+    // M4/J10 — MERGE INTO on a parquet table (dimensions.py:366-398):
+    // update half the suppliers' balances, insert shadow suppliers,
+    // keep the rest untouched.
+    QueryDef(
+      "m4_merge_upsert",
+      (s, d) => {
+        val path = scratch("m4")
+        val sup = t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        ParquetTable.createOrReplace(sup, path, Nil)
+        val source = sup.filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey"), col("s_name"),
+            (col("s_acctbal") + 1000.0).as("s_acctbal"))
+          .unionByName(
+            sup.select((col("s_suppkey") + 10000).as("s_suppkey"),
+              concat(lit("shadow_"), col("s_name")).as("s_name"),
+              lit(0.0).as("s_acctbal")))
+        ParquetTable.merge(s, path, source, keys = Seq("s_suppkey"))
+        s.read.parquet(path).orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_name,
+              CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal + 1000.0e0 ELSE s_acctbal END AS s_acctbal
+              FROM supplier
+              UNION ALL
+              SELECT s_suppkey + 10000, 'shadow_' || s_name, CAST(0.0 AS DOUBLE)
+              FROM supplier
+              ORDER BY s_suppkey""")),
+
+    // M5 — quarantine JSON write + readback (etl.py:613-623): events with
+    // out-of-band values are quarantined to a run-scoped JSON path.
+    QueryDef(
+      "m5_quarantine_roundtrip",
+      (s, d) => {
+        val base = scratch("m5")
+        val invalid = t(s, d, "events")
+          .filter(col("value") > 400.0)
+          .select(col("event_id"), col("event_type"), col("value"))
+        val path = ParquetTable.writeQuarantine(invalid, base, "c1", "2024-01-01", "r1")
+        s.read.json(path)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
+              FROM events WHERE value > 400.0 GROUP BY event_type ORDER BY event_type""")),
+
+    // M7 — namespace/table DDL + catalog scan (etl.py:626, dimensions.py:303-327).
+    QueryDef(
+      "m7_ddl_catalog",
+      (s, d) => {
+        s.sql("CREATE DATABASE IF NOT EXISTS graft_silver")
+        t(s, d, "region").createOrReplaceTempView("m7_region_src")
+        s.sql("DROP TABLE IF EXISTS graft_silver.region_copy")
+        s.sql("""CREATE TABLE graft_silver.region_copy USING parquet AS
+                 SELECT * FROM m7_region_src""")
+        s.table("graft_silver.region_copy").orderBy(col("r_regionkey"))
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    // M8 — registry resume/missing: attempts derived from orders (started
+    // for all, success for even keys), window-dedup to latest status.
+    QueryDef(
+      "m8_registry_latest",
+      (s, d) => {
+        val path = scratch("m8")
+        val attempts = t(s, d, "orders")
+          .select(
+            col("o_orderpriority").as("course_id"),
+            concat(lit("d"), col("o_orderkey") % 5).as("ingest_date"),
+            lit("started").as("status"),
+            lit(0L).as("rows"), lit("").as("message"),
+            (col("o_orderkey") * 2).as("seq"))
+          .unionByName(
+            t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+              .select(
+                col("o_orderpriority").as("course_id"),
+                concat(lit("d"), col("o_orderkey") % 5).as("ingest_date"),
+                lit("success").as("status"),
+                col("o_orderkey").as("rows"), lit("").as("message"),
+                (col("o_orderkey") * 2 + 1).as("seq")))
+        attempts.write.mode("overwrite").parquet(path)
+        IngestionRegistry.latest(s, path)
+          .groupBy(col("course_id"), col("status"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("course_id"), col("status"))
+      },
+      Some("""SELECT course_id, status, COUNT(*) AS n FROM (
+                SELECT course_id, ingest_date, status,
+                ROW_NUMBER() OVER (PARTITION BY course_id, ingest_date ORDER BY seq DESC NULLS LAST) AS rn
+                FROM (
+                  SELECT o_orderpriority AS course_id, 'd' || CAST(o_orderkey % 5 AS VARCHAR) AS ingest_date,
+                         'started' AS status, o_orderkey * 2 AS seq FROM orders
+                  UNION ALL
+                  SELECT o_orderpriority, 'd' || CAST(o_orderkey % 5 AS VARCHAR),
+                         'success', o_orderkey * 2 + 1 FROM orders WHERE o_orderkey % 2 = 0
+                )
+              ) WHERE rn = 1 GROUP BY course_id, status ORDER BY course_id, status""")),
+
+    // M9 — topology inference, strategy A (continuous holes,
+    // dimensions.py:57-109): the REAL driver-loop inference over a
+    // silver mapping of lineitem; oracle reproduces the banded min/max.
+    QueryDef(
+      "m9_topology_holes",
+      (s, d) => {
+        val silver = t(s, d, "lineitem").select(
+          col("l_returnflag").as("course_id"),
+          (floor((col("l_partkey") % 54) / 3) + 1).cast(IntegerType).as("hole_number"),
+          ((col("l_partkey") % 54) + 1).cast(IntegerType).as("section_number"),
+          lit(false).as("is_location_padding"))
+        Topology.buildTopology(s, silver, minFixes = 100)
+          .orderBy(col("facility_id"), col("nine_number"))
+      },
+      Some("""WITH sil AS (
+                SELECT l_returnflag AS course_id,
+                CAST(FLOOR((l_partkey % 54) / 3) + 1 AS INTEGER) AS hole_number,
+                CAST((l_partkey % 54) + 1 AS INTEGER) AS section_number
+                FROM lineitem
+              ),
+              eligible AS (
+                SELECT course_id FROM sil GROUP BY course_id HAVING COUNT(*) >= 100
+              ),
+              bands AS (
+                SELECT course_id, 1 AS nine_number,
+                CAST(MIN(section_number) AS INTEGER) AS section_start,
+                CAST(MAX(section_number) AS INTEGER) AS section_end
+                FROM sil WHERE hole_number BETWEEN 1 AND 9 GROUP BY course_id
+                UNION ALL
+                SELECT course_id, 2,
+                CAST(MIN(section_number) AS INTEGER), CAST(MAX(section_number) AS INTEGER)
+                FROM sil WHERE hole_number BETWEEN 10 AND 18 GROUP BY course_id
+              )
+              SELECT b.course_id AS facility_id,
+              CAST(b.nine_number AS INTEGER) AS unit_id,
+              CASE WHEN b.nine_number = 1 THEN 'Front Nine' ELSE 'Back Nine' END AS unit_name,
+              CAST(b.nine_number AS INTEGER) AS nine_number,
+              b.section_start, b.section_end
+              FROM bands b JOIN eligible e ON b.course_id = e.course_id
+              ORDER BY facility_id, nine_number""")),
+
+    // M9 — topology inference, strategy B (hole resets, dominant-hole
+    // boundary detection, dimensions.py:112-158): holes cycle 1..9 per
+    // 27 sections; the oracle reproduces the sequential boundary scan
+    // with LAG + a running boundary count.
+    QueryDef(
+      "m9_topology_sections",
+      (s, d) => {
+        val silver = t(s, d, "lineitem").select(
+          col("l_returnflag").as("course_id"),
+          (floor(((col("l_partkey") % 54)) % 27 / 3) + 1).cast(IntegerType).as("hole_number"),
+          ((col("l_partkey") % 54) + 1).cast(IntegerType).as("section_number"),
+          lit(false).as("is_location_padding"))
+        Topology.buildTopology(s, silver, minFixes = 100)
+          .orderBy(col("facility_id"), col("nine_number"))
+      },
+      Some("""WITH sil AS (
+                SELECT l_returnflag AS course_id,
+                CAST(FLOOR(((l_partkey % 54) % 27) / 3) + 1 AS INTEGER) AS hole_number,
+                CAST((l_partkey % 54) + 1 AS INTEGER) AS section_number
+                FROM lineitem
+              ),
+              eligible AS (
+                SELECT course_id FROM sil GROUP BY course_id HAVING COUNT(*) >= 100
+              ),
+              section_holes AS (
+                SELECT course_id, section_number, hole_number AS dominant_hole,
+                COUNT(*) AS fix_count
+                FROM sil GROUP BY course_id, section_number, hole_number
+              ),
+              filtered AS (
+                SELECT * FROM section_holes WHERE fix_count >= 5
+              ),
+              lagged AS (
+                SELECT course_id, section_number, dominant_hole,
+                LAG(dominant_hole) OVER (PARTITION BY course_id ORDER BY section_number) AS prev_hole
+                FROM filtered
+              ),
+              flagged AS (
+                SELECT *, CASE WHEN prev_hole >= 7 AND dominant_hole <= 3 THEN 1 ELSE 0 END AS is_boundary
+                FROM lagged
+              ),
+              assigned AS (
+                SELECT course_id, section_number,
+                1 + SUM(is_boundary) OVER (PARTITION BY course_id ORDER BY section_number) AS nine
+                FROM flagged
+              ),
+              ranges AS (
+                SELECT course_id, CAST(nine AS INTEGER) AS nine_number,
+                CAST(MIN(section_number) AS INTEGER) AS section_start,
+                CAST(MAX(section_number) AS INTEGER) AS section_end
+                FROM assigned GROUP BY course_id, nine
+              )
+              SELECT r.course_id AS facility_id,
+              r.nine_number AS unit_id,
+              CASE WHEN r.nine_number = 1 THEN 'Front Nine' ELSE 'Back Nine' END AS unit_name,
+              r.nine_number, r.section_start, r.section_end
+              FROM ranges r JOIN eligible e ON r.course_id = e.course_id
+              ORDER BY facility_id, nine_number""")),
+
+    // A1/M9 — dim_sections_per_hole over the synthetic silver
+    // (generate_sections_per_hole.py:53-61).
+    QueryDef(
+      "m9_sections_per_hole",
+      (s, d) =>
+        Topology.sectionsPerHole(GoldQueries.syntheticSilver(t(s, d, "lineitem")))
+          .orderBy(col("course_id"), col("hole_number")),
+      Some(s"""WITH ${GoldQueries.SilverSql}
+               SELECT course_id, hole_number,
+               MIN(section_number) AS section_start,
+               MAX(section_number) AS section_end,
+               COUNT(DISTINCT section_number) AS sections_count
+               FROM silver
+               WHERE is_location_padding = FALSE AND hole_number IS NOT NULL
+                 AND section_number IS NOT NULL
+               GROUP BY course_id, hole_number
+               ORDER BY course_id, hole_number"""))
+  )
+}

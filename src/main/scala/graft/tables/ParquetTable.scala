@@ -1,0 +1,141 @@
+package graft.tables
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Maintenance operators M1–M7 (SURVEY §2.10) on plain-parquet tables.
+  *
+  * The reference gets DELETE/MERGE/schema-evolution from Iceberg; the
+  * BASELINE approach names Delta. This container ships neither, so the
+  * engine implements the same table semantics Spark-natively:
+  *
+  *   - M1 idempotent partition refresh  → dynamic partition overwrite
+  *     (`partitionOverwriteMode=dynamic`) — Spark only rewrites the
+  *     partitions present in the incoming frame, the exact semantics of
+  *     the reference's DELETE WHERE course/date + append (etl.py:639-677),
+  *     without a table format.
+  *   - M2 first-run CTAS with partitioning → partitioned parquet write.
+  *   - M3 schema evolution → align-by-name projection (add missing as
+  *     NULL, drop unknown extras) mirroring etl.py:654-673.
+  *   - M4 MERGE INTO upsert → full-outer join rewrite (below).
+  *   - M5/M6 quarantine + run-summary JSON writes.
+  *
+  * On a cluster with Delta/Iceberg these become one-line calls; the
+  * call-sites here are the only code that would change.
+  */
+object ParquetTable {
+
+  /** M2 — create (or fully replace) a partitioned table. */
+  def createOrReplace(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  /** M1 — idempotent partition refresh: only the partitions present in
+    * `df` are replaced; everything else is untouched. Re-running the same
+    * ingest is a no-op in row counts (the reference's DELETE+append goal). */
+  def refreshPartitions(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "partition refresh needs partition columns")
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+  }
+
+  /** M3 — schema evolution on write: align `df` to `target` by name; add
+    * target columns missing from df as NULL, drop df-only extras, order as
+    * target (etl.py:654-673, dimensions.py:329-343). */
+  def alignToSchema(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(target.fields.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+  }
+
+  /** M4 / J10 — MERGE INTO semantics on a parquet table: rows matching on
+    * `keys` are updated via `updates` (target columns referenced as
+    * `t.<col>`, source as `s.<col>`), unmatched source rows are inserted,
+    * unmatched target rows are kept. Implemented as a shuffle-free-as-
+    * possible full-outer join + projection; the write goes through a
+    * temp-dir swap so a failed job never half-replaces the table.
+    *
+    * At scale the join shuffles by the merge keys exactly like Delta's
+    * MERGE; partition-pruning the target read before the join (pass
+    * `targetFilter`) keeps it proportional to touched data.
+    */
+  def merge(
+      spark: SparkSession,
+      path: String,
+      source: DataFrame,
+      keys: Seq[String],
+      updates: Map[String, (Column, Column) => Column] = Map.empty,
+      targetFilter: Option[Column] = None): Unit = {
+    val target0 = spark.read.parquet(path)
+    val target = targetFilter.map(target0.filter).getOrElse(target0)
+    val untouched = targetFilter.map(f => target0.filter(!f))
+
+    val t = target.as("t")
+    val s = alignToSchema(source, target.schema).as("s")
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val joined = t.join(s, cond, "full_outer")
+
+    val merged = joined.select(target.schema.fieldNames.map { c =>
+      val tc = col(s"t.$c"); val sc = col(s"s.$c")
+      val matched = col(s"t.${keys.head}").isNotNull && col(s"s.${keys.head}").isNotNull
+      val sourceOnly = col(s"t.${keys.head}").isNull
+      val updated = updates.get(c).map(f => f(tc, sc)).getOrElse(
+        if (keys.contains(c)) tc else sc)
+      when(matched, updated)
+        .when(sourceOnly, sc)
+        .otherwise(tc)
+        .as(c)
+    }.toSeq: _*)
+
+    val result = untouched.map(u => merged.unionByName(u)).getOrElse(merged)
+    swapWrite(result, path)
+  }
+
+  /** Write `df` to a temp sibling dir, then atomically swap it into place
+    * — the poor man's table-format commit. */
+  def swapWrite(df: DataFrame, path: String): Unit = {
+    val p = Paths.get(path)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".__staged__")
+    val old = p.resolveSibling(p.getFileName.toString + ".__old__")
+    deleteRec(tmp); deleteRec(old)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (Files.exists(p)) Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+    deleteRec(old)
+  }
+
+  /** M5 — quarantine write: invalid rows as JSON under a run-scoped path
+    * (etl.py:613-623). */
+  def writeQuarantine(df: DataFrame, baseDir: String, courseId: String,
+      ingestDate: String, runId: String): String = {
+    val path = s"$baseDir/silver/course_id=$courseId/ingest_date=$ingestDate/run_id=$runId"
+    df.write.mode(SaveMode.Overwrite).json(path)
+    path
+  }
+
+  /** M6 — single-file JSON run summary (etl.py:687-703): one record,
+    * coalesce(1), observability path. */
+  def writeRunSummary(spark: SparkSession, path: String, summary: Map[String, String]): Unit = {
+    import spark.implicits._
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val json = summary.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{", ", ", "}")
+    spark.read.json(Seq(json).toDS)
+      .coalesce(1).write.mode(SaveMode.Overwrite).json(path)
+  }
+
+  private def deleteRec(p: Path): Unit = if (Files.exists(p)) {
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+}
