@@ -120,7 +120,7 @@ object MaintenanceQueries {
       (s, d) => {
         val base = scratch("m5")
         val invalid = t(s, d, "events")
-          .filter(col("value") > 400.0)
+          .filter(col("value") > 250.0)
           .select(col("event_id"), col("event_type"), col("value"))
         val path = ParquetTable.writeQuarantine(invalid, base, "c1", "2024-01-01", "r1")
         s.read.json(path)
@@ -129,17 +129,21 @@ object MaintenanceQueries {
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
-              FROM events WHERE value > 400.0 GROUP BY event_type ORDER BY event_type""")),
+              FROM events WHERE value > 250.0 GROUP BY event_type ORDER BY event_type""")),
 
     // M7 — namespace/table DDL + catalog scan (etl.py:626, dimensions.py:303-327).
     QueryDef(
       "m7_ddl_catalog",
       (s, d) => {
+        // External LOCATION under scratch: the in-memory catalog forgets
+        // tables between sessions but the filesystem doesn't — a managed
+        // CTAS would collide with the previous run's leftover directory.
+        val path = scratch("m7")
         s.sql("CREATE DATABASE IF NOT EXISTS graft_silver")
         t(s, d, "region").createOrReplaceTempView("m7_region_src")
         s.sql("DROP TABLE IF EXISTS graft_silver.region_copy")
-        s.sql("""CREATE TABLE graft_silver.region_copy USING parquet AS
-                 SELECT * FROM m7_region_src""")
+        s.sql(s"""CREATE TABLE graft_silver.region_copy USING parquet
+                  LOCATION '$path/region_copy' AS SELECT * FROM m7_region_src""")
         s.table("graft_silver.region_copy").orderBy(col("r_regionkey"))
       },
       Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
