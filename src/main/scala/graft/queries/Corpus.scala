@@ -17,7 +17,8 @@ object Corpus {
       GoldQueries.defs ++
       GoldQueries2.defs ++
       GoldQueries3.defs ++
-      MaintenanceQueries.defs
+      MaintenanceQueries.defs ++
+      LlmQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(q => q.name -> q.run).toMap

@@ -1,0 +1,302 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import QueryDef._
+
+/** LLM-training-data operators (builder brief §extensions) over the
+  * `documents` / `embeddings` tables. SQL-expressible ops carry DuckDB
+  * oracles; the sketch/LSH ops (MinHash, SimHash, random-projection ANN)
+  * are rows-only here and value-checked in LlmSpec instead — hash
+  * sketches don't reproduce across engines by design.
+  */
+object LlmQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  /** documents ∪ an exact-duplicate shadow copy (id + 10000). */
+  private def docsWithDups(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    docs.unionByName(docs.select(
+      (col("doc_id") + 10000).as("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars")))
+  }
+
+  /** documents ∪ a near-duplicate copy (id + 20000, one word appended). */
+  private def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    docs.unionByName(docs.select(
+      (col("doc_id") + 20000).as("doc_id"),
+      concat(col("text"), lit(" graftmarker")).as("text"),
+      col("lang"), col("source"), col("n_chars")))
+  }
+
+  /** embeddings ∪ an identical-vector shadow copy (id + 10000). */
+  private def vecsWithDups(s: SparkSession, d: String): DataFrame = {
+    val v = t(s, d, "embeddings")
+    v.unionByName(v.select(
+      (col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label")))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup via md5-of-normalized-text hash-groupBy: the injected
+    // shadow copies collapse onto their originals.
+    QueryDef(
+      "l_dedup_exact",
+      (s, d) =>
+        Dedup.exactDuplicateGroups(docsWithDups(s, d), "doc_id", "text")
+          .orderBy(col("fingerprint")),
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+              CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+              COUNT(*) AS n_members
+              FROM (SELECT doc_id, text FROM documents
+                    UNION ALL SELECT doc_id + 10000, text FROM documents)
+              GROUP BY 1 ORDER BY fingerprint""")),
+
+    // Exact dedup keep-first: survivors are exactly the original ids.
+    QueryDef(
+      "l_dedup_exact_keep",
+      (s, d) =>
+        Dedup.dedupExact(docsWithDups(s, d), "doc_id", "text")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("doc_id")).as("sum_ids"),
+            countDistinct(col("source")).as("n_sources")),
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+              COUNT(DISTINCT source) AS n_sources FROM documents""")),
+
+    // Word-bigram Jaccard near-dup pairs — the exact all-pairs baseline
+    // the MinHash path approximates.
+    QueryDef(
+      "l_ngram_jaccard",
+      (s, d) =>
+        Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 2, threshold = 0.2)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH sh AS (
+                SELECT doc_id,
+                list_distinct(list_transform(
+                  generate_series(1, len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) - 1),
+                  i -> string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i] || ' ' ||
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i+1]
+                )) AS sh
+                FROM documents
+              )
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
+                NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 0) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
+                NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 0) >= 0.2
+              ORDER BY id_a, id_b""")),
+
+    // MinHash + LSH near-dup detection (shingle→minhash→band→bucket join→
+    // verify). Sketch-based — no cross-engine oracle; LlmSpec pins recall
+    // and precision against the exact baseline.
+    QueryDef(
+      "l_minhash_near_dups",
+      (s, d) =>
+        Dedup.minHashNearDups(
+          docsWithNearDups(s, d), "doc_id", "text",
+          n = 2, bands = 16, rowsPerBand = 4, threshold = 0.7)
+          .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // SimHash near-dup detection (64-bit votes, 16-bit block candidates,
+    // Hamming verify). Rows-only for the same reason.
+    QueryDef(
+      "l_simhash_near_dups",
+      (s, d) =>
+        Dedup.simHashNearDups(
+          docsWithNearDups(s, d), "doc_id", "text", n = 1, maxDistance = 7)
+          .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // Embedding-cosine duplicate pairs over injected identical vectors.
+    QueryDef(
+      "l_embedding_dup_pairs",
+      (s, d) =>
+        Dedup.embeddingCosinePairs(vecsWithDups(s, d), "vec_id", "embedding", 0.999)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+                FROM embeddings
+              )
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM v a JOIN v b ON a.vec_id < b.vec_id
+              WHERE list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
+                    (SQRT(list_sum(list_transform(a.e, x -> x * x))) *
+                     SQRT(list_sum(list_transform(b.e, x -> x * x)))) >= 0.999
+              ORDER BY id_a, id_b""")),
+
+    // Brute-force cosine top-k: exact ANN baseline, per-query ranking.
+    QueryDef(
+      "l_cosine_topk",
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+        Similarity.bruteForceTopK(
+            vecs.filter(col("vec_id") < 10), vecs, "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+              ),
+              pairs AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])) /
+                  (SQRT(list_sum(list_transform(q.e, x -> x * x))) *
+                   SQRT(list_sum(list_transform(c.e, x -> x * x)))) AS cosine
+                FROM v q JOIN v c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id < 10
+              )
+              SELECT query_id, rank, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC NULLS LAST, neighbor_id ASC NULLS LAST) AS rank
+                FROM pairs
+              ) WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // Approximate similarity join via random-projection LSH buckets —
+    // the ANN scale path. Spark-ML-seeded hashes: rows-only; LlmSpec
+    // checks recall against the brute-force baseline.
+    QueryDef(
+      "l_lsh_ann_join",
+      (s, d) =>
+        Similarity.lshSimilarityJoin(
+            vecsWithDups(s, d), "vec_id", "embedding",
+            maxDistance = 0.1, numHashTables = 4, bucketLength = 1.0)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // Language-ID heuristic: argmax of per-language function-word stream
+    // ratios (deterministic tie-break en > de > fr > es).
+    QueryDef(
+      "l_langid",
+      (s, d) =>
+        t(s, d, "documents")
+          .withColumn("detected", TextAnalysis.languageId(col("text")))
+          .groupBy(col("detected"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("detected")),
+      Some("""WITH scored AS (
+                SELECT
+                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_en,
+                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_de,
+                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['le','la','les','et','est','un','une','pas','avec','pour'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_fr,
+                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['el','la','los','y','es','un','una','no','con','para'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_es
+                FROM documents
+              )
+              SELECT detected, COUNT(*) AS n FROM (
+                SELECT CASE WHEN (s_en + s_de + s_fr + s_es) > 0 THEN
+                  CASE WHEN s_es > GREATEST(s_en, s_de, s_fr) THEN 'es'
+                       WHEN s_fr > GREATEST(s_en, s_de) THEN 'fr'
+                       WHEN s_de > s_en THEN 'de'
+                       ELSE 'en' END
+                ELSE 'und' END AS detected
+                FROM scored
+              ) GROUP BY detected ORDER BY detected""")),
+
+    // Quality scoring: length / stopword / punctuation / word-length
+    // composite, 0-100.
+    QueryDef(
+      "l_quality_score",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            TextAnalysis.qualityScore(
+              col("text"), TextAnalysis.StopwordProfiles.head._2).as("quality"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+              ROUND(100.0e0 * (
+                LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0e0, 1.0e0) * 0.3e0 +
+                LEAST(CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) * 5.0e0, 1.0e0) * 0.3e0 +
+                (1.0e0 - LEAST(CAST(len(regexp_extract_all(text, '[^\p{L}\p{N}\s]')) AS DOUBLE) / NULLIF(LENGTH(text), 0) * 5.0e0, 1.0e0)) * 0.2e0 +
+                (CASE WHEN CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) BETWEEN 3.0e0 AND 10.0e0 THEN 1.0e0
+                      WHEN CAST(LENGTH(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) IS NULL THEN 0.0e0
+                      ELSE 0.5e0 END) * 0.2e0
+              ), 2) AS quality
+              FROM documents ORDER BY doc_id""")),
+
+    // Token counting: whitespace tokens + BPE-ish pre-tokenizer count.
+    QueryDef(
+      "l_token_counts",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+            TextAnalysis.bpeTokenCount(col("text")).cast(IntegerType).as("bpe_tokens"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+              CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS ws_tokens,
+              CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS INTEGER) AS bpe_tokens
+              FROM documents ORDER BY doc_id""")),
+
+    // Document fingerprinting: md5-of-normalized keys per source.
+    QueryDef(
+      "l_fingerprint",
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(
+            countDistinct(TextAnalysis.fingerprint(col("text"))).as("distinct_fps"),
+            count(lit(1)).as("n"))
+          .orderBy(col("source")),
+      Some("""SELECT source,
+              COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS distinct_fps,
+              COUNT(*) AS n
+              FROM documents GROUP BY source ORDER BY source""")),
+
+    // Multimodal pipeline: binary payloads + typed metadata → stub decode
+    // (mapPartitions) → video frame sampling → rollup. The checksum/
+    // feature columns are stub-derived (spec-checked); the oracle pins the
+    // schema-level plumbing: modalities, byte counts, frame fan-out.
+    QueryDef(
+      "l_multimodal_pipeline",
+      (s, d) => {
+        val media = Multimodal.fromDocuments(t(s, d, "documents"), "doc_id", "text")
+        val decoded = Multimodal.decodeStub(media)
+        Multimodal.sampleFrames(decoded, frameIntervalMs = 1000L)
+          .groupBy(col("modality"))
+          .agg(
+            countDistinct(col("media_id")).as("n_media"),
+            count(lit(1)).as("n_frames"),
+            sum(col("n_bytes")).as("total_bytes"),
+            sum(col("frame_ts_ms")).as("sum_frame_ts"))
+          .orderBy(col("modality"))
+      },
+      Some("""WITH media AS (
+                SELECT doc_id AS media_id,
+                (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INTEGER)] AS modality,
+                LENGTH(text) AS n_bytes,
+                LENGTH(text) * 40 AS duration_ms
+                FROM documents
+              ),
+              frames AS (
+                SELECT media_id, modality, n_bytes,
+                UNNEST(CASE WHEN modality = 'video'
+                  THEN range(0, GREATEST(CAST(duration_ms // 1000 AS INTEGER), 1))
+                  ELSE [0] END) AS frame_idx
+                FROM media
+              )
+              SELECT modality,
+              COUNT(DISTINCT media_id) AS n_media,
+              COUNT(*) AS n_frames,
+              CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+              CAST(SUM(frame_idx * 1000) AS BIGINT) AS sum_frame_ts
+              FROM frames GROUP BY modality ORDER BY modality"""))
+  )
+}

@@ -1,0 +1,166 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Value-level checks for the LLM-pipeline operators — especially the
+  * sketch/LSH paths that the DuckDB gate can only rows-check.
+  */
+class LlmSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents").persist()
+  private lazy val vecs = Tables.load(spark, sfDir, "embeddings").persist()
+
+  private lazy val nearDupDocs = docs.unionByName(docs.select(
+    (col("doc_id") + 20000).as("doc_id"),
+    concat(col("text"), lit(" graftmarker")).as("text"),
+    col("lang"), col("source"), col("n_chars")))
+
+  test("wordShingles produces ordered distinct n-grams") {
+    val df = Seq((1L, "a b c b c")).toDF("id", "text")
+    val sh = df.select(Dedup.wordShingles(col("text"), 2).as("sh"))
+      .collect()(0).getSeq[String](0)
+    assert(sh.toSet === Set("a b", "b c", "c b"))
+    val short = Seq((1L, "one")).toDF("id", "text")
+      .select(Dedup.wordShingles(col("text"), 3).as("sh"))
+      .collect()(0).getSeq[String](0)
+    assert(short.isEmpty) // no fabricated shingles below n tokens
+  }
+
+  test("minhash signature agreement approximates true Jaccard") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // 7/9 shared 1-grams
+      (3L, "completely different words entirely here now")).toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"),
+      Dedup.minHashSignature(col("text"), n = 1, k = 128).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def agree(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.size
+    assert(agree(sigs(1L), sigs(2L)) > 0.55 && agree(sigs(1L), sigs(2L)) < 0.95)
+    assert(agree(sigs(1L), sigs(3L)) < 0.15)
+  }
+
+  test("minhash LSH near-dup detection: high recall + precision vs exact baseline") {
+    val exact = Dedup.jaccardPairs(nearDupDocs, "doc_id", "text", n = 2, threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.minHashNearDups(nearDupDocs, "doc_id", "text",
+      n = 2, bands = 16, rowsPerBand = 4, threshold = 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Verification step makes precision exact by construction; recall from
+    // banding should be near-total at jaccard >= 0.7 with b=16, r=4.
+    assert(approx.subsetOf(exact))
+    assert(exact.nonEmpty)
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall $recall too low (${exact.size} true pairs)")
+    // every injected near-dup (id, id+20000) must be found
+    val injected = docs.select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 20000)).toSet
+    assert(injected.subsetOf(approx))
+  }
+
+  test("simhash: identical text → distance 0; near-dup → small; finds injected pairs") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "entirely unrelated content about database engines and queries"))
+      .toDF("doc_id", "text")
+    val keyed = Dedup.withSimHash64(df, "text")
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keyed(1L) === keyed(2L))
+    assert(java.lang.Long.bitCount(keyed(1L) ^ keyed(3L)) <= 12)
+    assert(java.lang.Long.bitCount(keyed(1L) ^ keyed(4L)) > 12)
+
+    // The 8-block scheme is EXACT for distance <= 7: the LSH result must
+    // equal the brute-force all-pairs answer on the simhash keys.
+    val keys = Dedup.withSimHash64(nearDupDocs, "text")
+      .select("doc_id", "simhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (ia, ka) <- keys; (ib, kb) <- keys
+      if ia < ib && java.lang.Long.bitCount(ka ^ kb) <= 7
+    } yield (ia, ib)).toSet
+    val pairs = Dedup.simHashNearDups(nearDupDocs, "doc_id", "text", n = 1, maxDistance = 7)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === expected, s"LSH ${pairs.size} pairs vs brute-force ${expected.size}")
+    assert(expected.nonEmpty)
+  }
+
+  test("random-projection ANN join recalls injected identical vectors") {
+    val dupVecs = vecs.unionByName(vecs.select(
+      (col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label")))
+    val pairs = Similarity.lshSimilarityJoin(
+      dupVecs, "vec_id", "embedding", maxDistance = 0.1,
+      numHashTables = 4, bucketLength = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val injected = vecs.select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 10000)).toSet
+    val recall = injected.intersect(pairs).size.toDouble / injected.size
+    assert(recall >= 0.95, s"ANN recall $recall")
+    // identical-vector pairs have distance ~0
+    assert(pairs.nonEmpty)
+  }
+
+  test("brute-force top-k is symmetric-rank consistent") {
+    val topk = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") < 3), vecs, "vec_id", "embedding", k = 3)
+      .collect()
+    assert(topk.length === 9) // 3 queries x 3 ranks
+    topk.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cosines = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cosines.sameElements(cosines.sorted.reverse)) // rank order = cosine desc
+    }
+  }
+
+  test("language-ID detects real sentences; word salad maps en/und") {
+    val samples = Seq(
+      (1L, "the cat sat on the mat and it was happy"),
+      (2L, "der hund ist nicht mit der katze zu hause"),
+      (3L, "le chat est avec une souris pour la nuit"),
+      (4L, "el perro es un animal con una cola"),
+      (5L, "xyzzy plugh qwerty")).toDF("id", "text")
+    val out = samples.select(col("id"), TextAnalysis.languageId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
+  }
+
+  test("quality score rewards long stopword-bearing prose, penalizes noise") {
+    val en = TextAnalysis.StopwordProfiles.head._2
+    val samples = Seq(
+      (1L, ("the data is stored in a table and it was fast " * 12).trim),
+      (2L, "!!! ### $$$ %%% ^^^ &&& *** ((( )))"),
+      (3L, "short")).toDF("id", "text")
+    val scores = samples
+      .select(col("id"), TextAnalysis.qualityScore(col("text"), en).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > 80.0)
+    assert(scores(2L) < 40.0)
+    assert(scores(1L) > scores(3L))
+  }
+
+  test("multimodal: stub decode is deterministic, frame sampling fans out videos") {
+    val media = Multimodal.fromDocuments(docs, "doc_id", "text")
+    val d1 = Multimodal.decodeStub(media).select("media_id", "checksum", "features")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d2 = Multimodal.decodeStub(media).select("media_id", "checksum")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 === d2) // deterministic across runs
+    val frames = Multimodal.sampleFrames(Multimodal.decodeStub(media), 1000L)
+    val videoFrames = frames.filter(col("modality") === "video")
+      .groupBy(col("media_id")).count().collect()
+    videoFrames.foreach(r => assert(r.getLong(1) >= 1))
+    val nonVideo = frames.filter(col("modality") =!= "video")
+      .groupBy(col("media_id")).count().filter(col("count") > 1).count()
+    assert(nonVideo === 0) // image/audio rows don't fan out
+    val resized = Multimodal.resizeStub(media, 64)
+      .select(max(col("meta.width")), max(col("meta.height"))).collect()(0)
+    assert(resized.getInt(0) <= 64 && resized.getInt(1) <= 64)
+  }
+}
