@@ -92,16 +92,72 @@ object Dedup {
   /** k-wide MinHash signature over word shingles: sig[i] =
     * min over shingles of ((a_i * h + b_i) mod p), p = 2^31-1, h =
     * xxhash64 of the shingle folded into [0, p). Pure column expressions
-    * — computed per-row inside codegen, no shuffle. */
-  def minHashSignature(text: Column, n: Int, k: Int): Column = {
-    val shingles = wordShingles(text, n)
-    val hashes = transform(shingles, t => pmod(xxhash64(t), lit(MersennePrime31)))
+    * — computed per-row inside codegen, no shuffle.
+    *
+    * NOTE: prefer [[withMinHashSignature]] on anything larger than test
+    * slices — inlining this single expression makes the shingle-hash
+    * array re-evaluate once per permutation (k× redundant string work).
+    */
+  def minHashSignature(text: Column, n: Int, k: Int): Column =
+    signatureOfHashes(
+      transform(wordShingles(text, n), t => pmod(xxhash64(t), lit(MersennePrime31))), k)
+
+  private def signatureOfHashes(hashes: Column, k: Int): Column = {
     val params = array(hashParams(k).map { case (a, b) =>
       struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
     transform(params, p =>
       array_min(transform(hashes, h =>
         pmod(p.getField("a") * h + p.getField("b"), lit(MersennePrime31)))))
+  }
+
+  /** Signature computation in two stages with a REAL optimization barrier
+    * between them. A plain two-projection version gets undone by
+    * CollapseProject (the hash-array alias is referenced once, so Catalyst
+    * inlines it into the per-permutation lambda and the whole shingle
+    * pipeline re-evaluates k times per row — measured 50×+ slowdown).
+    * Stage 1 stays declarative: shingle + xxhash64 once per row. Stage 2
+    * computes the k minima in a tight JVM loop behind a typed
+    * mapPartitions boundary, which no Project can collapse across. Rows
+    * with no shingles get a NULL signature (and are skipped by banding). */
+  def withMinHashSignature(
+      df: DataFrame, textCol: String, n: Int, k: Int,
+      outCol: String = "sig"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    val params = hashParams(k).toArray
+    val hashed = df.withColumn("__mh_hashes",
+      transform(wordShingles(col(textCol), n),
+        t => pmod(xxhash64(t), lit(MersennePrime31))))
+    val hIdx = hashed.schema.fieldIndex("__mh_hashes")
+    val outSchema = StructType(
+      hashed.schema.fields.patch(hIdx, Nil, 1) :+
+        StructField(outCol, ArrayType(LongType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    hashed.mapPartitions { rows =>
+      rows.map { r =>
+        val hs = r.getSeq[Long](hIdx)
+        val sig: Seq[Long] =
+          if (hs == null || hs.isEmpty) null
+          else {
+            val out = new Array[Long](params.length)
+            var i = 0
+            while (i < params.length) {
+              val (a, b) = params(i)
+              var min = Long.MaxValue
+              val it = hs.iterator
+              while (it.hasNext) {
+                val v = (a * it.next() + b) % MersennePrime31
+                if (v < min) min = v
+              }
+              out(i) = min
+              i += 1
+            }
+            out.toSeq
+          }
+        Row.fromSeq(r.toSeq.patch(hIdx, Nil, 1) :+ sig)
+      }
+    }(enc)
   }
 
   /** LSH banding: explode the signature into `bands` band keys; documents
@@ -111,8 +167,10 @@ object Dedup {
   def minHashBands(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minHashSignature(col(textCol), n, bands * rowsPerBand)
-    df.select(col(idCol).as("id"), sig.as("sig"))
+    val signed = withMinHashSignature(
+      df.select(col(idCol).as("id"), col(textCol)), textCol, n, bands * rowsPerBand)
+    signed.select(col("id"), col("sig"))
+      .filter(col("sig").isNotNull) // shingle-less rows can't be near-dups
       .select(col("id"), posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"))
         .as(Seq("band_idx", "band_hash")))

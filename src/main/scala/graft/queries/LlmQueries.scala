@@ -72,11 +72,15 @@ object LlmQueries {
               COUNT(DISTINCT source) AS n_sources FROM documents""")),
 
     // Word-bigram Jaccard near-dup pairs — the exact all-pairs baseline
-    // the MinHash path approximates.
+    // the MinHash path approximates. Bounded to a fixed 500-doc slice:
+    // all-pairs is the small-slice verification tool (Dedup.jaccardPairs
+    // scaladoc); the LSH query below is the unbounded scale path.
     QueryDef(
       "l_ngram_jaccard",
       (s, d) =>
-        Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 2, threshold = 0.2)
+        Dedup.jaccardPairs(
+          t(s, d, "documents").filter(col("doc_id") < 500),
+          "doc_id", "text", n = 2, threshold = 0.2)
           .orderBy(col("id_a"), col("id_b")),
       Some("""WITH sh AS (
                 SELECT doc_id,
@@ -85,7 +89,7 @@ object LlmQueries {
                   i -> string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i] || ' ' ||
                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i+1]
                 )) AS sh
-                FROM documents
+                FROM documents WHERE doc_id < 500
               )
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
@@ -103,7 +107,10 @@ object LlmQueries {
       (s, d) =>
         Dedup.minHashNearDups(
           docsWithNearDups(s, d), "doc_id", "text",
-          n = 2, bands = 16, rowsPerBand = 4, threshold = 0.7)
+          // r=8 rows/band: this synthetic corpus shares one small vocab, so
+          // moderate-jaccard pairs are everywhere — a steeper S-curve keeps
+          // bucket fan-out linear while still catching the >0.9 near-dups.
+          n = 2, bands = 8, rowsPerBand = 8, threshold = 0.7)
           .orderBy(col("id_a"), col("id_b")),
       None),
 
@@ -118,18 +125,22 @@ object LlmQueries {
       None),
 
     // Embedding-cosine duplicate pairs over injected identical vectors.
+    // Bounded all-pairs baseline (500-vector slice); the LSH join below is
+    // the unbounded scale path.
     QueryDef(
       "l_embedding_dup_pairs",
       (s, d) =>
-        Dedup.embeddingCosinePairs(vecsWithDups(s, d), "vec_id", "embedding", 0.999)
+        Dedup.embeddingCosinePairs(
+          vecsWithDups(s, d).filter(col("vec_id") % 10000 < 500),
+          "vec_id", "embedding", 0.999)
           .select(col("id_a"), col("id_b"))
           .orderBy(col("id_a"), col("id_b")),
       Some("""WITH v AS (
                 SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-                FROM embeddings
+                FROM embeddings WHERE vec_id < 500
                 UNION ALL
                 SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
-                FROM embeddings
+                FROM embeddings WHERE vec_id < 500
               )
               SELECT a.vec_id AS id_a, b.vec_id AS id_b
               FROM v a JOIN v b ON a.vec_id < b.vec_id

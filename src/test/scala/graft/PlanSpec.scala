@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.queries.Corpus
+
+/** Physical-plan assertions: the shapes that make these queries survive a
+  * 100× scale-up. A green run here means Catalyst is doing what the
+  * operator design assumes — filters reach the parquet scan, dims
+  * broadcast, top-k never globally sorts, aggregates combine map-side.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Corpus.queries(name)(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filter + projection are pushed into the parquet scan") {
+    val df = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") > "1995-01-01")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters:") && p.contains("IsNotNull"),
+      s"no pushed filters in:\n$p")
+    // pruned read schema: only the referenced columns reach the scan
+    // (timestamp col is read as long pre-conversion, so check absence of others)
+    assert(!p.contains("l_extendedprice"), "column pruning failed — scan reads unused columns")
+  }
+
+  test("dim-enrichment joins broadcast the dimension side (J1/J2)") {
+    assert(plan("j2_dim_enrich_left_join").contains("BroadcastHashJoin"))
+    assert(plan("j1_broadcast_range_join").contains("Broadcast"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("topk_order_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k plan:\n$p")
+  }
+
+  test("aggregations are partial (map-side combine) before the exchange") {
+    val p = plan("a14_mega_rollup")
+    assert(p.contains("HashAggregate"))
+    // partial_ functions appear in the pre-shuffle aggregate node
+    assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
+  }
+
+  test("semi-join uses a real semi join operator (J6)") {
+    val p = plan("j6_eligible_semi_join")
+    assert(p.contains("LeftSemi") || p.contains("Semi"), s"plan:\n$p")
+  }
+
+  test("whole-stage codegen covers the hot path of the flagship rollup") {
+    // AQE hides codegen spans behind AdaptiveSparkPlan until execution —
+    // disable it just to inspect the static plan.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = Corpus.queries("a14_mega_rollup")(spark, sfDir)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      // formatted mode stars codegen'd nodes ("* HashAggregate")
+      assert(p.contains("* HashAggregate"), s"no codegen spans in:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("dedup window partitions by key — no single-partition window (W1)") {
+    val p = plan("w1_dedup_row_number")
+    assert(p.contains("Window"))
+    // the only global window in the corpus is W4, which pre-filters to a
+    // bounded slice; W1 must carry partition keys in its spec
+    assert(p.contains("partitionBy") || p.contains("user_id"), s"plan:\n$p")
+  }
+}
