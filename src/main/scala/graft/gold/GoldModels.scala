@@ -653,42 +653,70 @@ object GoldModels {
         max(col("battery_percentage")).as("max_battery_pct"),
         avg(col("battery_percentage")).as("avg_battery_pct"))
 
+  /** Per-round flag rollup shared by the global models: turns the
+    * reference's `COUNT(DISTINCT CASE WHEN flag THEN round_id END)`
+    * family (which Catalyst plans as an Expand — one row-copy per
+    * distinct-aggregate) into one groupBy(round) + one count. Identical
+    * semantics: a round is counted iff ANY of its non-padding fixes
+    * carries the flag. */
+  private def roundFlagRollup(silver: DataFrame, perCourse: Boolean): DataFrame =
+    silver
+      .filter(col("course_id").isNotNull && col("round_id").isNotNull)
+      // the global overview counts a round once even if its fixes span
+      // courses; the per-course summary counts it within each course
+      .groupBy(
+        (if (perCourse) Seq(col("course_id")) else Nil) :+ col("round_id"): _*)
+      .agg(
+        bool_or(!col("is_location_padding")).as("has_non_padding"),
+        bool_or(!col("is_location_padding") && coalesce(col("is_complete"), lit(false)))
+          .as("f_complete"),
+        bool_or(!col("is_location_padding") && coalesce(col("is_nine_hole"), lit(false)))
+          .as("f_nine_hole"),
+        bool_or(!col("is_location_padding") && coalesce(col("is_secondary"), lit(false)))
+          .as("f_secondary"),
+        bool_or(!col("is_location_padding") && coalesce(col("is_auto_assigned"), lit(false)))
+          .as("f_auto_assigned"))
+
+  private def roundFlagCounts(roundFlags: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = if (groupCols.isEmpty) roundFlags.groupBy()
+    else roundFlags.groupBy(groupCols.map(col): _*)
+    g.agg(
+      count(lit(1)).as("distinct_rounds_all"),
+      sum(when(col("has_non_padding"), 1).otherwise(0)).as("distinct_rounds_non_padding"),
+      sum(when(col("f_complete"), 1).otherwise(0)).as("complete_rounds"),
+      sum(when(col("f_nine_hole"), 1).otherwise(0)).as("nine_hole_rounds"),
+      sum(when(col("f_secondary"), 1).otherwise(0)).as("secondary_rounds"),
+      sum(when(col("f_auto_assigned"), 1).otherwise(0)).as("auto_assigned_rounds"))
+  }
+
   /** silver_normalized.global_overview — single-row global KPIs
     * (global_overview.sql:15-98). `exactPercentiles` swaps the
-    * APPROX_PERCENTILE for the exact variant (correctness gate). */
+    * APPROX_PERCENTILE for the exact variant (correctness gate).
+    * Round-distinct flags come from [[roundFlagRollup]] — two column-
+    * pruned passes instead of a 9-way Expand of the fact table. */
   def globalOverview(silver: DataFrame, exactPercentiles: Boolean = false): DataFrame = {
     val median =
       if (exactPercentiles)
         expr("percentile(CASE WHEN NOT is_location_padding THEN pace_gap END, 0.5)")
       else
         expr("percentile_approx(CASE WHEN NOT is_location_padding THEN pace_gap END, 0.5, 10000)")
-    val agg0 = silver.filter(col("course_id").isNotNull).agg(
+    val rowStats = silver.filter(col("course_id").isNotNull).agg(
       count(lit(1)).as("total_rows"),
       sum(when(col("is_location_padding"), 1).otherwise(0)).as("padding_rows"),
       sum(when(!col("is_location_padding"), 1).otherwise(0)).as("non_padding_rows"),
       countDistinct(col("course_id")).as("courses"),
-      countDistinct(col("round_id")).as("distinct_rounds_all"),
-      countDistinct(when(!col("is_location_padding"), col("round_id")))
-        .as("distinct_rounds_non_padding"),
       countDistinct(col("device")).as("distinct_devices"),
       sum(when(col("is_timestamp_missing"), 1).otherwise(0)).as("ts_missing_rows"),
       sum(when(col("is_timestamp_missing") && !col("is_location_padding"), 1).otherwise(0))
         .as("ts_missing_non_padding_rows"),
       sum(when(!col("is_location_padding") && col("is_problem"), 1).otherwise(0))
         .as("problem_rows"),
-      countDistinct(when(!col("is_location_padding") &&
-        coalesce(col("is_complete"), lit(false)), col("round_id"))).as("complete_rounds"),
-      countDistinct(when(!col("is_location_padding") &&
-        coalesce(col("is_nine_hole"), lit(false)), col("round_id"))).as("nine_hole_rounds"),
-      countDistinct(when(!col("is_location_padding") &&
-        coalesce(col("is_secondary"), lit(false)), col("round_id"))).as("secondary_rounds"),
-      countDistinct(when(!col("is_location_padding") &&
-        coalesce(col("is_auto_assigned"), lit(false)), col("round_id")))
-        .as("auto_assigned_rounds"),
       min(col("fix_timestamp")).as("first_fix_ts"),
       max(col("fix_timestamp")).as("last_fix_ts"),
       avg(when(!col("is_location_padding"), col("pace_gap"))).as("avg_pace_gap_sec"),
       median.as("median_pace_gap_sec"))
+    val agg0 = rowStats.crossJoin(
+      roundFlagCounts(roundFlagRollup(silver, perCourse = false), Nil))
     agg0.select(
       col("total_rows"), col("padding_rows"), col("non_padding_rows"),
       col("courses"), col("distinct_rounds_all"), col("distinct_rounds_non_padding"),
@@ -724,32 +752,31 @@ object GoldModels {
         expr("percentile(CASE WHEN NOT is_location_padding THEN pace_gap END, 0.5)")
       else
         expr("percentile_approx(CASE WHEN NOT is_location_padding THEN pace_gap END, 0.5, 10000)")
-    silver.filter(col("course_id").isNotNull)
+    val rowStats = silver.filter(col("course_id").isNotNull)
       .groupBy(col("course_id"))
       .agg(
         count(lit(1)).as("total_rows"),
         sum(when(col("is_location_padding"), 1).otherwise(0)).as("padding_rows"),
         sum(when(!col("is_location_padding"), 1).otherwise(0)).as("non_padding_rows"),
-        countDistinct(col("round_id")).as("distinct_rounds_all"),
-        countDistinct(when(!col("is_location_padding"), col("round_id")))
-          .as("distinct_rounds_non_padding"),
         countDistinct(col("device")).as("distinct_devices"),
         sum(when(col("is_timestamp_missing"), 1).otherwise(0)).as("ts_missing_rows"),
         sum(when(col("is_timestamp_missing") && !col("is_location_padding"), 1).otherwise(0))
           .as("ts_missing_non_padding_rows"),
         sum(when(!col("is_location_padding") && col("is_problem"), 1).otherwise(0))
           .as("problem_rows"),
-        countDistinct(when(!col("is_location_padding") &&
-          coalesce(col("is_complete"), lit(false)), col("round_id"))).as("complete_rounds"),
-        countDistinct(when(!col("is_location_padding") &&
-          coalesce(col("is_nine_hole"), lit(false)), col("round_id"))).as("nine_hole_rounds"),
-        countDistinct(when(!col("is_location_padding") &&
-          coalesce(col("is_secondary"), lit(false)), col("round_id"))).as("secondary_rounds"),
-        countDistinct(when(!col("is_location_padding") &&
-          coalesce(col("is_auto_assigned"), lit(false)), col("round_id")))
-          .as("auto_assigned_rounds"),
         avg(when(!col("is_location_padding"), col("pace_gap"))).as("avg_pace_gap_sec"),
         median.as("median_pace_gap_sec"))
+    val roundStats = roundFlagCounts(
+      roundFlagRollup(silver, perCourse = true), Seq("course_id"))
+      .withColumnRenamed("course_id", "r_course_id")
+    val joined = rowStats
+      .join(roundStats, col("course_id") === col("r_course_id"), "left")
+      .drop("r_course_id")
+    // a course whose round_ids are all NULL has no flag-rollup rows: its
+    // distinct counts are 0 (reference COUNT(DISTINCT ...) semantics)
+    Seq("distinct_rounds_all", "distinct_rounds_non_padding", "complete_rounds",
+        "nine_hole_rounds", "secondary_rounds", "auto_assigned_rounds")
+      .foldLeft(joined)((df, c) => df.withColumn(c, coalesce(col(c), lit(0L))))
       .withColumn("pct_problem_rows_non_padding",
         pct(col("problem_rows"), col("non_padding_rows"), 2))
       .withColumn("pct_complete_rounds",

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface — beyond the reference (which is batch
+  * incremental only, SURVEY §2.10): the same telemetry semantics as a
+  * continuous pipeline.
+  *
+  * readStream → dedup-within-watermark → window agg / stateful round
+  * tracking → writeStream. Each piece mirrors a batch operator:
+  *
+  *   - W1 dedup  → `dropDuplicatesWithinWatermark` on the same
+  *     (round_id, fix_timestamp, location_index) key;
+  *   - fact_round_hole_performance-style rollups → watermarked tumbling
+  *     windows (late fixes beyond the watermark are dropped, state is
+  *     bounded — the property that keeps this running forever at scale);
+  *   - fact_rounds → `flatMapGroupsWithState` with event-time timeout:
+  *     a round's summary is emitted once its stream goes quiet.
+  */
+object StreamingTelemetry {
+
+  /** One streaming fix — the silver grain's streaming shape. */
+  final case class Fix(
+      roundId: String, courseId: String,
+      fixTimestamp: java.sql.Timestamp,
+      locationIndex: Int, holeNumber: Option[Int], pace: Option[Double],
+      isCache: Boolean)
+
+  final case class RoundSummary(
+      roundId: String, courseId: String,
+      fixCount: Long, firstFix: java.sql.Timestamp, lastFix: java.sql.Timestamp,
+      avgPace: Option[Double])
+
+  /** Mutable-per-key accumulator held in the state store. */
+  final case class RoundState(
+      courseId: String, fixCount: Long,
+      firstFix: Long, lastFix: Long,
+      paceSum: Double, paceCount: Long)
+
+  /** File-source streaming read of landed JSON rounds — at scale this is
+    * the continuous version of the bronze→silver hop (same directory
+    * layout, schema locked up front: streaming sources must not infer). */
+  def readFixStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(
+        "roundId STRING, courseId STRING, fixTimestamp TIMESTAMP, " +
+          "locationIndex INT, holeNumber INT, pace DOUBLE, isCache BOOLEAN")
+      .json(dir)
+
+  /** W1's streaming form: exact-once per (round, ts, index) within the
+    * watermark horizon. State size is bounded by the watermark — the
+    * batch window dedup's unbounded shuffle becomes a TTL'd state store. */
+  def dedupStream(fixes: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    fixes
+      .withWatermark("fixTimestamp", watermark)
+      .dropDuplicatesWithinWatermark("roundId", "fixTimestamp", "locationIndex")
+
+  /** Tumbling-window pace rollup per course — the streaming analogue of
+    * the gold seasonality/pace models. */
+  def windowedPace(
+      fixes: DataFrame,
+      watermark: String = "10 minutes",
+      windowLength: String = "5 minutes"): DataFrame =
+    fixes
+      .withWatermark("fixTimestamp", watermark)
+      .groupBy(col("courseId"), window(col("fixTimestamp"), windowLength))
+      .agg(
+        count(lit(1)).as("fixes"),
+        avg(col("pace")).as("avg_pace"),
+        approx_count_distinct(col("roundId")).as("active_rounds"))
+      .select(
+        col("courseId"),
+        col("window.start").as("window_start"),
+        col("fixes"), col("avg_pace"), col("active_rounds"))
+
+  /** fact_rounds as a stateful stream: accumulate per-round counters in
+    * the state store, emit the summary when the round's event-time stream
+    * goes quiet past the timeout. KeyValueGroupedDataset +
+    * flatMapGroupsWithState — the engine-native replacement for the
+    * reference's batch DELETE+append refresh of round summaries. */
+  def roundSummaries(
+      spark: SparkSession,
+      fixes: Dataset[Fix],
+      watermark: String = "10 minutes"): Dataset[RoundSummary] = {
+    import spark.implicits._
+
+    fixes
+      .withWatermark("fixTimestamp", watermark)
+      .groupByKey(_.roundId)
+      .flatMapGroupsWithState[RoundState, RoundSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (roundId, batch, state: GroupState[RoundState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(RoundSummary(
+              roundId, s.courseId, s.fixCount,
+              new java.sql.Timestamp(s.firstFix), new java.sql.Timestamp(s.lastFix),
+              if (s.paceCount > 0) Some(s.paceSum / s.paceCount) else None))
+          } else {
+            val updated = batch.foldLeft(state.getOption.getOrElse(
+              RoundState("", 0L, Long.MaxValue, Long.MinValue, 0.0, 0L))) { (s, f) =>
+              RoundState(
+                f.courseId,
+                s.fixCount + 1,
+                math.min(s.firstFix, f.fixTimestamp.getTime),
+                math.max(s.lastFix, f.fixTimestamp.getTime),
+                s.paceSum + f.pace.getOrElse(0.0),
+                s.paceCount + (if (f.pace.isDefined) 1 else 0))
+            }
+            state.update(updated)
+            // round is "done" when no fix arrives for 15 event-time minutes
+            state.setTimeoutTimestamp(updated.lastFix, "15 minutes")
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.gold.GoldModels
+import graft.ingest.SilverEtl
+import graft.llm.Dedup
+
+/** ScalaCheck property tests (SURVEY §5 rebuild plan): dedup idempotency
+  * and explode/rollup count reconciliation, over randomized round shapes.
+  * Uses the raw scalacheck runner (no scalatestplus bridge in the offline
+  * cache).
+  */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def check(prop: Prop, minSuccessful: Int = 20): Unit = {
+    val result = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(minSuccessful)
+        .withMaxDiscardRatio(10f)
+        .withMinSize(1).withMaxSize(12),
+      prop)
+    assert(result.passed, s"property failed: ${result.status}")
+  }
+
+  /** A fix row: (round, offsetSeconds, index, isCache, isProjected, battery). */
+  private val fixGen: Gen[(String, Int, Int, Boolean, Boolean, Option[Double])] =
+    for {
+      round <- Gen.oneOf("r1", "r2", "r3")
+      offset <- Gen.choose(0, 5)
+      idx <- Gen.choose(0, 3)
+      cache <- Gen.oneOf(true, false)
+      proj <- Gen.oneOf(true, false)
+      battery <- Gen.option(Gen.choose(0.0, 100.0))
+    } yield (round, offset, idx, cache, proj, battery)
+
+  private def toTelemetry(fixes: List[(String, Int, Int, Boolean, Boolean, Option[Double])]) =
+    fixes.toDF("round_id", "offset", "location_index", "is_cache", "is_projected",
+        "battery_percentage")
+      .withColumn("fix_timestamp",
+        to_timestamp(lit("2024-01-15 10:00:00")) +
+          make_dt_interval(lit(0), lit(0), lit(0), col("offset")))
+
+  test("property: dedup is idempotent and keeps exactly one row per key") {
+    check(Prop.forAll(Gen.nonEmptyListOf(fixGen)) { fixes =>
+      val df = toTelemetry(fixes)
+      val once = SilverEtl.dedupFixes(df)
+      val twice = SilverEtl.dedupFixes(once)
+      val keys = df.select("round_id", "fix_timestamp", "location_index")
+        .distinct().count()
+      once.count() == keys && twice.count() == once.count()
+    }, minSuccessful = 10)
+  }
+
+  test("property: dedup winner obeys the cache > non-projected > battery order") {
+    check(Prop.forAll(Gen.nonEmptyListOf(fixGen)) { fixes =>
+      val df = toTelemetry(fixes)
+      val winners = SilverEtl.dedupFixes(df)
+        .select("round_id", "fix_timestamp", "location_index", "is_cache")
+        .collect()
+      // if any candidate in a key group is cached, the winner must be cached
+      val cacheByKey = df
+        .groupBy("round_id", "fix_timestamp", "location_index")
+        .agg(max(col("is_cache")).as("any_cache"))
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getInt(2)) -> r.getBoolean(3))
+        .toMap
+      winners.forall { w =>
+        val key = (w.getString(0), w.getTimestamp(1), w.getInt(2))
+        !cacheByKey(key) || w.getBoolean(3)
+      }
+    }, minSuccessful = 10)
+  }
+
+  test("property: explode/rollup counts reconcile (gold_coverage_audit invariant)") {
+    val roundGen = for {
+      nLocs <- Gen.choose(1, 6)
+      padded <- Gen.choose(0, 2)
+    } yield (nLocs, padded)
+    check(Prop.forAll(Gen.nonEmptyListOf(roundGen)) { rounds =>
+      // build a silver-shaped frame: each round contributes nLocs real +
+      // padded padding rows
+      val rows = rounds.zipWithIndex.flatMap { case ((nLocs, padded), i) =>
+        (0 until nLocs).map(j =>
+          ("c", s"r$i", j, false, Some(j + 1), Timestampish(i, j))) ++
+          (0 until padded).map(j =>
+            ("c", s"r$i", nLocs + j, true, None: Option[Int], Timestampish(i, nLocs + j)))
+      }
+      val silver = rows.toDF(
+        "course_id", "round_id", "location_index", "is_location_padding",
+        "hole_number", "ts_s")
+        .withColumn("fix_timestamp", col("ts_s").cast("timestamp"))
+        .withColumn("is_timestamp_missing", col("fix_timestamp").isNull)
+        .withColumn("section_number", col("hole_number"))
+        .withColumn("nine_number", lit(1))
+        .withColumn("hole_section", lit(1))
+        .withColumn("pace", lit(null).cast("double"))
+        .withColumn("pace_gap", lit(null).cast("double"))
+        .withColumn("positional_gap", lit(null).cast("double"))
+        .withColumn("battery_percentage", lit(null).cast("double"))
+        .withColumn("is_cache", lit(false))
+        .withColumn("is_projected", lit(false))
+        .withColumn("is_problem", lit(false))
+        .withColumn("start_hole", lit(1))
+        .withColumn("start_section", lit(1))
+        .withColumn("end_section", lit(1))
+        .withColumn("is_nine_hole", lit(false))
+        .withColumn("is_complete", lit(true))
+      val fr = GoldModels.factRounds(silver)
+      val sumFix = fr.agg(sum(col("fix_count"))).collect()(0).getLong(0)
+      val nonPadding = silver.filter(!col("is_location_padding")).count()
+      sumFix == nonPadding && fr.count() == rounds.size
+    }, minSuccessful = 10)
+  }
+
+  private def Timestampish(i: Int, j: Int): Long =
+    1705312800L + i * 3600L + j * 60L
+
+  test("property: minhash signature agreement is symmetric and bounded by 1") {
+    val textGen = Gen.nonEmptyListOf(
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
+      .map(_.mkString(" "))
+    check(Prop.forAll(textGen, textGen) { (ta, tb) =>
+      val sigs = Seq((1L, ta), (2L, tb)).toDF("id", "text")
+        .select(Dedup.minHashSignature(col("text"), 1, 32).as("sig"))
+        .collect().map(_.getSeq[Long](0))
+      val agree = sigs(0).zip(sigs(1)).count { case (a, b) => a == b }
+      agree >= 0 && agree <= 32 && (ta != tb || agree == 32)
+    }, minSuccessful = 10)
+  }
+}

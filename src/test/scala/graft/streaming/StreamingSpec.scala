@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import StreamingTelemetry._
+
+/** Streaming semantics via MemoryStream + memory sink: watermarked dedup,
+  * windowed aggregation, and stateful round summarization.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(minute: Int, second: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-15 10:$minute%02d:$second%02d")
+
+  private def fix(round: String, minute: Int, idx: Int,
+      pace: Option[Double] = Some(100.0), cache: Boolean = false) =
+    Fix(round, "americanfalls", ts(minute), idx, Some(1), pace, cache)
+
+  test("dropDuplicatesWithinWatermark collapses replayed fixes (streaming W1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Fix]
+    val q = dedupStream(input.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        fix("r1", 0, 0), fix("r1", 0, 0, cache = true), // duplicate key
+        fix("r1", 1, 1), fix("r2", 1, 0))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      assert(rows.length === 3)
+    } finally q.stop()
+  }
+
+  test("windowed pace aggregation buckets by event time with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Fix]
+    val q = windowedPace(input.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("window_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        fix("r1", 0, 0, Some(100.0)), fix("r1", 2, 1, Some(200.0)), // window 10:00
+        fix("r1", 7, 2, Some(300.0)),                                // window 10:05
+        fix("r2", 1, 0, Some(400.0)))                                // window 10:00
+      // advance the watermark far enough to close both windows
+      input.addData(fix("r3", 40, 0))
+      q.processAllAvailable()
+      val out = spark.table("window_out")
+        .select(col("window_start").cast("string"), col("fixes"), col("avg_pace"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(out("2024-01-15 10:00:00") === ((3L, (100.0 + 200.0 + 400.0) / 3)))
+      assert(out("2024-01-15 10:05:00") === ((1L, 300.0)))
+    } finally q.stop()
+  }
+
+  test("stateful round summaries emit on event-time quiescence (flatMapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Fix]
+    val q = roundSummaries(spark, input.toDS(), "5 minutes")
+      .writeStream.format("memory").queryName("rounds_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        fix("r1", 0, 0, Some(100.0)), fix("r1", 2, 1, Some(300.0)),
+        fix("r1", 4, 2, pace = None))
+      q.processAllAvailable()
+      // nothing emitted yet — round still live
+      assert(spark.table("rounds_out").count() === 0)
+      // an hour-later fix on another round pushes the watermark past r1's
+      // 15-minute quiet horizon → r1's summary flushes
+      input.addData(fix("r2", 59, 0))
+      q.processAllAvailable()
+      input.addData(Fix("r2", "americanfalls",
+        Timestamp.valueOf("2024-01-15 12:00:00"), 1, Some(1), None, false))
+      q.processAllAvailable()
+      val out = spark.table("rounds_out").as[RoundSummary].collect()
+        .map(r => r.roundId -> r).toMap
+      assert(out.contains("r1"))
+      val r1 = out("r1")
+      assert(r1.fixCount === 3L)
+      assert(r1.firstFix === ts(0) && r1.lastFix === ts(4))
+      assert(r1.avgPace === Some(200.0))
+    } finally q.stop()
+  }
+}
