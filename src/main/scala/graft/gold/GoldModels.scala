@@ -44,8 +44,11 @@ object GoldModels {
           unix_timestamp(min(col("fix_timestamp")))).as("duration_sec"),
         count(lit(1)).as("fix_count"),
         sum(when(col("is_timestamp_missing"), 1).otherwise(0)).as("ts_missing_fix_count"),
-        countDistinct(col("hole_number")).as("holes_played"),
-        countDistinct(col("nine_number")).as("nines_played"),
+        // bounded domains (hole ≤ 27, nine ≤ 4): collect_set avoids the
+        // Expand row-multiplication a COUNT(DISTINCT) pair would cost;
+        // identical null-excluding semantics
+        size(collect_set(col("hole_number"))).cast(LongType).as("holes_played"),
+        size(collect_set(col("nine_number"))).cast(LongType).as("nines_played"),
         min(col("section_number")).as("min_section_number"),
         max(col("section_number")).as("max_section_number"),
         min(when(col("hole_section") === 1, col("section_number")))
@@ -616,8 +619,8 @@ object GoldModels {
           .as("ts_missing_non_padding_rows"),
         min(col("fix_timestamp")).as("first_fix_ts"),
         max(col("fix_timestamp")).as("last_fix_ts"),
-        countDistinct(col("hole_number")).as("holes_observed"),
-        countDistinct(col("nine_number")).as("nines_observed"),
+        size(collect_set(col("hole_number"))).cast(LongType).as("holes_observed"),
+        size(collect_set(col("nine_number"))).cast(LongType).as("nines_observed"),
         min(col("section_number")).as("min_section_number"),
         max(col("section_number")).as("max_section_number"),
         max(col("round_start_time")).as("round_start_time"),
