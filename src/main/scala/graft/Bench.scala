@@ -7,8 +7,25 @@ import org.apache.spark.sql.SparkSession
   * through the noop sink — unlike count(), it computes every output
   * column, so projection-only queries can't be optimized into metadata
   * reads.
+  *
+  * The printed line carries per-query timings for a HEADLINE subset only:
+  * the driver keeps just the tail of our stdout, and a map of all ~90
+  * queries overflows it (round 1's line was truncated → `parsed: null`).
+  * `value` still totals every query; the full map goes to bench_full.json.
   */
 object Bench {
+
+  /** Headline set: the heavy gold models, the scale-sensitive LLM ops,
+    * and one representative per operator family. */
+  private val headline: Seq[String] = Seq(
+    "gm_fact_rounds", "gm_hole_performance", "gm_pace_summary",
+    "gm_dim_round", "a14_mega_rollup", "j3_five_way_stitch",
+    "j9_max_per_group_join_back", "w1_dedup_row_number",
+    "l_minhash_near_dups", "l_simhash_near_dups", "l_lsh_ann_join",
+    "l_cosine_topk", "l_ngram_jaccard", "l_embedding_dup_pairs",
+    "l_token_counts", "l_langid", "m9_topology_holes",
+    "m1_partition_refresh", "m4_merge_upsert", "topk_order_limit")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,10 +50,18 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def fmtMap(entries: Seq[(String, Double)]): String = entries
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val hs = results.filter { case (k, _) => headline.contains(k) }
+    // Full map for local iteration (not part of the driver contract).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"),
+      s"""{"total":$total,"n_queries":${results.size},"queries":${fmtMap(results)},"sf":"$sfDir"}""")
+    catch { case _: Throwable => () }
+    println(
+      s"""{"metric":"total_sec_all_${results.size}_queries","value":$total,"unit":"sec","queries":${fmtMap(hs)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -216,10 +216,10 @@ object AggQueries {
       (s, d) =>
         t(s, d, "nation")
           .groupBy(col("n_regionkey"))
-          .agg(array_sort(collect_set(col("n_name"))).as("nations"))
+          .agg(array_join(array_sort(collect_set(col("n_name"))), "|").as("nations"))
           .orderBy(col("n_regionkey")),
       Some("""SELECT n_regionkey,
-              LIST_SORT(LIST_DISTINCT(LIST(n_name))) AS nations
+              ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(n_name))), '|') AS nations
               FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
 
     // A11: ARRAY_JOIN(ARRAY_AGG(DISTINCT x ORDER BY x), '+') combination key.

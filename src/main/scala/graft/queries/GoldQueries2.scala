@@ -32,12 +32,12 @@ object GoldQueries2 {
         CASE WHEN likely_course_type = '27-hole' THEN ROUND(100.0e0 * two_nine_rounds / NULLIF(total_rounds, 0), 1) END AS pct_two_nines,
         CASE WHEN likely_course_type = '27-hole' THEN ROUND(100.0e0 * three_nine_rounds / NULLIF(total_rounds, 0), 1) END AS pct_all_three_nines,
         avg_locations_per_round, min_locations_per_round, max_locations_per_round,
-        ROUND(
+        CAST(ROUND(
           unique_start_holes * 10 +
           CASE likely_course_type WHEN '27-hole' THEN 30 WHEN '18-hole' THEN 20 ELSE 10 END +
           CASE WHEN 100.0e0 * nine_hole_rounds / NULLIF(total_rounds, 0) > 20 THEN 10 ELSE 0 END +
           CASE WHEN 100.0e0 * incomplete_rounds / NULLIF(total_rounds, 0) > 10 THEN 5 ELSE 0 END
-        , 0) AS course_complexity_score
+        , 0) AS BIGINT) AS course_complexity_score
       FROM (
         SELECT course_id,
           COUNT(DISTINCT round_id) AS total_rounds,

@@ -120,11 +120,12 @@ object GoldQueries3 {
             col("course_complexity_score"),
             col("rounds_observed"), col("complete_rounds_observed"),
             col("first_round_start_ts"), col("last_round_start_ts"),
-            col("playable_round_lengths"),
+            array_join(col("playable_round_lengths").cast("array<string>"), "|")
+              .as("playable_round_lengths"),
             col("data_quality_score"),
             col("pct_missing_pace"), col("pct_missing_hole_number"),
             col("total_rows"), col("padding_rows"), col("pct_padding_total"),
-            col("unit_names"), col("unit_count"))
+            array_join(col("unit_names"), "|").as("unit_names"), col("unit_count"))
           .orderBy(col("course_id"))
       },
       Some(s"""WITH ${GoldQueries.SilverSql}, ${GoldQueries.TopoSql},
@@ -136,12 +137,13 @@ object GoldQueries3 {
                  CAST(SUM(CASE WHEN is_complete THEN 1 ELSE 0 END) AS BIGINT) AS complete_rounds_observed,
                  MIN(round_start_ts) AS first_round_start_ts,
                  MAX(round_start_ts) AS last_round_start_ts,
-                 LIST_SORT(LIST_DISTINCT(LIST(round_length))) AS playable_round_lengths
+                 ARRAY_TO_STRING(LIST_TRANSFORM(LIST_SORT(LIST_DISTINCT(LIST(round_length))), x -> CAST(x AS VARCHAR)), '|') AS playable_round_lengths
                  FROM fact_rounds GROUP BY course_id
                ),
                units AS (
                  SELECT facility_id AS u_course_id,
-                 LIST_SORT(LIST_DISTINCT(LIST(unit_name))) AS unit_names
+                 ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(unit_name))), '|') AS unit_names,
+                 CAST(LEN(LIST_DISTINCT(LIST(unit_name))) AS INTEGER) AS unit_cnt
                  FROM topo GROUP BY facility_id
                ),
                base_courses AS (
@@ -154,7 +156,7 @@ object GoldQueries3 {
                d.data_quality_score, d.pct_missing_pace, d.pct_missing_hole_number,
                t.total_rows, t.padding_rows, t.pct_padding_total,
                u.unit_names,
-               CASE WHEN u.unit_names IS NULL THEN 0 ELSE CAST(LEN(u.unit_names) AS INTEGER) END AS unit_count
+               CASE WHEN u.unit_cnt IS NULL THEN 0 ELSE u.unit_cnt END AS unit_count
                FROM base_courses bc
                LEFT JOIN course_config c ON bc.course_id = c.course_id
                LEFT JOIN dq d ON bc.course_id = d.d_course_id

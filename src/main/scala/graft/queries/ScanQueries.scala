@@ -76,11 +76,11 @@ object ScanQueries {
           .groupBy(col("n_regionkey").cast(IntegerType).as("n_regionkey"))
           .agg(
             count(lit(1)).as("n_nations"),
-            array_sort(collect_set(col("n_name"))).as("nations"))
+            array_join(array_sort(collect_set(col("n_name"))), "|").as("nations"))
           .orderBy(col("n_regionkey"))
       },
       Some("""SELECT n_regionkey, COUNT(*) AS n_nations,
-              LIST_SORT(LIST_DISTINCT(LIST(n_name))) AS nations
+              ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(n_name))), '|') AS nations
               FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
 
     // S3 — heterogeneous CSV union BY NAME (etl.py:155-184): customers
