@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tight JVM kernels behind the custom Catalyst expressions. Static
+  * forwarders let generated code call them as
+  * `graft.functions.Kernels.cosine(...)`.
+  *
+  * Numeric contracts (these are pinned by the DuckDB oracle hashes):
+  * element-wise products/sums accumulate in Double, strictly left to
+  * right — identical to a `zip_with`+`aggregate` fold, but in one pass
+  * with no per-element lambda interpretation or boxing.
+  *
+  * Null contract matches the higher-order-function formulations they
+  * replace: mismatched lengths or a null element → null result (boxed
+  * return; the expression layer translates to SQL NULL).
+  */
+object Kernels {
+
+  private def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** dot(a, b); null on length mismatch / null element. */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += elem(a, i, aFloat) * elem(b, i, bFloat)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** cosine(a, b) = dot / (||a|| * ||b||), one fused pass. */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = elem(a, i, aFloat)
+      val y = elem(b, i, bFloat)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  /** euclidean distance, one pass. */
+  def euclidean(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = elem(a, i, aFloat) - elem(b, i, bFloat)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(acc))
+  }
+
+  /** 64-bit SimHash of a token array: per-token XXH64 (seed 42 — same
+    * hash as the `xxhash64` builtin), per-bit ±1 votes, bit set where the
+    * vote is positive. Replaces an O(tokens×64) interpreted
+    * aggregate/zip_with pipeline that allocated a 64-long array per token. */
+  def simhash64(arr: ArrayData): java.lang.Long = {
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) out |= 1L << bit
+      bit += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  /** Distinct word n-grams (space-joined, first-occurrence order) in one
+    * pass. n = 1 → distinct tokens. Fewer than n tokens → empty array.
+    * Null tokens are skipped inside a gram, matching `array_join`.
+    * Replaces a `transform(sequence(1, cnt), i -> array_join(slice(toks,
+    * i, n), ' '))` pipeline whose lambda evaluates interpreted per gram
+    * with two array allocations each. */
+  def ngrams(arr: ArrayData, n: Int): ArrayData = {
+    val numToks = arr.numElements()
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (n == 1) {
+      var i = 0
+      while (i < numToks) {
+        if (!arr.isNullAt(i)) out.add(arr.getUTF8String(i))
+        i += 1
+      }
+    } else if (numToks >= n) {
+      val space = UTF8String.fromString(" ")
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i <= numToks - n) {
+        var j = 0
+        while (j < n) {
+          parts(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+          j += 1
+        }
+        out.add(UTF8String.concatWs(space, parts: _*))
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray(new Array[AnyRef](out.size())))
+  }
+
+  /** Element-wise xxhash64 (seed 42 — identical to the builtin) over an
+    * array<string>; null elements hash to the seed, as the builtin does
+    * on null input. */
+  def xxhash64Array(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (arr.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Count of (non-null) tokens present in `set`. Null tokens don't
+    * count, matching `filter(toks, t -> array_contains(set, t))`. */
+  def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+}

@@ -1,0 +1,212 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions (SURVEY "custom operators" ladder, step b):
+  * scalar kernels the built-in surface only reaches through higher-order
+  * functions, which Spark evaluates INTERPRETED per element (each lambda
+  * application is an `InterpretedExpression` call with boxing). These
+  * stay inside whole-stage codegen — `doGenCode` emits a call to a static
+  * `Kernels` method over the unsafe `ArrayData`, so a 64-dim cosine is a
+  * 64-iteration primitive loop instead of ~256 interpreted lambda evals.
+  */
+private[graft] trait VecPairExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  protected def kernelName: String
+
+  protected def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernelEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  protected def kernelEval(a: ArrayData, b: ArrayData): java.lang.Double
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("res")
+      s"""
+         |java.lang.Double $tmp = graft.functions.Kernels.$kernelName(
+         |  $a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+}
+
+/** Fused dot/norms cosine similarity over two float/double arrays. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VecPairExpression {
+  override def prettyName: String = "cosine_sim"
+  override protected def kernelName: String = "cosine"
+  override protected def kernelEval(a: ArrayData, b: ArrayData): java.lang.Double =
+    Kernels.cosine(a, b, isFloat(left), isFloat(right))
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Dot product over two float/double arrays. */
+case class DotProduct(left: Expression, right: Expression)
+    extends VecPairExpression {
+  override def prettyName: String = "dot_product"
+  override protected def kernelName: String = "dot"
+  override protected def kernelEval(a: ArrayData, b: ArrayData): java.lang.Double =
+    Kernels.dot(a, b, isFloat(left), isFloat(right))
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Euclidean (L2) distance over two float/double arrays. */
+case class EuclideanDistance(left: Expression, right: Expression)
+    extends VecPairExpression {
+  override def prettyName: String = "euclidean_dist"
+  override protected def kernelName: String = "euclidean"
+  override protected def kernelEval(a: ArrayData, b: ArrayData): java.lang.Double =
+    Kernels.euclidean(a, b, isFloat(left), isFloat(right))
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash over an array<string> of tokens/shingles. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("res")
+      s"""
+         |java.lang.Long $tmp = graft.functions.Kernels.simhash64($a);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of tokens contained in a fixed word set (set built once per
+  * expression instance, shared across rows — not per-row like
+  * `filter(toks, t -> array_contains(array(...), t))`). */
+case class CountTokensIn(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  override def prettyName: String = "count_tokens_in"
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"count_tokens_in requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.countIn(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("wordSet", set, "java.util.HashSet<org.apache.spark.unsafe.types.UTF8String>")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Kernels.countIn($a, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct word n-grams (space-joined, first-occurrence order) over an
+  * array<string> of tokens. */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "ngram width must be >= 1")
+  override def prettyName: String = "word_ngrams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.ngrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Kernels.ngrams($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Element-wise xxhash64 (seed 42, identical to the builtin) over an
+  * array<string>. */
+case class XxHash64Array(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "xxhash64_array"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"xxhash64_array requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.xxhash64Array(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Kernels.xxhash64Array($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-level entry points. */
+object F {
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def cosineSim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+  def dot(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+  def euclidean(a: Column, b: Column): Column = c(EuclideanDistance(e(a), e(b)))
+  def simhash64(tokens: Column): Column = c(SimHash64Expr(e(tokens)))
+  def countTokensIn(tokens: Column, words: Seq[String]): Column =
+    c(CountTokensIn(e(tokens), words))
+  def wordNgrams(tokens: Column, n: Int): Column = c(WordNgrams(e(tokens), n))
+  def xxhash64Array(strings: Column): Column = c(XxHash64Array(e(strings)))
+}

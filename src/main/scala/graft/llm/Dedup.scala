@@ -41,35 +41,45 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram Jaccard
 
-  /** Distinct word n-gram shingles (n=1 → distinct tokens). Guarded so a
-    * text shorter than n yields an empty set (Spark `sequence(1, 0)`
-    * counts DOWN, which would fabricate shingles). */
+  /** Distinct word n-gram shingles (n=1 → distinct tokens), one codegen
+    * pass (graft.functions.WordNgrams). A text shorter than n yields an
+    * empty set. The equivalent `transform(sequence(1, cnt), i ->
+    * array_join(slice(toks, i, n), ' '))` evaluates interpreted per gram
+    * with two array allocations each — measured ~8s over 10k docs. */
   def wordShingles(text: Column, n: Int): Column = {
     require(n >= 1)
-    val toks = tokens(normalize(text))
-    if (n == 1) array_distinct(toks)
-    else {
-      val cnt = size(toks) - (n - 1)
-      when(cnt >= 1,
-        array_distinct(transform(sequence(lit(1), cnt), i =>
-          array_join(slice(toks, i, lit(n)), " "))))
-        .otherwise(array().cast(ArrayType(StringType)))
-    }
+    graft.functions.F.wordNgrams(tokens(normalize(text)), n)
   }
 
-  /** All-pairs n-gram Jaccard above a threshold. Correctness baseline:
-    * O(n²) self-join — use [[minHashCandidates]] to prune at scale. */
+  /** Exact n-gram Jaccard pairs above a (strictly positive) threshold.
+    *
+    * Shuffle-join formulation, not a cartesian: explode distinct shingles
+    * (hashed to 64-bit — set sizes are counted BEFORE hashing, so only a
+    * cross-doc xxhash64 collision could perturb a value, at ~n²/2⁶⁴
+    * odds), equi-join on the shingle hash, count matches per pair, and
+    * recover |union| = |A| + |B| - |A∩B|. Only pairs sharing ≥ 1 shingle
+    * materialize — which is every pair that can clear threshold > 0 — so
+    * cost tracks true overlap instead of n². Ubiquitous shingles still
+    * fan out quadratically within their posting list; at corpus scale
+    * prune those with a document-frequency cap or use
+    * [[minHashCandidates]]. */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val withShingles = df.select(
-      col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
-    val a = withShingles.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withShingles.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    require(threshold > 0,
+      "jaccardPairs emits only pairs sharing >= 1 shingle (threshold must be > 0)")
+    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      .select(col("id"), size(col("sh")).as("nsh"), explode(col("sh")).as("shingle"))
+      .select(col("id"), col("nsh"), xxhash64(col("shingle")).as("h"))
+    val a = sh.select(col("id").as("id_a"), col("nsh").as("na"), col("h"))
+    val b = sh.select(col("id").as("id_b"), col("nsh").as("nb"), col("h").as("h2"))
+    a.join(b,
+        col("h") === col("h2") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          nullif(size(array_union(col("sh_a"), col("sh_b"))), lit(0)).cast(DoubleType))
+        col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -126,9 +136,10 @@ object Dedup {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
     val params = hashParams(k).toArray
+    // Raw xxhash64 per shingle in codegen; the fold into [0, p) happens
+    // in the same JVM loop as the permutations (floorMod == pmod).
     val hashed = df.withColumn("__mh_hashes",
-      transform(wordShingles(col(textCol), n),
-        t => pmod(xxhash64(t), lit(MersennePrime31))))
+      graft.functions.F.xxhash64Array(wordShingles(col(textCol), n)))
     val hIdx = hashed.schema.fieldIndex("__mh_hashes")
     val outSchema = StructType(
       hashed.schema.fields.patch(hIdx, Nil, 1) :+
@@ -140,15 +151,17 @@ object Dedup {
         val sig: Seq[Long] =
           if (hs == null || hs.isEmpty) null
           else {
+            val folded = hs.iterator.map(h => java.lang.Math.floorMod(h, MersennePrime31)).toArray
             val out = new Array[Long](params.length)
             var i = 0
             while (i < params.length) {
               val (a, b) = params(i)
               var min = Long.MaxValue
-              val it = hs.iterator
-              while (it.hasNext) {
-                val v = (a * it.next() + b) % MersennePrime31
+              var j = 0
+              while (j < folded.length) {
+                val v = (a * folded(j) + b) % MersennePrime31
                 if (v < min) min = v
+                j += 1
               }
               out(i) = min
               i += 1
@@ -196,8 +209,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.7): DataFrame = {
+    // Verify on 64-bit shingle hashes, not strings: intersect/union on
+    // longs, same jaccard modulo ~n²/2⁶⁴ collision odds (and consistent
+    // with jaccardPairs, which hashes the same way).
     val shingled = df.select(
-      col(idCol).as("sid"), wordShingles(col(textCol), n).as("sh"))
+      col(idCol).as("sid"),
+      graft.functions.F.xxhash64Array(wordShingles(col(textCol), n)).as("sh"))
     val cands = minHashCandidates(df, idCol, textCol, n, bands, rowsPerBand)
     cands
       .join(shingled.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -212,24 +229,16 @@ object Dedup {
   // ----------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word shingles: per-bit vote of each shingle's
-    * xxhash64, packed into one LONG. Near-dups have small Hamming
-    * distance — at scale, group by key prefix to localize comparisons.
-    * DataFrame-level because the bit arithmetic needs SQL `shiftright`
-    * with a column-valued shift (the Scala DSL only takes Int). */
+    * xxhash64 (seed 42, same as the builtin), packed into one LONG.
+    * Near-dups have small Hamming distance — at scale, group by key
+    * prefix to localize comparisons. One custom codegen expression
+    * (graft.functions.SimHash64Expr): the equivalent
+    * aggregate/zip_with formulation allocates a 64-long vote array per
+    * shingle and evaluates every lambda interpreted. */
   def withSimHash64(df: DataFrame, textCol: String, n: Int = 1,
       outCol: String = "simhash"): DataFrame =
-    df.withColumn("__sh_hashes",
-        transform(wordShingles(col(textCol), n), t => xxhash64(t)))
-      .withColumn(outCol, expr(
-        """aggregate(
-             zip_with(
-               aggregate(__sh_hashes, array_repeat(0, 64),
-                 (acc, h) -> zip_with(acc, sequence(0, 63),
-                   (c, i) -> c + IF((shiftright(h, i) & 1) = 1, 1, -1))),
-               sequence(0, 63),
-               (c, i) -> IF(c > 0, shiftleft(1L, i), 0L)),
-             0L, (a, x) -> a | x)"""))
-      .drop("__sh_hashes")
+    df.withColumn(outCol,
+      graft.functions.F.simhash64(wordShingles(col(textCol), n)))
 
   /** Hamming distance between two SimHash keys. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -253,12 +262,23 @@ object Dedup {
       col("id").as("id_a"), col("key").as("key_a"))
     val b = blocked.select(col("block_idx").as("qi2"), col("block_val").as("qv2"),
       col("id").as("id_b"), col("key").as("key_b"))
+    // Emit each pair only from its LOWEST matching block: with key_a and
+    // key_b in hand the "no earlier block also matched" predicate is a
+    // pure codegen filter, replacing a distinct() that would shuffle
+    // every surviving pair (the near-dup result set can be huge by
+    // design — this corpus yields millions of pairs).
+    val noEarlierMatch = (0 to 6).map { j =>
+      when(lit(j) < col("block_idx"),
+        shiftright(col("key_a"), j * 8).bitwiseAND(0xFFL) =!=
+          shiftright(col("key_b"), j * 8).bitwiseAND(0xFFL))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
     a.join(b,
         col("block_idx") === col("qi2") && col("block_val") === col("qv2") &&
           col("id_a") < col("id_b"))
+      .filter(noEarlierMatch)
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("key_a"), col("key_b")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDistance)
   }
 

@@ -1,34 +1,33 @@
 package graft.llm
 
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.F
+
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * `bruteForceTopK` is the exact baseline — a broadcast of the (small)
-  * query set against the corpus, cosine inside codegen, per-query top-k
-  * via TakeOrdered-style window. `lshSimilarityJoin` is the scale path:
-  * random-hyperplane bucketing (Spark ML's BucketedRandomProjectionLSH)
-  * turns the all-pairs scan into a bucket equi-join; unit-norm vectors
-  * make euclidean-LSH equivalent to cosine ordering
-  * (cos = 1 - d²/2 for unit vectors).
+  * query set against the corpus, cosine inside whole-stage codegen
+  * (custom fused expression, graft.functions.CosineSimilarity), per-query
+  * top-k via a bounded window. `lshSimilarityJoin` is the scale path:
+  * random-projection bucketing (the E2LSH scheme Spark ML's
+  * BucketedRandomProjectionLSH also implements) turns the all-pairs scan
+  * into a bucket equi-join — shuffle by (table, bucket) key only — with
+  * an exact distance verification after. Implemented directly on
+  * DataFrame ops + the codegen dot/euclidean expressions rather than
+  * Spark ML, so projection and verification both stay in codegen (the ML
+  * path re-boxes every vector into `ml.linalg.Vector` via a UDF and
+  * evaluates distances interpreted).
   */
 object Similarity {
 
   /** Elementwise-exact cosine: per-element double products folded left to
-    * right — deterministic and engine-portable (no BLAS reordering). */
-  def cosine(a: Column, b: Column): Column = {
-    def d(c: Column) = transform(c, x => x.cast(DoubleType))
-    val prods = zip_with(d(a), d(b), (x, y) => x * y)
-    val dot = aggregate(prods, lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(transform(d(a), x => x * x), lit(0.0), (acc, x) => acc + x)
-    val nb = aggregate(transform(d(b), x => x * x), lit(0.0), (acc, x) => acc + x)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+    * right — deterministic and engine-portable (no BLAS reordering).
+    * Fused single-pass codegen kernel. */
+  def cosine(a: Column, b: Column): Column = F.cosineSim(a, b)
 
   /** Exact top-k cosine neighbors for each query vector. The query side
     * is expected to be small (broadcast); the corpus side streams. */
@@ -46,44 +45,100 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** Approximate similarity join via random-projection LSH. Returns
-    * candidate pairs with their euclidean distance (unit-norm vectors →
-    * cosine = 1 - dist²/2). `bucketLength`/`numHashTables` trade recall
-    * for bucket size; at 100 TB the join shuffles by bucket hash only. */
+  /** Deterministic random-unit projection directions (E2LSH), seeded. */
+  private def projectionDirs(numTables: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(numTables) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / norm)
+    }
+  }
+
+  /** Projections composed per hash table. One floor(dot/len) value over
+    * a typical embedding distribution has only a handful of distinct
+    * values — a single-projection table degenerates into one giant
+    * bucket. Composing k floors per table keeps identical vectors
+    * colliding always while spreading the corpus across ~v^k buckets. */
+  private val ProjectionsPerTable = 4
+
+  /** Per-table composite bucket key: murmur3 over the k floor values of
+    * that table's projections. Pure codegen column expression. */
+  private def bucketKeys(
+      v: Column, dirs: Array[Array[Double]], bucketLength: Double,
+      numTables: Int): Column =
+    array((0 until numTables).map { t =>
+      hash((0 until ProjectionsPerTable).map { j =>
+        floor(F.dot(v, typedlit(dirs(t * ProjectionsPerTable + j).toSeq)) / bucketLength)
+          .cast(LongType)
+      }: _*)
+    }: _*)
+
+  /** Approximate similarity join via random-projection LSH (E2LSH with
+    * k composed projections per table). Returns pairs with euclidean
+    * distance ≤ maxDistance (unit-norm vectors → cosine = 1 - dist²/2).
+    * The join shuffles CANDIDATE IDS by (table, bucket) key only —
+    * vectors are re-attached after pair dedup, so the wide rows never
+    * pass through a shuffle twice — and the distance verification makes
+    * precision exact. `bucketLength`/`numHashTables` trade recall for
+    * bucket size. */
   def lshSimilarityJoin(
       df: DataFrame, idCol: String, vecCol: String,
       maxDistance: Double, numHashTables: Int = 8,
-      bucketLength: Double = 0.5): DataFrame = {
-    val toVec = udf((a: Seq[Float]) =>
-      Vectors.dense(a.map(_.toDouble).toArray))
-    val vecs = df.select(col(idCol).as("id"), toVec(col(vecCol)).as("features"))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
-      .setSeed(42L)
-    val model = lsh.fit(vecs)
-    model.approxSimilarityJoin(vecs, vecs, maxDistance, "dist")
-      .select(
-        col("datasetA.id").as("id_a"),
-        col("datasetB.id").as("id_b"),
-        col("dist"))
-      .filter(col("id_a") < col("id_b"))
+      bucketLength: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val dim = v.select(size(col("v"))).first().getInt(0)
+    val dirs = projectionDirs(numHashTables * ProjectionsPerTable, dim, seed)
+    val keyed = v.select(col("id"),
+      posexplode(bucketKeys(col("v"), dirs, bucketLength, numHashTables))
+        .as(Seq("tbl", "bkt")))
+    val a = keyed.select(col("tbl"), col("bkt"), col("id").as("id_a"))
+    val b = keyed.select(col("tbl").as("tbl2"), col("bkt").as("bkt2"),
+      col("id").as("id_b"))
+    val candidates = a.join(b,
+        col("tbl") === col("tbl2") && col("bkt") === col("bkt2") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct() // same pair can collide in several tables
+    candidates
+      .join(v.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("dist", F.euclidean(col("v_a"), col("v_b")))
+      .filter(col("dist") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 
-  /** Approximate top-k for one query vector (IVF-style probe). */
+  /** Approximate top-k for one query vector (IVF-style probe): only
+    * corpus rows sharing a (table, bucket) key with the query are
+    * scored. */
   def lshTopK(
       df: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int,
-      numHashTables: Int = 8, bucketLength: Double = 0.5): DataFrame = {
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val vecs = df.select(col(idCol).as("id"), toVec(col(vecCol)).as("features"))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
-      .setSeed(42L)
-    val model = lsh.fit(vecs)
-    model.approxNearestNeighbors(
-      vecs, Vectors.dense(query.map(_.toDouble)), k, "dist")
+      numHashTables: Int = 8, bucketLength: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = query.length
+    val dirs = projectionDirs(numHashTables * ProjectionsPerTable, dim, seed)
+    val qd = query.map(_.toDouble)
+    // Query buckets computed driver-side with the same composite key the
+    // column expression produces, via a one-row DataFrame (keeps the
+    // murmur3 hashing identical).
+    val qdf = Seq(Tuple1(qd.toSeq)).toDF("v")
+    val qBuckets = qdf.select(
+        posexplode(bucketKeys(col("v"), dirs, bucketLength, numHashTables))
+          .as(Seq("tbl", "bkt")))
+      .collect().map(r => r.getInt(0).toLong * 1000003L + r.getInt(1))
+    val qb = typedlit(qBuckets.toSeq)
+    val queryCol = typedlit(qd.toSeq)
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        posexplode(bucketKeys(col(vecCol), dirs, bucketLength, numHashTables))
+          .as(Seq("tbl", "bkt")))
+      .filter(array_contains(qb, col("tbl").cast(LongType) * 1000003L + col("bkt")))
+      .dropDuplicates("id")
+      .withColumn("dist", F.euclidean(col("v"), queryCol))
+      .orderBy(asc("dist"), asc("id"))
+      .limit(k)
       .select(col("id"), col("dist"))
   }
 }

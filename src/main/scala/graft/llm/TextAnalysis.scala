@@ -36,11 +36,13 @@ object TextAnalysis {
   def fingerprint(text: Column): Column = md5(normalize(text))
 
   /** Fraction of tokens that appear in `stopwords` (duplicates count —
-    * this is a ratio over the token stream, not the vocabulary). */
+    * this is a ratio over the token stream, not the vocabulary). The
+    * membership count is a custom codegen expression with a shared hash
+    * set — `filter(toks, t -> array_contains(...))` evaluates the lambda
+    * interpreted per token and rescans the literal array per call. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val stopArr = array(stopwords.map(lit): _*)
     val toks = tokens(text)
-    size(filter(toks, t => array_contains(stopArr, t))).cast(DoubleType) /
+    graft.functions.F.countTokensIn(toks, stopwords).cast(DoubleType) /
       nullif(size(toks), lit(0)).cast(DoubleType)
   }
 

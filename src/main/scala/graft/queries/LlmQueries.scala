@@ -110,9 +110,8 @@ object LlmQueries {
           // r=8 rows/band: this synthetic corpus shares one small vocab, so
           // moderate-jaccard pairs are everywhere — a steeper S-curve keeps
           // bucket fan-out linear while still catching the >0.9 near-dups.
-          n = 2, bands = 8, rowsPerBand = 8, threshold = 0.7)
-          .orderBy(col("id_a"), col("id_b")),
-      None),
+          n = 2, bands = 8, rowsPerBand = 8, threshold = 0.7),
+      None), // rows-only gate: no oracle, so no global sort needed
 
     // SimHash near-dup detection (64-bit votes, 16-bit block candidates,
     // Hamming verify). Rows-only for the same reason.
@@ -120,9 +119,8 @@ object LlmQueries {
       "l_simhash_near_dups",
       (s, d) =>
         Dedup.simHashNearDups(
-          docsWithNearDups(s, d), "doc_id", "text", n = 1, maxDistance = 7)
-          .orderBy(col("id_a"), col("id_b")),
-      None),
+          docsWithNearDups(s, d), "doc_id", "text", n = 1, maxDistance = 7),
+      None), // rows-only gate: the 5M-pair result needs no global sort
 
     // Embedding-cosine duplicate pairs over injected identical vectors.
     // Bounded all-pairs baseline (500-vector slice); the LSH join below is
@@ -187,9 +185,8 @@ object LlmQueries {
         Similarity.lshSimilarityJoin(
             vecsWithDups(s, d), "vec_id", "embedding",
             maxDistance = 0.1, numHashTables = 4, bucketLength = 1.0)
-          .select(col("id_a"), col("id_b"))
-          .orderBy(col("id_a"), col("id_b")),
-      None),
+          .select(col("id_a"), col("id_b")),
+      None), // rows-only gate: no oracle, so no global sort needed
 
     // Language-ID heuristic: argmax of per-language function-word stream
     // ratios (deterministic tie-break en > de > fr > es).
