@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.SparkSpec
+
+/** Pins the custom codegen expressions to their declarative reference
+  * formulations (the interpreted higher-order-function pipelines they
+  * replaced), over randomized inputs — a kernel bug that diverges from
+  * `zip_with`/`aggregate`/`transform` semantics fails here, not in the
+  * DuckDB gate. Also asserts whole-stage codegen actually inlines the
+  * kernels (a silent fallback to interpreted eval would be a performance
+  * regression the correctness gates can't see).
+  */
+class FunctionsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int = 30): Unit = {
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n)
+        .withMinSize(0).withMaxSize(24), prop)
+    assert(result.passed, s"property failed: ${result.status}")
+  }
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.chooseNum(1, 24).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(-5f, 5f)))
+
+  test("cosine/dot/euclidean kernels match the HOF reference formulas") {
+    check(Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+        .select(
+          F.cosineSim(col("a"), col("b")).as("cos"),
+          F.dot(col("a"), col("b")).as("dot"),
+          F.euclidean(col("a"), col("b")).as("euc"),
+          // reference formulations, interpreted HOFs
+          (aggregate(zip_with(col("a"), col("b"), (x, y) =>
+            x.cast(DoubleType) * y.cast(DoubleType)), lit(0.0), _ + _) /
+            (sqrt(aggregate(transform(col("a"), x =>
+              x.cast(DoubleType) * x.cast(DoubleType)), lit(0.0), _ + _)) *
+             sqrt(aggregate(transform(col("b"), x =>
+               x.cast(DoubleType) * x.cast(DoubleType)), lit(0.0), _ + _))))
+            .as("cos_ref"),
+          aggregate(zip_with(col("a"), col("b"), (x, y) =>
+            x.cast(DoubleType) * y.cast(DoubleType)), lit(0.0), _ + _).as("dot_ref"),
+          sqrt(aggregate(zip_with(col("a"), col("b"), (x, y) =>
+            (x.cast(DoubleType) - y.cast(DoubleType)) *
+              (x.cast(DoubleType) - y.cast(DoubleType))), lit(0.0), _ + _)).as("euc_ref"))
+      val r = df.collect()(0)
+      def eq(i: Int, j: Int): Boolean = {
+        val (x, y) = (r.getDouble(i), r.getDouble(j))
+        (x.isNaN && y.isNaN) || x == y
+      }
+      if (a.length == b.length) eq(0, 3) && eq(1, 4) && eq(2, 5)
+      else r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) // HOF zip pads; kernel nulls
+    })
+  }
+
+  private val tokensGen: Gen[List[String]] =
+    Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "x", "", "the", "und"))
+
+  test("word_ngrams kernel matches the sequence/slice/array_join formulation") {
+    check(Prop.forAll(tokensGen, Gen.chooseNum(1, 4)) { (toks, n) =>
+      val df = Seq(Tuple1(toks)).toDF("t")
+      val kernel = df.select(F.wordNgrams(col("t"), n)).collect()(0).getSeq[String](0)
+      val ref =
+        if (n == 1) df.select(array_distinct(col("t"))).collect()(0).getSeq[String](0)
+        else {
+          val cnt = size(col("t")) - (n - 1)
+          df.select(
+            when(cnt >= 1, array_distinct(transform(sequence(lit(1), cnt), i =>
+              array_join(slice(col("t"), i, lit(n)), " "))))
+              .otherwise(array().cast(ArrayType(StringType))))
+            .collect()(0).getSeq[String](0)
+        }
+      kernel == ref
+    })
+  }
+
+  test("xxhash64_array matches the builtin xxhash64 per element") {
+    check(Prop.forAll(tokensGen) { toks =>
+      val df = Seq(Tuple1(toks)).toDF("t")
+      val kernel = df.select(F.xxhash64Array(col("t"))).collect()(0).getSeq[Long](0)
+      val ref = toks.map(t =>
+        df.sparkSession.sql(s"SELECT xxhash64('${t}')").collect()(0).getLong(0))
+      kernel == ref
+    }, n = 10)
+  }
+
+  test("count_tokens_in matches filter+array_contains") {
+    val words = Seq("the", "und", "x")
+    check(Prop.forAll(tokensGen) { toks =>
+      val df = Seq(Tuple1(toks)).toDF("t")
+      val kernel = df.select(F.countTokensIn(col("t"), words)).collect()(0).getInt(0)
+      val wordArr = array(words.map(lit): _*)
+      val ref = df.select(size(filter(col("t"), t => array_contains(wordArr, t))))
+        .collect()(0).getInt(0)
+      kernel == ref
+    })
+  }
+
+  test("simhash64 kernel matches the SQL aggregate/zip_with formulation") {
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "the"))) { toks =>
+      val df = Seq(Tuple1(toks)).toDF("t")
+      val kernel = df.select(F.simhash64(col("t"))).collect()(0).getLong(0)
+      val ref = df
+        .withColumn("__h", transform(col("t"), x => xxhash64(x)))
+        .selectExpr(
+          """aggregate(
+               zip_with(
+                 aggregate(__h, array_repeat(0, 64),
+                   (acc, h) -> zip_with(acc, sequence(0, 63),
+                     (c, i) -> c + IF((shiftright(h, i) & 1) = 1, 1, -1))),
+                 sequence(0, 63),
+                 (c, i) -> IF(c > 0, shiftleft(1L, i), 0L)),
+               0L, (a, x) -> a | x)""")
+        .collect()(0).getLong(0)
+      kernel == ref
+    }, n = 15)
+  }
+
+  test("kernels are inlined into whole-stage codegen (no fallback)") {
+    // inputs must depend on a column — literal-only args constant-fold
+    // before codegen and the kernels would never appear in the plan
+    val idf = col("id").cast(FloatType)
+    val ids = col("id").cast(StringType)
+    val df = spark.range(4).select(
+      F.cosineSim(array(idf, lit(2.0f)), array(lit(3.0f), idf)).as("c"),
+      F.simhash64(array(ids, lit("b"))).as("s"),
+      F.wordNgrams(array(ids, lit("b"), lit("c")), 2).as("g"),
+      F.countTokensIn(array(ids), Seq("1", "2")).as("n"))
+    val code = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(code.contains("graft.functions.Kernels.cosine"), "cosine not in codegen")
+    assert(code.contains("graft.functions.Kernels.simhash64"), "simhash not in codegen")
+    assert(code.contains("graft.functions.Kernels.ngrams"), "ngrams not in codegen")
+    assert(code.contains("graft.functions.Kernels.countIn"), "countIn not in codegen")
+    assert(df.collect().length == 4)
+  }
+}
