@@ -142,6 +142,35 @@ object Kernels {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** Index of the nearest centroid (L2) for a float/double vector; -1
+    * when the vector is null-element'd or dimension-mismatched. Ties
+    * break to the lowest index. */
+  def nearestCentroid(v: ArrayData, centroids: Array[Array[Double]], isFloat: Boolean): Int = {
+    val n = v.numElements()
+    var best = -1
+    var bestDist = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      if (cent.length == n) {
+        var acc = 0.0
+        var i = 0
+        var ok = true
+        while (i < n && ok) {
+          if (v.isNullAt(i)) ok = false
+          else {
+            val d = elem(v, i, isFloat) - cent(i)
+            acc += d * d
+          }
+          i += 1
+        }
+        if (ok && acc < bestDist) { bestDist = acc; best = c }
+      }
+      c += 1
+    }
+    best
+  }
+
   /** Count of (non-null) tokens present in `set`. Null tokens don't
     * count, matching `filter(toks, t -> array_contains(set, t))`. */
   def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {

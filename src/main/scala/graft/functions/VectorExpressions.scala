@@ -196,6 +196,36 @@ case class XxHash64Array(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Nearest-centroid (L2) assignment against a fixed centroid table —
+  * the IVF coarse quantizer. Centroids ride along as a reference object
+  * (one shared array, not per-row literals). */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = IntegerType
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid requires array<float|double>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.nearestCentroid(input.asInstanceOf[ArrayData], centroids, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Kernels.nearestCentroid($a, $ref, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object F {
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -209,4 +239,6 @@ object F {
     c(CountTokensIn(e(tokens), words))
   def wordNgrams(tokens: Column, n: Int): Column = c(WordNgrams(e(tokens), n))
   def xxhash64Array(strings: Column): Column = c(XxHash64Array(e(strings)))
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
+    c(NearestCentroid(e(v), centroids))
 }

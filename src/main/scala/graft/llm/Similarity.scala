@@ -108,7 +108,100 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
-  /** Approximate top-k for one query vector (IVF-style probe): only
+  // ------------------------------------------------------------- IVF
+
+  /** Train an IVF coarse quantizer: k-means (Lloyd) over a bounded,
+    * deterministic sample collected to the driver — the standard IVF
+    * recipe (train on a sample, assign the full corpus distributed).
+    * The sample is capped so driver memory is bounded regardless of
+    * corpus size; assignment is one codegen pass, no shuffle. */
+  def trainIvfCentroids(
+      df: DataFrame, vecCol: String, k: Int,
+      sampleSize: Int = 10000, iters: Int = 8, seed: Long = 42L): Array[Array[Double]] = {
+    val frac = {
+      val total = df.count().toDouble
+      math.min(1.0, sampleSize * 1.2 / math.max(total, 1.0))
+    }
+    val sample = df.select(col(vecCol)).sample(withReplacement = false, frac, seed)
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample.head.length
+    val rnd = new java.util.Random(seed)
+    val kEff = math.min(k, sample.length)
+    var centroids = samplePrefix(rnd, sample, kEff)
+    var iter = 0
+    while (iter < iters) {
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Long](kEff)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kEff) {
+          var acc = 0.0; var i = 0
+          while (i < dim) { val d = v(i) - centroids(c)(i); acc += d * d; i += 1 }
+          if (acc < bestD) { bestD = acc; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = Array.tabulate(kEff) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  /** Deterministic Fisher-Yates prefix sample of k rows. */
+  private def samplePrefix(
+      rnd: java.util.Random, xs: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val a = xs.clone()
+    var i = 0
+    while (i < k) {
+      val j = i + rnd.nextInt(a.length - i)
+      val t = a(i); a(i) = a(j); a(j) = t
+      i += 1
+    }
+    a.take(k)
+  }
+
+  /** Assign each row its IVF list id (`__ivf_list`): one codegen pass.
+    * Persist/partition the result by `__ivf_list` to make probes
+    * partition-pruned at scale. */
+  def withIvfList(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]], outCol: String = "__ivf_list"): DataFrame =
+    df.withColumn(outCol, F.nearestCentroid(col(vecCol), centroids))
+
+  /** IVF top-k probe: score only rows whose list is among the `nprobe`
+    * centroids nearest to the query. Exact distances within the probed
+    * lists (cosine ordering = euclidean on unit-norm vectors). */
+  def ivfTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], query: Array[Float],
+      k: Int, nprobe: Int = 8): DataFrame = {
+    val qd = query.map(_.toDouble)
+    val probes = centroids.zipWithIndex.map { case (cent, i) =>
+      var acc = 0.0; var j = 0
+      while (j < math.min(cent.length, qd.length)) {
+        val d = qd(j) - cent(j); acc += d * d; j += 1
+      }
+      (i, acc)
+    }.sortBy(_._2).take(nprobe).map(_._1)
+    val queryCol = typedlit(qd.toSeq)
+    withIvfList(df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", centroids)
+      .filter(col("__ivf_list").isin(probes.toSeq: _*))
+      .withColumn("dist", F.euclidean(col("v"), queryCol))
+      .orderBy(asc("dist"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("dist"))
+  }
+
+  /** Approximate top-k for one query vector via LSH buckets: only
     * corpus rows sharing a (table, bucket) key with the query are
     * scored. */
   def lshTopK(

@@ -188,6 +188,33 @@ object LlmQueries {
           .select(col("id_a"), col("id_b")),
       None), // rows-only gate: no oracle, so no global sort needed
 
+    // IVF top-k probe: k-means coarse quantizer (driver-trained on a
+    // bounded sample), codegen nearest-centroid assignment, exact
+    // distances within the probed lists. Probing every list makes the
+    // result EXACT, so the brute-force SQL is a valid oracle here.
+    QueryDef(
+      "l_ivf_topk",
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+        val centroids = Similarity.trainIvfCentroids(vecs, "embedding", k = 16)
+        val query = vecs.filter(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+        Similarity.ivfTopK(
+            vecs.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+            centroids, query, k = 10, nprobe = 16)
+          .select(col("id"))
+      },
+      Some("""WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+              ),
+              q AS (SELECT e FROM v WHERE vec_id = 0)
+              SELECT vec_id AS id FROM v, q
+              WHERE v.vec_id <> 0
+              ORDER BY SQRT(list_sum(list_transform(range(1, len(v.e) + 1),
+                i -> (v.e[i] - q.e[i]) * (v.e[i] - q.e[i])))) ASC, vec_id ASC
+              LIMIT 10""")),
+
     // Language-ID heuristic: argmax of per-language function-word stream
     // ratios (deterministic tie-break en > de > fr > es).
     QueryDef(

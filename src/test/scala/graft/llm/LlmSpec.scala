@@ -108,6 +108,26 @@ class LlmSpec extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  test("IVF top-k: full probe is exact, partial probe keeps high recall") {
+    val centroids = Similarity.trainIvfCentroids(vecs, "embedding", k = 8)
+    assert(centroids.length === 8)
+    val query = vecs.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    val corpus = vecs.filter(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(
+        vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 10)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val full = Similarity.ivfTopK(
+        corpus, "vec_id", "embedding", centroids, query, k = 10, nprobe = 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(full === exact, "full probe must equal brute force")
+    val partial = Similarity.ivfTopK(
+        corpus, "vec_id", "embedding", centroids, query, k = 10, nprobe = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val recall = partial.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF nprobe=4/8 recall $recall")
+  }
+
   test("brute-force top-k is symmetric-rank consistent") {
     val topk = Similarity.bruteForceTopK(
       vecs.filter(col("vec_id") < 3), vecs, "vec_id", "embedding", k = 3)
