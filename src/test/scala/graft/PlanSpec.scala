@@ -70,4 +70,36 @@ class PlanSpec extends SparkSpec {
     // bounded slice; W1 must carry partition keys in its spec
     assert(p.contains("partitionBy") || p.contains("user_id"), s"plan:\n$p")
   }
+
+  test("n-gram Jaccard plans as an equi-join, not a cartesian (dedup scale path)") {
+    val p = plan("l_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop join in:\n$p")
+  }
+
+  test("LSH/IVF similarity queries never plan a cartesian product") {
+    for (q <- Seq("l_lsh_ann_join", "l_minhash_near_dups", "l_simhash_near_dups")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q cartesian in:\n$p")
+    }
+  }
+
+  test("custom kernel expressions register for SQL use (GraftFunctions)") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+                simhash64(array('a', 'b')) AS s,
+                word_ngrams(array('a', 'b', 'c'), 2) AS g,
+                count_tokens_in(array('a', 'x'), array('a', 'b')) AS n,
+                dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                euclidean_dist(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS e,
+                xxhash64_array(array('a')) AS h""").collect()(0)
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getSeq[String](2) === Seq("a b", "b c"))
+    assert(r.getInt(3) === 1)
+    assert(r.getDouble(4) === 11.0)
+    assert(r.getDouble(5) === 5.0)
+    assert(r.getSeq[Long](6).head ===
+      spark.sql("SELECT xxhash64('a')").collect()(0).getLong(0))
+  }
 }
