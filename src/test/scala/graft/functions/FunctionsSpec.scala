@@ -36,14 +36,20 @@ class FunctionsSpec extends SparkSpec {
           F.cosineSim(col("a"), col("b")).as("cos"),
           F.dot(col("a"), col("b")).as("dot"),
           F.euclidean(col("a"), col("b")).as("euc"),
-          // reference formulations, interpreted HOFs
-          (aggregate(zip_with(col("a"), col("b"), (x, y) =>
-            x.cast(DoubleType) * y.cast(DoubleType)), lit(0.0), _ + _) /
-            (sqrt(aggregate(transform(col("a"), x =>
-              x.cast(DoubleType) * x.cast(DoubleType)), lit(0.0), _ + _)) *
-             sqrt(aggregate(transform(col("b"), x =>
-               x.cast(DoubleType) * x.cast(DoubleType)), lit(0.0), _ + _))))
-            .as("cos_ref"),
+          // reference formulations, interpreted HOFs. The division is
+          // guarded: ANSI mode (Spark 4 default) throws DIVIDE_BY_ZERO on
+          // a zero-norm vector where the fused kernel yields NaN — the
+          // kernel's IEEE behavior is the contract, checked separately.
+          {
+            val na = aggregate(transform(col("a"), x =>
+              x.cast(DoubleType) * x.cast(DoubleType)), lit(0.0), _ + _)
+            val nb = aggregate(transform(col("b"), x =>
+              x.cast(DoubleType) * x.cast(DoubleType)), lit(0.0), _ + _)
+            when(na * nb > 0.0,
+              aggregate(zip_with(col("a"), col("b"), (x, y) =>
+                x.cast(DoubleType) * y.cast(DoubleType)), lit(0.0), _ + _) /
+                (sqrt(na) * sqrt(nb)))
+          }.as("cos_ref"),
           aggregate(zip_with(col("a"), col("b"), (x, y) =>
             x.cast(DoubleType) * y.cast(DoubleType)), lit(0.0), _ + _).as("dot_ref"),
           sqrt(aggregate(zip_with(col("a"), col("b"), (x, y) =>
@@ -54,7 +60,9 @@ class FunctionsSpec extends SparkSpec {
         val (x, y) = (r.getDouble(i), r.getDouble(j))
         (x.isNaN && y.isNaN) || x == y
       }
-      if (a.length == b.length) eq(0, 3) && eq(1, 4) && eq(2, 5)
+      val zeroNorm = a.forall(_ == 0f) || b.forall(_ == 0f)
+      if (a.length == b.length)
+        (if (zeroNorm) r.getDouble(0).isNaN else eq(0, 3)) && eq(1, 4) && eq(2, 5)
       else r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) // HOF zip pads; kernel nulls
     })
   }
