@@ -279,12 +279,16 @@ object AggQueries {
     QueryDef(
       "a14_mega_rollup",
       (s, d) => {
+        // Two distinct-aggregates in the same groupBy make Catalyst
+        // Expand the fact 3× and drag every other aggregate buffer
+        // through the multiplied rows. Splitting them into a second
+        // aggregation co-partitioned on the same key joins back without
+        // an extra exchange (both sides hash on l_orderkey) — the
+        // standard distinct-decomposition for wide rollups at scale.
         val li = t(s, d, "lineitem")
-        li.groupBy(col("l_orderkey"))
+        val base = li.groupBy(col("l_orderkey"))
           .agg(
             count(lit(1)).as("n_lines"),
-            countDistinct(col("l_partkey")).as("n_parts"),
-            countDistinct(col("l_suppkey")).as("n_suppliers"),
             min(col("l_shipdate")).as("first_ship"),
             max(col("l_shipdate")).as("last_ship"),
             dsum(col("l_quantity")).as("total_qty"),
@@ -297,6 +301,16 @@ object AggQueries {
               .as("any_open"),
             dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
               .as("revenue"))
+        val dist = li.groupBy(col("l_orderkey"))
+          .agg(
+            countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_suppliers"))
+        base.join(dist, "l_orderkey")
+          .select(
+            col("l_orderkey"), col("n_lines"), col("n_parts"), col("n_suppliers"),
+            col("first_ship"), col("last_ship"), col("total_qty"), col("total_price"),
+            col("avg_discount"), col("n_returned"), col("n_discounted"),
+            col("n_small"), col("any_open"), col("revenue"))
           .orderBy(col("l_orderkey"))
       },
       Some(s"""SELECT l_orderkey,

@@ -16,7 +16,7 @@ object GoldQueries2 {
     Tables.load(s, d, n)
 
   private def silverOf(s: SparkSession, d: String): DataFrame =
-    GoldQueries.syntheticSilver(t(s, d, "lineitem"))
+    GoldQueries.cachedSilver(s, d)
 
   /** course_configuration_analysis reproduced in DuckDB. */
   val CourseConfigSql: String =
@@ -70,7 +70,7 @@ object GoldQueries2 {
     QueryDef(
       "gm_course_configuration",
       (s, d) =>
-        GoldModels.courseConfigurationAnalysis(GoldModels.factRounds(silverOf(s, d)))
+        GoldModels.courseConfigurationAnalysis(GoldQueries.cachedFactRounds(s, d))
           .orderBy(col("course_id")),
       Some(s"""WITH ${GoldQueries.SilverSql}, ${GoldQueries.FactRoundsSql}, $CourseConfigSql
                SELECT * FROM course_config ORDER BY course_id""")),

@@ -15,7 +15,7 @@ object GoldQueries3 {
     Tables.load(s, d, n)
 
   private def silverOf(s: SparkSession, d: String): DataFrame =
-    GoldQueries.syntheticSilver(t(s, d, "lineitem"))
+    GoldQueries.cachedSilver(s, d)
 
   /** Reduced data_quality CTE — only the columns dim_course consumes. */
   private val DqSliceSql: String =
@@ -107,7 +107,7 @@ object GoldQueries3 {
       (s, d) => {
         val silver = silverOf(s, d)
         val topo = GoldQueries.syntheticTopology(s)
-        val fr = GoldModels.factRounds(silver)
+        val fr = GoldQueries.cachedFactRounds(s, d)
         GoldModels.dimCourse(
             silver,
             GoldModels.courseConfigurationAnalysis(fr),
@@ -171,7 +171,7 @@ object GoldQueries3 {
       (s, d) => {
         val silver = silverOf(s, d)
         val topo = GoldQueries.syntheticTopology(s)
-        val fr = GoldModels.factRounds(silver)
+        val fr = GoldQueries.cachedFactRounds(s, d)
         val dimCourse = GoldModels.dimCourse(
           silver,
           GoldModels.courseConfigurationAnalysis(fr),

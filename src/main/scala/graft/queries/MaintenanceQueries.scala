@@ -292,7 +292,7 @@ object MaintenanceQueries {
     QueryDef(
       "m9_sections_per_hole",
       (s, d) =>
-        Topology.sectionsPerHole(GoldQueries.syntheticSilver(t(s, d, "lineitem")))
+        Topology.sectionsPerHole(GoldQueries.cachedSilver(s, d))
           .orderBy(col("course_id"), col("hole_number")),
       Some(s"""WITH ${GoldQueries.SilverSql}
                SELECT course_id, hole_number,
