@@ -65,12 +65,25 @@ object Dedup {
     * [[minHashCandidates]]. */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, dfCap: Option[Long] = None): DataFrame = {
     require(threshold > 0,
       "jaccardPairs emits only pairs sharing >= 1 shingle (threshold must be > 0)")
-    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+    val exploded = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
       .select(col("id"), size(col("sh")).as("nsh"), explode(col("sh")).as("shingle"))
       .select(col("id"), col("nsh"), xxhash64(col("shingle")).as("h"))
+    // Optional skew guard for corpus scale: a shingle present in f docs
+    // fans out f² candidate rows, so one ubiquitous shingle ("the of")
+    // can dominate the join. Capping document frequency drops those
+    // posting lists — the open-corpus dedup convention — at the cost of
+    // slightly undercounting |A∩B| (and |A∪B| stays exact, so capped
+    // jaccard is a LOWER bound: no false positives appear).
+    val sh = dfCap match {
+      case None => exploded
+      case Some(cap) =>
+        val rare = exploded.groupBy(col("h")).count()
+          .filter(col("count") <= cap).select(col("h"))
+        exploded.join(rare, "h")
+    }
     val a = sh.select(col("id").as("id_a"), col("nsh").as("na"), col("h"))
     val b = sh.select(col("id").as("id_b"), col("nsh").as("nb"), col("h").as("h2"))
     a.join(b,

@@ -108,6 +108,32 @@ class LlmSpec extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  test("LSH top-k probe finds the query's injected identical vector first") {
+    val dupVecs = vecs.unionByName(vecs.select(
+      (col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label")))
+    val query = vecs.filter(col("vec_id") === 1)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    val hits = Similarity.lshTopK(
+        dupVecs.filter(col("vec_id") =!= 1), "vec_id", "embedding",
+        query, k = 3, numHashTables = 4, bucketLength = 1.0)
+      .collect()
+    assert(hits.nonEmpty)
+    // vec 10001 is the identical copy of the query — distance 0, rank 1
+    assert(hits.head.getLong(0) === 10001L)
+    assert(hits.head.getDouble(1) === 0.0)
+  }
+
+  test("jaccardPairs dfCap only removes pairs, never adds or inflates") {
+    val exact = Dedup.jaccardPairs(nearDupDocs, "doc_id", "text", n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.jaccardPairs(
+        nearDupDocs, "doc_id", "text", n = 2, threshold = 0.5,
+        dfCap = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped.keySet.subsetOf(exact.keySet))
+    capped.foreach { case (k, j) => assert(j <= exact(k) + 1e-12) }
+  }
+
   test("IVF top-k: full probe is exact, partial probe keeps high recall") {
     val centroids = Similarity.trainIvfCentroids(vecs, "embedding", k = 8)
     assert(centroids.length === 8)
