@@ -295,6 +295,64 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
+  // ------------------------------------------- near-dup canonicalization
+
+  /** Resolve near-dup PAIRS into connected components and assign each
+    * doc the minimum id of its component as `canonical_id` — the
+    * keep-one step every dedup pipeline runs after MinHash/SimHash.
+    *
+    * Iterative min-label propagation: each step joins current labels to
+    * the (bidirected) edge list and takes the min over self + neighbors,
+    * until a fixpoint (checked distributed — no label stream ever hits
+    * the driver). Converges in O(component diameter) rounds; near-dup
+    * components are shallow in practice. Each round is one shuffle on id.
+    *
+    * `ids` = one row per doc id; `pairs` = (id_a, id_b) near-dup pairs. */
+  def canonicalizeNearDups(
+      ids: DataFrame, pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = ids.select(col(ids.columns.head).as("id"))
+      .withColumn("canonical_id", col("id")).persist()
+    try {
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        val neighborMin = edges
+          .join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src")).agg(min(col("canonical_id")).as("nmin"))
+        val next = labels
+          .join(neighborMin, labels("id") === neighborMin("src"), "left")
+          .select(col("id"),
+            least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id")))
+              .as("canonical_id"))
+          .persist()
+        val changed = next.alias("n")
+          .join(labels.alias("p"), col("n.id") === col("p.id"))
+          .filter(col("n.canonical_id") =!= col("p.canonical_id"))
+          .limit(1).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels
+    } finally { edges.unpersist(); () }
+  }
+
+  /** End-to-end near-dup keep-one: MinHash candidates → Jaccard verify →
+    * components → keep each component's minimum id. */
+  def dedupNear(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = minHashNearDups(df, idCol, textCol, n, bands, rowsPerBand, threshold)
+    val labels = canonicalizeNearDups(df.select(col(idCol)), pairs)
+    df.join(labels.filter(col("id") === col("canonical_id")).select(col("id")),
+      df(idCol) === col("id"), "left_semi")
+  }
+
   // -------------------------------------------------- embedding cosine
 
   /** All-pairs embedding-cosine near-dups above a threshold. Correctness

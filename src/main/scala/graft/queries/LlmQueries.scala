@@ -99,6 +99,44 @@ object LlmQueries {
                 NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 0) >= 0.2
               ORDER BY id_a, id_b""")),
 
+    // Near-dup canonicalization: Jaccard pairs → connected components →
+    // min-id canonical per component (the keep-one step after MinHash).
+    // Oracle: transitive closure via recursive CTE over the same pairs.
+    QueryDef(
+      "l_neardup_canonical",
+      (s, d) => {
+        val slice = t(s, d, "documents").filter(col("doc_id") < 500)
+        val pairs = Dedup.jaccardPairs(slice, "doc_id", "text", n = 2, threshold = 0.2)
+        Dedup.canonicalizeNearDups(slice.select(col("doc_id")), pairs)
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                list_distinct(list_transform(
+                  generate_series(1, len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) - 1),
+                  i -> string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i] || ' ' ||
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i+1]
+                )) AS sh
+                FROM documents WHERE doc_id < 500
+              ),
+              pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
+                  NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 0) >= 0.2
+              ),
+              edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+              ),
+              reach(id, r) AS (
+                SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+                UNION
+                SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+              )
+              SELECT id, MIN(r) AS canonical_id FROM reach
+              GROUP BY id ORDER BY id""")),
+
     // MinHash + LSH near-dup detection (shingle→minhash→band→bucket join→
     // verify). Sketch-based — no cross-engine oracle; LlmSpec pins recall
     // and precision against the exact baseline.

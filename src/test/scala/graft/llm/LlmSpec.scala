@@ -108,6 +108,24 @@ class LlmSpec extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  test("near-dup canonicalization: min-id per component, chain depth handled") {
+    // components: {1,2,3,4} (a chain), {10,11}, singleton {20}
+    val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.canonicalizeNearDups(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+
+    // dedupNear keeps exactly one survivor per near-dup cluster: the
+    // injected (id, id+20000) copies collapse onto the original ids
+    val kept = Dedup.dedupNear(nearDupDocs, "doc_id", "text",
+        n = 2, bands = 16, rowsPerBand = 4, threshold = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.forall(_ < 20000), s"near-dup copies survived: ${kept.filter(_ >= 20000)}")
+    assert(kept.nonEmpty)
+  }
+
   test("LSH top-k probe finds the query's injected identical vector first") {
     val dupVecs = vecs.unionByName(vecs.select(
       (col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label")))
