@@ -171,6 +171,35 @@ object Kernels {
     best
   }
 
+  /** Occurrence count of the most frequent (non-null) token. One pass
+    * with a per-row hash map (rows are short; the map is transient). */
+  def maxTokenFreq(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    val counts = new java.util.HashMap[UTF8String, Int](n * 2)
+    var max = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val c = counts.merge(arr.getUTF8String(i), 1, (a, b) => a + b)
+        if (c > max) max = c
+      }
+      i += 1
+    }
+    max
+  }
+
+  /** max token frequency / total tokens — the word-salad/repetition
+    * signal open-corpus filters use. Empty array → null. */
+  def maxTokenFreqRatio(arr: ArrayData): java.lang.Double = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    var total = 0
+    var i = 0
+    while (i < n) { if (!arr.isNullAt(i)) total += 1; i += 1 }
+    if (total == 0) null
+    else java.lang.Double.valueOf(maxTokenFreq(arr).toDouble / total)
+  }
+
   /** Count of (non-null) tokens present in `set`. Null tokens don't
     * count, matching `filter(toks, t -> array_contains(set, t))`. */
   def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {

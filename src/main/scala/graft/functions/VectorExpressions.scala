@@ -149,6 +149,58 @@ case class CountTokensIn(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** max token frequency / total tokens over an array<string> — the
+  * repetition signal of open-corpus quality filters. */
+case class MaxTokenFreqRatio(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "max_token_freq_ratio"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"max_token_freq_ratio requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.maxTokenFreqRatio(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("res")
+      s"""
+         |java.lang.Double $tmp = graft.functions.Kernels.maxTokenFreqRatio($a);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Occurrence count of the most frequent token in an array<string>. */
+case class MaxTokenFreq(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "max_token_freq"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"max_token_freq requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.maxTokenFreq(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Kernels.maxTokenFreq($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distinct word n-grams (space-joined, first-occurrence order) over an
   * array<string> of tokens. */
 case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
@@ -241,4 +293,6 @@ object F {
   def xxhash64Array(strings: Column): Column = c(XxHash64Array(e(strings)))
   def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
     c(NearestCentroid(e(v), centroids))
+  def maxTokenFreqRatio(tokens: Column): Column = c(MaxTokenFreqRatio(e(tokens)))
+  def maxTokenFreq(tokens: Column): Column = c(MaxTokenFreq(e(tokens)))
 }

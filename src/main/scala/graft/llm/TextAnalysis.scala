@@ -69,6 +69,20 @@ object TextAnalysis {
     when(anyHit, best.getField("l")).otherwise(lit("und"))
   }
 
+  /** Repetition signals from the open web-corpus filtering canon
+    * (duplicate-line fraction, dominant-token fraction): high values
+    * flag boilerplate/word-salad documents for removal. */
+  def duplicateLineRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    (lit(1.0) - size(array_distinct(lines)).cast(DoubleType) /
+      nullif(size(lines), lit(0)).cast(DoubleType))
+  }
+
+  /** Fraction of the token stream taken by its most frequent token —
+    * one codegen pass (graft.functions.MaxTokenFreqRatio). */
+  def maxTokenFreqRatio(text: Column): Column =
+    graft.functions.F.maxTokenFreqRatio(tokens(text))
+
   /** Punctuation character ratio. */
   def punctRatio(text: Column): Column =
     regexp_count(text, lit("[^\\p{L}\\p{N}\\s]")).cast(DoubleType) /

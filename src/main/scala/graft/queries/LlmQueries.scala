@@ -304,6 +304,54 @@ object LlmQueries {
               FROM documents ORDER BY doc_id""")),
 
     // Token counting: whitespace tokens + BPE-ish pre-tokenizer count.
+    // Repetition filters (Gopher/C4-style): duplicate-line counts and
+    // dominant-token fraction per doc, rolled up per source. All
+    // cross-engine aggregation is over INTEGERS (ratios come from one
+    // final division of exact sums), so floats never accumulate in
+    // engine-dependent order.
+    QueryDef(
+      "l_repetition",
+      (s, d) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        val lines = split(col("text"), "\n")
+        t(s, d, "documents")
+          .select(col("source"),
+            size(array_distinct(lines)).cast(LongType).as("dl"),
+            size(lines).cast(LongType).as("nl"),
+            graft.functions.F.maxTokenFreq(toks).cast(LongType).as("mc"),
+            size(toks).cast(LongType).as("nt"))
+          .groupBy(col("source"))
+          .agg(
+            (lit(1.0) - sum(col("dl")).cast(DoubleType) /
+              sum(col("nl")).cast(DoubleType)).as("dup_line_frac"),
+            (sum(col("mc")).cast(DoubleType) /
+              sum(col("nt")).cast(DoubleType)).as("dominant_token_frac"),
+            count(when(col("mc") * 5 > col("nt"), 1)).as("n_repetitive"),
+            count(lit(1)).as("n_docs"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH freq AS (
+                SELECT doc_id, MAX(c) AS mc, CAST(SUM(c) AS BIGINT) AS nt FROM (
+                  SELECT doc_id, tk, COUNT(*) AS c FROM (
+                    SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tk
+                    FROM documents
+                  ) GROUP BY doc_id, tk
+                ) GROUP BY doc_id
+              ),
+              per_doc AS (
+                SELECT d.source,
+                CAST(LEN(LIST_DISTINCT(string_split(d.text, chr(10)))) AS BIGINT) AS dl,
+                CAST(LEN(string_split(d.text, chr(10))) AS BIGINT) AS nl,
+                f.mc, f.nt
+                FROM documents d JOIN freq f ON d.doc_id = f.doc_id
+              )
+              SELECT source,
+              1.0e0 - CAST(SUM(dl) AS DOUBLE) / CAST(SUM(nl) AS DOUBLE) AS dup_line_frac,
+              CAST(SUM(mc) AS DOUBLE) / CAST(SUM(nt) AS DOUBLE) AS dominant_token_frac,
+              COUNT(CASE WHEN mc * 5 > nt THEN 1 END) AS n_repetitive,
+              COUNT(*) AS n_docs
+              FROM per_doc GROUP BY source ORDER BY source""")),
+
     QueryDef(
       "l_token_counts",
       (s, d) =>

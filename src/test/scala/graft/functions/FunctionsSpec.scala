@@ -130,6 +130,21 @@ class FunctionsSpec extends SparkSpec {
     }, n = 15)
   }
 
+  test("max_token_freq(+ratio) matches an explode/groupBy formulation") {
+    check(Prop.forAll(tokensGen) { toks =>
+      val df = Seq(Tuple1(toks)).toDF("t")
+      val mc = df.select(F.maxTokenFreq(col("t"))).collect()(0).getInt(0)
+      val expected =
+        if (toks.isEmpty) 0
+        else toks.groupBy(identity).values.map(_.size).max
+      val ratio = df.select(F.maxTokenFreqRatio(col("t"))).collect()(0)
+      val ratioOk =
+        if (toks.isEmpty) ratio.isNullAt(0)
+        else ratio.getDouble(0) == expected.toDouble / toks.size
+      mc == expected && ratioOk
+    })
+  }
+
   test("kernels are inlined into whole-stage codegen (no fallback)") {
     // inputs must depend on a column — literal-only args constant-fold
     // before codegen and the kernels would never appear in the plan
