@@ -142,6 +142,45 @@ object Kernels {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+    * every k-byte gram (XXH64, seed 42), slide a window of w gram
+    * hashes, keep each window's minimum (rightmost on ties), dedupe
+    * consecutive re-selections. Guarantee: any shared substring of
+    * length ≥ w+k-1 between two documents yields ≥1 shared fingerprint.
+    * Texts shorter than k yield an empty array. */
+  def winnow(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < k) return ArrayData.toArrayData(Array.emptyLongArray)
+    val m = n - k + 1
+    val grams = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      grams(i) = XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i, k, 42L)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    if (m <= w) {
+      // single short window: rightmost minimum
+      var best = 0
+      var j = 1
+      while (j < m) { if (grams(j) <= grams(best)) best = j; j += 1 }
+      out += grams(best)
+    } else {
+      var lastIdx = -1
+      var start = 0
+      while (start <= m - w) {
+        var best = start
+        var j = start + 1
+        while (j < start + w) { if (grams(j) <= grams(best)) best = j; j += 1 }
+        if (best != lastIdx) { out += grams(best); lastIdx = best }
+        start += 1
+      }
+    }
+    ArrayData.toArrayData(out.toArray)
+  }
+
   /** Index of the nearest centroid (L2) for a float/double vector; -1
     * when the vector is null-element'd or dimension-mismatched. Ties
     * break to the lowest index. */

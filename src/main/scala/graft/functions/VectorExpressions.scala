@@ -179,6 +179,30 @@ case class MaxTokenFreqRatio(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints over a string: k-byte-gram rolling hashes,
+  * window-minimum selection (MOSS). */
+case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 1 && w >= 1, "winnow requires k >= 1 and w >= 1")
+  override def prettyName: String = "winnow"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow requires string input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.winnow(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Kernels.winnow($a, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Occurrence count of the most frequent token in an array<string>. */
 case class MaxTokenFreq(child: Expression) extends UnaryExpression {
   override def prettyName: String = "max_token_freq"
@@ -295,4 +319,5 @@ object F {
     c(NearestCentroid(e(v), centroids))
   def maxTokenFreqRatio(tokens: Column): Column = c(MaxTokenFreqRatio(e(tokens)))
   def maxTokenFreq(tokens: Column): Column = c(MaxTokenFreq(e(tokens)))
+  def winnow(text: Column, k: Int, w: Int): Column = c(Winnow(e(text), k, w))
 }

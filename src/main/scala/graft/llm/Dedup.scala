@@ -295,6 +295,29 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
+  // ------------------------------------------------- winnowing overlap
+
+  /** Containment/partial-overlap candidate pairs via winnowing
+    * fingerprints: documents sharing ≥ `minShared` local fingerprints.
+    * Catches copied PASSAGES (quotes, boilerplate, plagiarized spans)
+    * that whole-document similarity misses — by the winnowing guarantee,
+    * any shared run of ≥ w+k-1 normalized bytes surfaces here. Same
+    * posting-list join shape as [[jaccardPairs]]: shuffle on the
+    * fingerprint, pairs only within posting lists. */
+  def winnowOverlapPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val fp = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .distinct()
+    val a = fp.select(col("id").as("id_a"), col("fp"))
+    val b = fp.select(col("id").as("id_b"), col("fp").as("fp2"))
+    a.join(b, col("fp") === col("fp2") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
+
   // ------------------------------------------- near-dup canonicalization
 
   /** Resolve near-dup PAIRS into connected components and assign each

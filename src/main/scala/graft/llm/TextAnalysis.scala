@@ -69,6 +69,15 @@ object TextAnalysis {
     when(anyHit, best.getField("l")).otherwise(lit("und"))
   }
 
+  /** Winnowing fingerprints of the normalized text (rolling k-byte-gram
+    * hashes, window-min selection — the MOSS local-fingerprint scheme):
+    * any shared substring of length ≥ w+k-1 between two docs yields at
+    * least one shared fingerprint, so partial-overlap/containment dedup
+    * becomes an equi-join on exploded fingerprints — md5-style whole-doc
+    * fingerprints can't see containment at all. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.functions.F.winnow(normalize(text), k, w)
+
   /** Repetition signals from the open web-corpus filtering canon
     * (duplicate-line fraction, dominant-token fraction): high values
     * flag boilerplate/word-salad documents for removal. */

@@ -366,6 +366,17 @@ object LlmQueries {
               CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS INTEGER) AS bpe_tokens
               FROM documents ORDER BY doc_id""")),
 
+    // Winnowing (rolling-hash) fingerprint overlap: near-dup copies share
+    // nearly all local fingerprints. Hash-scheme-specific → rows-only;
+    // LlmSpec pins the winnowing guarantee.
+    QueryDef(
+      "l_winnow_overlap",
+      (s, d) =>
+        Dedup.winnowOverlapPairs(
+          docsWithNearDups(s, d).filter(col("doc_id") % 20000 < 500),
+          "doc_id", "text", k = 8, w = 4, minShared = 5),
+      None),
+
     // Document fingerprinting: md5-of-normalized keys per source.
     QueryDef(
       "l_fingerprint",

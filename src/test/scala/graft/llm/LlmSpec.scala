@@ -108,6 +108,27 @@ class LlmSpec extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  test("winnowing: shared substring guarantee, identical docs share all fingerprints") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "completely unrelated text about database engines " +
+        "and the quick brown fox jumps over the lazy dog near the river bank today ok"),
+      (4L, "nothing in common with anything else zzz qqq www eee rrr ttt yyy uuu"))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+        TextAnalysis.winnowFingerprints(col("text"), k = 8, w = 4).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L) === fps(2L)) // identical docs → identical fingerprints
+    assert(fps(1L).intersect(fps(3L)).size >= 3) // long shared substring surfaces
+    assert(fps(1L).intersect(fps(4L)).isEmpty || fps(1L).intersect(fps(4L)).size <= 1)
+
+    val pairs = Dedup.winnowOverlapPairs(df, "doc_id", "text", minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
   test("near-dup canonicalization: min-id per component, chain depth handled") {
     // components: {1,2,3,4} (a chain), {10,11}, singleton {20}
     val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
