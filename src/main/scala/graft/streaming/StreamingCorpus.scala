@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.TextAnalysis
+
+/** Streaming ingest for the training-data pipeline (beyond-reference,
+  * same spirit as [[StreamingTelemetry]]): documents arrive continuously,
+  * get exact-deduped within a watermark horizon, quality/language gated,
+  * and rolled up per source.
+  *
+  *   - exact dedup → `dropDuplicatesWithinWatermark` on the md5 text
+  *     fingerprint: the batch hash-groupBy becomes a TTL'd state store,
+  *     bounded by the watermark instead of corpus size;
+  *   - quality gate → stateless column predicates (the same codegen
+  *     kernels as batch — language-ID, quality score, repetition), so
+  *     the filter rides inside the stream's whole-stage codegen;
+  *   - per-source stats → watermarked tumbling windows, bounded state.
+  */
+object StreamingCorpus {
+
+  /** Schema-locked file-source read of landed document JSON (streaming
+    * sources must not infer schemas). */
+  def readDocStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, ingest_ts TIMESTAMP")
+      .json(dir)
+
+  /** Exact streaming dedup: first arrival of a fingerprint within the
+    * watermark horizon wins; replays and cross-source copies collapse. */
+  def dedupDocStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint", TextAnalysis.fingerprint(col("text")))
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Stateless quality gate: keep docs clearing the score threshold with
+    * a detected language and tolerable repetition. All three signals are
+    * codegen column expressions — no state, no shuffle. */
+  def qualityGateStream(
+      docs: DataFrame,
+      minScore: Double = 50.0,
+      maxDominantTokenFrac: Double = 0.3,
+      stopwords: Seq[String] = TextAnalysis.StopwordProfiles.flatMap(_._2)): DataFrame =
+    docs
+      .withColumn("quality_score", TextAnalysis.qualityScore(col("text"), stopwords))
+      .withColumn("detected_lang", TextAnalysis.languageId(col("text")))
+      .withColumn("dominant_token_frac", TextAnalysis.maxTokenFreqRatio(col("text")))
+      .filter(
+        col("quality_score") >= minScore &&
+          col("detected_lang") =!= "und" &&
+          (col("dominant_token_frac").isNull ||
+            col("dominant_token_frac") <= maxDominantTokenFrac))
+
+  /** Windowed per-source ingest stats (docs, tokens, mean quality). */
+  def sourceStats(
+      docs: DataFrame,
+      watermark: String = "1 hour",
+      windowLength: String = "10 minutes"): DataFrame =
+    docs
+      .withWatermark("ingest_ts", watermark)
+      .groupBy(col("source"), window(col("ingest_ts"), windowLength))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"),
+        avg(TextAnalysis.qualityScore(
+          col("text"), TextAnalysis.StopwordProfiles.flatMap(_._2))).as("avg_quality"))
+      .select(
+        col("source"), col("window.start").as("window_start"),
+        col("docs"), col("tokens"), col("avg_quality"))
+}

@@ -89,4 +89,65 @@ class StreamingSpec extends SparkSpec {
       assert(r1.avgPace === Some(200.0))
     } finally q.stop()
   }
+
+  private case class Doc(
+      doc_id: Long, text: String, lang: String, source: String,
+      ingest_ts: Timestamp)
+
+  test("streaming corpus: fingerprint dedup collapses cross-source copies") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingCorpus.dedupDocStream(input.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("docdedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1, "the cat sat on the mat", "en", "web", ts(0)),
+        Doc(2, "THE  CAT   SAT ON THE MAT", "en", "crawl", ts(1)), // same normalized text
+        Doc(3, "something else entirely here", "en", "web", ts(2)))
+      q.processAllAvailable()
+      assert(spark.table("docdedup_out").count() === 2)
+    } finally q.stop()
+  }
+
+  test("streaming corpus: quality gate keeps prose, drops salad and repetition") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingCorpus.qualityGateStream(input.toDF(), minScore = 40.0)
+      .writeStream.format("memory").queryName("docgate_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1, "the cat sat on the mat and it was a very happy cat that day " * 3,
+          "en", "web", ts(0)),
+        Doc(2, "xyzzy plugh qwerty zzz", "und", "web", ts(1)), // no stopwords → und
+        Doc(3, ("spam " * 40) + "the end", "en", "web", ts(2))) // dominant-token salad
+      q.processAllAvailable()
+      val kept = spark.table("docgate_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L))
+    } finally q.stop()
+  }
+
+  test("streaming corpus: windowed per-source stats") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingCorpus.sourceStats(input.toDF(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("docstats_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1, "the cat sat on the mat", "en", "web", ts(0)),
+        Doc(2, "a dog ran in the park", "en", "web", ts(5)),
+        Doc(3, "der hund ist nicht da", "de", "crawl", ts(3)))
+      input.addData(Doc(9, "late watermark push", "en", "web",
+        Timestamp.valueOf("2024-01-15 12:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("docstats_out")
+        .select(col("source"), col("docs"), col("tokens"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(out("web") === ((2L, 12L)))
+      assert(out("crawl") === ((1L, 5L)))
+    } finally q.stop()
+  }
 }
