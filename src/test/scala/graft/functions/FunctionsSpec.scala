@@ -145,6 +145,36 @@ class FunctionsSpec extends SparkSpec {
     })
   }
 
+  test("winnow kernel matches a naive reference implementation") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def reference(text: String, k: Int, w: Int): Seq[Long] = {
+      val bytes = text.getBytes("UTF-8")
+      if (bytes.length < k) return Seq.empty
+      val grams = (0 to bytes.length - k).map { i =>
+        val g = java.util.Arrays.copyOfRange(bytes, i, i + k)
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          g, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, k, 42L)
+      }
+      if (grams.length <= w)
+        Seq(grams.zipWithIndex.minBy { case (v, i) => (v, -i) }._1)
+      else {
+        var lastIdx = -1
+        val out = scala.collection.mutable.ArrayBuffer[Long]()
+        for (start <- 0 to grams.length - w) {
+          val win = grams.slice(start, start + w).zipWithIndex
+          val best = start + win.minBy { case (v, i) => (v, -i) }._2
+          if (best != lastIdx) { out += grams(best); lastIdx = best }
+        }
+        out.toSeq
+      }
+    }
+    val textGen = Gen.listOf(Gen.oneOf("ab", "cd", "the", "x", " ")).map(_.mkString(" "))
+    check(Prop.forAll(textGen, Gen.chooseNum(1, 6), Gen.chooseNum(1, 5)) { (text, k, w) =>
+      val kernel = graft.functions.Kernels.winnow(UTF8String.fromString(text), k, w)
+      kernel.toLongArray().toSeq == reference(text, k, w)
+    })
+  }
+
   test("kernels are inlined into whole-stage codegen (no fallback)") {
     // inputs must depend on a column — literal-only args constant-fold
     // before codegen and the kernels would never appear in the plan
