@@ -84,6 +84,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables join without an exchange (co-located join scale path)") {
+    import spark.implicits._
+    val facts = (1L to 2000L).map(i => (i, i % 7, i * 2.0)).toDF("k", "grp", "v")
+    val dims = (1L to 2000L).map(i => (i, s"name$i")).toDF("k", "name")
+    spark.sql("DROP TABLE IF EXISTS b_facts")
+    spark.sql("DROP TABLE IF EXISTS b_dims")
+    facts.write.bucketBy(8, "k").sortBy("k").saveAsTable("b_facts")
+    dims.write.bucketBy(8, "k").sortBy("k").saveAsTable("b_dims")
+    // AQE off + no broadcast so the plan must either shuffle or use
+    // bucket co-location; with matching bucketing it must do the latter.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_facts").join(spark.table("b_dims"), "k")
+      val p = joined.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(joined.count() === 2000)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS b_facts")
+      spark.sql("DROP TABLE IF EXISTS b_dims")
+    }
+  }
+
   test("custom kernel expressions register for SQL use (GraftFunctions)") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
