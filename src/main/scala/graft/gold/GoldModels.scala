@@ -33,6 +33,15 @@ object GoldModels {
 
   /** gold.fact_rounds — grain (course_id, round_id); the canonical round
     * rollup every derived model reads. Ref: gold/models/gold/fact_rounds.sql:14-115. */
+  /** Exact distinct count for a small-integer column (domain ⊆ [0, 63]):
+    * popcount of the OR of per-value bitmasks. Declarative aggregate →
+    * codegen HashAggregate, no Expand, no ObjectHashAggregate. */
+  private def distinctViaBitmask(c: org.apache.spark.sql.Column) =
+    coalesce(
+      bit_count(bit_or(when(c.isNotNull,
+        call_function("shiftleft", lit(1L), c.cast(IntegerType))))),
+      lit(0)).cast(LongType)
+
   def factRounds(silver: DataFrame): DataFrame = {
     val base = silver.filter(col("is_location_padding") === false)
     val rollup = base
@@ -44,11 +53,15 @@ object GoldModels {
           unix_timestamp(min(col("fix_timestamp")))).as("duration_sec"),
         count(lit(1)).as("fix_count"),
         sum(when(col("is_timestamp_missing"), 1).otherwise(0)).as("ts_missing_fix_count"),
-        // bounded domains (hole ≤ 27, nine ≤ 4): collect_set avoids the
-        // Expand row-multiplication a COUNT(DISTINCT) pair would cost;
-        // identical null-excluding semantics
-        size(collect_set(col("hole_number"))).cast(LongType).as("holes_played"),
-        size(collect_set(col("nine_number"))).cast(LongType).as("nines_played"),
+        // bounded domains (hole ≤ 27, nine ≤ 4, both < 64): distinct
+        // count = popcount of an OR'd bitmask. Same null-excluding
+        // semantics as COUNT(DISTINCT) without its Expand, and unlike
+        // collect_set it stays a DeclarativeAggregate — one collect_set
+        // would force the whole 28-aggregate rollup into
+        // ObjectHashAggregate, which falls back to sort-based beyond 128
+        // grouping keys per partition.
+        distinctViaBitmask(col("hole_number")).as("holes_played"),
+        distinctViaBitmask(col("nine_number")).as("nines_played"),
         min(col("section_number")).as("min_section_number"),
         max(col("section_number")).as("max_section_number"),
         min(when(col("hole_section") === 1, col("section_number")))
@@ -619,8 +632,8 @@ object GoldModels {
           .as("ts_missing_non_padding_rows"),
         min(col("fix_timestamp")).as("first_fix_ts"),
         max(col("fix_timestamp")).as("last_fix_ts"),
-        size(collect_set(col("hole_number"))).cast(LongType).as("holes_observed"),
-        size(collect_set(col("nine_number"))).cast(LongType).as("nines_observed"),
+        distinctViaBitmask(col("hole_number")).as("holes_observed"),
+        distinctViaBitmask(col("nine_number")).as("nines_observed"),
         min(col("section_number")).as("min_section_number"),
         max(col("section_number")).as("max_section_number"),
         max(col("round_start_time")).as("round_start_time"),
