@@ -815,7 +815,15 @@ object GoldModels {
     val median =
       if (exactPercentiles) expr("percentile(pace_gap, 0.5)")
       else expr("percentile_approx(pace_gap, 0.5, 10000)")
-    silver
+    // Decomposed into three aggregations over the same grouping key: a
+    // countDistinct (Expand) plus an exact percentile (sort-based
+    // ObjectHashAggregate) in ONE agg drags every other buffer through
+    // both penalties. The distinct round count is a two-level codegen
+    // aggregate, the percentile runs over a two-column slice, and the
+    // three results join back on their shared hash partitioning.
+    // `hk` stands in for the nullable hour key so the joins stay
+    // null-safe without <=> (which would block partitioning reuse).
+    val enriched = silver
       .filter(col("course_id").isNotNull && !col("is_location_padding"))
       .withColumn("time_bucket",
         when(col("fix_timestamp").isNull, "unknown")
@@ -827,17 +835,33 @@ object GoldModels {
         when(col("fix_timestamp").isNull, "unknown")
           .when(expr("weekday(fix_timestamp) + 1").isin(6, 7), "weekend")
           .otherwise("weekday"))
-      .withColumn("hour_of_day",
-        when(col("fix_timestamp").isNull, lit(null).cast(IntegerType))
-          .otherwise(hour(col("fix_timestamp"))))
-      .groupBy(col("course_id"), col("day_type"), col("time_bucket"), col("hour_of_day"))
+      .withColumn("hk",
+        when(col("fix_timestamp").isNull, lit(-1)).otherwise(hour(col("fix_timestamp"))))
+    val keys = Seq("course_id", "day_type", "time_bucket", "hk")
+    val base = enriched
+      .groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("rows"),
-        countDistinct(col("round_id")).as("rounds"),
         sum(when(col("is_problem"), 1).otherwise(0)).as("problem_rows"),
         pct(sum(when(col("is_problem"), 1).otherwise(0)), count(lit(1)), 2)
           .as("pct_problem_rows"),
-        avg(col("pace_gap")).as("avg_pace_gap_sec"),
-        median.as("median_pace_gap_sec"))
+        avg(col("pace_gap")).as("avg_pace_gap_sec"))
+    val rounds = enriched
+      .filter(col("round_id").isNotNull)
+      .select((keys :+ "round_id").map(col): _*).distinct()
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("rounds"))
+    val med = enriched
+      .select((keys :+ "pace_gap").map(col): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(median.as("median_pace_gap_sec"))
+    base.join(rounds, keys, "left").join(med, keys)
+      .select(
+        col("course_id"), col("day_type"), col("time_bucket"),
+        when(col("hk") === -1, lit(null).cast(IntegerType))
+          .otherwise(col("hk")).as("hour_of_day"),
+        col("rows"), coalesce(col("rounds"), lit(0L)).as("rounds"),
+        col("problem_rows"), col("pct_problem_rows"),
+        col("avg_pace_gap_sec"), col("median_pace_gap_sec"))
   }
 }
