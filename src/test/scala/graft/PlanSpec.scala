@@ -84,6 +84,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("fact_rounds rollup stays in codegen HashAggregate (no object/sort agg)") {
+    val silver = graft.queries.GoldQueries.cachedSilver(spark, sfDir)
+    val p = graft.gold.GoldModels.factRounds(silver)
+      .queryExecution.executedPlan.toString
+    // collect_set/percentile would force ObjectHashAggregate, which
+    // falls back to sort-based aggregation beyond 128 keys per partition
+    assert(!p.contains("ObjectHashAggregate"), s"object agg in:\n$p")
+    assert(!p.contains("SortAggregate"), s"sort agg in:\n$p")
+    assert(p.contains("HashAggregate"))
+    // the bounded-domain distinct counts must not Expand the fact
+    assert(!p.contains("Expand"), s"Expand in:\n$p")
+  }
+
   test("bucketed tables join without an exchange (co-located join scale path)") {
     import spark.implicits._
     val facts = (1L to 2000L).map(i => (i, i % 7, i * 2.0)).toDF("k", "grp", "v")
