@@ -618,10 +618,18 @@ object GoldModels {
       col("last_section_start"), col("current_section"), col("current_hole"),
       col("current_hole_section"))
 
-  /** silver_normalized.dim_round (dim_round.sql:14-97). */
-  def dimRound(silver: DataFrame): DataFrame =
-    silver
+  /** silver_normalized.dim_round (dim_round.sql:14-97).
+    *
+    * The four string-typed maxes aggregate separately: a string
+    * aggregation buffer is not fixed-width, so one `max(goal_name)`
+    * would demote the whole 27-aggregate rollup from codegen
+    * HashAggregate to SortAggregate (sorting every fix row under every
+    * buffer). The narrow string slice pays the sort on 6 columns; the
+    * join back reuses the (course_id, round_id) hash partitioning. */
+  def dimRound(silver: DataFrame): DataFrame = {
+    val base = silver
       .filter(col("course_id").isNotNull && col("round_id").isNotNull)
+    val numeric = base
       .groupBy(col("course_id"), col("round_id"))
       .agg(
         count(lit(1)).as("total_rows"),
@@ -648,11 +656,27 @@ object GoldModels {
         bool_or(coalesce(col("is_auto_assigned"), lit(false))).as("is_auto_assigned"),
         max(col("current_nine")).as("current_nine"),
         max(col("goal_time")).as("goal_time"),
+        max(col("goal_time_fraction")).as("goal_time_fraction"))
+    val strings = base
+      .groupBy(col("course_id"), col("round_id"))
+      .agg(
         max(col("goal_name")).as("goal_name"),
-        max(col("goal_time_fraction")).as("goal_time_fraction"),
         max(col("device")).as("device_id"),
         max(col("first_fix")).as("first_fix"),
         max(col("last_fix")).as("last_fix"))
+    numeric.join(strings, Seq("course_id", "round_id"))
+      .select(
+        col("course_id"), col("round_id"), col("total_rows"), col("padding_rows"),
+        col("non_padding_rows"), col("ts_missing_rows"), col("ts_missing_non_padding_rows"),
+        col("first_fix_ts"), col("last_fix_ts"), col("holes_observed"), col("nines_observed"),
+        col("min_section_number"), col("max_section_number"),
+        col("round_start_time"), col("round_end_time"),
+        col("start_hole"), col("start_section"), col("end_section"),
+        col("is_nine_hole"), col("is_complete"), col("is_incomplete"),
+        col("is_secondary"), col("is_auto_assigned"),
+        col("current_nine"), col("goal_time"), col("goal_name"),
+        col("goal_time_fraction"), col("device_id"), col("first_fix"), col("last_fix"))
+  }
 
   /** silver_normalized.dim_device (dim_device.sql:14-38). */
   def dimDevice(silver: DataFrame): DataFrame =
