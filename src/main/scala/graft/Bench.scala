@@ -18,13 +18,15 @@ object Bench {
   /** Headline set: the heavy gold models, the scale-sensitive LLM ops,
     * and one representative per operator family. */
   private val headline: Seq[String] = Seq(
-    "gm_fact_rounds", "gm_hole_performance", "gm_pace_summary",
-    "gm_dim_round", "a14_mega_rollup", "j3_five_way_stitch",
-    "j9_max_per_group_join_back", "w1_dedup_row_number",
+    "gm_fact_rounds", "gm_hole_performance", "gm_dim_round",
+    "gm_time_patterns", "gm_coverage_audit", "gm_course_configuration",
+    "a14_mega_rollup", "j3_five_way_stitch", "j9_max_per_group_join_back",
+    "w1_dedup_row_number",
     "l_minhash_near_dups", "l_simhash_near_dups", "l_lsh_ann_join",
-    "l_cosine_topk", "l_ngram_jaccard", "l_embedding_dup_pairs",
-    "l_token_counts", "l_langid", "m9_topology_holes",
-    "m1_partition_refresh", "m4_merge_upsert", "topk_order_limit")
+    "l_ivf_topk", "l_cosine_topk", "l_ngram_jaccard",
+    "l_embedding_dup_pairs", "l_neardup_canonical", "l_winnow_overlap",
+    "l_langid", "m9_topology_holes", "m1_partition_refresh",
+    "m4_merge_upsert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
