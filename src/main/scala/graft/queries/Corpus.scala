@@ -18,6 +18,7 @@ object Corpus {
       GoldQueries2.defs ++
       GoldQueries3.defs ++
       MaintenanceQueries.defs ++
+      DashQueries.defs ++
       LlmQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

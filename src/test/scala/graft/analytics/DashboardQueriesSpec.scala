@@ -109,4 +109,68 @@ class DashboardQueriesSpec extends SparkSpec {
     val sample = DashboardQueries.roundSample(silver, "erinhills", None, limit = 4)
     assert(sample.count() === 4)
   }
+
+  test("part-2 surface: every query family runs over the golf fixtures") {
+    import DashboardQueries2._
+    // each returns a well-formed frame over the fixture silver
+    val frames = Seq(
+      "columnCompleteness" -> columnCompleteness(silver),
+      "columnCompletenessExtended" -> columnCompletenessExtended(silver),
+      "paddingAnalysis" -> paddingAnalysis(silver),
+      "sectionsPerHole" -> sectionsPerHole(silver),
+      "roundTypes" -> roundTypes(silver),
+      "roundList" -> roundList(silver, limit = 10),
+      "deviceStats" -> deviceStats(silver),
+      "roundLengthDistribution" -> roundLengthDistribution(silver),
+      "roundValidation" -> roundValidation(silver),
+      "roundValidationSummary" -> roundValidationSummary(silver),
+      "globalOverview" -> globalOverview(silver),
+      "globalWeekdayHeatmap" -> globalWeekdayHeatmap(silver),
+      "globalDataQualityRanking" -> globalDataQualityRanking(silver),
+      "globalDeviceFleet" -> globalDeviceFleet(silver),
+      "globalCompletionRates" -> globalCompletionRates(silver),
+      "infrastructureStats" -> infrastructureStats(silver),
+      "eventsPerCourse" -> eventsPerCourse(silver),
+      "eventsByMonth" -> eventsByMonth(silver))
+    frames.foreach { case (name, df) =>
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("part-2 semantics: padding pct, completeness bounds, quality ranking") {
+    import DashboardQueries2._
+    paddingAnalysis(silver).collect().foreach { r =>
+      val pct = r.getDouble(r.fieldIndex("padding_pct"))
+      assert(pct >= 0.0 && pct <= 100.0)
+      assert(r.getLong(r.fieldIndex("padding_events")) +
+        r.getLong(r.fieldIndex("real_events")) ===
+        r.getLong(r.fieldIndex("total_events")))
+    }
+    columnCompleteness(silver).collect().foreach { r =>
+      (2 until r.length).foreach { i =>
+        if (!r.isNullAt(i)) {
+          val v = r.getDouble(i)
+          assert(v >= 0.0 && v <= 100.0, s"col $i out of range: $v")
+        }
+      }
+    }
+    val ranks = globalDataQualityRanking(silver).collect()
+      .map(r => r.getInt(r.fieldIndex("quality_rank")))
+    assert(ranks.head === 1)
+
+    // profile joins: loop-course detection + coalesced type
+    import spark.implicits._
+    val profile = Seq(
+      ("americanfalls", "9-hole-loop", true, "low", 5, 9, "seasonal"),
+      ("erinhills", null.asInstanceOf[String], false, "high", 4, 10, null.asInstanceOf[String]))
+      .toDF("course_id", "course_type", "is_loop_course", "volume_profile",
+        "peak_season_start_month", "peak_season_end_month", "notes")
+    assert(loopCourses(profile).collect().map(_.getString(0)).toSeq ===
+      Seq("americanfalls"))
+    val withProfile = courseSummaryWithProfile(silver, profile)
+      .collect().map(r => r.getString(0) ->
+        r.getString(r.fieldIndex("course_type"))).toMap
+    assert(withProfile("americanfalls") === "9-hole-loop") // profile wins
+    assert(withProfile("erinhills") === "18-hole") // falls back to inferred
+  }
 }
