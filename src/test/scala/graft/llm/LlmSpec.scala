@@ -248,4 +248,21 @@ class LlmSpec extends SparkSpec {
       .select(max(col("meta.width")), max(col("meta.height"))).collect()(0)
     assert(resized.getInt(0) <= 64 && resized.getInt(1) <= 64)
   }
+
+  test("multimodal features feed similarity search end-to-end") {
+    // decode → feature vectors → exact-dup detection via cosine: the
+    // injected byte-identical copies must surface as cosine-1 pairs
+    val docsWithExactDups = docs.unionByName(docs.select(
+      (col("doc_id") + 10000).as("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars")))
+    val media = Multimodal.fromDocuments(docsWithExactDups, "doc_id", "text")
+    val feats = Multimodal.decodeStub(media)
+      .select(col("media_id"), col("features"))
+    val pairs = Dedup.embeddingCosinePairs(feats, "media_id", "features", 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val injected = docs.select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 10000)).toSet
+    assert(injected.subsetOf(pairs),
+      s"missing ${injected.diff(pairs).size} of ${injected.size} injected dups")
+  }
 }
