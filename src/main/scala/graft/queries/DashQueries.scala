@@ -18,7 +18,7 @@ object DashQueries {
     * rounds with a goal_time, NULL otherwise — spans the valid/invalid
     * buckets of the reference's validation CASE. */
   private def durSilver(s: SparkSession, d: String): DataFrame =
-    GoldQueries.cachedSilver(s, d)
+    GoldQueries.silverView(s, d)
       .withColumn("round_duration_minutes",
         col("goal_time") / 60.0 + col("current_section") * 5)
 
@@ -73,7 +73,7 @@ object DashQueries {
     QueryDef(
       "d2_completion_rates",
       (s, d) =>
-        DashboardQueries2.globalCompletionRates(GoldQueries.cachedSilver(s, d)),
+        DashboardQueries2.globalCompletionRates(GoldQueries.silverView(s, d)),
       Some(s"""WITH ${GoldQueries.SilverSql},
                rs AS (
                  SELECT course_id, round_id,
@@ -95,7 +95,7 @@ object DashQueries {
     QueryDef(
       "d3_device_fleet",
       (s, d) =>
-        DashboardQueries2.globalDeviceFleet(GoldQueries.cachedSilver(s, d)),
+        DashboardQueries2.globalDeviceFleet(GoldQueries.silverView(s, d)),
       Some(s"""WITH ${GoldQueries.SilverSql}
                SELECT course_id,
                COUNT(DISTINCT device) AS unique_devices,
@@ -115,7 +115,7 @@ object DashQueries {
       "d4_bottleneck_summary",
       (s, d) =>
         DashboardQueries2.bottleneckSummary(
-          GoldQueries.cachedSilver(s, d)
+          GoldQueries.silverView(s, d)
             .withColumn("pace", col("pace") % 60)),
       Some(s"""WITH ${GoldQueries.SilverSql},
                hp AS (
@@ -144,7 +144,7 @@ object DashQueries {
     QueryDef(
       "d5_events_per_course",
       (s, d) =>
-        DashboardQueries2.eventsPerCourse(GoldQueries.cachedSilver(s, d)),
+        DashboardQueries2.eventsPerCourse(GoldQueries.silverView(s, d)),
       Some(s"""WITH ${GoldQueries.SilverSql}
                SELECT course_id,
                COUNT(DISTINCT round_id) AS rounds,
@@ -160,7 +160,7 @@ object DashQueries {
     QueryDef(
       "d6_column_completeness",
       (s, d) =>
-        DashboardQueries2.columnCompleteness(GoldQueries.cachedSilver(s, d)),
+        DashboardQueries2.columnCompleteness(GoldQueries.silverView(s, d)),
       Some(s"""WITH ${GoldQueries.SilverSql}
                SELECT course_id, COUNT(*) AS total_events,
                ROUND(100.0e0 * SUM(CASE WHEN pace IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 1) AS pace_pct,

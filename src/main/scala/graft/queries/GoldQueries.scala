@@ -207,7 +207,7 @@ object GoldQueries {
     * the lineitem columns each model touches; a persisted copy would
     * materialize all ~40 columns and every downstream read would scan
     * the wide cache instead of a pruned parquet scan (measured slower). */
-  def cachedSilver(s: SparkSession, d: String): DataFrame =
+  def silverView(s: SparkSession, d: String): DataFrame =
     syntheticSilver(Tables.load(s, d, "lineitem"))
 
   /** fact_rounds, persisted once per (session, sfDir) — mirrors
@@ -222,7 +222,7 @@ object GoldQueries {
     })
 
   private def silverOf(s: SparkSession, d: String): DataFrame =
-    cachedSilver(s, d)
+    silverView(s, d)
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -16,7 +16,7 @@ object GoldQueries2 {
     Tables.load(s, d, n)
 
   private def silverOf(s: SparkSession, d: String): DataFrame =
-    GoldQueries.cachedSilver(s, d)
+    GoldQueries.silverView(s, d)
 
   /** course_configuration_analysis reproduced in DuckDB. */
   val CourseConfigSql: String =

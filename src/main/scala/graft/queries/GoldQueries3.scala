@@ -15,7 +15,7 @@ object GoldQueries3 {
     Tables.load(s, d, n)
 
   private def silverOf(s: SparkSession, d: String): DataFrame =
-    GoldQueries.cachedSilver(s, d)
+    GoldQueries.silverView(s, d)
 
   /** Reduced data_quality CTE — only the columns dim_course consumes. */
   private val DqSliceSql: String =

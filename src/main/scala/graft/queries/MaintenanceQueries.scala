@@ -292,7 +292,7 @@ object MaintenanceQueries {
     QueryDef(
       "m9_sections_per_hole",
       (s, d) =>
-        Topology.sectionsPerHole(GoldQueries.cachedSilver(s, d))
+        Topology.sectionsPerHole(GoldQueries.silverView(s, d))
           .orderBy(col("course_id"), col("hole_number")),
       Some(s"""WITH ${GoldQueries.SilverSql}
                SELECT course_id, hole_number,

@@ -17,7 +17,7 @@ object DrProfile {
       val t0 = System.nanoTime(); f
       println(f"[dr] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
-    val silver = graft.queries.GoldQueries.cachedSilver(spark, sfDir)
+    val silver = graft.queries.GoldQueries.silverView(spark, sfDir)
     val dr = graft.gold.GoldModels.dimRound(silver)
     println("[dr] plan has ObjectHash=" +
       dr.queryExecution.executedPlan.toString.contains("ObjectHashAggregate") +

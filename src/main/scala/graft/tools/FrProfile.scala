@@ -18,7 +18,7 @@ object FrProfile {
       val t0 = System.nanoTime(); f
       println(f"[fr] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
-    val silver = graft.queries.GoldQueries.cachedSilver(spark, sfDir)
+    val silver = graft.queries.GoldQueries.silverView(spark, sfDir)
     timed("silver scan only") {
       silver.select(col("course_id"), col("round_id")).write
         .mode("overwrite").format("noop").save()

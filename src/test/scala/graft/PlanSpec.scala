@@ -85,7 +85,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("fact_rounds rollup stays in codegen HashAggregate (no object/sort agg)") {
-    val silver = graft.queries.GoldQueries.cachedSilver(spark, sfDir)
+    val silver = graft.queries.GoldQueries.silverView(spark, sfDir)
     val p = graft.gold.GoldModels.factRounds(silver)
       .queryExecution.executedPlan.toString
     // collect_set/percentile would force ObjectHashAggregate, which
