@@ -306,10 +306,22 @@ object Dedup {
     * fingerprint, pairs only within posting lists. */
   def winnowOverlapPairs(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4, minShared: Int = 2): DataFrame = {
-    val fp = df.select(col(idCol).as("id"),
+      k: Int = 8, w: Int = 4, minShared: Int = 2,
+      dfCap: Option[Long] = None): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
         explode(TextAnalysis.winnowFingerprints(col(textCol), k, w)).as("fp"))
       .distinct()
+    // Same skew guard as [[jaccardPairs]]: a boilerplate passage present
+    // in f docs fans out f² rows on its fingerprints; capping document
+    // frequency drops those posting lists (shared counts become a lower
+    // bound — pairs can only disappear, never appear).
+    val fp = dfCap match {
+      case None => exploded
+      case Some(cap) =>
+        val rare = exploded.groupBy(col("fp")).count()
+          .filter(col("count") <= cap).select(col("fp"))
+        exploded.join(rare, "fp")
+    }
     val a = fp.select(col("id").as("id_a"), col("fp"))
     val b = fp.select(col("id").as("id_b"), col("fp").as("fp2"))
     a.join(b, col("fp") === col("fp2") && col("id_a") < col("id_b"))
