@@ -548,7 +548,11 @@ object GoldModels {
       dimCourse: DataFrame): DataFrame = {
     val courses = silver.filter(col("course_id").isNotNull)
       .select(col("course_id")).distinct()
-    val silverCounts = silver.filter(col("course_id").isNotNull)
+    // Row counts and round-distinct counts split (distinct-decomposition):
+    // two COUNT(DISTINCT)s in the row-count agg would Expand the fix
+    // table 3×; the round grain gets its own two-level codegen aggregate
+    // with identical null-excluding semantics.
+    val rowCounts = silver.filter(col("course_id").isNotNull)
       .groupBy(col("course_id").as("s_course_id"))
       .agg(
         count(lit(1)).as("silver_total_rows"),
@@ -556,9 +560,24 @@ object GoldModels {
         sum(when(!col("is_location_padding"), 1).otherwise(0)).as("silver_non_padding_rows"),
         sum(when(col("is_timestamp_missing"), 1).otherwise(0)).as("silver_ts_missing_rows"),
         sum(when(col("is_timestamp_missing") && !col("is_location_padding"), 1).otherwise(0))
-          .as("silver_ts_missing_non_padding_rows"),
-        countDistinct(col("round_id")).as("silver_distinct_rounds_all"),
-        countDistinct(when(!col("is_location_padding"), col("round_id")))
+          .as("silver_ts_missing_non_padding_rows"))
+    val roundCounts = silver
+      .filter(col("course_id").isNotNull && col("round_id").isNotNull)
+      .groupBy(col("course_id"), col("round_id"))
+      .agg(max(when(!col("is_location_padding"), 1).otherwise(0)).as("has_np"))
+      .groupBy(col("course_id").as("rc_course_id"))
+      .agg(
+        count(lit(1)).as("silver_distinct_rounds_all"),
+        sum(col("has_np")).cast(LongType).as("silver_distinct_rounds_non_padding"))
+    val silverCounts = rowCounts
+      .join(roundCounts, col("s_course_id") === col("rc_course_id"), "left")
+      .select(col("s_course_id"),
+        col("silver_total_rows"), col("silver_padding_rows"),
+        col("silver_non_padding_rows"), col("silver_ts_missing_rows"),
+        col("silver_ts_missing_non_padding_rows"),
+        coalesce(col("silver_distinct_rounds_all"), lit(0L))
+          .as("silver_distinct_rounds_all"),
+        coalesce(col("silver_distinct_rounds_non_padding"), lit(0L))
           .as("silver_distinct_rounds_non_padding"))
     val fr = factRounds.groupBy(col("course_id").as("f_course_id"))
       .agg(
