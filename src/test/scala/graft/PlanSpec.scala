@@ -123,6 +123,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text-analysis scans are single whole-stage-codegen spans") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("l_token_counts", "l_quality_score", "l_langid")) {
+        val p = Corpus.queries(q)(spark, sfDir)
+          .queryExecution.explainString(ExplainMode.fromString("formatted"))
+        // formatted mode stars codegen'd nodes; the scan-side project
+        // (where the kernels run) must be starred
+        assert(p.contains("* Project") || p.contains("* HashAggregate"),
+          s"$q has no codegen span:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("custom kernel expressions register for SQL use (GraftFunctions)") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
