@@ -156,6 +156,76 @@ object DashQueries {
                ROUND(COUNT(*) * 1.0e0 / NULLIF(COUNT(DISTINCT round_id), 0), 0) AS avg_events_per_round
                FROM silver GROUP BY course_id""")),
 
+    // exploration/dataset_variance.sql — cross-course volume/shape audit.
+    QueryDef(
+      "e1_dataset_variance",
+      (s, d) =>
+        graft.analytics.ExplorationQueries.datasetVariance(
+          GoldQueries.silverView(s, d)),
+      Some(s"""WITH ${GoldQueries.SilverSql}
+               SELECT course_id,
+               COUNT(*) AS total_events,
+               COUNT(DISTINCT round_id) AS total_rounds,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT round_id), 1) AS avg_events_per_round,
+               MIN(fix_timestamp) AS earliest_data,
+               MAX(fix_timestamp) AS latest_data,
+               COUNT(DISTINCT CAST(fix_timestamp AS DATE)) AS unique_days,
+               MAX(location_index) AS max_location_index,
+               COUNT(DISTINCT hole_number) AS unique_holes_seen,
+               COUNT(DISTINCT start_hole) AS unique_start_holes
+               FROM silver GROUP BY course_id""")),
+
+    // exploration/null_pattern_by_hole.sql — per-hole data-loss profile.
+    QueryDef(
+      "e2_null_pattern_by_hole",
+      (s, d) =>
+        graft.analytics.ExplorationQueries.nullPatternByHole(
+          GoldQueries.silverView(s, d)),
+      Some(s"""WITH ${GoldQueries.SilverSql}
+               SELECT course_id, hole_number,
+               COUNT(*) AS total_records,
+               CAST(SUM(CASE WHEN pace IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pace,
+               CAST(SUM(CASE WHEN pace_gap IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pace_gap,
+               CAST(SUM(CASE WHEN positional_gap IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pos_gap,
+               CAST(SUM(CASE WHEN battery_percentage IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_battery,
+               CAST(SUM(CASE WHEN is_timestamp_missing = TRUE THEN 1 ELSE 0 END) AS BIGINT) AS null_timestamp,
+               ROUND(100.0e0 * SUM(CASE WHEN pace IS NULL THEN 1 ELSE 0 END) / COUNT(*), 1) AS pct_null_pace,
+               ROUND(100.0e0 * SUM(CASE WHEN pace_gap IS NULL THEN 1 ELSE 0 END) / COUNT(*), 1) AS pct_null_pace_gap,
+               ROUND(100.0e0 * (
+                 SUM(CASE WHEN pace IS NULL THEN 1 ELSE 0 END) +
+                 SUM(CASE WHEN pace_gap IS NULL THEN 1 ELSE 0 END) +
+                 SUM(CASE WHEN positional_gap IS NULL THEN 1 ELSE 0 END)
+               ) / (COUNT(*) * 3), 1) AS avg_null_rate
+               FROM silver WHERE hole_number IS NOT NULL
+               GROUP BY course_id, hole_number
+               ORDER BY course_id, hole_number""")),
+
+    // exploration/data_completeness_summary.sql — composite completeness.
+    QueryDef(
+      "e3_completeness_summary",
+      (s, d) =>
+        graft.analytics.ExplorationQueries.dataCompletenessSummary(
+          GoldQueries.silverView(s, d)),
+      Some(s"""WITH ${GoldQueries.SilverSql}
+               SELECT course_id,
+               COUNT(*) AS total_records,
+               COUNT(DISTINCT round_id) AS unique_rounds,
+               ROUND(100.0e0 * SUM(CASE WHEN fix_timestamp IS NOT NULL AND is_timestamp_missing = FALSE THEN 1 ELSE 0 END) / COUNT(*), 1) AS timestamp_complete_pct,
+               ROUND(100.0e0 * SUM(CASE WHEN pace IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 1) AS pace_complete_pct,
+               ROUND(100.0e0 * SUM(CASE WHEN pace_gap IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 1) AS pace_gap_complete_pct,
+               ROUND(100.0e0 * SUM(CASE WHEN positional_gap IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 1) AS pos_gap_complete_pct,
+               ROUND(100.0e0 * SUM(CASE WHEN hole_number IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 1) AS hole_complete_pct,
+               ROUND(100.0e0 * SUM(CASE WHEN latitude IS NOT NULL AND longitude IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 1) AS gps_complete_pct,
+               ROUND(100.0e0 * SUM(CASE WHEN battery_percentage IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 1) AS battery_complete_pct,
+               ROUND(100.0e0 * SUM(CASE WHEN start_hole IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 1) AS start_hole_complete_pct,
+               ROUND((
+                 100.0e0 * SUM(CASE WHEN fix_timestamp IS NOT NULL AND is_timestamp_missing = FALSE THEN 1 ELSE 0 END) / COUNT(*) +
+                 100.0e0 * SUM(CASE WHEN pace IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*) +
+                 100.0e0 * SUM(CASE WHEN hole_number IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*) +
+                 100.0e0 * SUM(CASE WHEN latitude IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*)
+               ) / 4, 1) AS overall_completeness_score
+               FROM silver GROUP BY course_id""")),
+
     // COLUMN_COMPLETENESS (queries.py:156-177).
     QueryDef(
       "d6_column_completeness",
