@@ -137,6 +137,24 @@ class DashboardQueriesSpec extends SparkSpec {
     }
   }
 
+  test("exploration corpus runs; completeness scores bounded") {
+    import ExplorationQueries._
+    val ex = executiveSummary(silver).collect()(0)
+    assert(ex.getLong(0) === 2L) // courses
+    Seq(
+      "batteryAnalysis" -> batteryAnalysis(silver),
+      "paceGapCoverage" -> paceGapCoverage(silver),
+      "datasetVariance" -> datasetVariance(silver),
+      "nullAnalysis" -> nullAnalysis(silver),
+      "nullPatternByHole" -> nullPatternByHole(silver),
+      "dataCompletenessSummary" -> dataCompletenessSummary(silver)
+    ).foreach { case (name, df) => assert(df.count() > 0, s"$name empty") }
+    dataCompletenessSummary(silver).collect().foreach { r =>
+      val s = r.getDouble(r.fieldIndex("overall_completeness_score"))
+      assert(s >= 0.0 && s <= 100.0)
+    }
+  }
+
   test("part-2 semantics: padding pct, completeness bounds, quality ranking") {
     import DashboardQueries2._
     paddingAnalysis(silver).collect().foreach { r =>
