@@ -100,6 +100,48 @@ object ParquetTable {
     swapWrite(result, path)
   }
 
+  /** Small-file compaction (the OPTIMIZE of real table formats): rewrite
+    * each partition's fragment files into ~targetBytes outputs, preserving
+    * partitioning and data. Long-lived append-mode tables accumulate one
+    * file per (partition, batch); at 650 courses × 7 years of daily
+    * appends the file count, not the byte count, becomes the scan
+    * bottleneck (driver listing + task-per-file overhead). Returns
+    * (filesBefore, filesAfter). */
+  def compact(
+      spark: SparkSession, path: String, partitionCols: Seq[String],
+      targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+    def countFiles(): Long = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(path)).iterator().asScala
+        .count(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+    }
+    val before = countFiles()
+    val totalBytes = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(path)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(Files.size).sum
+    }
+    val df = spark.read.parquet(path)
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val rewritten =
+      if (partitionCols.isEmpty) df.repartition(nFiles)
+      else df.repartition(nFiles, partitionCols.map(col): _*)
+    val writer = rewritten.write.mode(SaveMode.Overwrite)
+    val staged = Paths.get(path).resolveSibling(
+      Paths.get(path).getFileName.toString + ".__compacting__")
+    deleteRec(staged)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(staged.toString)
+    val old = Paths.get(path).resolveSibling(
+      Paths.get(path).getFileName.toString + ".__old__")
+    deleteRec(old)
+    Files.move(Paths.get(path), old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staged, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    deleteRec(old)
+    (before, countFiles())
+  }
+
   /** Write `df` to a temp sibling dir, then atomically swap it into place
     * — the poor man's table-format commit. */
   def swapWrite(df: DataFrame, path: String): Unit = {

@@ -38,6 +38,29 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === 2)
   }
 
+  test("compaction collapses per-batch fragment files, preserves data exactly") {
+    import spark.implicits._
+    val path = s"${tmp()}/t"
+    // simulate many small append batches: 12 daily refreshes, each
+    // fragmented into several files per partition dir
+    (1 to 12).foreach { i =>
+      val date = f"2024-01-$i%02d"
+      val batch = (1 to 6).map(j => ("c1", date, i * 100 + j))
+        .toDF("course_id", "event_date", "v")
+        .repartition(3)
+      if (i == 1) ParquetTable.createOrReplace(batch, path, Seq("course_id", "event_date"))
+      else ParquetTable.refreshPartitions(batch, path, Seq("course_id", "event_date"))
+    }
+    def snapshot() = spark.read.parquet(path)
+      .select(col("v"), col("event_date").cast("string"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    val beforeData = snapshot()
+    val (before, after) = ParquetTable.compact(
+      spark, path, Seq("course_id", "event_date"))
+    assert(after < before, s"no compaction: $before -> $after")
+    assert(snapshot() === beforeData) // same rows, fewer files
+  }
+
   test("M3: align-by-name schema evolution adds missing, drops extra, reorders") {
     import spark.implicits._
     val target = StructType(Seq(
