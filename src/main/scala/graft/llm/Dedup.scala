@@ -216,20 +216,20 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  /** Full near-dup pipeline: LSH candidates verified with exact n-gram
-    * Jaccard ≥ threshold. */
-  def minHashNearDups(
-      df: DataFrame, idCol: String, textCol: String,
-      n: Int = 2, bands: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
-    // Verify on 64-bit shingle hashes, not strings: intersect/union on
-    // longs, same jaccard modulo ~n²/2⁶⁴ collision odds (and consistent
-    // with jaccardPairs, which hashes the same way).
+  /** Exact-Jaccard verification of candidate pairs — the second stage of
+    * the MinHash pipeline, exposed separately so the candidate set can be
+    * materialized (and independently checked) between the stages.
+    *
+    * Verifies on 64-bit shingle hashes, not strings: intersect/union on
+    * longs, same jaccard modulo ~n²/2⁶⁴ collision odds (and consistent
+    * with jaccardPairs, which hashes the same way). */
+  def verifyJaccard(
+      cands: DataFrame, df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
     val shingled = df.select(
       col(idCol).as("sid"),
       graft.functions.F.xxhash64Array(wordShingles(col(textCol), n)).as("sh"))
-    val cands = minHashCandidates(df, idCol, textCol, n, bands, rowsPerBand)
-    cands
+    cands.select(col("id_a"), col("id_b"))
       .join(shingled.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(shingled.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard",
@@ -238,6 +238,16 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Full near-dup pipeline: LSH candidates verified with exact n-gram
+    * Jaccard ≥ threshold. */
+  def minHashNearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame =
+    verifyJaccard(
+      minHashCandidates(df, idCol, textCol, n, bands, rowsPerBand),
+      df, idCol, textCol, n, threshold)
 
   // ----------------------------------------------------------- SimHash
 
@@ -263,11 +273,20 @@ object Dedup {
     * verified by full Hamming distance afterwards. */
   def simHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 1, maxDistance: Int = 7): DataFrame = {
+      n: Int = 1, maxDistance: Int = 7): DataFrame =
+    simHashNearDupsFromKeys(
+      withSimHash64(df.select(col(idCol).as("id"), col(textCol)), textCol, n)
+        .select(col("id"), col("simhash").as("skey")),
+      maxDistance)
+
+  /** Pair stage of [[simHashNearDups]] over a precomputed `(id, skey)`
+    * frame — exposed separately so the keys can be materialized (and the
+    * exact ≤7-bit pair set recomputed independently from them). */
+  def simHashNearDupsFromKeys(
+      keyed: DataFrame, maxDistance: Int = 7): DataFrame = {
     require(maxDistance <= 7, "8-block scheme guarantees exactness only for distance <= 7")
-    val keyed = withSimHash64(df.select(col(idCol).as("id"), col(textCol)), textCol)
-      .select(col("id"), col("simhash").as("key"))
-    val blocked = keyed.select(col("id"), col("key"),
+    val k = keyed.select(col("id"), col("skey").as("key"))
+    val blocked = k.select(col("id"), col("key"),
       posexplode(array((0 to 7).map(q =>
         shiftright(col("key"), q * 8).bitwiseAND(0xFFL)): _*))
         .as(Seq("block_idx", "block_val")))
@@ -307,7 +326,17 @@ object Dedup {
   def winnowOverlapPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, minShared: Int = 2,
-      dfCap: Option[Long] = None): DataFrame = {
+      dfCap: Option[Long] = None): DataFrame =
+    overlapFromPostings(
+      winnowPostings(df, idCol, textCol, k, w, dfCap), minShared)
+
+  /** Posting stage of [[winnowOverlapPairs]]: distinct `(id, fp)` rows,
+    * one per document × winnowing fingerprint — exposed separately so the
+    * postings can be materialized (and the overlap join recomputed
+    * independently from them). */
+  def winnowPostings(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, dfCap: Option[Long] = None): DataFrame = {
     val exploded = df.select(col(idCol).as("id"),
         explode(TextAnalysis.winnowFingerprints(col(textCol), k, w)).as("fp"))
       .distinct()
@@ -315,15 +344,20 @@ object Dedup {
     // in f docs fans out f² rows on its fingerprints; capping document
     // frequency drops those posting lists (shared counts become a lower
     // bound — pairs can only disappear, never appear).
-    val fp = dfCap match {
+    dfCap match {
       case None => exploded
       case Some(cap) =>
         val rare = exploded.groupBy(col("fp")).count()
           .filter(col("count") <= cap).select(col("fp"))
         exploded.join(rare, "fp")
     }
-    val a = fp.select(col("id").as("id_a"), col("fp"))
-    val b = fp.select(col("id").as("id_b"), col("fp").as("fp2"))
+  }
+
+  /** Overlap stage of [[winnowOverlapPairs]]: posting-list self-join on
+    * the fingerprint, count shared fingerprints per pair. */
+  def overlapFromPostings(postings: DataFrame, minShared: Int): DataFrame = {
+    val a = postings.select(col("id").as("id_a"), col("fp"))
+    val b = postings.select(col("id").as("id_b"), col("fp").as("fp2"))
     a.join(b, col("fp") === col("fp2") && col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_fingerprints"))
@@ -341,10 +375,15 @@ object Dedup {
     * until a fixpoint (checked distributed — no label stream ever hits
     * the driver). Converges in O(component diameter) rounds; near-dup
     * components are shallow in practice. Each round is one shuffle on id.
+    * Every 5 rounds the label frame is locally checkpointed, so the plan
+    * tree stays bounded for deep components instead of growing one join
+    * per round. A non-converged exit (diameter > maxIter) is logged
+    * loudly — the labels would be only partially propagated.
     *
     * `ids` = one row per doc id; `pairs` = (id_a, id_b) near-dup pairs. */
   def canonicalizeNearDups(
       ids: DataFrame, pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val checkpointEvery = 5
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
@@ -357,12 +396,17 @@ object Dedup {
         val neighborMin = edges
           .join(labels, edges("dst") === labels("id"))
           .groupBy(col("src")).agg(min(col("canonical_id")).as("nmin"))
-        val next = labels
+        val stepped = labels
           .join(neighborMin, labels("id") === neighborMin("src"), "left")
           .select(col("id"),
             least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id")))
               .as("canonical_id"))
-          .persist()
+        // localCheckpoint (eager) truncates lineage: without it the plan
+        // deepens by one join per round and Catalyst re-analysis cost
+        // grows superlinearly on high-diameter components.
+        val next =
+          if ((iter + 1) % checkpointEvery == 0) stepped.localCheckpoint()
+          else stepped.persist()
         val changed = next.alias("n")
           .join(labels.alias("p"), col("n.id") === col("p.id"))
           .filter(col("n.canonical_id") =!= col("p.canonical_id"))
@@ -372,6 +416,11 @@ object Dedup {
         converged = changed == 0
         iter += 1
       }
+      if (!converged)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"canonicalizeNearDups did NOT converge after $maxIter iterations; " +
+            "canonical_id values are only partially propagated " +
+            "(component diameter exceeds maxIter)")
       labels
     } finally { edges.unpersist(); () }
   }

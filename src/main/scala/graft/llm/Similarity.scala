@@ -85,7 +85,19 @@ object Similarity {
   def lshSimilarityJoin(
       df: DataFrame, idCol: String, vecCol: String,
       maxDistance: Double, numHashTables: Int = 8,
-      bucketLength: Double = 0.5, seed: Long = 42L): DataFrame = {
+      bucketLength: Double = 0.5, seed: Long = 42L): DataFrame =
+    verifyEuclidean(
+      lshCandidatePairs(df, idCol, vecCol, numHashTables, bucketLength, seed),
+      df, idCol, vecCol, maxDistance)
+
+  /** Candidate stage of [[lshSimilarityJoin]]: id pairs sharing ≥ 1
+    * (table, bucket) key, deduplicated. Exposed separately so the
+    * candidate set can be materialized (and the exact-distance verify
+    * recomputed independently from it). */
+  def lshCandidatePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      numHashTables: Int = 8, bucketLength: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val dim = v.select(size(col("v"))).first().getInt(0)
     val dirs = projectionDirs(numHashTables * ProjectionsPerTable, dim, seed)
@@ -95,17 +107,42 @@ object Similarity {
     val a = keyed.select(col("tbl"), col("bkt"), col("id").as("id_a"))
     val b = keyed.select(col("tbl").as("tbl2"), col("bkt").as("bkt2"),
       col("id").as("id_b"))
-    val candidates = a.join(b,
+    a.join(b,
         col("tbl") === col("tbl2") && col("bkt") === col("bkt2") &&
           col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct() // same pair can collide in several tables
-    candidates
+  }
+
+  /** Exact euclidean verification of candidate pairs: re-attach vectors,
+    * keep pairs within `maxDistance`. Index-order double accumulation
+    * (F.euclidean) — deterministic and engine-portable. */
+  def verifyEuclidean(
+      cands: DataFrame, df: DataFrame, idCol: String, vecCol: String,
+      maxDistance: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cands.select(col("id_a"), col("id_b"))
       .join(v.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(v.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("dist", F.euclidean(col("v_a"), col("v_b")))
       .filter(col("dist") <= maxDistance)
       .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Exact cosine verification of candidate pairs: keep pairs with
+    * cosine ≥ `minCosine`. With LSH candidates in front this is the
+    * scale path for embedding-duplicate detection (near-identical
+    * vectors always share buckets at small bucketLength). */
+  def verifyCosine(
+      cands: DataFrame, df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cands.select(col("id_a"), col("id_b"))
+      .join(v.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
   // ------------------------------------------------------------- IVF
@@ -184,17 +221,52 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], query: Array[Float],
       k: Int, nprobe: Int = 8): DataFrame = {
+    val probes = probeLists(centroids, query, nprobe)
+    val queryCol = typedlit(query.map(_.toDouble).toSeq)
+    withIvfList(df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", centroids)
+      .filter(col("__ivf_list").isin(probes: _*))
+      .withColumn("dist", F.euclidean(col("v"), queryCol))
+      .orderBy(asc("dist"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("dist"))
+  }
+
+  /** Materialize the IVF index: one codegen assignment pass, written as
+    * parquet PARTITIONED BY the list id. Probes against the materialized
+    * index are partition-pruned — a probe with nprobe lists reads only
+    * those nprobe directories, never the full corpus. This is the form
+    * to run at scale: assign once, probe many. */
+  def materializeIvf(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], path: String): Unit =
+    withIvfList(df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", centroids)
+      .write.mode("overwrite").partitionBy("__ivf_list").parquet(path)
+
+  /** Nearest-centroid probe list for a query: the `nprobe` centroid ids
+    * closest to the query vector (driver-side — centroids are tiny). */
+  def probeLists(
+      centroids: Array[Array[Double]], query: Array[Float], nprobe: Int): Seq[Int] = {
     val qd = query.map(_.toDouble)
-    val probes = centroids.zipWithIndex.map { case (cent, i) =>
+    centroids.zipWithIndex.map { case (cent, i) =>
       var acc = 0.0; var j = 0
       while (j < math.min(cent.length, qd.length)) {
         val d = qd(j) - cent(j); acc += d * d; j += 1
       }
       (i, acc)
-    }.sortBy(_._2).take(nprobe).map(_._1)
-    val queryCol = typedlit(qd.toSeq)
-    withIvfList(df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", centroids)
-      .filter(col("__ivf_list").isin(probes.toSeq: _*))
+    }.sortBy(_._2).take(nprobe).map(_._1).toSeq
+  }
+
+  /** IVF top-k probe against a [[materializeIvf]] index: the filter on
+    * the partition column prunes to the probed list directories (assert
+    * with `.explain` — PartitionFilters carries `__ivf_list IN ...`). */
+  def ivfTopKMaterialized(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Array[Array[Double]], query: Array[Float],
+      k: Int, nprobe: Int = 8): DataFrame = {
+    val probes = probeLists(centroids, query, nprobe)
+    val queryCol = typedlit(query.map(_.toDouble).toSeq)
+    spark.read.parquet(path)
+      .filter(col("__ivf_list").isin(probes: _*))
       .withColumn("dist", F.euclidean(col("v"), queryCol))
       .orderBy(asc("dist"), asc("id"))
       .limit(k)

@@ -19,6 +19,31 @@ object LlmQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.load(s, d, n)
 
+  /** Fixed scratch root for sketch-stage materialization. The sketch ops
+    * (MinHash, SimHash, E2LSH, winnowing) hash with engine-specific seeds
+    * DuckDB can't reproduce, so each gate materializes its sketch output
+    * (keys / candidate pairs / postings) here, RE-READS it, and derives
+    * the final result from the read-back frame — the oracle then
+    * `read_parquet`s the same files and recomputes the exact verification
+    * stage (Hamming / Jaccard / euclidean / posting join) independently.
+    * The path is a literal because it must match the static oracle SQL. */
+  private val OracleScratch = "/tmp/graft_oracle"
+
+  private def materialize(df: DataFrame, name: String): DataFrame = {
+    val path = s"$OracleScratch/$name"
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** DuckDB bigram-shingle set of a text expression — mirrors
+    * Dedup.wordShingles(_, 2) (normalize → split → distinct bigrams). */
+  private def bigramSql(textExpr: String): String = {
+    val toks = s"string_split(trim(regexp_replace(lower($textExpr), '\\s+', ' ', 'g')), ' ')"
+    s"""list_distinct(list_transform(
+        generate_series(1, len($toks) - 1),
+        i -> $toks[i] || ' ' || $toks[i+1]))"""
+  }
+
   /** documents ∪ an exact-duplicate shadow copy (id + 10000). */
   private def docsWithDups(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
@@ -138,52 +163,94 @@ object LlmQueries {
               GROUP BY id ORDER BY id""")),
 
     // MinHash + LSH near-dup detection (shingle→minhash→band→bucket join→
-    // verify). Sketch-based — no cross-engine oracle; LlmSpec pins recall
-    // and precision against the exact baseline.
+    // verify). The LSH candidate set is seed-specific, so it's
+    // materialized and the oracle recomputes the EXACT verification stage
+    // (bigram Jaccard ≥ threshold) over the same candidates from raw
+    // text; LlmSpec separately pins candidate recall vs the exact
+    // baseline.
     QueryDef(
       "l_minhash_near_dups",
-      (s, d) =>
-        Dedup.minHashNearDups(
-          docsWithNearDups(s, d), "doc_id", "text",
-          // r=8 rows/band: this synthetic corpus shares one small vocab, so
-          // moderate-jaccard pairs are everywhere — a steeper S-curve keeps
-          // bucket fan-out linear while still catching the >0.9 near-dups.
-          n = 2, bands = 8, rowsPerBand = 8, threshold = 0.7),
-      None), // rows-only gate: no oracle, so no global sort needed
+      (s, d) => {
+        val docs = docsWithNearDups(s, d)
+        // r=8 rows/band: this synthetic corpus shares one small vocab, so
+        // moderate-jaccard pairs are everywhere — a steeper S-curve keeps
+        // bucket fan-out linear while still catching the >0.9 near-dups.
+        val cands = materialize(
+          Dedup.minHashCandidates(docs, "doc_id", "text",
+            n = 2, bands = 8, rowsPerBand = 8),
+          "minhash_cands")
+        Dedup.verifyJaccard(cands, docs, "doc_id", "text", n = 2, threshold = 0.7)
+      },
+      Some(s"""WITH docs AS (
+                 SELECT doc_id, text FROM documents
+                 UNION ALL SELECT doc_id + 20000, text || ' graftmarker' FROM documents
+               ),
+               sh AS (SELECT doc_id, ${bigramSql("text")} AS sh FROM docs),
+               c AS (SELECT id_a, id_b
+                     FROM read_parquet('$OracleScratch/minhash_cands/*.parquet'))
+               SELECT c.id_a, c.id_b,
+               CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
+                 NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 0) AS jaccard
+               FROM c JOIN sh a ON a.doc_id = c.id_a
+                      JOIN sh b ON b.doc_id = c.id_b
+               WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
+                 NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 0) >= 0.7""")),
 
-    // SimHash near-dup detection (64-bit votes, 16-bit block candidates,
-    // Hamming verify). Rows-only for the same reason.
+    // SimHash near-dup detection (64-bit votes, 8-bit block candidates,
+    // Hamming verify — EXACT for distance ≤ 7 by pigeonhole). The keys
+    // are hash-scheme-specific, so they're materialized and the oracle
+    // recomputes the full ≤7-bit pair set from them by brute force:
+    // exactness means block-join + brute force agree pair-for-pair.
     QueryDef(
       "l_simhash_near_dups",
-      (s, d) =>
-        Dedup.simHashNearDups(
-          docsWithNearDups(s, d), "doc_id", "text", n = 1, maxDistance = 7),
-      None), // rows-only gate: the 5M-pair result needs no global sort
+      (s, d) => {
+        val keyed = materialize(
+          Dedup.withSimHash64(
+            docsWithNearDups(s, d).select(col("doc_id").as("id"), col("text")),
+            "text", n = 1)
+            .select(col("id"), col("simhash").as("skey")),
+          "simhash_keys")
+        Dedup.simHashNearDupsFromKeys(keyed, maxDistance = 7)
+      },
+      Some(s"""WITH k AS (SELECT id, skey
+                 FROM read_parquet('$OracleScratch/simhash_keys/*.parquet'))
+               SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.skey, b.skey)) AS INTEGER) AS hamming
+               FROM k a JOIN k b ON a.id < b.id
+               WHERE bit_count(xor(a.skey, b.skey)) <= 7""")),
 
-    // Embedding-cosine duplicate pairs over injected identical vectors.
-    // Bounded all-pairs baseline (500-vector slice); the LSH join below is
-    // the unbounded scale path.
+    // Embedding-cosine duplicate pairs over injected identical vectors —
+    // the LSH SCALE PATH, unbounded over the whole table: E2LSH bucket
+    // candidates (identical vectors always collide), exact cosine ≥ 0.999
+    // verify. Candidates are seed-specific → materialized; the oracle
+    // recomputes the exact cosine verification over them. The all-pairs
+    // O(n²) baseline lives in LlmSpec only.
     QueryDef(
       "l_embedding_dup_pairs",
-      (s, d) =>
-        Dedup.embeddingCosinePairs(
-          vecsWithDups(s, d).filter(col("vec_id") % 10000 < 500),
-          "vec_id", "embedding", 0.999)
+      (s, d) => {
+        val vecs = vecsWithDups(s, d)
+        val cands = materialize(
+          Similarity.lshCandidatePairs(vecs, "vec_id", "embedding",
+            numHashTables = 4, bucketLength = 1.0),
+          "embdup_cands")
+        Similarity.verifyCosine(cands, vecs, "vec_id", "embedding", 0.999)
           .select(col("id_a"), col("id_b"))
-          .orderBy(col("id_a"), col("id_b")),
-      Some("""WITH v AS (
-                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-                FROM embeddings WHERE vec_id < 500
-                UNION ALL
-                SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
-                FROM embeddings WHERE vec_id < 500
-              )
-              SELECT a.vec_id AS id_a, b.vec_id AS id_b
-              FROM v a JOIN v b ON a.vec_id < b.vec_id
-              WHERE list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
-                    (SQRT(list_sum(list_transform(a.e, x -> x * x))) *
-                     SQRT(list_sum(list_transform(b.e, x -> x * x)))) >= 0.999
-              ORDER BY id_a, id_b""")),
+      },
+      Some(s"""WITH v AS (
+                 SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings
+                 UNION ALL
+                 SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+                 FROM embeddings
+               ),
+               c AS (SELECT id_a, id_b
+                     FROM read_parquet('$OracleScratch/embdup_cands/*.parquet'))
+               SELECT c.id_a, c.id_b
+               FROM c JOIN v a ON a.vec_id = c.id_a
+                      JOIN v b ON b.vec_id = c.id_b
+               WHERE list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
+                     (SQRT(list_sum(list_transform(a.e, x -> x * x))) *
+                      SQRT(list_sum(list_transform(b.e, x -> x * x)))) >= 0.999""")),
 
     // Brute-force cosine top-k: exact ANN baseline, per-query ranking.
     QueryDef(
@@ -215,16 +282,35 @@ object LlmQueries {
               ) WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     // Approximate similarity join via random-projection LSH buckets —
-    // the ANN scale path. Spark-ML-seeded hashes: rows-only; LlmSpec
-    // checks recall against the brute-force baseline.
+    // the ANN scale path. Candidates materialized; the oracle recomputes
+    // the exact euclidean ≤ 0.1 verification over them (index-order
+    // double accumulation on both engines → bit-identical distances);
+    // LlmSpec separately pins candidate recall vs brute force.
     QueryDef(
       "l_lsh_ann_join",
-      (s, d) =>
-        Similarity.lshSimilarityJoin(
-            vecsWithDups(s, d), "vec_id", "embedding",
-            maxDistance = 0.1, numHashTables = 4, bucketLength = 1.0)
-          .select(col("id_a"), col("id_b")),
-      None), // rows-only gate: no oracle, so no global sort needed
+      (s, d) => {
+        val vecs = vecsWithDups(s, d)
+        val cands = materialize(
+          Similarity.lshCandidatePairs(vecs, "vec_id", "embedding",
+            numHashTables = 4, bucketLength = 1.0),
+          "lsh_cands")
+        Similarity.verifyEuclidean(cands, vecs, "vec_id", "embedding", 0.1)
+          .select(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH v AS (
+                 SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings
+                 UNION ALL
+                 SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+                 FROM embeddings
+               ),
+               c AS (SELECT id_a, id_b
+                     FROM read_parquet('$OracleScratch/lsh_cands/*.parquet'))
+               SELECT c.id_a, c.id_b
+               FROM c JOIN v a ON a.vec_id = c.id_a
+                      JOIN v b ON b.vec_id = c.id_b
+               WHERE SQRT(list_sum(list_transform(range(1, len(a.e) + 1),
+                 i -> (a.e[i] - b.e[i]) * (a.e[i] - b.e[i])))) <= 0.1""")),
 
     // IVF top-k probe: k-means coarse quantizer (driver-trained on a
     // bounded sample), codegen nearest-centroid assignment, exact
@@ -237,9 +323,15 @@ object LlmQueries {
         val centroids = Similarity.trainIvfCentroids(vecs, "embedding", k = 16)
         val query = vecs.filter(col("vec_id") === 0)
           .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
-        Similarity.ivfTopK(
-            vecs.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-            centroids, query, k = 10, nprobe = 16)
+        // Assign-once / probe-many: materialize the index partitioned by
+        // list id, then probe the materialized table (partition-pruned —
+        // PlanSpec asserts a probe with nprobe < k reads only the probed
+        // directories). nprobe = 16 probes every list → exact result, so
+        // the brute-force SQL below remains a valid oracle.
+        val path = s"$OracleScratch/ivf_index"
+        Similarity.materializeIvf(
+          vecs.filter(col("vec_id") =!= 0), "vec_id", "embedding", centroids, path)
+        Similarity.ivfTopKMaterialized(s, path, centroids, query, k = 10, nprobe = 16)
           .select(col("id"))
       },
       Some("""WITH v AS (
@@ -367,15 +459,25 @@ object LlmQueries {
               FROM documents ORDER BY doc_id""")),
 
     // Winnowing (rolling-hash) fingerprint overlap: near-dup copies share
-    // nearly all local fingerprints. Hash-scheme-specific → rows-only;
-    // LlmSpec pins the winnowing guarantee.
+    // nearly all local fingerprints. The fingerprints are hash-scheme-
+    // specific → the postings are materialized and the oracle recomputes
+    // the posting-list join + threshold from them; LlmSpec pins the
+    // winnowing substring guarantee itself.
     QueryDef(
       "l_winnow_overlap",
-      (s, d) =>
-        Dedup.winnowOverlapPairs(
-          docsWithNearDups(s, d).filter(col("doc_id") % 20000 < 500),
-          "doc_id", "text", k = 8, w = 4, minShared = 5),
-      None),
+      (s, d) => {
+        val postings = materialize(
+          Dedup.winnowPostings(
+            docsWithNearDups(s, d).filter(col("doc_id") % 20000 < 500),
+            "doc_id", "text", k = 8, w = 4),
+          "winnow_postings")
+        Dedup.overlapFromPostings(postings, minShared = 5)
+      },
+      Some(s"""WITH p AS (SELECT id, fp
+                 FROM read_parquet('$OracleScratch/winnow_postings/*.parquet'))
+               SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared_fingerprints
+               FROM p a JOIN p b ON a.fp = b.fp AND a.id < b.id
+               GROUP BY a.id, b.id HAVING COUNT(*) >= 5""")),
 
     // Document fingerprinting: md5-of-normalized keys per source.
     QueryDef(

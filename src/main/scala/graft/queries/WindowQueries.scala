@@ -119,20 +119,31 @@ object WindowQueries {
                 FROM events WHERE user_id = 7
               ) ORDER BY seq""")),
 
-    // W5: RANK over a score (queries.py:1246) — rank suppliers by balance;
-    // RANK (not row_number) so ties share a rank, deterministic either way.
+    // W5: RANK over a score (queries.py:1246 ranks COURSE-LEVEL AGGREGATE
+    // rows — dozens). The global window therefore ranks a pre-aggregated
+    // per-nation frame (25 rows after a distributed groupBy), never the
+    // raw table: an unpartitioned WindowExec over an unbounded input is a
+    // single-partition scale-killer, and PlanSpec asserts no gate query
+    // plans one.
     QueryDef(
       "w5_rank",
       (s, d) => {
-        val w = Window.orderBy(desc_nulls_last("s_acctbal"))
-        t(s, d, "supplier")
-          .withColumn("balance_rank", rank().over(w))
-          .select(col("balance_rank"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
-          .orderBy(col("balance_rank"), col("s_suppkey"))
+        val agg = t(s, d, "supplier")
+          .groupBy(col("s_nationkey"))
+          .agg(dsum(col("s_acctbal")).as("total_bal"),
+            count(lit(1)).as("n_suppliers"))
+        val w = Window.orderBy(desc_nulls_last("total_bal"))
+        agg.withColumn("balance_rank", rank().over(w))
+          .select(col("balance_rank"), col("s_nationkey"),
+            col("total_bal"), col("n_suppliers"))
+          .orderBy(col("balance_rank"), col("s_nationkey"))
       },
-      Some("""SELECT RANK() OVER (ORDER BY s_acctbal DESC NULLS LAST) AS balance_rank,
-              s_suppkey, s_name, s_acctbal
-              FROM supplier ORDER BY balance_rank, s_suppkey""")),
+      Some(s"""SELECT RANK() OVER (ORDER BY total_bal DESC NULLS LAST) AS balance_rank,
+               s_nationkey, total_bal, n_suppliers FROM (
+                 SELECT s_nationkey, ${dsumSql("s_acctbal")} AS total_bal,
+                 COUNT(*) AS n_suppliers
+                 FROM supplier GROUP BY s_nationkey
+               ) ORDER BY balance_rank, s_nationkey""")),
 
     // W6: SUM OVER (PARTITION BY ...) pct-of-total without a join
     // (client_data_insights.md:327,360,389). Decimal-accumulated so the
