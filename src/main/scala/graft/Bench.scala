@@ -8,8 +8,16 @@ import org.apache.spark.sql.SparkSession
   * column, so projection-only queries can't be optimized into metadata
   * reads.
   *
+  * Robustness against machine contention (round 2's driver record was a
+  * uniform ~10× inflation of every query, including trivial projections):
+  *   - each query runs SPARK_GRAFT_REPEATS times (default 3) and the
+  *     MEDIAN is reported — a single co-tenant burst can't inflate it;
+  *   - a fixed trivial sentinel query is re-timed at start / middle / end
+  *     and reported, so a contended record is self-diagnosing (sentinel
+  *     drift ≈ machine noise, not plan regressions).
+  *
   * The printed line carries per-query timings for a HEADLINE subset only:
-  * the driver keeps just the tail of our stdout, and a map of all ~90
+  * the driver keeps just the tail of our stdout, and a map of all ~120
   * queries overflows it (round 1's line was truncated → `parsed: null`).
   * `value` still totals every query; the full map goes to bench_full.json.
   */
@@ -28,9 +36,17 @@ object Bench {
     "l_langid", "m9_topology_holes", "m1_partition_refresh",
     "m4_merge_upsert")
 
+  /** Locale-pinned number rendering: a comma-decimal default locale would
+    * otherwise print "0,850" and break the driver's JSON parse. */
+  private def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,34 +61,53 @@ object Bench {
     // ~10s of one-time init.
     spark.range(0, 1000000).selectExpr("sum(id * 2)", "count(distinct id % 7)")
       .write.mode("overwrite").format("noop").save()
-    try spark.read.parquet(s"$sfDir/nation.parquet")
-      .groupBy("n_regionkey").count()
-      .write.mode("overwrite").format("noop").save()
-    catch { case _: Throwable => () }
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      try spark.read.parquet(s"$sfDir/nation.parquet")
+        .groupBy("n_regionkey").count()
+        .write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sentinelStart = sentinel()
     // optional args = subset of query names (local profiling)
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val ordered = selected.toSeq.sortBy(_._1)
+    var sentinelMid = 0.0
+    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx == ordered.size / 2) sentinelMid = sentinel()
+      val times = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (name, median(times), times)
     }
+    val sentinelEnd = sentinel()
     def fmtMap(entries: Seq[(String, Double)]): String = entries
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val hs = results.filter { case (k, _) => headline.contains(k) }
-    // Full map for local iteration (not part of the driver contract).
+    val hs = results.collect { case (k, m, _) if headline.contains(k) => (k, m) }
+    val sent = s"[${num(sentinelStart)},${num(sentinelMid)},${num(sentinelEnd)}]"
+    // Full map incl. every repeat for local iteration (not part of the
+    // driver contract).
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
-      s"""{"total":$total,"n_queries":${results.size},"queries":${fmtMap(results)},"sf":"$sfDir"}""")
+      s"""{"total":${num(total)},"n_queries":${results.size},"repeats":$repeats,
+         |"sentinel_sec":$sent,
+         |"queries":${fmtMap(results.map(r => (r._1, r._2)))},
+         |"runs":${results.map(r => "\"" + r._1 + "\":[" + r._3.map(num).mkString(",") + "]")
+        .mkString("{", ",", "}")},
+         |"sf":"$sfDir"}""".stripMargin.replace("\n", ""))
     catch { case _: Throwable => () }
     println(
-      s"""{"metric":"total_sec_all_${results.size}_queries","value":$total,"unit":"sec","queries":${fmtMap(hs)},"sf":"$sfDir"}""")
+      s"""{"metric":"total_sec_all_${results.size}_queries_median_of_$repeats","value":${num(total)},"unit":"sec","queries":${fmtMap(hs)},"sentinel_sec":$sent,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

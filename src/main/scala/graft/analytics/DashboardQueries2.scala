@@ -175,6 +175,35 @@ object DashboardQueries2 {
         round(max(col("round_duration_minutes")), 0).as("max_duration_min"))
       .orderBy(col("course_id"))
 
+  /** ROUND_DURATION_DETAILS (queries.py:882-909): one row per round with
+    * duration, holes visited and round type, bounded to plausible
+    * durations — the input of the dashboard's distribution/outlier
+    * views. Pass `courseId` for the per-course variant
+    * (get_round_duration_for_course, queries.py:912-941); the filter
+    * lands BEFORE the rollup so partition pruning applies. */
+  def roundDurationDetails(
+      silver: DataFrame, courseId: Option[String] = None): DataFrame = {
+    val base0 = silver.filter(nonPadding)
+    val base = courseId.fold(base0)(c => base0.filter(col("course_id") === c))
+    base.groupBy(col("course_id"), col("round_id"))
+      .agg(
+        max(col("round_duration_minutes")).as("duration_minutes"),
+        (max(col("is_nine_hole").cast("int")) === 1).as("is_nine_hole"),
+        countDistinct(col("hole_number")).as("holes_visited"),
+        min(col("event_date")).as("round_date"))
+      .filter(col("duration_minutes").isNotNull &&
+        col("duration_minutes") > 0 && col("duration_minutes") < 600)
+      .select(
+        col("course_id"), col("round_id"), col("round_date"),
+        col("duration_minutes"), col("is_nine_hole"), col("holes_visited"),
+        when(col("is_nine_hole"), "9-hole").otherwise("18-hole").as("round_type"))
+      .orderBy(col("course_id"), desc("round_date"))
+  }
+
+  /** get_round_duration_for_course (queries.py:912): one-course slice. */
+  def roundDurationForCourse(silver: DataFrame, courseId: String): DataFrame =
+    roundDurationDetails(silver, Some(courseId))
+
   /** ROUND_LIST (queries.py:424-440): bounded exploration listing. */
   def roundList(silver: DataFrame, limit: Int = 100): DataFrame =
     silver.filter(nonPadding)

@@ -35,11 +35,21 @@ object GoldModels {
     * rollup every derived model reads. Ref: gold/models/gold/fact_rounds.sql:14-115. */
   /** Exact distinct count for a small-integer column (domain ⊆ [0, 63]):
     * popcount of the OR of per-value bitmasks. Declarative aggregate →
-    * codegen HashAggregate, no Expand, no ObjectHashAggregate. */
+    * codegen HashAggregate, no Expand, no ObjectHashAggregate.
+    *
+    * The domain is ENFORCED, not assumed: shiftleft(1L, c) wraps mod 64
+    * in the JVM, so a negative or >63 value (bad upstream data) would
+    * silently alias another bit and undercount. Out-of-range values
+    * raise_error instead — the task fails loudly, matching
+    * COUNT(DISTINCT)'s never-silently-wrong contract. */
   private def distinctViaBitmask(c: org.apache.spark.sql.Column) =
     coalesce(
       bit_count(bit_or(when(c.isNotNull,
-        call_function("shiftleft", lit(1L), c.cast(IntegerType))))),
+        when(c.between(0, 63),
+          call_function("shiftleft", lit(1L), c.cast(IntegerType)))
+          .otherwise(raise_error(concat(
+            lit("distinctViaBitmask: value outside [0,63] domain: "),
+            c.cast(StringType))).cast(LongType))))),
       lit(0)).cast(LongType)
 
   def factRounds(silver: DataFrame): DataFrame = {

@@ -245,6 +245,38 @@ object DashQueries {
                ROUND(100.0e0 * SUM(CASE WHEN battery_percentage IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 1) AS battery_pct,
                ROUND(100.0e0 * SUM(CASE WHEN device IS NOT NULL THEN 1 ELSE 0 END) / COUNT(*), 1) AS device_pct
                FROM silver WHERE is_location_padding = FALSE
-               GROUP BY course_id ORDER BY course_id"""))
+               GROUP BY course_id ORDER BY course_id""")),
+
+    // ROUND_DURATION_DETAILS (queries.py:882-909): per-round duration /
+    // outlier listing, exercised through the per-course wrapper so the
+    // parameterized variant (get_round_duration_for_course) is the code
+    // under test.
+    QueryDef(
+      "d7_round_duration_details",
+      (s, d) =>
+        DashboardQueries2.roundDurationDetails(durSilver(s, d))
+          .unionByName(
+            DashboardQueries2.roundDurationForCourse(durSilver(s, d), "A")),
+      Some(s"""WITH ${GoldQueries.SilverSql}, $DurSql,
+               rs AS (
+                 SELECT course_id, round_id,
+                 MAX(round_duration_minutes) AS duration_minutes,
+                 MAX(CAST(is_nine_hole AS INTEGER)) = 1 AS is_nine_hole,
+                 COUNT(DISTINCT hole_number) AS holes_visited,
+                 MIN(event_date) AS round_date
+                 FROM dur WHERE is_location_padding = FALSE
+                 GROUP BY course_id, round_id
+               ),
+               details AS (
+                 SELECT course_id, round_id, round_date, duration_minutes,
+                 is_nine_hole, holes_visited,
+                 CASE WHEN is_nine_hole THEN '9-hole' ELSE '18-hole' END AS round_type
+                 FROM rs
+                 WHERE duration_minutes IS NOT NULL
+                   AND duration_minutes > 0 AND duration_minutes < 600
+               )
+               SELECT * FROM details
+               UNION ALL
+               SELECT * FROM details WHERE course_id = 'A'"""))
   )
 }

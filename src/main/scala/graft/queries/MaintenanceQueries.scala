@@ -162,6 +162,32 @@ object MaintenanceQueries {
               COUNT(DISTINCT o_orderstatus) AS n_status, TRUE AS files_reduced
               FROM orders WHERE o_custkey < 100""")),
 
+    // M6 — run-summary JSON roundtrip (etl.py:687-703): write the
+    // single-record observability summary for an ingest run, read it back,
+    // and pin its fields against the source aggregate. The one collect()
+    // is a single bounded row (the run's own totals).
+    QueryDef(
+      "m6_run_summary",
+      (s, d) => {
+        val base = scratch("m6")
+        val totals = t(s, d, "orders")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+          .collect()(0)
+        ParquetTable.writeRunSummary(s, s"$base/summary", Map(
+          "course_id" -> "c1",
+          "ingest_date" -> "2024-01-01",
+          "row_count" -> totals.getLong(0).toString,
+          "key_sum" -> totals.getLong(1).toString,
+          "status" -> "success"))
+        s.read.json(s"$base/summary")
+          .select(col("course_id"), col("ingest_date"), col("key_sum"),
+            col("row_count"), col("status"))
+      },
+      Some("""SELECT 'c1' AS course_id, '2024-01-01' AS ingest_date,
+              CAST(CAST(SUM(o_orderkey) AS BIGINT) AS VARCHAR) AS key_sum,
+              CAST(COUNT(*) AS VARCHAR) AS row_count,
+              'success' AS status FROM orders""")),
+
     // M7 — namespace/table DDL + catalog scan (etl.py:626, dimensions.py:303-327).
     QueryDef(
       "m7_ddl_catalog",

@@ -57,6 +57,114 @@ object ProjQueries {
               o_orderstatus = 'F' AS is_finished
               FROM orders ORDER BY key_str""")),
 
+    // P4 — JSON locations explode: posexplode the nested array and repack
+    // the normalized location struct (etl.py:311-349). The fixture gives
+    // every event a 3-slot array whose last slot is all-NULL (padding),
+    // and deliberately OMITS batteryPercentage/isCache from the source
+    // struct so the missing-field → NULL fallback (etl.py:327) is
+    // exercised and oracle-pinned.
+    QueryDef(
+      "p4_json_locations_explode",
+      (s, d) => {
+        def slot(i: Int) = struct(
+          (col("user_id") % 18 + 1 + i).cast(IntegerType).as("hole"),
+          (col("user_id") % 54 + 1 + i).cast(IntegerType).as("sectionNumber"),
+          (col("user_id") % 3 + 1 + i).cast(IntegerType).as("holeSection"),
+          (col("value") * 10 + i).as("startTime"),
+          array(lit(18.4) + col("value") / 1000 + i,
+            lit(-33.9) - col("value") / 1000 - i).as("fixCoordinates"),
+          ((col("user_id") + i) % 2 === 0).as("isProjected"),
+          lit(false).as("isProblem"),
+          ((col("value") + i) / 7).as("paceGap"),
+          ((col("value") + i) / 11).as("positionalGap"),
+          ((col("value") + i) / 13).as("pace"))
+        val padding = struct(
+          lit(null).cast(IntegerType).as("hole"),
+          lit(null).cast(IntegerType).as("sectionNumber"),
+          lit(null).cast(IntegerType).as("holeSection"),
+          lit(null).cast(DoubleType).as("startTime"),
+          lit(null).cast(ArrayType(DoubleType)).as("fixCoordinates"),
+          lit(null).cast(BooleanType).as("isProjected"),
+          lit(null).cast(BooleanType).as("isProblem"),
+          lit(null).cast(DoubleType).as("paceGap"),
+          lit(null).cast(DoubleType).as("positionalGap"),
+          lit(null).cast(DoubleType).as("pace"))
+        val jsonShaped = t(s, d, "events").select(
+          col("event_id").as("round_id"), col("user_id"), col("value"),
+          array(slot(0), slot(1), padding).as("locations"))
+        graft.ingest.SilverEtl.explodeJsonLocations(jsonShaped)
+          .select(
+            col("round_id"),
+            col("location.location_index").as("location_index"),
+            col("location.hole_number").as("hole_number"),
+            col("location.section_number").as("section_number"),
+            col("location.hole_section").as("hole_section"),
+            col("location.start_offset_seconds").as("start_offset_seconds"),
+            col("location.longitude").as("longitude"),
+            col("location.latitude").as("latitude"),
+            col("location.is_projected").as("is_projected"),
+            col("location.pace_gap").as("pace_gap"),
+            col("location.positional_gap").as("positional_gap"),
+            col("location.pace").as("pace"),
+            col("location.battery_percentage").as("battery_percentage"))
+      },
+      Some("""SELECT e.event_id AS round_id, g.i AS location_index,
+              CASE WHEN g.i < 2 THEN CAST(e.user_id % 18 + 1 + g.i AS INTEGER) END AS hole_number,
+              CASE WHEN g.i < 2 THEN CAST(e.user_id % 54 + 1 + g.i AS INTEGER) END AS section_number,
+              CASE WHEN g.i < 2 THEN CAST(e.user_id % 3 + 1 + g.i AS INTEGER) END AS hole_section,
+              CASE WHEN g.i < 2 THEN e.value * 10 + g.i END AS start_offset_seconds,
+              CASE WHEN g.i < 2 THEN 18.4e0 + e.value / 1000 + g.i END AS longitude,
+              CASE WHEN g.i < 2 THEN -33.9e0 - e.value / 1000 - g.i END AS latitude,
+              CASE WHEN g.i < 2 THEN (e.user_id + g.i) % 2 = 0 END AS is_projected,
+              CASE WHEN g.i < 2 THEN ROUND((e.value + g.i) / 7, 3) END AS pace_gap,
+              CASE WHEN g.i < 2 THEN ROUND((e.value + g.i) / 11, 3) END AS positional_gap,
+              CASE WHEN g.i < 2 THEN ROUND((e.value + g.i) / 13, 3) END AS pace,
+              CAST(NULL AS DOUBLE) AS battery_percentage
+              FROM events e CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS i) g""")),
+
+    // P5 — CSV locations explode over bracket-named flat columns
+    // (etl.py:352-384): index 0 carries the full column set, index 1 a
+    // PARTIAL set (missing suffixes → NULL), index 2 none at all — the
+    // all-NULL padding slot is PRESERVED (the reference's no-data-loss
+    // rule, etl.py:386-387).
+    QueryDef(
+      "p5_csv_locations_explode",
+      (s, d) => {
+        val csvShaped = t(s, d, "events").select(
+          col("event_id").as("round_id"),
+          (col("user_id") % 18 + 1).as("locations[0].hole"),
+          (col("user_id") % 54 + 1).as("locations[0].sectionNumber"),
+          (col("value") * 10).as("locations[0].startTime"),
+          concat(lit("t"), col("user_id")).as("locations[0].date"),
+          (lit(18.4) + col("value") / 1000).as("locations[0].fixCoordinates[0]"),
+          (lit(-33.9) - col("value") / 1000).as("locations[0].fixCoordinates[1]"),
+          ((col("value") + 1) / 7).as("locations[0].paceGap"),
+          (col("user_id") % 18 + 2).as("locations[1].hole"),
+          (col("value") * 10 + 1).as("locations[1].startTime"))
+        graft.ingest.SilverEtl.explodeCsvLocations(csvShaped, indices = Seq(0, 1, 2))
+          .select(
+            col("round_id"),
+            col("location.location_index").as("location_index"),
+            col("location.hole_number").as("hole_number"),
+            col("location.section_number").as("section_number"),
+            col("location.start_offset_seconds").as("start_offset_seconds"),
+            col("location.fix_time_iso").as("fix_time_iso"),
+            col("location.longitude").as("longitude"),
+            col("location.latitude").as("latitude"),
+            col("location.pace_gap").as("pace_gap"))
+      },
+      Some("""SELECT e.event_id AS round_id, g.i AS location_index,
+              CASE WHEN g.i = 0 THEN CAST(e.user_id % 18 + 1 AS INTEGER)
+                   WHEN g.i = 1 THEN CAST(e.user_id % 18 + 2 AS INTEGER) END AS hole_number,
+              CASE WHEN g.i = 0 THEN CAST(e.user_id % 54 + 1 AS INTEGER) END AS section_number,
+              CASE WHEN g.i = 0 THEN e.value * 10
+                   WHEN g.i = 1 THEN e.value * 10 + 1 END AS start_offset_seconds,
+              CASE WHEN g.i = 0 THEN 't' || CAST(e.user_id AS VARCHAR) END AS fix_time_iso,
+              CASE WHEN g.i = 0 THEN 18.4e0 + e.value / 1000 END AS longitude,
+              CASE WHEN g.i = 0 THEN -33.9e0 - e.value / 1000 END AS latitude,
+              CASE WHEN g.i = 0 THEN ROUND((e.value + 1) / 7, 3) END AS pace_gap
+              FROM events e CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS i) g""")),
+
     // P6 — fix-timestamp derivation: coalesce(ISO parse, epoch-base +
     // offset seconds) (etl.py:389-396). Even events carry an ISO string,
     // odd events only an integral offset from a base timestamp.

@@ -120,11 +120,12 @@ object WindowQueries {
               ) ORDER BY seq""")),
 
     // W5: RANK over a score (queries.py:1246 ranks COURSE-LEVEL AGGREGATE
-    // rows — dozens). The global window therefore ranks a pre-aggregated
+    // rows — dozens). The rank therefore applies to a pre-aggregated
     // per-nation frame (25 rows after a distributed groupBy), never the
-    // raw table: an unpartitioned WindowExec over an unbounded input is a
-    // single-partition scale-killer, and PlanSpec asserts no gate query
-    // plans one.
+    // raw table — and is computed as 1 + count of strictly-greater totals
+    // via a broadcast self-join of the tiny aggregate, so NO WindowExec
+    // (partitioned or not) appears: PlanSpec asserts no gate query plans
+    // a single-partition window over an unbounded input.
     QueryDef(
       "w5_rank",
       (s, d) => {
@@ -132,8 +133,10 @@ object WindowQueries {
           .groupBy(col("s_nationkey"))
           .agg(dsum(col("s_acctbal")).as("total_bal"),
             count(lit(1)).as("n_suppliers"))
-        val w = Window.orderBy(desc_nulls_last("total_bal"))
-        agg.withColumn("balance_rank", rank().over(w))
+        val totals = agg.select(col("total_bal").as("tb2"))
+        agg.join(broadcast(totals), col("tb2") > col("total_bal"), "left")
+          .groupBy(col("s_nationkey"), col("total_bal"), col("n_suppliers"))
+          .agg((count(col("tb2")) + 1).as("balance_rank"))
           .select(col("balance_rank"), col("s_nationkey"),
             col("total_bal"), col("n_suppliers"))
           .orderBy(col("balance_rank"), col("s_nationkey"))

@@ -24,9 +24,10 @@ import org.apache.spark.sql.types.StructType
   *   - M5/M6 quarantine + run-summary JSON writes.
   *
   * On a cluster with Delta/Iceberg these become one-line calls; the
-  * call-sites here are the only code that would change.
+  * [[TableFormat]] trait pins the surface so such a backend is a drop-in
+  * (see its scaladoc for the per-op mapping).
   */
-object ParquetTable {
+object ParquetTable extends TableFormat {
 
   /** M2 — create (or fully replace) a partitioned table. */
   def createOrReplace(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
@@ -106,44 +107,82 @@ object ParquetTable {
     * file per (partition, batch); at 650 courses × 7 years of daily
     * appends the file count, not the byte count, becomes the scan
     * bottleneck (driver listing + task-per-file overhead). Returns
-    * (filesBefore, filesAfter). */
+    * (filesBefore, filesAfter).
+    *
+    * Within each partition value the rewrite splits into
+    * ceil(partitionRows × bytesPerRow / targetBytes) files via an
+    * intra-partition salt — a multi-GB partition is parallelized across
+    * that many tasks and lands as ~targetBytes files, instead of hashing
+    * onto ONE task as a single giant file. The per-partition row counts
+    * come from one map-side-combined aggregate (cardinality = number of
+    * partition values — tiny next to the rewrite itself).
+    *
+    * Swap safety: write to a staged sibling, two renames, and the old
+    * copy is deleted ONLY after a validation read of the swapped-in table
+    * succeeds. The window between the two renames is non-atomic (no
+    * table at `path` for its duration — the price of no real table
+    * format); a crash there leaves the data intact in `.__old__`. */
   def compact(
       spark: SparkSession, path: String, partitionCols: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
-    def countFiles(): Long = {
+    def parquetFiles(p: Path): Seq[Path] = {
       import scala.jdk.CollectionConverters._
-      Files.walk(Paths.get(path)).iterator().asScala
-        .count(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      Files.walk(p).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
+        .toSeq
     }
-    val before = countFiles()
-    val totalBytes = {
-      import scala.jdk.CollectionConverters._
-      Files.walk(Paths.get(path)).iterator().asScala
-        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        .map(Files.size).sum
-    }
+    val before = parquetFiles(Paths.get(path)).size.toLong
+    val totalBytes = parquetFiles(Paths.get(path)).map(Files.size).sum
     val df = spark.read.parquet(path)
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val rewritten =
       if (partitionCols.isEmpty) df.repartition(nFiles)
-      else df.repartition(nFiles, partitionCols.map(col): _*)
+      else {
+        // Per-partition file targets: rows per partition × avg bytes/row.
+        val pcols = partitionCols.map(col)
+        val counts = df.groupBy(pcols: _*).agg(count(lit(1)).as("__rows"))
+        val totalRows = math.max(1L,
+          counts.agg(sum(col("__rows"))).collect()(0).getLong(0))
+        val bytesPerRow = math.max(1.0, totalBytes.toDouble / totalRows)
+        val perPart = counts.withColumn("__n_files",
+          greatest(lit(1L),
+            ceil(col("__rows") * bytesPerRow / targetBytes)))
+          .drop("__rows")
+        df.join(broadcast(perPart), partitionCols, "left")
+          .withColumn("__salt",
+            pmod(xxhash64(monotonically_increasing_id()),
+              coalesce(col("__n_files"), lit(1L))))
+          .repartition(nFiles, (pcols :+ col("__salt")): _*)
+          .drop("__n_files", "__salt")
+      }
     val writer = rewritten.write.mode(SaveMode.Overwrite)
     val staged = Paths.get(path).resolveSibling(
       Paths.get(path).getFileName.toString + ".__compacting__")
     deleteRec(staged)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staged.toString)
+    require(parquetFiles(staged).nonEmpty, s"compaction wrote no files to $staged")
     val old = Paths.get(path).resolveSibling(
       Paths.get(path).getFileName.toString + ".__old__")
     deleteRec(old)
     Files.move(Paths.get(path), old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(staged, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+    // Rollback copy survives until the swapped-in table proves readable.
+    val after = {
+      val files = parquetFiles(Paths.get(path))
+      require(files.nonEmpty, s"post-swap validation failed: no files at $path " +
+        s"(rollback copy preserved at $old)")
+      files.size.toLong
+    }
     deleteRec(old)
-    (before, countFiles())
+    (before, after)
   }
 
   /** Write `df` to a temp sibling dir, then atomically swap it into place
-    * — the poor man's table-format commit. */
+    * — the poor man's table-format commit. The window between the two
+    * renames is non-atomic (a crash there leaves no table at `path`, with
+    * the data intact in `.__old__` for manual rollback); the old copy is
+    * deleted only after the swapped-in directory validates non-empty. */
   def swapWrite(df: DataFrame, path: String): Unit = {
     val p = Paths.get(path)
     val tmp = p.resolveSibling(p.getFileName.toString + ".__staged__")
@@ -152,6 +191,8 @@ object ParquetTable {
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (Files.exists(p)) Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
+    require(Files.exists(p.resolve("_SUCCESS")) || Files.list(p).count() > 0,
+      s"post-swap validation failed at $path (rollback copy preserved at $old)")
     deleteRec(old)
   }
 

@@ -137,6 +137,51 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("no gate query plans an unpartitioned window over an unbounded input") {
+    // A WindowExec with an empty partitionSpec moves its whole input to
+    // ONE partition — a scale-killer unless the input is provably bounded
+    // first. Every exemption below must be a bounded frame:
+    //   w4_global_sequence — pre-filtered to a single user's events
+    //     (queries.py:1010 sequences one round at a time).
+    val exempt = Set("w4_global_sequence")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Corpus.defs.map(_.name) if !exempt(q)) {
+        val plan = Corpus.queries(q)(spark, sfDir).queryExecution.executedPlan
+        val bad = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        assert(bad.isEmpty,
+          s"$q plans a single-partition window over an unbounded input")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("materialized IVF probe is partition-pruned to the probed lists") {
+    import graft.llm.Similarity
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val centroids = Similarity.trainIvfCentroids(vecs, "embedding", k = 8)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_test_ivf_index"
+    Similarity.materializeIvf(vecs, "vec_id", "embedding", centroids, path)
+    val query = vecs.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val probe = Similarity.ivfTopKMaterialized(
+        spark, path, centroids, query, k = 5, nprobe = 2)
+      val scans = probe.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "no file scan in the probe plan")
+      // the partition filter prunes the scan to <= nprobe list directories
+      assert(scans.head.partitionFilters.exists(_.references.exists(
+        _.name == "__ivf_list")), "no partition filter on __ivf_list")
+      assert(scans.head.selectedPartitions.partitionCount <= 2,
+        s"probe read ${scans.head.selectedPartitions.partitionCount} partitions, expected <= nprobe = 2")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("custom kernel expressions register for SQL use (GraftFunctions)") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

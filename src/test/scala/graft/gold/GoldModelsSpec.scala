@@ -45,6 +45,22 @@ class GoldModelsSpec extends SparkSpec {
     }
   }
 
+  test("bitmask distinct counts fail loudly on out-of-domain values") {
+    // shiftleft wraps mod 64 in the JVM — a hole_number of 99 would
+    // silently alias bit 35 without the domain guard. The guard must
+    // surface bad upstream data as an error, never an undercount.
+    val poisoned = silver.withColumn("hole_number",
+      when(col("hole_number").isNotNull && col("location_index") === 1, lit(99))
+        .otherwise(col("hole_number")))
+    val ex = intercept[Exception] {
+      GoldModels.factRounds(poisoned).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("distinctViaBitmask")),
+      s"expected the domain-guard error, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("dbt unique-grain tests: fact_rounds / hole perf / dim_round / by_month") {
     def assertUniqueGrain(name: String, keys: Seq[String]): Unit = {
       val df = models(name)

@@ -147,6 +147,20 @@ class LlmSpec extends SparkSpec {
     assert(kept.nonEmpty)
   }
 
+  test("canonicalization converges on deep chains (checkpointed lineage)") {
+    // A 14-node path has component diameter > checkpointEvery (5), so the
+    // loop crosses at least two localCheckpoint generations — the labels
+    // must still reach the fixpoint (all canonical to the min id) and the
+    // returned frame must stay collectable after lineage truncation.
+    val n = 14
+    val ids = (0L until n).toDF("id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.canonicalizeNearDups(ids, pairs, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === n)
+    assert(labels.values.forall(_ == 0L), s"not converged: $labels")
+  }
+
   test("LSH top-k probe finds the query's injected identical vector first") {
     val dupVecs = vecs.unionByName(vecs.select(
       (col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label")))
