@@ -70,7 +70,11 @@ object GraftFunctions {
     ("count_tokens_in",
       info("count_tokens_in", "count_tokens_in(tokens, array('w',...)) - tokens present in a fixed set"),
       (es: Seq[Expression]) =>
-        CountTokensIn(es(0), litStrings(es(1), "count_tokens_in words"))))
+        CountTokensIn(es(0), litStrings(es(1), "count_tokens_in words"))),
+    ("clean_lines",
+      info("clean_lines", "clean_lines(text, minWords) - keep lines with >= minWords tokens"),
+      (es: Seq[Expression]) =>
+        CleanLines(es(0), litInt(es(1), "clean_lines minWords"))))
 
   /** Register on a live session (temp functions in its registry). */
   def register(spark: SparkSession): Unit =

@@ -239,6 +239,42 @@ object Kernels {
     else java.lang.Double.valueOf(maxTokenFreq(arr).toDouble / total)
   }
 
+  /** Keep only the lines of `s` (split on '\n') whose whitespace-token
+    * count is ≥ minWords, rejoined with '\n' — the C4-style line filter
+    * as ONE primitive pass over the bytes (the `filter(split(...), l ->
+    * size(split(l)) >= n)` formulation evaluates every lambda
+    * interpreted and re-splits each line). Token = maximal run of
+    * non-whitespace bytes; a line of only whitespace has 0 tokens. */
+  def cleanLines(s: UTF8String, minWords: Int): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var first = true
+    var lineStart = 0
+    val n = str.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || str.charAt(i) == '\n') {
+        var words = 0
+        var inWord = false
+        var j = lineStart
+        while (j < i) {
+          val ws = Character.isWhitespace(str.charAt(j))
+          if (!ws && !inWord) { words += 1; inWord = true }
+          else if (ws) inWord = false
+          j += 1
+        }
+        if (words >= minWords) {
+          if (!first) sb.append('\n')
+          sb.append(str, lineStart, i)
+          first = false
+        }
+        lineStart = i + 1
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Count of (non-null) tokens present in `set`. Null tokens don't
     * count, matching `filter(toks, t -> array_contains(set, t))`. */
   def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {

@@ -203,6 +203,30 @@ case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** C4-style line filter: keep '\n'-separated lines with ≥ minWords
+  * whitespace tokens, one primitive pass (see Kernels.cleanLines). */
+case class CleanLines(child: Expression, minWords: Int) extends UnaryExpression {
+  require(minWords >= 0, "minWords must be >= 0")
+  override def prettyName: String = "clean_lines"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"clean_lines requires string input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.cleanLines(input.asInstanceOf[UTF8String], minWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Kernels.cleanLines($a, $minWords);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Occurrence count of the most frequent token in an array<string>. */
 case class MaxTokenFreq(child: Expression) extends UnaryExpression {
   override def prettyName: String = "max_token_freq"
@@ -320,4 +344,5 @@ object F {
   def maxTokenFreqRatio(tokens: Column): Column = c(MaxTokenFreqRatio(e(tokens)))
   def maxTokenFreq(tokens: Column): Column = c(MaxTokenFreq(e(tokens)))
   def winnow(text: Column, k: Int, w: Int): Column = c(Winnow(e(text), k, w))
+  def cleanLines(text: Column, minWords: Int): Column = c(CleanLines(e(text), minWords))
 }

@@ -364,6 +364,25 @@ object Dedup {
       .filter(col("shared_fingerprints") >= minShared)
   }
 
+  /** Exact passage-level duplicates (the C4/web-corpus boilerplate
+    * detector): explode lines, fingerprint each normalized line of ≥
+    * `minChars`, and report fingerprints appearing in ≥ `minDocs`
+    * distinct documents. One shuffle on the md5 key — the passage-grain
+    * analogue of [[exactDuplicateGroups]]; [[winnowOverlapPairs]] finds
+    * the fuzzy/containment cases this exact matcher can't. */
+  def passageDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      minChars: Int = 20, minDocs: Int = 2): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(split(col(textCol), "\n")).as("line"))
+      .withColumn("norm", normalize(col("line")))
+      .filter(length(col("norm")) >= minChars)
+      .groupBy(md5(col("norm")).as("passage_fp"))
+      .agg(
+        countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+
   // ------------------------------------------- near-dup canonicalization
 
   /** Resolve near-dup PAIRS into connected components and assign each

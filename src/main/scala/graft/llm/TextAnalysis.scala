@@ -97,6 +97,61 @@ object TextAnalysis {
     regexp_count(text, lit("[^\\p{L}\\p{N}\\s]")).cast(DoubleType) /
       nullif(length(text), lit(0)).cast(DoubleType)
 
+  /** Fixed-size token-window chunking with overlap — the training-data
+    * prep step that turns documents into model-ready sequences. Returns
+    * an array of (chunk_idx, start_token, n_tokens, chunk_text) structs;
+    * explode it for one row per chunk. A document of n tokens yields
+    * ceil((n - chunkSize) / stride) + 1 chunks (1 if n ≤ chunkSize), so
+    * consecutive chunks overlap by chunkSize - stride tokens. Pure
+    * codegen'd built-ins — no shuffle, no driver involvement. */
+  def tokenChunks(text: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      "need 1 <= stride <= chunkSize")
+    val toks = tokens(text)
+    val n = size(toks)
+    val nChunks = when(n <= chunkSize, lit(1)).otherwise(
+      ceil((n - chunkSize).cast(DoubleType) / stride).cast(IntegerType) + 1)
+    transform(sequence(lit(0), nChunks - 1), i =>
+      struct(
+        i.as("chunk_idx"),
+        (i * stride).as("start_token"),
+        least(lit(chunkSize), n - i * stride).as("n_tokens"),
+        array_join(slice(toks, i * stride + 1, lit(chunkSize)), " ").as("chunk_text")))
+  }
+
+  /** PII patterns scrubbed by [[scrubPii]] — deliberately simple,
+    * RE2-compatible expressions (emails, international-format phone
+    * numbers, IPv4 addresses) so the semantics reproduce in any regex
+    * engine a downstream validator might use. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\+[0-9]{8,14}", "<PHONE>"),
+    ("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
+
+  /** PII scrubbing: replace every email / phone / IPv4 occurrence with a
+    * typed placeholder, applied in [[PiiPatterns]] order (emails first so
+    * their digit runs can't be half-eaten by the phone pattern). */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
+  /** Per-document PII counts, same patterns as [[scrubPii]]. */
+  def piiCounts(text: Column): Column =
+    struct(
+      regexp_count(text, lit(PiiPatterns(0)._1)).as("n_emails"),
+      regexp_count(text, lit(PiiPatterns(1)._1)).as("n_phones"),
+      regexp_count(text, lit(PiiPatterns(2)._1)).as("n_ips"))
+
+  /** C4-style line filter: drop lines with fewer than `minWords`
+    * whitespace tokens (navigation crumbs, lone numbers, boilerplate
+    * fragments), keeping the rest joined with '\n'. One primitive pass in
+    * codegen (graft.functions.CleanLines) — the
+    * `filter(split(text), l -> ...)` formulation evaluates interpreted
+    * per line. */
+  def cleanLines(text: Column, minWords: Int = 3): Column =
+    graft.functions.F.cleanLines(text, minWords)
+
   /** Composite 0–100 quality score from public heuristics: length,
     * stopword density, punctuation density, mean word length. Mirrors the
     * length/punct/stopword-ratio recipe used by open web-corpus filters. */

@@ -479,6 +479,133 @@ object LlmQueries {
                FROM p a JOIN p b ON a.fp = b.fp AND a.id < b.id
                GROUP BY a.id, b.id HAVING COUNT(*) >= 5""")),
 
+    // Token-window chunking (training-sequence prep): 32-token chunks,
+    // stride 24 (8-token overlap). Chunk text is compared via md5 so the
+    // gate pins exact content, not just shapes.
+    QueryDef(
+      "l_chunking",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokenChunks(col("text"), chunkSize = 32, stride = 24))
+              .as("chunk"))
+          .select(
+            col("doc_id"),
+            col("chunk.chunk_idx").as("chunk_idx"),
+            col("chunk.start_token").as("start_token"),
+            col("chunk.n_tokens").as("n_tokens"),
+            md5(col("chunk.chunk_text")).as("chunk_md5")),
+      Some("""WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+                FROM documents
+              ),
+              c AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                CASE WHEN len(toks) <= 32 THEN 1
+                     ELSE CAST(CEIL((len(toks) - 32) / 24.0) AS INTEGER) + 1 END AS nc
+                FROM t
+              ),
+              x AS (
+                SELECT doc_id, UNNEST(list_transform(range(0, nc), i -> struct_pack(
+                  chunk_idx := CAST(i AS INTEGER),
+                  start_token := CAST(i * 24 AS INTEGER),
+                  n_tokens := CAST(LEAST(32, n - i * 24) AS INTEGER),
+                  chunk_md5 := md5(array_to_string(toks[i * 24 + 1 : i * 24 + 32], ' '))
+                ))) AS u
+                FROM c
+              )
+              SELECT doc_id, u.chunk_idx AS chunk_idx, u.start_token AS start_token,
+              u.n_tokens AS n_tokens, u.chunk_md5 AS chunk_md5 FROM x""")),
+
+    // PII scrubbing: deterministic synthetic PII (email / E.164 phone /
+    // IPv4) appended per doc, then counted and replaced with typed
+    // placeholders. Both engines run the same RE2-compatible patterns.
+    QueryDef(
+      "l_pii_scrub",
+      (s, d) => {
+        val withPii = t(s, d, "documents")
+          .withColumn("text2", concat(
+            col("text"),
+            lit(" contact user"), col("doc_id"), lit("@example.com tel +2782"),
+            col("doc_id") + 1000000, lit(" host 10.0."), col("doc_id") % 256,
+            lit(".7")))
+        val counts = TextAnalysis.piiCounts(col("text2"))
+        withPii.select(
+          col("doc_id"),
+          counts.getField("n_emails").as("n_emails"),
+          counts.getField("n_phones").as("n_phones"),
+          counts.getField("n_ips").as("n_ips"),
+          md5(TextAnalysis.scrubPii(col("text2"))).as("scrubbed_md5"))
+      },
+      Some("""WITH p AS (
+                SELECT doc_id,
+                text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                '@example.com tel +2782' || CAST(doc_id + 1000000 AS VARCHAR) ||
+                ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text2
+                FROM documents
+              )
+              SELECT doc_id,
+              CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+              CAST(len(regexp_extract_all(text2, '\+[0-9]{8,14}')) AS INTEGER) AS n_phones,
+              CAST(len(regexp_extract_all(text2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER) AS n_ips,
+              md5(regexp_replace(regexp_replace(regexp_replace(text2,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\+[0-9]{8,14}', '<PHONE>', 'g'),
+                '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS scrubbed_md5
+              FROM p""")),
+
+    // Passage-level exact dedup (C4-style boilerplate detection): lines
+    // shared across >= 2 docs by normalized-md5 fingerprint. The injected
+    // exact copies guarantee every long line is cross-doc duplicated.
+    QueryDef(
+      "l_passage_dedup",
+      (s, d) =>
+        Dedup.passageDuplicates(docsWithDups(s, d), "doc_id", "text",
+          minChars = 20, minDocs = 2),
+      Some("""WITH docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id + 10000, text FROM documents
+              ),
+              lines AS (
+                SELECT doc_id AS id, UNNEST(string_split(text, chr(10))) AS line
+                FROM docs
+              ),
+              norm AS (
+                SELECT id, trim(regexp_replace(lower(line), '\s+', ' ', 'g')) AS nline
+                FROM lines
+              )
+              SELECT md5(nline) AS passage_fp,
+              COUNT(DISTINCT id) AS n_docs, COUNT(*) AS n_occurrences
+              FROM norm WHERE LENGTH(nline) >= 20
+              GROUP BY 1 HAVING COUNT(DISTINCT id) >= 2""")),
+
+    // C4-style line filter (codegen kernel): drop lines with < 3 tokens,
+    // pin the kept-line count and the exact cleaned text via md5.
+    QueryDef(
+      "l_line_filter",
+      (s, d) => {
+        val cleaned = TextAnalysis.cleanLines(col("text"), minWords = 3)
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            size(split(col("text"), "\n")).as("n_lines"),
+            when(length(cleaned) === 0, 0)
+              .otherwise(size(split(cleaned, "\n"))).as("n_kept"),
+            md5(cleaned).as("cleaned_md5"))
+      },
+      Some("""WITH k AS (
+                SELECT doc_id,
+                CAST(len(string_split(text, chr(10))) AS INTEGER) AS n_lines,
+                list_filter(string_split(text, chr(10)),
+                  l -> CASE WHEN trim(l) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(l), '\s+')) END >= 3) AS kept
+                FROM documents
+              )
+              SELECT doc_id, n_lines,
+              CAST(len(kept) AS INTEGER) AS n_kept,
+              md5(array_to_string(kept, chr(10))) AS cleaned_md5
+              FROM k""")),
+
     // Document fingerprinting: md5-of-normalized keys per source.
     QueryDef(
       "l_fingerprint",

@@ -175,6 +175,19 @@ class FunctionsSpec extends SparkSpec {
     })
   }
 
+  test("clean_lines kernel matches the filter+split HOF formulation") {
+    val lineGen = Gen.listOf(Gen.oneOf("a", "bb word", "x y z", "one two three four", "", "  "))
+      .map(_.mkString("\n"))
+    check(Prop.forAll(lineGen, Gen.chooseNum(0, 5)) { (text, minWords) =>
+      val df = Seq(text).toDF("t")
+      val kernel = df.select(F.cleanLines(col("t"), minWords)).collect()(0).getString(0)
+      val reference = text.split("\n", -1)
+        .filter(_.trim.split("\\s+").count(_.nonEmpty) >= minWords)
+        .mkString("\n")
+      kernel == reference
+    })
+  }
+
   test("kernels are inlined into whole-stage codegen (no fallback)") {
     // inputs must depend on a column — literal-only args constant-fold
     // before codegen and the kernels would never appear in the plan
@@ -184,13 +197,15 @@ class FunctionsSpec extends SparkSpec {
       F.cosineSim(array(idf, lit(2.0f)), array(lit(3.0f), idf)).as("c"),
       F.simhash64(array(ids, lit("b"))).as("s"),
       F.wordNgrams(array(ids, lit("b"), lit("c")), 2).as("g"),
-      F.countTokensIn(array(ids), Seq("1", "2")).as("n"))
+      F.countTokensIn(array(ids), Seq("1", "2")).as("n"),
+      F.cleanLines(concat(ids, lit(" w\nq")), 2).as("cl"))
     val code = org.apache.spark.sql.execution.debug.codegenString(
       df.queryExecution.executedPlan)
     assert(code.contains("graft.functions.Kernels.cosine"), "cosine not in codegen")
     assert(code.contains("graft.functions.Kernels.simhash64"), "simhash not in codegen")
     assert(code.contains("graft.functions.Kernels.ngrams"), "ngrams not in codegen")
     assert(code.contains("graft.functions.Kernels.countIn"), "countIn not in codegen")
+    assert(code.contains("graft.functions.Kernels.cleanLines"), "cleanLines not in codegen")
     assert(df.collect().length == 4)
   }
 }

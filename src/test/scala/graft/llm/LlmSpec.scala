@@ -147,6 +147,61 @@ class LlmSpec extends SparkSpec {
     assert(kept.nonEmpty)
   }
 
+  test("token chunking covers every token with the declared overlap") {
+    val nToks = 100
+    val text = (0 until nToks).map(i => s"w$i").mkString(" ")
+    val chunks = Seq((1L, text)).toDF("doc_id", "text")
+      .select(explode(TextAnalysis.tokenChunks(col("text"), 32, 24)).as("c"))
+      .select(col("c.chunk_idx"), col("c.start_token"), col("c.n_tokens"),
+        col("c.chunk_text"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(_._1)
+    // ceil((100-32)/24)+1 = 4 chunks; starts 0,24,48,72; last is short
+    assert(chunks.map(_._2).toSeq === Seq(0, 24, 48, 72))
+    assert(chunks.map(_._3).toSeq === Seq(32, 32, 32, 28))
+    // every token appears in at least one chunk, in position order
+    val covered = chunks.flatMap { case (_, start, n, txt) =>
+      val toks = txt.split(" ")
+      assert(toks.length === n)
+      toks.zipWithIndex.map { case (t, i) => (start + i, t) }
+    }.toMap
+    assert((0 until nToks).forall(i => covered(i) == s"w$i"))
+    // a short doc yields exactly one chunk with everything in it
+    val one = Seq((1L, "a b c")).toDF("doc_id", "text")
+      .select(explode(TextAnalysis.tokenChunks(col("text"), 32, 24)).as("c"))
+      .select(col("c.chunk_text")).collect()
+    assert(one.length === 1 && one(0).getString(0) === "a b c")
+  }
+
+  test("PII scrub replaces emails/phones/IPs and nothing else") {
+    val df = Seq(
+      "mail me at jane.doe+x@sub.example.org today",
+      "call +27821234567 or visit 192.168.0.1 now",
+      "no pii in this sentence at all").toDF("text")
+    val out = df.select(TextAnalysis.scrubPii(col("text")).as("s"))
+      .collect().map(_.getString(0))
+    assert(out(0) === "mail me at <EMAIL> today")
+    assert(out(1) === "call <PHONE> or visit <IP> now")
+    assert(out(2) === "no pii in this sentence at all")
+    val counts = df.select(TextAnalysis.piiCounts(col("text")).as("c"))
+      .select(col("c.n_emails"), col("c.n_phones"), col("c.n_ips"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(counts.toSeq === Seq((1, 0, 0), (0, 1, 1), (0, 0, 0)))
+  }
+
+  test("passage duplicates find cross-doc shared lines only") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over dogs\nunique line of doc one here"),
+      (2L, "the quick brown fox jumps over dogs\nanother unique line in doc two"),
+      (3L, "totally unrelated content in here")).toDF("doc_id", "text")
+    val dups = Dedup.passageDuplicates(df, "doc_id", "text", minChars = 20, minDocs = 2)
+      .collect()
+    assert(dups.length === 1)
+    assert(dups(0).getLong(1) === 2L) // n_docs
+    assert(dups(0).getLong(2) === 2L) // n_occurrences
+  }
+
   test("canonicalization converges on deep chains (checkpointed lineage)") {
     // A 14-node path has component diameter > checkpointEvery (5), so the
     // loop crosses at least two localCheckpoint generations — the labels
