@@ -317,5 +317,28 @@ object JoinQueries {
                     FROM lineitem GROUP BY l_orderkey) m
               ON l.l_orderkey = m.ok AND l.l_linenumber = m.max_line
               ORDER BY l.l_orderkey"""))
+,
+
+    // J10b — salted skew join (SURVEY §4 scale toolkit): lineitem folded
+    // onto 10 pathologically hot keys, joined through SkewJoin.saltedJoin
+    // so each hot key scatters over 8 salts. The oracle is the PLAIN
+    // join — salting must be row-invisible.
+    QueryDef(
+      "j10_salted_skew_join",
+      (s, d) => {
+        val facts = t(s, d, "lineitem")
+          .select((col("l_orderkey") % 10).as("k"), col("l_quantity"))
+        val dim = t(s, d, "nation").filter(col("n_nationkey") < 10)
+          .select(col("n_nationkey").as("k"), col("n_name"))
+        graft.core.SkewJoin.saltedJoin(facts, dim, Seq("k"), saltFactor = 8, "left")
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("n_name"))
+      },
+      Some(s"""SELECT d.n_name, COUNT(*) AS n, ${dsumSql("f.l_quantity")} AS sum_qty
+               FROM (SELECT l_orderkey % 10 AS k, l_quantity FROM lineitem) f
+               LEFT JOIN (SELECT n_nationkey AS k, n_name FROM nation
+                          WHERE n_nationkey < 10) d ON f.k = d.k
+               GROUP BY d.n_name ORDER BY d.n_name"""))
   )
 }

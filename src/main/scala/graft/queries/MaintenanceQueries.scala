@@ -188,6 +188,34 @@ object MaintenanceQueries {
               CAST(COUNT(*) AS VARCHAR) AS row_count,
               'success' AS status FROM orders""")),
 
+    // M11 — snapshot versioning / time travel (beyond-reference: the
+    // Delta/Iceberg capability BASELINE names and plain parquet lacks):
+    // commit v1, commit v2 with +100 balances, time-travel-read v1 while
+    // current is v2, then rollback and read the restored state. One
+    // output row pins all four reads against the source table.
+    QueryDef(
+      "m11_time_travel",
+      (s, d) => {
+        val base = scratch("m11")
+        val cust = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+        graft.tables.VersionedTable.commit(cust, base)
+        graft.tables.VersionedTable.commit(
+          cust.withColumn("c_acctbal", col("c_acctbal") + 100.0), base)
+        val v1 = graft.tables.VersionedTable.read(s, base, Some(1))
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("v1_bal"))
+        val v2 = graft.tables.VersionedTable.read(s, base)
+          .agg(dsum(col("c_acctbal")).as("v2_bal"))
+        graft.tables.VersionedTable.rollback(base, 1)
+        val restored = graft.tables.VersionedTable.read(s, base)
+          .agg(dsum(col("c_acctbal")).as("rollback_bal"))
+        v1.crossJoin(v2).crossJoin(restored) // three 1-row frames
+      },
+      Some(s"""SELECT COUNT(*) AS n,
+               ${dsumSql("c_acctbal")} AS v1_bal,
+               ${dsumSql("c_acctbal + 100.0")} AS v2_bal,
+               ${dsumSql("c_acctbal")} AS rollback_bal
+               FROM customer""")),
+
     // M7 — namespace/table DDL + catalog scan (etl.py:626, dimensions.py:303-327).
     QueryDef(
       "m7_ddl_catalog",

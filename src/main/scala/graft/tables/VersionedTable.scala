@@ -1,0 +1,114 @@
+package graft.tables
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Snapshot-versioned parquet table: the time-travel / atomic-commit
+  * story plain parquet lacks (what Delta's transaction log and Iceberg's
+  * snapshot metadata provide), built from two primitives every HDFS-like
+  * filesystem has — immutable version directories and an atomic pointer
+  * rename.
+  *
+  * Layout:
+  * {{{
+  *   <path>/_versions/v00000001/part-*.parquet   (immutable snapshots)
+  *   <path>/_versions/v00000002/part-*.parquet
+  *   <path>/_commits                             (committed versions, one per line)
+  *   <path>/_latest                              (current pointer: "2")
+  * }}}
+  *
+  * Commit order: (1) land the COMPLETE snapshot directory, (2) append the
+  * version to the commit log, (3) flip the pointer — each metadata write
+  * is write-temp + atomic rename. A reader therefore always resolves a
+  * complete snapshot; a crash at any step leaves the previous state
+  * current and at worst a debris directory the log never names (invisible
+  * to reads, reclaimed by [[vacuum]]). The log, not the pointer, defines
+  * the committed set, so [[rollback]] is metadata-only and rolled-back-
+  * over versions stay time-travelable until vacuumed. Single-writer by
+  * design (concurrent writers need a real table format's conflict
+  * detection); readers are unlimited.
+  *
+  * Scale notes: snapshots share nothing (no incremental commit), so this
+  * suits dimension/gold tables rewritten per run — exactly where the
+  * reference rewrites whole tables (dimensions.py:366-398). `vacuum`
+  * bounds storage to the last N snapshots.
+  */
+object VersionedTable {
+
+  private def versionsDir(path: String): Path = Paths.get(path, "_versions")
+  private def pointer(path: String): Path = Paths.get(path, "_latest")
+  private def commitLog(path: String): Path = Paths.get(path, "_commits")
+
+  private def fmt(v: Int): String = f"v$v%08d"
+
+  private def writeAtomic(target: Path, content: String): Unit = {
+    val tmp = target.resolveSibling(target.getFileName.toString + ".__tmp__")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** All committed snapshot versions, ascending — from the commit log.
+    * Directories the log never names (crash debris) are excluded. */
+  def versions(path: String): Seq[Int] =
+    if (!Files.exists(commitLog(path))) Nil
+    else new String(Files.readAllBytes(commitLog(path)), StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).map(_.trim.toInt).toSeq.sorted
+
+  /** The committed version the pointer names, if the table exists. */
+  def currentVersion(path: String): Option[Int] =
+    if (!Files.exists(pointer(path))) None
+    else Some(new String(
+      Files.readAllBytes(pointer(path)), StandardCharsets.UTF_8).trim.toInt)
+
+  /** Commit `df` as the next snapshot; returns the new version number.
+    * Version numbers never reuse (next = max committed + 1), so a commit
+    * after a rollback branches forward without touching old snapshots. */
+  def commit(df: DataFrame, path: String): Int = {
+    val committed = versions(path)
+    val next = committed.lastOption.getOrElse(0) + 1
+    val snapDir = versionsDir(path).resolve(fmt(next))
+    df.write.mode(SaveMode.Overwrite).parquet(snapDir.toString)
+    Files.createDirectories(Paths.get(path))
+    writeAtomic(commitLog(path), (committed :+ next).mkString("\n"))
+    writeAtomic(pointer(path), next.toString)
+    next
+  }
+
+  /** Read a snapshot: the current one, or `version` for time travel. */
+  def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(currentVersion(path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $path"))
+    val vs = versions(path)
+    require(vs.contains(v), s"version $v not in committed set $vs at $path")
+    spark.read.parquet(versionsDir(path).resolve(fmt(v)).toString)
+  }
+
+  /** Point the table back at an earlier snapshot (instant, metadata-only
+    * rollback — the snapshot data is already in place). */
+  def rollback(path: String, version: Int): Unit = {
+    require(versions(path).contains(version),
+      s"version $version not committed at $path")
+    writeAtomic(pointer(path), version.toString)
+  }
+
+  /** Drop all but the newest `keep` committed snapshots, plus any
+    * directories the commit log never named (crash debris). The current
+    * version is always kept, even after a rollback past `keep`. */
+  def vacuum(path: String, keep: Int = 2): Unit = {
+    val committed = versions(path)
+    if (committed.isEmpty || !Files.exists(versionsDir(path))) return
+    val keepSet = committed.takeRight(math.max(keep, 1)).toSet ++
+      currentVersion(path)
+    import scala.jdk.CollectionConverters._
+    Files.list(versionsDir(path)).iterator().asScala.toSeq.foreach { dir =>
+      val v = dir.getFileName.toString.drop(1).toInt
+      if (!keepSet.contains(v))
+        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    writeAtomic(commitLog(path),
+      committed.filter(keepSet.contains).mkString("\n"))
+  }
+}

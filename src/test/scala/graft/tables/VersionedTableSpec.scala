@@ -1,0 +1,84 @@
+package graft.tables
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Commit / time-travel / rollback / vacuum semantics of the snapshot-
+  * versioned table, including the crash-debris case (a complete-looking
+  * snapshot directory the pointer never named must stay invisible). */
+class VersionedTableSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshPath(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_vt_spec", name)
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    p.toString
+  }
+
+  test("commit / read / time travel / rollback round-trip") {
+    val path = freshPath("roundtrip")
+    val v1 = VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), path)
+    val v2 = VersionedTable.commit(Seq((1L, "a2"), (3L, "c")).toDF("k", "v"), path)
+    assert(v1 === 1 && v2 === 2)
+    assert(VersionedTable.currentVersion(path) === Some(2))
+    assert(VersionedTable.versions(path) === Seq(1, 2))
+
+    // current read sees v2; time travel sees v1
+    assert(VersionedTable.read(spark, path).select("v").as[String].collect().toSet
+      === Set("a2", "c"))
+    assert(VersionedTable.read(spark, path, Some(1)).select("v").as[String].collect().toSet
+      === Set("a", "b"))
+
+    // rollback is metadata-only: current flips to v1, v2 stays readable
+    VersionedTable.rollback(path, 1)
+    assert(VersionedTable.read(spark, path).select("v").as[String].collect().toSet
+      === Set("a", "b"))
+    assert(VersionedTable.read(spark, path, Some(2)).select("v").as[String].collect().toSet
+      === Set("a2", "c"))
+
+    // a new commit after rollback becomes v3 on top of the restored state
+    val v3 = VersionedTable.commit(Seq((9L, "z")).toDF("k", "v"), path)
+    assert(v3 === 3)
+    assert(VersionedTable.versions(path) === Seq(1, 2, 3))
+  }
+
+  test("uncommitted snapshot directories are invisible until vacuumed") {
+    val path = freshPath("debris")
+    VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), path)
+    // simulate a crash mid-commit: a complete snapshot dir, pointer never flipped
+    Seq((2L, "crash")).toDF("k", "v")
+      .write.parquet(s"$path/_versions/v00000002")
+    assert(VersionedTable.versions(path) === Seq(1))
+    assert(VersionedTable.currentVersion(path) === Some(1))
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, path, Some(2)).collect()
+    }
+    VersionedTable.vacuum(path, keep = 2)
+    assert(!Files.exists(Paths.get(s"$path/_versions/v00000002")),
+      "crash debris survived vacuum")
+    assert(VersionedTable.read(spark, path).count() === 1)
+  }
+
+  test("vacuum keeps the newest N snapshots and the current one") {
+    val path = freshPath("vacuum")
+    (1 to 5).foreach(i =>
+      VersionedTable.commit(Seq((i.toLong, s"v$i")).toDF("k", "v"), path))
+    VersionedTable.vacuum(path, keep = 2)
+    assert(VersionedTable.versions(path) === Seq(4, 5))
+    assert(VersionedTable.read(spark, path).select("v").as[String].collect().toSeq
+      === Seq("v5"))
+    // current version is protected even when keep would drop it
+    VersionedTable.rollback(path, 4)
+    VersionedTable.vacuum(path, keep = 1)
+    assert(VersionedTable.versions(path).contains(4))
+    assert(VersionedTable.read(spark, path).select("v").as[String].collect().toSeq
+      === Seq("v4"))
+  }
+}
