@@ -69,4 +69,22 @@ object StreamingCorpus {
       .select(
         col("source"), col("window.start").as("window_start"),
         col("docs"), col("tokens"), col("avg_quality"))
+
+  /** Stateless streaming prep: PII scrub then token-window chunking —
+    * one output row per training sequence, with the chunk columns
+    * flattened. Both steps are pure column expressions (regex replace +
+    * sequence/transform/slice), so the whole map stays inside the
+    * stream's whole-stage codegen with zero state. */
+  def prepStream(
+      docs: DataFrame, chunkSize: Int = 512, stride: Int = 384): DataFrame =
+    docs
+      .withColumn("clean_text",
+        TextAnalysis.scrubPii(TextAnalysis.cleanLines(col("text"), minWords = 3)))
+      .withColumn("chunk",
+        explode(TextAnalysis.tokenChunks(col("clean_text"), chunkSize, stride)))
+      .select(
+        col("doc_id"), col("source"), col("ingest_ts"),
+        col("chunk.chunk_idx").as("chunk_idx"),
+        col("chunk.n_tokens").as("n_tokens"),
+        col("chunk.chunk_text").as("chunk_text"))
 }

@@ -121,10 +121,17 @@ object ParquetTable extends TableFormat {
     * copy is deleted ONLY after a validation read of the swapped-in table
     * succeeds. The window between the two renames is non-atomic (no
     * table at `path` for its duration — the price of no real table
-    * format); a crash there leaves the data intact in `.__old__`. */
+    * format); a crash there leaves the data intact in `.__old__`.
+    *
+    * `clusterBy` sorts rows within each output task (after the salt
+    * scatter) so every rewritten file carries tight parquet row-group
+    * min/max stats on those columns — the OPTIMIZE ... ZORDER intent:
+    * point/range scans on the cluster key skip most row groups at read
+    * time. */
   def compact(
       spark: SparkSession, path: String, partitionCols: Seq[String],
-      targetBytes: Long = 128L * 1024 * 1024): (Long, Long) = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil): (Long, Long) = {
     def parquetFiles(p: Path): Seq[Path] = {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala
@@ -155,7 +162,10 @@ object ParquetTable extends TableFormat {
           .repartition(nFiles, (pcols :+ col("__salt")): _*)
           .drop("__n_files", "__salt")
       }
-    val writer = rewritten.write.mode(SaveMode.Overwrite)
+    val clustered =
+      if (clusterBy.isEmpty) rewritten
+      else rewritten.sortWithinPartitions((partitionCols ++ clusterBy).map(col): _*)
+    val writer = clustered.write.mode(SaveMode.Overwrite)
     val staged = Paths.get(path).resolveSibling(
       Paths.get(path).getFileName.toString + ".__compacting__")
     deleteRec(staged)

@@ -48,11 +48,13 @@ trait TableFormat {
       updates: Map[String, (Column, Column) => Column] = Map.empty,
       targetFilter: Option[Column] = None): Unit
 
-  /** OPTIMIZE — rewrite fragment files into ~targetBytes outputs;
-    * returns (filesBefore, filesAfter). */
+  /** OPTIMIZE — rewrite fragment files into ~targetBytes outputs,
+    * optionally clustered by `clusterBy` for row-group data skipping
+    * (the ZORDER intent); returns (filesBefore, filesAfter). */
   def compact(
       spark: SparkSession, path: String, partitionCols: Seq[String],
-      targetBytes: Long = 128L * 1024 * 1024): (Long, Long)
+      targetBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil): (Long, Long)
 
   /** M5 — quarantine rows as JSON under a run-scoped path; returns it. */
   def writeQuarantine(df: DataFrame, baseDir: String, courseId: String,

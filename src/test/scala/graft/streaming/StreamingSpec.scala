@@ -129,6 +129,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus: stateless prep (PII scrub + chunking) stays append-only") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingCorpus.prepStream(input.toDF(), chunkSize = 4, stride = 3)
+      .writeStream.format("memory").queryName("docprep_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1, "contact me at a.b@example.com for the cat details now", "en", "web", ts(0)),
+        Doc(2, "tiny doc", "en", "web", ts(1))) // < minWords → filtered to empty
+      q.processAllAvailable()
+      val rows = spark.table("docprep_out")
+        .select("doc_id", "chunk_idx", "chunk_text").collect()
+      val d1 = rows.filter(_.getLong(0) == 1L).map(_.getString(2)).mkString(" | ")
+      assert(d1.contains("<EMAIL>"), s"PII survived: $d1")
+      assert(!d1.contains("example.com"))
+      // doc 1: 10 tokens → ceil((10-4)/3)+1 = 3 chunks
+      assert(rows.count(_.getLong(0) == 1L) === 3)
+      // doc 2 cleaned to empty text → one chunk of the empty string
+      assert(rows.filter(_.getLong(0) == 2L).map(_.getString(2)).toSeq === Seq(""))
+    } finally q.stop()
+  }
+
   test("streaming corpus: windowed per-source stats") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]

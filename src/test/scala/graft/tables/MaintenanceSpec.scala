@@ -61,6 +61,34 @@ class MaintenanceSpec extends SparkSpec {
     assert(snapshot() === beforeData) // same rows, fewer files
   }
 
+  test("clustered compaction sorts each output file by the cluster key (data skipping)") {
+    import spark.implicits._
+    val path = s"${tmp()}/tc"
+    // values deliberately scattered across input files so only the
+    // clusterBy sort can make the outputs ordered
+    (1 to 4).foreach { i =>
+      val batch = (1 to 50).map(j => (s"c$i", (j * 7 + i) % 200, s"p$i$j"))
+        .toDF("course_id", "k", "payload").repartition(3)
+      if (i == 1) ParquetTable.createOrReplace(batch, path, Seq("course_id"))
+      else ParquetTable.refreshPartitions(batch, path, Seq("course_id"))
+    }
+    ParquetTable.compact(spark, path, Seq("course_id"), clusterBy = Seq("k"))
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        java.nio.file.Files.isRegularFile(p))
+      .toSeq
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ks = spark.read.parquet(f.toString).select("k")
+        .collect().map(_.getInt(0)).toSeq
+      assert(ks === ks.sorted, s"file $f not clustered by k")
+    }
+    // data survives byte-for-byte
+    assert(spark.read.parquet(path).count() === 200)
+  }
+
   test("M3: align-by-name schema evolution adds missing, drops extra, reorders") {
     import spark.implicits._
     val target = StructType(Seq(
