@@ -216,6 +216,33 @@ object MaintenanceQueries {
                ${dsumSql("c_acctbal")} AS rollback_bal
                FROM customer""")),
 
+    // M12 — snapshot change feed (CDC read over M11's log): v2 doubles
+    // the balances of even-keyed customers, so the diff is exactly one
+    // delete+insert pair per even key and nothing for odd keys.
+    QueryDef(
+      "m12_snapshot_diff",
+      (s, d) => {
+        val base = scratch("m12")
+        val cust = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+        graft.tables.VersionedTable.commit(cust, base)
+        graft.tables.VersionedTable.commit(
+          cust.withColumn("c_acctbal",
+            when(col("c_custkey") % 2 === 0, col("c_acctbal") * 2)
+              .otherwise(col("c_acctbal"))), base)
+        graft.tables.VersionedTable.diff(s, base, fromV = 1, toV = 2)
+          .groupBy(col("__change"))
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("bal"))
+          .orderBy(col("__change"))
+      },
+      Some(s"""SELECT 'delete' AS __change, COUNT(*) AS n,
+               ${dsumSql("c_acctbal")} AS bal
+               FROM customer WHERE c_custkey % 2 = 0 AND c_acctbal <> c_acctbal * 2
+               UNION ALL
+               SELECT 'insert', COUNT(*),
+               ${dsumSql("c_acctbal * 2")}
+               FROM customer WHERE c_custkey % 2 = 0 AND c_acctbal <> c_acctbal * 2
+               ORDER BY __change""")),
+
     // M7 — namespace/table DDL + catalog scan (etl.py:626, dimensions.py:303-327).
     QueryDef(
       "m7_ddl_catalog",

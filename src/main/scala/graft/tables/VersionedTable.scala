@@ -94,6 +94,22 @@ object VersionedTable {
     writeAtomic(pointer(path), version.toString)
   }
 
+  /** Row-level change feed between two snapshots (the CDC read a table
+    * format derives from its log): full-column diff via two anti-joins,
+    * one shuffle each side. Returns the union of rows only in `to`
+    * (`__change = 'insert'`) and rows only in `from` (`'delete'`); an
+    * update appears as its delete+insert pair. Compares whole rows, so
+    * schema changes between the snapshots must be aligned by the caller
+    * first (e.g. ParquetTable.alignToSchema). */
+  def diff(spark: SparkSession, path: String, fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val before = read(spark, path, Some(fromV))
+    val after = read(spark, path, Some(toV))
+    val inserted = after.exceptAll(before).withColumn("__change", lit("insert"))
+    val deleted = before.exceptAll(after).withColumn("__change", lit("delete"))
+    inserted.unionByName(deleted)
+  }
+
   /** Drop all but the newest `keep` committed snapshots, plus any
     * directories the commit log never named (crash debris). The current
     * version is always kept, even after a rollback past `keep`. */

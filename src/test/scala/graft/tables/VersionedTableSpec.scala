@@ -49,6 +49,20 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versions(path) === Seq(1, 2, 3))
   }
 
+  test("diff emits delete+insert pairs for changed rows only") {
+    val path = freshPath("diff")
+    VersionedTable.commit(Seq((1L, 10.0), (2L, 20.0), (3L, 0.0)).toDF("k", "bal"), path)
+    VersionedTable.commit(Seq((1L, 10.0), (2L, 25.0), (4L, 40.0)).toDF("k", "bal"), path)
+    val changes = VersionedTable.diff(spark, path, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(changes === Set(
+      (2L, 20.0, "delete"), (2L, 25.0, "insert"), // update = delete+insert
+      (3L, 0.0, "delete"),                        // removed row
+      (4L, 40.0, "insert")))                      // new row
+    // unchanged row 1 appears in neither direction
+    assert(!changes.exists(_._1 == 1L))
+  }
+
   test("uncommitted snapshot directories are invisible until vacuumed") {
     val path = freshPath("debris")
     VersionedTable.commit(Seq((1L, "a")).toDF("k", "v"), path)

@@ -10,6 +10,7 @@ columns by name and rows by all columns, and compares values exactly
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -52,7 +53,13 @@ def main():
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
+    n_skip = 0
     for name, sql in sorted(oracles.items()):
+        # subset verify runs (SPARK_GRAFT_ONLY) leave most outputs absent;
+        # skip those quietly instead of reporting false failures
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1
+            continue
         try:
             spark_rel = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -90,7 +97,7 @@ def main():
         else:
             print(f"PASS {name} ({len(sr)} rows)")
             n_pass += 1
-    print(f"\n{n_pass} passed, {n_fail} failed")
+    print(f"\n{n_pass} passed, {n_fail} failed" + (f", {n_skip} skipped (no output)" if n_skip else ""))
     sys.exit(1 if n_fail else 0)
 
 
