@@ -35,7 +35,10 @@ object SkewJoin {
       pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor.toLong)).cast("int"))
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    val cond: Column = (keys.map(k => salted(k) <=> replicated(k)) :+
+    // Plain EqualTo on the keys — exactly the semantics of
+    // df.join(other, keys): NULL keys never match (and are null-padded
+    // under "left"), so results stay row-identical to the unsalted join.
+    val cond: Column = (keys.map(k => salted(k) === replicated(k)) :+
       (salted("__salt") === replicated("__salt"))).reduce(_ && _)
     // de-duplicate join columns: keep the skewed side's key columns
     (keys.map(replicated(_)) ++ Seq(replicated("__salt"), salted("__salt")))

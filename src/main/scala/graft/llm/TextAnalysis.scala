@@ -102,8 +102,11 @@ object TextAnalysis {
     * an array of (chunk_idx, start_token, n_tokens, chunk_text) structs;
     * explode it for one row per chunk. A document of n tokens yields
     * ceil((n - chunkSize) / stride) + 1 chunks (1 if n ≤ chunkSize), so
-    * consecutive chunks overlap by chunkSize - stride tokens. Pure
-    * codegen'd built-ins — no shuffle, no driver involvement. */
+    * consecutive chunks overlap by chunkSize - stride tokens. An empty or
+    * whitespace-only document yields NO chunks (split-of-empty's [""]
+    * artifact would otherwise fabricate a phantom 1-token chunk that
+    * inflates token accounting). Pure codegen'd built-ins — no shuffle,
+    * no driver involvement. */
   def tokenChunks(text: Column, chunkSize: Int, stride: Int): Column = {
     require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
       "need 1 <= stride <= chunkSize")
@@ -111,12 +114,15 @@ object TextAnalysis {
     val n = size(toks)
     val nChunks = when(n <= chunkSize, lit(1)).otherwise(
       ceil((n - chunkSize).cast(DoubleType) / stride).cast(IntegerType) + 1)
-    transform(sequence(lit(0), nChunks - 1), i =>
+    val chunks = transform(sequence(lit(0), nChunks - 1), i =>
       struct(
         i.as("chunk_idx"),
         (i * stride).as("start_token"),
         least(lit(chunkSize), n - i * stride).as("n_tokens"),
         array_join(slice(toks, i * stride + 1, lit(chunkSize)), " ").as("chunk_text")))
+    // filter with a constant-false lambda = typed empty array
+    when(length(trim(text)) === 0, filter(chunks, _ => lit(false)))
+      .otherwise(chunks)
   }
 
   /** PII patterns scrubbed by [[scrubPii]] — deliberately simple,

@@ -497,7 +497,7 @@ object LlmQueries {
             md5(col("chunk.chunk_text")).as("chunk_md5")),
       Some("""WITH t AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-                FROM documents
+                FROM documents WHERE LENGTH(trim(text)) > 0
               ),
               c AS (
                 SELECT doc_id, toks, len(toks) AS n,

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Maintenance operators M1–M7 (SURVEY §2.10) on plain-parquet tables.
   *
@@ -132,29 +132,35 @@ object ParquetTable extends TableFormat {
       spark: SparkSession, path: String, partitionCols: Seq[String],
       targetBytes: Long = 128L * 1024 * 1024,
       clusterBy: Seq[String] = Nil): (Long, Long) = {
-    def parquetFiles(p: Path): Seq[Path] = {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala
-        .filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
-        .toSeq
-    }
-    val before = parquetFiles(Paths.get(path)).size.toLong
-    val totalBytes = parquetFiles(Paths.get(path)).map(Files.size).sum
+    val files0 = FsUtil.parquetFiles(Paths.get(path))
+    val before = files0.size.toLong
+    if (before == 0) return (0L, 0L) // nothing to compact (empty table)
+    val totalBytes = files0.map(Files.size).sum
     val df = spark.read.parquet(path)
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val rewritten =
       if (partitionCols.isEmpty) df.repartition(nFiles)
       else {
         // Per-partition file targets: rows per partition × avg bytes/row.
+        // The per-partition counts are collected ONCE (cardinality = number
+        // of partition values) and shipped back as a small literal frame,
+        // so the aggregate lineage is never re-evaluated at write time —
+        // the table being compacted is scanned exactly once for stats and
+        // once for the rewrite.
         val pcols = partitionCols.map(col)
-        val counts = df.groupBy(pcols: _*).agg(count(lit(1)).as("__rows"))
-        val totalRows = math.max(1L,
-          counts.agg(sum(col("__rows"))).collect()(0).getLong(0))
+        val countRows = df.groupBy(pcols: _*).agg(count(lit(1)).as("__rows")).collect()
+        val totalRows = math.max(1L, countRows.map(_.getLong(partitionCols.size)).sum)
         val bytesPerRow = math.max(1.0, totalBytes.toDouble / totalRows)
-        val perPart = counts.withColumn("__n_files",
-          greatest(lit(1L),
-            ceil(col("__rows") * bytesPerRow / targetBytes)))
-          .drop("__rows")
+        val keySchema = StructType(partitionCols.map(c => df.schema(c)))
+        val perPartRows = countRows.map { r =>
+          val n = math.max(1L,
+            math.ceil(r.getLong(partitionCols.size) * bytesPerRow / targetBytes).toLong)
+          org.apache.spark.sql.Row.fromSeq(
+            partitionCols.indices.map(r.get) :+ n)
+        }
+        val perPart = spark.createDataFrame(
+          spark.sparkContext.parallelize(perPartRows.toSeq, 1),
+          StructType(keySchema.fields :+ StructField("__n_files", LongType)))
         df.join(broadcast(perPart), partitionCols, "left")
           .withColumn("__salt",
             pmod(xxhash64(monotonically_increasing_id()),
@@ -171,7 +177,7 @@ object ParquetTable extends TableFormat {
     deleteRec(staged)
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(staged.toString)
-    require(parquetFiles(staged).nonEmpty, s"compaction wrote no files to $staged")
+    require(FsUtil.parquetFiles(staged).nonEmpty, s"compaction wrote no files to $staged")
     val old = Paths.get(path).resolveSibling(
       Paths.get(path).getFileName.toString + ".__old__")
     deleteRec(old)
@@ -179,7 +185,7 @@ object ParquetTable extends TableFormat {
     Files.move(staged, Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
     // Rollback copy survives until the swapped-in table proves readable.
     val after = {
-      val files = parquetFiles(Paths.get(path))
+      val files = FsUtil.parquetFiles(Paths.get(path))
       require(files.nonEmpty, s"post-swap validation failed: no files at $path " +
         s"(rollback copy preserved at $old)")
       files.size.toLong
@@ -201,7 +207,7 @@ object ParquetTable extends TableFormat {
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (Files.exists(p)) Files.move(p, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE)
-    require(Files.exists(p.resolve("_SUCCESS")) || Files.list(p).count() > 0,
+    require(Files.exists(p.resolve("_SUCCESS")) || FsUtil.listDir(p).nonEmpty,
       s"post-swap validation failed at $path (rollback copy preserved at $old)")
     deleteRec(old)
   }
@@ -227,8 +233,5 @@ object ParquetTable extends TableFormat {
       .coalesce(1).write.mode(SaveMode.Overwrite).json(path)
   }
 
-  private def deleteRec(p: Path): Unit = if (Files.exists(p)) {
-    import scala.jdk.CollectionConverters._
-    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-  }
+  private def deleteRec(p: Path): Unit = FsUtil.deleteRec(p)
 }

@@ -118,11 +118,9 @@ object VersionedTable {
     if (committed.isEmpty || !Files.exists(versionsDir(path))) return
     val keepSet = committed.takeRight(math.max(keep, 1)).toSet ++
       currentVersion(path)
-    import scala.jdk.CollectionConverters._
-    Files.list(versionsDir(path)).iterator().asScala.toSeq.foreach { dir =>
+    FsUtil.listDir(versionsDir(path)).foreach { dir =>
       val v = dir.getFileName.toString.drop(1).toInt
-      if (!keepSet.contains(v))
-        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      if (!keepSet.contains(v)) FsUtil.deleteRec(dir)
     }
     writeAtomic(commitLog(path),
       committed.filter(keepSet.contains).mkString("\n"))

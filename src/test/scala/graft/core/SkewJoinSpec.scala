@@ -17,10 +17,9 @@ class SkewJoinSpec extends SparkSpec {
       (col("id") * 2).as("v"))
   private lazy val dim = (0L until 100L).map(i => (i, s"name$i")).toDF("k", "name")
 
-  private def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, String)] =
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[(Any, Any, Any)] =
     df.select(col("k"), col("v"), col("name"))
-      .collect().map(r => (r.getLong(0), r.getLong(1),
-        if (r.isNullAt(2)) null else r.getString(2))).toSet
+      .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
 
   test("salted inner join equals the plain inner join row-for-row") {
     val plain = skewed.join(dim, Seq("k"), "inner")
@@ -34,6 +33,21 @@ class SkewJoinSpec extends SparkSpec {
     val salted = SkewJoin.saltedJoin(skewed, dimMissingHot, Seq("k"), 8, "left")
     assert(canon(salted) === canon(plain))
     assert(salted.filter(col("name").isNull).count() === skewed.filter(col("k") === 1L).count())
+  }
+
+  test("NULL keys follow plain-join semantics: never match, null-padded on left") {
+    val withNulls = spark.range(0, 100)
+      .select(
+        when(col("id") % 4 === 0, lit(null).cast("long")).otherwise(col("id") % 10).as("k"),
+        col("id").as("v"))
+    val dimWithNull = dim.unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], "null-row")).toDF("k", "name")
+        .select(col("k").cast("long").as("k"), col("name")))
+    for (jt <- Seq("inner", "left")) {
+      val plain = withNulls.join(dimWithNull, Seq("k"), jt)
+      val salted = SkewJoin.saltedJoin(withNulls, dimWithNull, Seq("k"), 4, jt)
+      assert(canon(salted) === canon(plain), s"divergence under $jt with NULL keys")
+    }
   }
 
   test("the hot key scatters across multiple salts") {

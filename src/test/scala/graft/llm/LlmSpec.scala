@@ -172,6 +172,11 @@ class LlmSpec extends SparkSpec {
       .select(explode(TextAnalysis.tokenChunks(col("text"), 32, 24)).as("c"))
       .select(col("c.chunk_text")).collect()
     assert(one.length === 1 && one(0).getString(0) === "a b c")
+    // empty / whitespace-only docs yield NO chunks (no phantom tokens)
+    val none = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+      .select(explode(TextAnalysis.tokenChunks(col("text"), 32, 24)).as("c"))
+      .collect()
+    assert(none.isEmpty)
   }
 
   test("PII scrub replaces emails/phones/IPs and nothing else") {

@@ -147,8 +147,8 @@ class StreamingSpec extends SparkSpec {
       assert(!d1.contains("example.com"))
       // doc 1: 10 tokens → ceil((10-4)/3)+1 = 3 chunks
       assert(rows.count(_.getLong(0) == 1L) === 3)
-      // doc 2 cleaned to empty text → one chunk of the empty string
-      assert(rows.filter(_.getLong(0) == 2L).map(_.getString(2)).toSeq === Seq(""))
+      // doc 2 cleaned to empty text → dropped entirely (no phantom chunk)
+      assert(!rows.exists(_.getLong(0) == 2L))
     } finally q.stop()
   }
 
