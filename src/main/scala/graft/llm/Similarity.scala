@@ -281,6 +281,23 @@ object Similarity {
       query: Array[Float], k: Int,
       numHashTables: Int = 8, bucketLength: Double = 0.5,
       seed: Long = 42L): DataFrame = {
+    val queryCol = typedlit(query.map(_.toDouble).toSeq)
+    lshTopKCandidates(df, idCol, vecCol, query, numHashTables, bucketLength, seed)
+      .withColumn("dist", F.euclidean(col("v"), queryCol))
+      .orderBy(asc("dist"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("dist"))
+  }
+
+  /** Candidate stage of [[lshTopK]]: corpus rows sharing ≥ 1 (table,
+    * bucket) key with the query, deduped — exposed separately so the
+    * candidate set can be materialized (and the exact top-k recomputed
+    * independently from it). Returns (id, v). */
+  def lshTopKCandidates(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float],
+      numHashTables: Int = 8, bucketLength: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val dim = query.length
@@ -295,15 +312,11 @@ object Similarity {
           .as(Seq("tbl", "bkt")))
       .collect().map(r => r.getInt(0).toLong * 1000003L + r.getInt(1))
     val qb = typedlit(qBuckets.toSeq)
-    val queryCol = typedlit(qd.toSeq)
     df.select(col(idCol).as("id"), col(vecCol).as("v"),
         posexplode(bucketKeys(col(vecCol), dirs, bucketLength, numHashTables))
           .as(Seq("tbl", "bkt")))
       .filter(array_contains(qb, col("tbl").cast(LongType) * 1000003L + col("bkt")))
       .dropDuplicates("id")
-      .withColumn("dist", F.euclidean(col("v"), queryCol))
-      .orderBy(asc("dist"), asc("id"))
-      .limit(k)
-      .select(col("id"), col("dist"))
+      .select(col("id"), col("v"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -148,6 +148,24 @@ object TextAnalysis {
       regexp_count(text, lit(PiiPatterns(0)._1)).as("n_emails"),
       regexp_count(text, lit(PiiPatterns(1)._1)).as("n_phones"),
       regexp_count(text, lit(PiiPatterns(2)._1)).as("n_ips"))
+
+  /** Corpus vocabulary: the `topK` most frequent normalized tokens with
+    * counts and corpus-frequency fraction — tokenizer-training prep.
+    * One explode + map-side-combined groupBy shuffle on the token, then
+    * TakeOrdered for the top-k (never a global sort); the corpus total
+    * re-attaches via a 1-row broadcast, not an unpartitioned window.
+    * Ties break lexicographically so the cut is deterministic. */
+  def vocabulary(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val counts = df
+      .select(explode(tokens(normalize(col(textCol)))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts.orderBy(desc("cnt"), asc("token")).limit(topK)
+      .crossJoin(broadcast(total))
+      .select(col("token"), col("cnt"),
+        (col("cnt").cast(DoubleType) / col("total")).as("frac"))
+  }
 
   /** C4-style line filter: drop lines with fewer than `minWords`
     * whitespace tokens (navigation crumbs, lone numbers, boilerplate

@@ -345,6 +345,63 @@ object LlmQueries {
                 i -> (v.e[i] - q.e[i]) * (v.e[i] - q.e[i])))) ASC, vec_id ASC
               LIMIT 10""")),
 
+    // LSH single-query top-k probe: the per-query ANN read path. The
+    // bucket-filtered candidate set is seed-specific → materialized; the
+    // oracle recomputes the exact euclidean top-k over those candidates.
+    // The injected identical copy of the query vector must rank first.
+    QueryDef(
+      "l_lsh_topk",
+      (s, d) => {
+        val vecs = vecsWithDups(s, d)
+        val query = t(s, d, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+        val cands = materialize(
+          Similarity.lshTopKCandidates(
+            vecs.filter(col("vec_id") =!= 0), "vec_id", "embedding", query,
+            numHashTables = 4, bucketLength = 1.0)
+            .select(col("id")),
+          "lsh_topk_cands")
+        val queryCol = typedlit(query.map(_.toDouble).toSeq)
+        // top-k as orderBy+limit → TakeOrderedAndProject (never a global
+        // sort, never a single-partition window), same as l_ivf_topk
+        cands
+          .join(vecs.select(col("vec_id").as("id"), col("embedding").as("v")), "id")
+          .withColumn("dist", graft.functions.F.euclidean(col("v"), queryCol))
+          .orderBy(asc("dist"), asc("id"))
+          .limit(10)
+          .select(col("id"))
+      },
+      Some(s"""WITH v AS (
+                 SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings
+                 UNION ALL
+                 SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+                 FROM embeddings
+               ),
+               q AS (SELECT e FROM v WHERE vec_id = 0),
+               c AS (SELECT id FROM read_parquet('$OracleScratch/lsh_topk_cands/*.parquet'))
+               SELECT v.vec_id AS id
+               FROM c JOIN v ON v.vec_id = c.id, q
+               ORDER BY SQRT(list_sum(list_transform(range(1, len(v.e) + 1),
+                 i -> (v.e[i] - q.e[i]) * (v.e[i] - q.e[i])))) ASC NULLS LAST,
+               v.vec_id ASC NULLS LAST
+               LIMIT 10""")),
+
+    // Corpus vocabulary (tokenizer prep): top-50 normalized tokens with
+    // counts and corpus fraction; deterministic lexicographic tie-break.
+    QueryDef(
+      "l_vocab_topk",
+      (s, d) =>
+        TextAnalysis.vocabulary(t(s, d, "documents"), "text", topK = 50),
+      Some("""WITH tk AS (
+                SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+                FROM documents
+              ),
+              c AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token),
+              t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+              SELECT token, cnt, CAST(cnt AS DOUBLE) / total AS frac
+              FROM c, t ORDER BY cnt DESC, token ASC LIMIT 50""")),
+
     // Language-ID heuristic: argmax of per-language function-word stream
     // ratios (deterministic tie-break en > de > fr > es).
     QueryDef(

@@ -304,6 +304,40 @@ class LlmSpec extends SparkSpec {
     assert(scores(1L) > scores(3L))
   }
 
+  test("vocabulary: counts, fractions, and the deterministic tie-break cut") {
+    val df = Seq(
+      (1L, "apple banana apple  Cherry"),
+      (2L, "banana cherry date banana")).toDF("id", "text")
+    val all = TextAnalysis.vocabulary(df, "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // 8 tokens total: banana×3, apple×2, cherry×2, date×1 (case-folded)
+    assert(all.map(t => t._1 -> t._2).toSeq ===
+      Seq("banana" -> 3L, "apple" -> 2L, "cherry" -> 2L, "date" -> 1L))
+    assert(math.abs(all.map(_._3).sum - 1.0) < 1e-12)
+    // topK cuts on (cnt desc, token asc): apple (a < c) survives at k=2
+    val top2 = TextAnalysis.vocabulary(df, "text", topK = 2)
+      .collect().map(_.getString(0))
+    assert(top2.toSeq === Seq("banana", "apple"))
+  }
+
+  test("lshTopKCandidates ∪ exact-rerank matches lshTopK end-to-end") {
+    val query = vecs.filter(col("vec_id") === 1)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    val corpus = vecs.filter(col("vec_id") =!= 1)
+    val cands = Similarity.lshTopKCandidates(
+        corpus, "vec_id", "embedding", query,
+        numHashTables = 4, bucketLength = 1.0)
+    // candidate ids are unique and drawn from the corpus
+    val ids = cands.select("id").collect().map(_.getLong(0))
+    assert(ids.length === ids.distinct.length)
+    val endToEnd = Similarity.lshTopK(
+        corpus, "vec_id", "embedding", query, k = 5,
+        numHashTables = 4, bucketLength = 1.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(endToEnd.map(_._1).toSet.subsetOf(ids.toSet))
+    assert(endToEnd.map(_._2).toSeq === endToEnd.map(_._2).sorted.toSeq)
+  }
+
   test("multimodal: stub decode is deterministic, frame sampling fans out videos") {
     val media = Multimodal.fromDocuments(docs, "doc_id", "text")
     val d1 = Multimodal.decodeStub(media).select("media_id", "checksum", "features")
