@@ -1,0 +1,192 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators for training-data assembly: deterministic
+  * train/val/test splitting, cross-corpus decontamination, domain-mix
+  * sampling weights, and Gopher-style document quality rules.
+  *
+  * All of these are single-pass or single-shuffle designs: splitting and
+  * quality rules are pure row-local expressions (whole-stage codegen,
+  * no shuffle at all); decontamination is one equi-join on the n-gram;
+  * mixing weights aggregate to one row per domain before any join.
+  */
+object Curation {
+
+  // ---------------------------------------------------------------------
+  // Deterministic splitting
+  // ---------------------------------------------------------------------
+
+  /** 16-bit hash bucket of an id: the first 4 hex chars of md5(id as
+    * string), parsed to [0, 65536). md5 is engine-portable (same bytes in
+    * Spark, DuckDB, Python), so the assignment is reproducible anywhere —
+    * unlike xxhash64, whose seeds differ per engine. Row-local codegen;
+    * no shuffle. */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(id.cast(StringType)), 1, 4), 16, 10).cast(IntegerType)
+
+  /** Deterministic corpus split by hashed id. `splits` are (label,
+    * fraction) in ladder order; fractions must sum to 1. A row's split is
+    * decided only by its id — stable under re-runs, repartitioning,
+    * appends, and engine changes, which is what keeps eval sets leak-free
+    * as the corpus grows (a random() split resamples every run). */
+  def withSplit(
+      df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      bucketCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1: $splits")
+    val b = hashBucket(col(idCol)).cast(DoubleType) / lit(65536.0)
+    val ladder = splits.toList.scanLeft(("", 0.0)) {
+      case ((_, cum), (label, w)) => (label, cum + w)
+    }.tail
+    val expr = ladder.init.foldRight(lit(ladder.last._1): Column) {
+      case ((label, cum), acc) => when(b < cum, label).otherwise(acc)
+    }
+    df.withColumn(bucketCol, expr)
+  }
+
+  // ---------------------------------------------------------------------
+  // Cross-corpus decontamination
+  // ---------------------------------------------------------------------
+
+  /** Training docs that share ≥ `minShared` distinct word n-grams with
+    * the eval corpus (test-set contamination scan). Returns (doc_id,
+    * n_shared, n_ngrams, contamination = n_shared / n_ngrams).
+    *
+    * Shape: the eval side collapses to a DISTINCT n-gram set first, so
+    * the join is posting-list × set — one equi-join on the n-gram string,
+    * never a doc × doc product. Eval corpora (benchmarks) are tiny next
+    * to a 100 TB train corpus, so the deduped eval set broadcasts and the
+    * whole scan is shuffle-free on the train side; set `broadcastEval =
+    * false` if the eval side is itself corpus-sized. */
+  def contamination(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minShared: Int = 1,
+      broadcastEval: Boolean = true): DataFrame = {
+    val sh = Dedup.wordShingles(col(textCol), n)
+    val trainSh = train.select(col(idCol).as("doc_id"), sh.as("grams"))
+      .select(col("doc_id"), size(col("grams")).as("n_ngrams"),
+        explode(col("grams")).as("gram"))
+    val evalSet0 = eval.select(explode(sh).as("gram")).distinct()
+    val evalSet = if (broadcastEval) broadcast(evalSet0) else evalSet0
+    trainSh.join(evalSet, "gram")
+      // wordShingles is distinct-per-doc, so the match count IS the
+      // distinct shared-gram count — no second dedup shuffle needed.
+      .groupBy(col("doc_id"), col("n_ngrams"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("n_shared"), col("n_ngrams"),
+        (col("n_shared").cast(DoubleType) /
+          col("n_ngrams").cast(DoubleType)).as("contamination"))
+  }
+
+  /** [[contamination]] flipped into the cleaning action: train rows with
+    * contamination below `maxContamination` (anti-join on the flagged
+    * set). */
+  def decontaminate(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxContamination: Double = 0.2): DataFrame = {
+    val flagged = contamination(train, eval, idCol, textCol, n)
+      .filter(col("contamination") >= maxContamination)
+      .select(col("doc_id").as(idCol))
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  // ---------------------------------------------------------------------
+  // Domain mixing
+  // ---------------------------------------------------------------------
+
+  /** Per-domain sampling rates that realize a target corpus composition.
+    * Given target fractions per `sourceCol` value (must sum to ≤ 1 over
+    * the domains present), the achievable output size is bounded by the
+    * scarcest domain: totalOut = min over domains of n_s / w_s, and each
+    * domain samples at rate_s = totalOut · w_s / n_s (≤ 1 by
+    * construction, no upsampling). Returns one row per target domain:
+    * (source, n_rows, target_frac, rate, expected_rows).
+    *
+    * One aggregation to domain grain (thousands of rows at most), then
+    * pure scalar math against a 1-row broadcast — the corpus is scanned
+    * once regardless of domain count. */
+  def mixingWeights(
+      df: DataFrame, sourceCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toSeq.sortBy(_._1).toDF("source", "target_frac")
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_rows"))
+      .join(broadcast(tgt), "source")
+    val totalOut = counts
+      .agg(min(col("n_rows").cast(DoubleType) / col("target_frac")).as("total_out"))
+    counts.crossJoin(broadcast(totalOut))
+      .select(col("source"), col("n_rows"), col("target_frac"),
+        least(lit(1.0), col("total_out") * col("target_frac") /
+          col("n_rows").cast(DoubleType)).as("rate"),
+        floor(col("total_out") * col("target_frac")).cast(LongType)
+          .as("expected_rows"))
+  }
+
+  /** Apply [[mixingWeights]] as a deterministic sample: keep a row iff
+    * its hash bucket falls under the domain's rate. Hash-based (not
+    * `sample()`), so the selection is reproducible and append-stable. */
+  def sampleToMix(
+      df: DataFrame, idCol: String, sourceCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    val rates = mixingWeights(df, sourceCol, targets)
+      .select(col("source").as("__mix_source"), col("rate").as("__mix_rate"))
+    df.join(broadcast(rates), df(sourceCol) === col("__mix_source"))
+      .filter(hashBucket(col(idCol)).cast(DoubleType) / lit(65536.0) <
+        col("__mix_rate"))
+      .drop("__mix_source", "__mix_rate")
+  }
+
+  // ---------------------------------------------------------------------
+  // Gopher-style quality rules
+  // ---------------------------------------------------------------------
+
+  /** The document-level quality heuristics from the public Gopher /
+    * MassiveText filtering recipe, as row-local codegen expressions.
+    * Each rule is exposed as its own boolean so downstream audits can
+    * report per-rule rejection rates; `gopherKeep` is their conjunction.
+    *
+    * Rules (defaults from the paper, tunable): word count in
+    * [minWords, maxWords]; mean word length in [3, 10]; symbol-to-word
+    * ratio (#, … or ...) below 0.1; ≥ 80% of words contain a letter;
+    * ≥ 2 stopword hits in the token stream. */
+  def gopherFlags(
+      text: Column,
+      stopwords: Seq[String] = TextAnalysis.StopwordProfiles.head._2,
+      minWords: Int = 50, maxWords: Int = 100000): Seq[(String, Column)] = {
+    val norm = TextAnalysis.normalize(text)
+    val toks = TextAnalysis.tokens(norm)
+    val nWords = size(toks)
+    val nw = nWords.cast(DoubleType)
+    val meanLen = length(regexp_replace(norm, " ", "")).cast(DoubleType) /
+      nullif(nWords, lit(0)).cast(DoubleType)
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]"))).cast(DoubleType) /
+      nullif(nWords, lit(0)).cast(DoubleType)
+    val symbolRatio = regexp_count(text, lit("#|\\.\\.\\.|…")).cast(DoubleType) /
+      nullif(nWords, lit(0)).cast(DoubleType)
+    val stopHits = graft.functions.F.countTokensIn(toks, stopwords)
+    Seq(
+      "n_words" -> nWords.cast(LongType),
+      "ok_word_count" -> nWords.between(minWords, maxWords),
+      "ok_mean_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "ok_symbol_ratio" -> (symbolRatio < 0.1),
+      "ok_alpha_words" -> (alphaFrac > 0.8),
+      "ok_stopwords" -> (stopHits >= 2))
+  }
+
+  /** Conjunction of every ok_* rule in [[gopherFlags]]. */
+  def gopherKeep(
+      text: Column,
+      stopwords: Seq[String] = TextAnalysis.StopwordProfiles.head._2,
+      minWords: Int = 50, maxWords: Int = 100000): Column =
+    gopherFlags(text, stopwords, minWords, maxWords)
+      .collect { case (n, c) if n.startsWith("ok_") => c }
+      .reduce(_ && _)
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import QueryDef._
 
 /** LLM-training-data operators (builder brief §extensions) over the
@@ -42,6 +42,14 @@ object LlmQueries {
     s"""list_distinct(list_transform(
         generate_series(1, len($toks) - 1),
         i -> $toks[i] || ' ' || $toks[i+1]))"""
+  }
+
+  /** DuckDB trigram-shingle set — mirrors Dedup.wordShingles(_, 3). */
+  private def trigramSql(textExpr: String): String = {
+    val toks = s"string_split(trim(regexp_replace(lower($textExpr), '\\s+', ' ', 'g')), ' ')"
+    s"""list_distinct(list_transform(
+        generate_series(1, len($toks) - 2),
+        i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))"""
   }
 
   /** documents ∪ an exact-duplicate shadow copy (id + 10000). */
@@ -715,6 +723,107 @@ object LlmQueries {
               COUNT(*) AS n_frames,
               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
               CAST(SUM(frame_idx * 1000) AS BIGINT) AS sum_frame_ts
-              FROM frames GROUP BY modality ORDER BY modality"""))
+              FROM frames GROUP BY modality ORDER BY modality""")),
+
+    // Deterministic md5-bucket train/val/test split: assignment depends
+    // only on the id (stable under re-runs, appends, engines — md5 is
+    // portable where xxhash64 seeds are not). Row-local codegen, no
+    // shuffle; the gate checks the per-split census.
+    QueryDef(
+      "l_train_split",
+      (s, d) => Curation.withSplit(t(s, d, "documents"), "doc_id")
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("split")),
+      Some("""WITH b AS (
+                SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0e0 AS b
+                FROM documents
+              )
+              SELECT CASE WHEN b < 0.9e0 THEN 'train'
+                          WHEN b < 0.95e0 THEN 'val'
+                          ELSE 'test' END AS split,
+                     COUNT(*) AS n_docs
+              FROM b GROUP BY 1 ORDER BY 1""")),
+
+    // Test-set decontamination scan: train docs sharing distinct word
+    // trigrams with the eval slice (doc_id % 10 = 0). The eval copies
+    // planted at +50000 guarantee full-containment hits. Posting-list ×
+    // broadcast-set equi-join — never doc × doc.
+    QueryDef(
+      "l_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+        val train = docs.filter(col("doc_id") % 10 =!= 0)
+          .unionByName(evalDocs.select((col("doc_id") + 50000).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars")))
+        Curation.contamination(train, evalDocs, "doc_id", "text", n = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH train AS (
+                 SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+                 UNION ALL
+                 SELECT doc_id + 50000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+               ),
+               tg AS (SELECT doc_id, ${trigramSql("text")} AS grams FROM train),
+               tsh AS (SELECT doc_id, len(grams) AS n_ngrams, unnest(grams) AS gram FROM tg),
+               eg AS (SELECT ${trigramSql("text")} AS grams FROM documents WHERE doc_id % 10 = 0),
+               ev AS (SELECT DISTINCT unnest(grams) AS gram FROM eg)
+               SELECT t.doc_id,
+                      COUNT(*) AS n_shared,
+                      CAST(t.n_ngrams AS INTEGER) AS n_ngrams,
+                      COUNT(*) / CAST(t.n_ngrams AS DOUBLE) AS contamination
+               FROM tsh t JOIN ev ON t.gram = ev.gram
+               GROUP BY t.doc_id, t.n_ngrams
+               ORDER BY t.doc_id""")),
+
+    // Domain-mixing weights: per-source sampling rates realizing a target
+    // composition, bounded by the scarcest domain (no upsampling). One
+    // aggregation to domain grain + scalar math against a 1-row frame.
+    QueryDef(
+      "l_mix_weights",
+      (s, d) => Curation.mixingWeights(t(s, d, "documents"), "source",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .orderBy(col("source")),
+      Some("""WITH tgt(source, target_frac) AS (
+                VALUES ('src0', 0.5e0), ('src1', 0.3e0), ('src2', 0.2e0)
+              ),
+              c AS (SELECT d.source, COUNT(*) AS n_rows, t.target_frac
+                    FROM documents d JOIN tgt t ON d.source = t.source
+                    GROUP BY d.source, t.target_frac),
+              m AS (SELECT MIN(n_rows / target_frac) AS total_out FROM c)
+              SELECT c.source, c.n_rows, c.target_frac,
+                     LEAST(1.0e0, m.total_out * c.target_frac / n_rows) AS rate,
+                     CAST(FLOOR(m.total_out * c.target_frac) AS BIGINT) AS expected_rows
+              FROM c, m ORDER BY c.source""")),
+
+    // Gopher/MassiveText document quality rules, one boolean per rule so
+    // audits can report per-rule rejection rates; all row-local codegen.
+    QueryDef(
+      "l_gopher_filter",
+      (s, d) => {
+        val flags = Curation.gopherFlags(col("text"), minWords = 30)
+        t(s, d, "documents").select(
+          (col("doc_id") +: flags.map { case (n, c) => c.as(n) }) :+
+            Curation.gopherKeep(col("text"), minWords = 30).as("keep"): _*)
+      },
+      Some("""WITH n AS (
+                SELECT doc_id, text,
+                       trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+                FROM documents
+              ),
+              t AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS toks FROM n),
+              f AS (SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_words,
+                len(toks) BETWEEN 30 AND 100000 AS ok_word_count,
+                (length(replace(norm, ' ', '')) / CAST(len(toks) AS DOUBLE)) BETWEEN 3.0e0 AND 10.0e0 AS ok_mean_word_len,
+                (len(regexp_extract_all(text, '#|\.\.\.|…')) / CAST(len(toks) AS DOUBLE)) < 0.1e0 AS ok_symbol_ratio,
+                (len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / CAST(len(toks) AS DOUBLE)) > 0.8e0 AS ok_alpha_words,
+                len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','was'], x))) >= 2 AS ok_stopwords
+                FROM t)
+              SELECT doc_id, n_words, ok_word_count, ok_mean_word_len,
+                     ok_symbol_ratio, ok_alpha_words, ok_stopwords,
+                     (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+                      AND ok_alpha_words AND ok_stopwords) AS keep
+              FROM f ORDER BY doc_id"""))
   )
 }

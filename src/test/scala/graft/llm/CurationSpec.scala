@@ -1,0 +1,124 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+/** Value-level checks for the corpus-curation operators: deterministic
+  * splitting, decontamination, mixing weights, Gopher quality rules. */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents").persist()
+
+  test("withSplit is deterministic and append-stable") {
+    val a = Curation.withSplit(docs, "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // identical on re-run
+    val b = Curation.withSplit(docs, "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    // appending new rows never reassigns existing ids
+    val appended = docs.unionByName(docs.select(
+      (col("doc_id") + 90000).as("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars")))
+    val c = Curation.withSplit(appended, "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    a.foreach { case (id, s) => assert(c(id) === s) }
+    // every label present and fractions roughly honored (md5 uniformity)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size)
+    assert(frac("train") > 0.8 && frac("train") < 0.97)
+    assert(frac.getOrElse("val", 0.0) < 0.15 && frac.getOrElse("test", 0.0) < 0.15)
+  }
+
+  test("withSplit rejects fractions that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Curation.withSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
+  test("contamination finds planted eval copies at 1.0 and decontaminate drops them") {
+    val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+      .unionByName(evalDocs.select((col("doc_id") + 50000).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars")))
+    val res = Curation.contamination(train, evalDocs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val planted = evalDocs.select(col("doc_id") + 50000).collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(res.contains(id) && res(id) === 1.0, s"planted $id not fully flagged")
+    }
+    val cleaned = Curation.decontaminate(
+      train, evalDocs, "doc_id", "text", n = 3, maxContamination = 0.9)
+    val keptIds = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    planted.foreach(id => assert(!keptIds.contains(id)))
+    // docs with zero shared trigrams survive
+    assert(keptIds.nonEmpty)
+  }
+
+  test("mixingWeights: scarcest domain caps the total, rates stay ≤ 1") {
+    val df = Seq.tabulate(100)(i =>
+      (i.toLong, if (i < 60) "web" else if (i < 90) "books" else "code"))
+      .toDF("id", "source")
+    val w = Curation.mixingWeights(df, "source",
+        Map("web" -> 0.5, "books" -> 0.25, "code" -> 0.25))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getLong(4))).toMap
+    // code is scarcest: 10 rows / 0.25 = 40 achievable total
+    assert(w("code") === ((10L, 1.0, 10L)))
+    assert(w("web") === ((60L, 40 * 0.5 / 60.0, 20L)))
+    assert(w("books") === ((30L, 40 * 0.25 / 30.0, 10L)))
+  }
+
+  test("sampleToMix realizes the target composition approximately") {
+    val df = Seq.tabulate(2000)(i =>
+      (i.toLong, if (i % 2 == 0) "web" else "code")).toDF("id", "source")
+    val out = Curation.sampleToMix(df, "id", "source",
+        Map("web" -> 0.8, "code" -> 0.2))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // achievable total = min(1000/0.8, 1000/0.2) = 1250 → 1000 web, 250 code
+    assert(out("web") > 900 && out("web") <= 1000)
+    assert(math.abs(out("code") - 250L) < 60)
+    // deterministic: identical on re-run
+    val again = Curation.sampleToMix(df, "id", "source",
+        Map("web" -> 0.8, "code" -> 0.2))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === again)
+  }
+
+  test("gopher rules fire individually on crafted documents") {
+    val longProse =
+      ("the quick brown foxes jumped over several lazy dogs near that barn " * 5).trim
+    val rows = Seq(
+      (1L, longProse),                                  // passes all
+      (2L, "short text only"),                          // word count
+      (3L, ("a " * 60).trim),                           // mean word len < 3
+      (4L, (("the supercalifragilistic " * 30)).trim),  // mean len > 10
+      (5L, ("the cat # ... # ... # ... # ... sat " * 10).trim), // symbols
+      (6L, ("12 34 56 78 90 11 22 33 44 55 " * 6).trim),// alpha words
+      (7L, ("zebra quartz vivid jump " * 15).trim))     // no stopwords
+      .toDF("doc_id", "text")
+    val flags = Curation.gopherFlags(col("text"), minWords = 30)
+    val out = rows.select(
+        (col("doc_id") +: flags.map { case (n, c) => c.as(n) }) :+
+          Curation.gopherKeep(col("text"), minWords = 30).as("keep"): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(7), "healthy prose must pass")
+    assert(!out(2L).getBoolean(2), "word-count rule")
+    assert(!out(3L).getBoolean(3), "mean-word-length low rule")
+    assert(!out(4L).getBoolean(3), "mean-word-length high rule")
+    assert(!out(5L).getBoolean(4), "symbol-ratio rule")
+    assert(!out(6L).getBoolean(5), "alpha-words rule")
+    assert(!out(7L).getBoolean(6), "stopword rule")
+    Seq(2L, 3L, 4L, 5L, 6L, 7L).foreach(id =>
+      assert(!out(id).getBoolean(7), s"doc $id must be rejected"))
+  }
+}
