@@ -74,7 +74,13 @@ object GraftFunctions {
     ("clean_lines",
       info("clean_lines", "clean_lines(text, minWords) - keep lines with >= minWords tokens"),
       (es: Seq[Expression]) =>
-        CleanLines(es(0), litInt(es(1), "clean_lines minWords"))))
+        CleanLines(es(0), litInt(es(1), "clean_lines minWords"))),
+    ("quant_i8_stats",
+      info("quant_i8_stats", "quant_i8_stats(v) - int8 quantization stats (scale, q_sum, max_err)"),
+      (es: Seq[Expression]) => QuantizeI8Stats(es(0))),
+    ("quant_i8",
+      info("quant_i8", "quant_i8(v) - int8 quantization (scale, codes array<tinyint>)"),
+      (es: Seq[Expression]) => QuantizeI8(es(0))))
 
   /** Register on a live session (temp functions in its registry). */
   def register(spark: SparkSession): Unit =

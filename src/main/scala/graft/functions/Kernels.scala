@@ -275,6 +275,69 @@ object Kernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Symmetric int8 quantization stats of a float/double vector in one
+    * pass: scale = max|x| / 127, q_i = floor(x_i / scale + 0.5) (the
+    * explicit-floor form, NOT round() — round-half semantics differ
+    * across engines, floor(x+0.5) is identical everywhere), summed and
+    * max-reconstruction-error'd without materializing the codes. Returns
+    * (scale DOUBLE, q_sum BIGINT, max_err DOUBLE); an all-zero vector
+    * quantizes to all-zero codes (scale 0, err 0). */
+  def quantI8Stats(
+      v: ArrayData, isFloat: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(elem(v, i, isFloat))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    var qSum = 0L
+    var maxErr = 0.0
+    if (scale > 0.0) {
+      i = 0
+      while (i < n) {
+        val x = elem(v, i, isFloat)
+        val q = math.floor(x / scale + 0.5)
+        qSum += q.toLong
+        val err = math.abs(q * scale - x)
+        if (err > maxErr) maxErr = err
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](scale, qSum, maxErr))
+  }
+
+  /** Full int8 quantization: (scale DOUBLE, codes ARRAY<TINYINT>) under
+    * the same contract as [[quantI8Stats]]. One pass + one primitive
+    * byte array — no per-element lambda, no boxing. */
+  def quantI8(
+      v: ArrayData, isFloat: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(elem(v, i, isFloat))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    val codes = new Array[Byte](n)
+    if (scale > 0.0) {
+      i = 0
+      while (i < n) {
+        codes(i) = math.floor(elem(v, i, isFloat) / scale + 0.5).toByte
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      scale,
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(codes)))
+  }
+
   /** Count of (non-null) tokens present in `set`. Null tokens don't
     * count, matching `filter(toks, t -> array_contains(set, t))`. */
   def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {

@@ -326,6 +326,69 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Symmetric int8 quantization stats (scale, q_sum, max_err) of a
+  * float/double vector — the compression step of an embedding store,
+  * fused into one codegen pass (see Kernels.quantI8Stats for the exact
+  * floor(x/scale + 0.5) contract). */
+case class QuantizeI8Stats(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "quant_i8_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q_sum", LongType, nullable = false),
+    StructField("max_err", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quant_i8_stats requires array<float|double>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.quantI8Stats(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Kernels.quantI8Stats($a, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Full int8 quantization of a float/double vector: (scale, codes) —
+  * same numeric contract as [[QuantizeI8Stats]], materializing the
+  * codes as a primitive tinyint array (4×/8× storage reduction for an
+  * embedding store). */
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "quant_i8"
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("codes", ArrayType(ByteType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quant_i8 requires array<float|double>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.quantI8(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Kernels.quantI8($a, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points. */
 object F {
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -345,4 +408,6 @@ object F {
   def maxTokenFreq(tokens: Column): Column = c(MaxTokenFreq(e(tokens)))
   def winnow(text: Column, k: Int, w: Int): Column = c(Winnow(e(text), k, w))
   def cleanLines(text: Column, minWords: Int): Column = c(CleanLines(e(text), minWords))
+  def quantI8Stats(v: Column): Column = c(QuantizeI8Stats(e(v)))
+  def quantI8(v: Column): Column = c(QuantizeI8(e(v)))
 }

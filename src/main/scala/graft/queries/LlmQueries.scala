@@ -725,6 +725,37 @@ object LlmQueries {
               CAST(SUM(frame_idx * 1000) AS BIGINT) AS sum_frame_ts
               FROM frames GROUP BY modality ORDER BY modality""")),
 
+    // Embedding int8 quantization stats (the compression step of an
+    // embedding store) — one codegen kernel pass per vector; the oracle
+    // recomputes scale/codes/error from the same explicit
+    // floor(x/scale + 0.5) contract (round() half-case semantics differ
+    // across engines, floor does not).
+    QueryDef(
+      "l_quantize_i8",
+      (s, d) => t(s, d, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.F.quantI8Stats(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q.scale").as("scale"),
+          col("q.q_sum").as("q_sum"), col("q.max_err").as("max_err"))
+        .orderBy(col("vec_id")),
+      Some("""WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+              ),
+              s AS (SELECT vec_id, e,
+                      list_max(list_transform(e, x -> abs(x))) / 127.0e0 AS scale
+                    FROM v)
+              SELECT vec_id, scale,
+                CASE WHEN scale > 0e0
+                  THEN CAST(list_sum(list_transform(e,
+                    x -> CAST(floor(x / scale + 0.5e0) AS BIGINT))) AS BIGINT)
+                  ELSE 0 END AS q_sum,
+                CASE WHEN scale > 0e0
+                  THEN list_max(list_transform(e,
+                    x -> abs(floor(x / scale + 0.5e0) * scale - x)))
+                  ELSE 0.0e0 END AS max_err
+              FROM s ORDER BY vec_id""")),
+
     // Deterministic md5-bucket train/val/test split: assignment depends
     // only on the id (stable under re-runs, appends, engines — md5 is
     // portable where xxhash64 seeds are not). Row-local codegen, no

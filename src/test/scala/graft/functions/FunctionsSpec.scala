@@ -188,6 +188,31 @@ class FunctionsSpec extends SparkSpec {
     })
   }
 
+  test("quant_i8(+stats) match the HOF formulation and roundtrip within scale/2") {
+    check(Prop.forAll(vecGen) { v =>
+      val df = Seq(Tuple1(v)).toDF("v")
+      val r = df.select(
+          F.quantI8Stats(col("v")).as("s"),
+          F.quantI8(col("v")).as("q"))
+        .select(col("s.scale"), col("s.q_sum"), col("s.max_err"),
+          col("q.scale").as("scale2"), col("q.codes"))
+        .collect()(0)
+      val scale = v.map(x => math.abs(x.toDouble)).max / 127.0
+      val codes = if (scale > 0) v.map(x => math.floor(x.toDouble / scale + 0.5).toByte)
+        else v.map(_ => 0.toByte)
+      val maxErr = if (scale > 0)
+        v.zip(codes).map { case (x, q) => math.abs(q * scale - x.toDouble) }.max
+        else 0.0
+      r.getDouble(0) == scale &&
+        r.getLong(1) == codes.map(_.toLong).sum &&
+        r.getDouble(2) == maxErr &&
+        r.getDouble(3) == scale &&
+        r.getSeq[Byte](4).toList == codes &&
+        // reconstruction error bound: |q*scale - x| <= scale/2 everywhere
+        r.getDouble(2) <= scale / 2 + 1e-12
+    })
+  }
+
   test("kernels are inlined into whole-stage codegen (no fallback)") {
     // inputs must depend on a column — literal-only args constant-fold
     // before codegen and the kernels would never appear in the plan
@@ -198,7 +223,8 @@ class FunctionsSpec extends SparkSpec {
       F.simhash64(array(ids, lit("b"))).as("s"),
       F.wordNgrams(array(ids, lit("b"), lit("c")), 2).as("g"),
       F.countTokensIn(array(ids), Seq("1", "2")).as("n"),
-      F.cleanLines(concat(ids, lit(" w\nq")), 2).as("cl"))
+      F.cleanLines(concat(ids, lit(" w\nq")), 2).as("cl"),
+      F.quantI8Stats(array(idf, lit(2.0f))).as("qs"))
     val code = org.apache.spark.sql.execution.debug.codegenString(
       df.queryExecution.executedPlan)
     assert(code.contains("graft.functions.Kernels.cosine"), "cosine not in codegen")
@@ -206,6 +232,7 @@ class FunctionsSpec extends SparkSpec {
     assert(code.contains("graft.functions.Kernels.ngrams"), "ngrams not in codegen")
     assert(code.contains("graft.functions.Kernels.countIn"), "countIn not in codegen")
     assert(code.contains("graft.functions.Kernels.cleanLines"), "cleanLines not in codegen")
+    assert(code.contains("graft.functions.Kernels.quantI8Stats"), "quantI8Stats not in codegen")
     assert(df.collect().length == 4)
   }
 }
