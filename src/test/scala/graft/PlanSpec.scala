@@ -182,6 +182,30 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    import graft.core.{RuntimeFilters, Tables}
+    RuntimeFilters.withBloomJoin(spark) {
+      val lineitem = Tables.load(spark, sfDir, "lineitem")
+      val orders = Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+      val joined = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderdate")).count()
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$optimized")
+      assert(joined.count() > 0)
+    }
+    // and the scoping restores the session: a fresh plan has no bloom probe
+    val after = graft.core.Tables.load(spark, sfDir, "lineitem")
+      .join(graft.core.Tables.load(spark, sfDir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.optimizedPlan.toString
+    assert(!after.contains("might_contain"))
+  }
+
   test("custom kernel expressions register for SQL use (GraftFunctions)") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
