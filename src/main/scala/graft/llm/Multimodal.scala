@@ -81,6 +81,80 @@ object Multimodal {
     }(enc)
   }
 
+  /** One decoded record: payload size, content checksum, feature vector.
+    * What a real codec + model forward pass would emit per item. */
+  final case class Decoded(nBytes: Int, checksum: Long, features: Array[Float])
+
+  /** The batched-decode contract. A real implementation wraps a codec /
+    * model session: `open()` once per partition (load the model, pin the
+    * device), `decode(batch)` once per `batchSize` items (ONE vectorized
+    * dispatch for the whole batch — the entire point of batching on a
+    * GPU), `close()` when the partition ends. Implementations must be
+    * Serializable-constructible on executors; ship a factory, not a live
+    * decoder. */
+  trait BatchDecoder extends Serializable {
+    def open(): Unit = ()
+    /** Must return exactly one Decoded per input, in order. */
+    def decode(contents: Array[Array[Byte]]): Array[Decoded]
+    def close(): Unit = ()
+  }
+
+  /** Deterministic stub decoder: same FNV-1a + byte-slice features as
+    * [[decodeStub]], so the batched path is value-identical to the
+    * per-row path and fully testable without codec libraries. */
+  final class StubBatchDecoder extends BatchDecoder {
+    override def decode(contents: Array[Array[Byte]]): Array[Decoded] =
+      contents.map { bytes =>
+        val n = if (bytes == null) 0 else bytes.length
+        var checksum = 1469598103934665603L // FNV-1a
+        var i = 0
+        while (i < n) {
+          checksum = (checksum ^ (bytes(i) & 0xffL)) * 1099511628211L
+          i += 1
+        }
+        Decoded(n, checksum, Array.tabulate(8) { j =>
+          ((checksum >>> (j * 8)) & 0xffL).toFloat / 255.0f
+        })
+      }
+  }
+
+  /** Batched decode: each partition's rows are grouped into batches of
+    * `batchSize` and handed to the decoder as ONE call — the Scala
+    * analogue of `mapInPandas`' Arrow-batch contract, which is what a
+    * vectorized/GPU codec needs (per-row dispatch would serialize the
+    * device). The decoder lifecycle is per-partition: open → decode ×
+    * ceil(rows/batchSize) → close (close fires when the partition
+    * iterator drains, including the empty-partition case). Output is
+    * row-identical to [[decodeStub]] under the stub decoder. */
+  def decodeBatched(
+      media: DataFrame,
+      batchSize: Int = 64,
+      decoderFactory: () => BatchDecoder = () => new StubBatchDecoder): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(decodedSchema))
+    media.mapPartitions { rows =>
+      val decoder = decoderFactory()
+      decoder.open()
+      var closed = false
+      val decodedRows = rows.grouped(batchSize).flatMap { batch =>
+        val out = decoder.decode(batch.map(_.getAs[Array[Byte]]("content")).toArray)
+        require(out.length == batch.length,
+          s"decoder returned ${out.length} results for ${batch.length} inputs")
+        batch.iterator.zip(out.iterator).map { case (r, d) =>
+          Row.fromSeq(r.toSeq ++ Seq(d.nBytes, d.checksum, d.features.toSeq))
+        }
+      }
+      new Iterator[Row] {
+        override def hasNext: Boolean = {
+          val h = decodedRows.hasNext
+          if (!h && !closed) { closed = true; decoder.close() }
+          h
+        }
+        override def next(): Row = decodedRows.next()
+      }
+    }(enc)
+  }
+
   /** Frame sampling for video rows: one output row per sampled frame at
     * `frameIntervalMs` — pure explode, fully parallel. Non-video rows
     * pass through with frame_idx 0. */

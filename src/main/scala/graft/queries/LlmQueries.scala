@@ -694,7 +694,9 @@ object LlmQueries {
       "l_multimodal_pipeline",
       (s, d) => {
         val media = Multimodal.fromDocuments(t(s, d, "documents"), "doc_id", "text")
-        val decoded = Multimodal.decodeStub(media)
+        // batched contract (vectorized-codec shape); value-identical to
+        // the per-row decodeStub — LlmSpec pins that equivalence
+        val decoded = Multimodal.decodeBatched(media, batchSize = 32)
         Multimodal.sampleFrames(decoded, frameIntervalMs = 1000L)
           .groupBy(col("modality"))
           .agg(

@@ -338,6 +338,39 @@ class LlmSpec extends SparkSpec {
     assert(endToEnd.map(_._2).toSeq === endToEnd.map(_._2).sorted.toSeq)
   }
 
+  test("batched decode is row-identical to per-row decode and honors the lifecycle") {
+    val media = Multimodal.fromDocuments(docs, "doc_id", "text").repartition(3)
+    val perRow = Multimodal.decodeStub(media)
+      .select("media_id", "n_bytes", "checksum", "features")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getSeq[Float](3))).toMap
+    val opens = spark.sparkContext.longAccumulator("opens")
+    val closes = spark.sparkContext.longAccumulator("closes")
+    val batches = spark.sparkContext.longAccumulator("batches")
+    val oversize = spark.sparkContext.longAccumulator("oversize")
+    class CountingDecoder extends Multimodal.BatchDecoder {
+      private val inner = new Multimodal.StubBatchDecoder
+      override def open(): Unit = opens.add(1)
+      override def close(): Unit = closes.add(1)
+      override def decode(contents: Array[Array[Byte]]): Array[Multimodal.Decoded] = {
+        batches.add(1)
+        if (contents.length > 7) oversize.add(1)
+        inner.decode(contents)
+      }
+    }
+    val batched = Multimodal.decodeBatched(media, batchSize = 7, () => new CountingDecoder)
+      .select("media_id", "n_bytes", "checksum", "features")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getSeq[Float](3))).toMap
+    assert(batched === perRow)
+    // lifecycle: one open and one close per partition, batches capped at
+    // batchSize, and real batching happened (fewer calls than rows)
+    assert(opens.value === closes.value)
+    assert(opens.value >= 3L)
+    assert(oversize.value === 0L)
+    assert(batches.value < perRow.size, "no batching amortization observed")
+  }
+
   test("multimodal: stub decode is deterministic, frame sampling fans out videos") {
     val media = Multimodal.fromDocuments(docs, "doc_id", "text")
     val d1 = Multimodal.decodeStub(media).select("media_id", "checksum", "features")
