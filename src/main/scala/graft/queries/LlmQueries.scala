@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
-import graft.llm.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import QueryDef._
 
 /** LLM-training-data operators (builder brief §extensions) over the
@@ -726,6 +726,31 @@ object LlmQueries {
               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
               CAST(SUM(frame_idx * 1000) AS BIGINT) AS sum_frame_ts
               FROM frames GROUP BY modality ORDER BY modality""")),
+
+    // Sequence packing spans (GPT-style concat-and-chunk): cumulative
+    // token offsets over bucket-salted streams — the window is always
+    // PARTITIONED (id % nBuckets), so packing scales without a global
+    // token order. Pure arithmetic → engine-reproducible.
+    QueryDef(
+      "l_seq_packing",
+      (s, d) => Packing.withSequenceSpans(t(s, d, "documents"), "doc_id", "text",
+          seqLen = 512, nBuckets = 8)
+        .orderBy(col("id")),
+      Some("""WITH t AS (
+                SELECT doc_id AS id, CAST(doc_id % 8 AS INTEGER) AS bucket,
+                       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+              ),
+              o AS (SELECT id, bucket, n_tokens,
+                      CAST(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY bucket ORDER BY id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS "offset"
+                    FROM t)
+              SELECT id, bucket, n_tokens, "offset",
+                     CAST(FLOOR("offset" / 512) AS BIGINT) AS first_seq,
+                     CAST(FLOOR(("offset" + n_tokens - 1) / 512) AS BIGINT) AS last_seq
+              FROM o ORDER BY id""")),
 
     // Embedding int8 quantization stats (the compression step of an
     // embedding store) — one codegen kernel pass per vector; the oracle
