@@ -167,6 +167,40 @@ object TextAnalysis {
         (col("cnt").cast(DoubleType) / col("total")).as("frac"))
   }
 
+  /** Per-document TF-IDF top terms: for each doc, the `topK` tokens by
+    * tf × idf with the RAW idf variant (n_docs / df) rather than
+    * ln(n_docs / df) — transcendental functions are not bit-reproducible
+    * across engines (ln is not required to be correctly rounded), while
+    * tf·n/df is one exact-integer division, so the score itself can be
+    * hash-verified; the ranking intent (frequent-here, rare-elsewhere) is
+    * the same and ln is monotonic in it. Swap `col("score")` for
+    * `log(col("score"))`-based weighting if the magnitudes matter.
+    *
+    * Shape: one explode + two hash aggregations (doc-term, then term),
+    * a broadcast of the 1-row corpus count, and a PARTITIONED window for
+    * the per-doc top-k — no global sort, no unpartitioned window. The
+    * term-grain df table shuffles on the token, same key as tf, so AQE
+    * can reuse the partitioning. */
+  def tfidfTopTerms(
+      df: DataFrame, idCol: String, textCol: String, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(normalize(col(textCol)))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df_t"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("score"), asc("token"))
+    tf.join(dfT, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * col("n_docs") / col("df_t"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("token"), col("tf"), col("df_t"),
+        col("score"), col("rank"))
+  }
+
   /** C4-style line filter: drop lines with fewer than `minWords`
     * whitespace tokens (navigation crumbs, lone numbers, boilerplate
     * fragments), keeping the rest joined with '\n'. One primitive pass in

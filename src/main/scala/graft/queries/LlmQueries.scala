@@ -727,6 +727,31 @@ object LlmQueries {
               CAST(SUM(frame_idx * 1000) AS BIGINT) AS sum_frame_ts
               FROM frames GROUP BY modality ORDER BY modality""")),
 
+    // Per-doc TF-IDF top terms (raw-idf variant — exact-rational score,
+    // see TextAnalysis.tfidfTopTerms): partitioned-window top-k.
+    QueryDef(
+      "l_tfidf_topk",
+      (s, d) => TextAnalysis.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text",
+          topK = 5)
+        .orderBy(col("doc_id"), col("rank")),
+      Some("""WITH tk AS (
+                SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+                FROM documents
+              ),
+              tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY doc_id, token),
+              dft AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token),
+              n AS (SELECT COUNT(*) AS n_docs FROM documents),
+              s AS (SELECT tf.doc_id, tf.token, tf.tf, dft.df_t,
+                           (tf.tf * n.n_docs) / dft.df_t AS score
+                    FROM tf JOIN dft ON tf.token = dft.token, n),
+              r AS (SELECT *, CAST(ROW_NUMBER() OVER (
+                      PARTITION BY doc_id ORDER BY score DESC, token ASC)
+                      AS INTEGER) AS rank
+                    FROM s)
+              SELECT doc_id, token, tf, df_t, score, rank
+              FROM r WHERE rank <= 5 ORDER BY doc_id, rank""")),
+
     // Sequence packing spans (GPT-style concat-and-chunk): cumulative
     // token offsets over bucket-salted streams — the window is always
     // PARTITIONED (id % nBuckets), so packing scales without a global

@@ -338,6 +338,24 @@ class LlmSpec extends SparkSpec {
     assert(endToEnd.map(_._2).toSeq === endToEnd.map(_._2).sorted.toSeq)
   }
 
+  test("tfidf top terms rank rare repeated terms over ubiquitous ones") {
+    val df = Seq(
+      (1L, "common common zyzzyva zyzzyva zyzzyva common"),
+      (2L, "common words common here common too"),
+      (3L, "common filler common text common body")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(5)) -> (r.getString(1), r.getDouble(4)))
+      .toMap
+    // doc 1: zyzzyva tf=3 df=1 → score 9; common tf=3 df=3 → score 3
+    assert(top((1L, 1))._1 === "zyzzyva")
+    assert(top((1L, 1))._2 === 9.0)
+    assert(top((1L, 2)) === (("common", 3.0)))
+    // per-doc top-k: every doc has exactly topK (or fewer) rows
+    val counts = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", topK = 2)
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ <= 2L))
+  }
+
   test("batched decode is row-identical to per-row decode and honors the lifecycle") {
     val media = Multimodal.fromDocuments(docs, "doc_id", "text").repartition(3)
     val perRow = Multimodal.decodeStub(media)
