@@ -145,6 +145,25 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // URL / domain blocklist
+  // ---------------------------------------------------------------------
+
+  /** True when the text links to any blocklisted domain. The blocklist
+    * rides as an array literal (broadcast with the plan, not a join);
+    * `array_intersect` over the extracted hosts stays codegen. For
+    * blocklists too large for a literal (millions of domains), explode
+    * the domains and anti-join against a broadcast blocklist table
+    * instead. */
+  def hasBlockedDomain(text: Column, blockedDomains: Seq[String]): Column =
+    size(array_intersect(TextAnalysis.urlDomains(text),
+      typedlit(blockedDomains))) > 0
+
+  /** Drop rows that link to any blocklisted domain. */
+  def blocklistFilter(
+      df: DataFrame, textCol: String, blockedDomains: Seq[String]): DataFrame =
+    df.filter(!hasBlockedDomain(col(textCol), blockedDomains))
+
+  // ---------------------------------------------------------------------
   // Gopher-style quality rules
   // ---------------------------------------------------------------------
 

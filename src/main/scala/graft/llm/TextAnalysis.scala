@@ -167,6 +167,28 @@ object TextAnalysis {
         (col("cnt").cast(DoubleType) / col("total")).as("frac"))
   }
 
+  /** RE2-compatible URL pattern (scheme + host, optional path) — works
+    * identically under Java regex and DuckDB's RE2. */
+  val UrlPattern = "https?://[A-Za-z0-9.-]+(/[^ \\t\\n]*)?"
+
+  /** Number of http(s) URLs in the text. */
+  def urlCount(text: Column): Column =
+    regexp_count(text, lit(UrlPattern))
+
+  /** Host names of every http(s) URL in the text (with duplicates, in
+    * order) — group-1 extraction, codegen'd builtin, no per-element
+    * lambda. */
+  def urlDomains(text: Column): Column =
+    regexp_extract_all(text, lit("https?://([A-Za-z0-9.-]+)"), lit(1))
+
+  /** Sentence count: runs of terminal punctuation followed by whitespace
+    * or end-of-text. Counting (not splitting) keeps the expression
+    * RE2-portable — sentence SPLITTING needs lookbehind, which RE2
+    * lacks; for the split itself use Java-regex `split` knowing the
+    * oracle can only verify counts. */
+  def sentenceCount(text: Column): Column =
+    regexp_count(text, lit("[.!?]+([ \\t\\n]|$)"))
+
   /** Per-document TF-IDF top terms: for each doc, the `topK` tokens by
     * tf × idf with the RAW idf variant (n_docs / df) rather than
     * ln(n_docs / df) — transcendental functions are not bit-reproducible

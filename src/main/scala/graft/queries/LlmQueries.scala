@@ -727,6 +727,69 @@ object LlmQueries {
               CAST(SUM(frame_idx * 1000) AS BIGINT) AS sum_frame_ts
               FROM frames GROUP BY modality ORDER BY modality""")),
 
+    // URL extraction + domain blocklist over planted links (same
+    // plant-then-verify pattern as l_pii_scrub); both engines run the
+    // identical RE2-compatible patterns.
+    QueryDef(
+      "l_url_blocklist",
+      (s, d) => {
+        val withUrls = t(s, d, "documents").withColumn("text2", concat(
+          col("text"), lit(" see https://ex"), col("doc_id") % 5,
+          lit(".com/p/"), col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit(" and http://mirror.net/x"))
+            .otherwise(lit(""))))
+        withUrls.select(
+            col("doc_id"),
+            TextAnalysis.urlCount(col("text2")).as("n_urls"),
+            array_join(TextAnalysis.urlDomains(col("text2")), ",").as("domains"),
+            Curation.hasBlockedDomain(col("text2"), Seq("ex0.com", "ex3.com"))
+              .as("blocked"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (
+                SELECT doc_id,
+                  text || ' see https://ex' || CAST(doc_id % 5 AS VARCHAR) ||
+                  '.com/p/' || CAST(doc_id AS VARCHAR) ||
+                  CASE WHEN doc_id % 7 = 0 THEN ' and http://mirror.net/x' ELSE '' END AS text2
+                FROM documents
+              )
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text2, 'https?://[A-Za-z0-9.-]+(/[^ \t\n]*)?')) AS INTEGER) AS n_urls,
+                array_to_string(regexp_extract_all(text2, 'https?://([A-Za-z0-9.-]+)', 1), ',') AS domains,
+                list_has_any(regexp_extract_all(text2, 'https?://([A-Za-z0-9.-]+)', 1),
+                  ['ex0.com', 'ex3.com']) AS blocked
+              FROM p ORDER BY doc_id""")),
+
+    // Sentence stats via terminal-punctuation COUNTING (splitting needs
+    // lookbehind, which RE2 lacks — counts are the portable contract).
+    QueryDef(
+      "l_sentence_stats",
+      (s, d) => {
+        val withS = t(s, d, "documents").withColumn("text2",
+          concat(col("text"),
+            when(col("doc_id") % 3 === 1, lit(". One more! Done")).otherwise(lit("")),
+            lit(".")))
+        withS.select(
+            col("doc_id"),
+            TextAnalysis.sentenceCount(col("text2")).as("n_sentences"),
+            (TextAnalysis.tokenCount(col("text2")).cast(DoubleType) /
+              nullif(TextAnalysis.sentenceCount(col("text2")), lit(0))
+                .cast(DoubleType)).as("words_per_sentence"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (
+                SELECT doc_id,
+                  text || CASE WHEN doc_id % 3 = 1 THEN '. One more! Done' ELSE '' END
+                  || '.' AS text2
+                FROM documents
+              )
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text2, '[.!?]+([ \t\n]|$)')) AS INTEGER) AS n_sentences,
+                CAST(len(string_split(trim(text2), ' ')) AS DOUBLE) /
+                  CAST(NULLIF(len(regexp_extract_all(text2, '[.!?]+([ \t\n]|$)')), 0) AS DOUBLE)
+                  AS words_per_sentence
+              FROM p ORDER BY doc_id""")),
+
     // Per-doc TF-IDF top terms (raw-idf variant — exact-rational score,
     // see TextAnalysis.tfidfTopTerms): partitioned-window top-k.
     QueryDef(

@@ -94,6 +94,30 @@ class CurationSpec extends SparkSpec {
     assert(out === again)
   }
 
+  test("blocklist filter drops only docs linking to blocked domains") {
+    val df = Seq(
+      (1L, "read https://good.org/a and https://evil.com/b"),
+      (2L, "only https://good.org/c here"),
+      (3L, "no links at all"),
+      (4L, "tricky https://evil.com.safe.org/x is not evil.com")).toDF("id", "text")
+    val kept = Curation.blocklistFilter(df, "text", Seq("evil.com"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L, 4L))
+    val counts = df.select(col("id"), TextAnalysis.urlCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts === Map(1L -> 2, 2L -> 1, 3L -> 0, 4L -> 1))
+  }
+
+  test("sentence count handles terminal runs and end-of-text") {
+    val df = Seq(
+      (1L, "One. Two! Three?"),
+      (2L, "Ellipsis... still one stop here. Done"),
+      (3L, "no terminal punctuation")).toDF("id", "text")
+    val n = df.select(col("id"), TextAnalysis.sentenceCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(n === Map(1L -> 3, 2L -> 2, 3L -> 0))
+  }
+
   test("gopher rules fire individually on crafted documents") {
     val longProse =
       ("the quick brown foxes jumped over several lazy dogs near that barn " * 5).trim
