@@ -273,6 +273,85 @@ object Similarity {
       .select(col("id"), col("dist"))
   }
 
+  // ------------------------------------ distributed k-means (Lloyd)
+
+  /** One distributed Lloyd iteration: nearest-centroid assignment (a
+    * single codegen pass over broadcast centroid literals — the same
+    * [[withIvfList]] expression probes use) followed by per-list,
+    * per-dimension means. The aggregation posexplodes each vector to
+    * (list, dim) grain; map-side partial aggregation collapses every
+    * task to ≤ k×dim rows before the one shuffle, so shuffle volume is
+    * O(k × dim × tasks) regardless of corpus size — the property that
+    * lets Lloyd run over a corpus too large to sample meaningfully.
+    * Returns one row per non-empty list:
+    * (list_id, n_members, centroid: Array[Double]). */
+  def kmeansStep(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val assigned = withIvfList(df.select(col(vecCol).as("v")), "v", centroids)
+      .filter(col("__ivf_list") >= 0) // dimension-mismatched rows
+    assigned
+      .select(col("__ivf_list").as("list_id"),
+        posexplode(col("v")).as(Seq("pos", "val")))
+      .groupBy(col("list_id"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("val").cast(DoubleType)).as("s"))
+      // repack (list, pos, mean) rows into the centroid array; grain here
+      // is k rows × dim elements — bounded by the quantizer size, so the
+      // collect_list never sees corpus-sized groups.
+      .groupBy(col("list_id"))
+      .agg(
+        max(col("n")).as("n_members"),
+        transform(
+          array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("m")))),
+          x => x.getField("m")).as("centroid"))
+  }
+
+  /** Distributed IVF training: full-corpus Lloyd iterations built from
+    * [[kmeansStep]] — the scale path when a 10k driver sample can't
+    * represent the corpus (trainIvfCentroids is the bounded-sample
+    * default; this variant touches every vector each round at one
+    * shuffle of O(k × dim × tasks) per iteration).
+    *
+    * Init is deterministic and data-order-independent: the k vectors
+    * with the smallest xxhash64 over (id, vector) — a TakeOrderedAndProject,
+    * never a full sort. Only k×dim doubles ever reach the driver per
+    * round. Empty lists keep their previous centroid. Stops early when
+    * the max centroid shift drops below `tol`. */
+  def trainIvfCentroidsDistributed(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 8, tol: Double = 1e-6): Array[Array[Double]] = {
+    require(k >= 1)
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    var centroids = v
+      .orderBy(xxhash64(col("id"), col("v")), col("id"))
+      .limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    require(centroids.nonEmpty, "no vectors to train on")
+    var iter = 0
+    var shifted = true
+    while (iter < iters && shifted) {
+      val next = centroids.clone()
+      kmeansStep(v, "v", centroids).collect().foreach { r =>
+        next(r.getAs[Int]("list_id")) =
+          r.getSeq[Double](r.fieldIndex("centroid")).toArray
+      }
+      shifted = centroids.zip(next).exists { case (a, b) =>
+        var acc = 0.0; var i = 0
+        while (i < math.min(a.length, b.length)) {
+          val d = a(i) - b(i); acc += d * d; i += 1
+        }
+        math.sqrt(acc) > tol
+      }
+      centroids = next
+      iter += 1
+    }
+    centroids
+  }
+
   /** Approximate top-k for one query vector via LSH buckets: only
     * corpus rows sharing a (table, bucket) key with the query are
     * scored. */

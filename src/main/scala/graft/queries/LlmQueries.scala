@@ -942,6 +942,98 @@ object LlmQueries {
                      CAST(FLOOR(m.total_out * c.target_frac) AS BIGINT) AS expected_rows
               FROM c, m ORDER BY c.source""")),
 
+    // One distributed Lloyd (k-means) assignment + aggregation step over
+    // fixed centroids (the first 8 embeddings) — the per-iteration
+    // contract of Similarity.trainIvfCentroidsDistributed. Assignment is
+    // the real codegen nearest-centroid pass; the per-(list, dim) rollup
+    // is pinned with floor-scaled INTEGER sums so no float accumulates in
+    // engine-dependent order (the library's double means are spec-checked
+    // instead). The oracle recomputes assignment by brute force — both
+    // engines fold (e_i - c_i)² in index order, so distances are
+    // bit-identical and ties break to the lowest centroid index.
+    QueryDef(
+      "l_kmeans_step",
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+        val centroids = vecs.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        Similarity.withIvfList(
+            vecs.select(col("vec_id"), col("embedding").as("v")), "v", centroids)
+          .select(col("__ivf_list").as("list_id"),
+            posexplode(col("v")).as(Seq("pos", "val")))
+          .groupBy(col("list_id"), col("pos"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("val").cast(DoubleType) * 1e6)).as("sum_scaled"))
+          .orderBy(col("list_id"), col("pos"))
+      },
+      Some("""WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+              ),
+              cents AS (SELECT list(e ORDER BY vec_id) AS cs FROM v WHERE vec_id < 8),
+              a AS (
+                SELECT vec_id, e,
+                list_transform(cs, c -> list_sum(list_transform(range(1, len(e) + 1),
+                  i -> (e[i] - c[i]) * (e[i] - c[i])))) AS dists
+                FROM v, cents
+              ),
+              asn AS (SELECT vec_id, e,
+                        CAST(list_indexof(dists, list_min(dists)) - 1 AS INTEGER) AS list_id
+                      FROM a),
+              x AS (SELECT list_id,
+                      CAST(unnest(range(0, len(e))) AS INTEGER) AS pos,
+                      unnest(e) AS val
+                    FROM asn)
+              SELECT list_id, pos, COUNT(*) AS n,
+              CAST(SUM(CAST(FLOOR(val * 1e6) AS BIGINT)) AS BIGINT) AS sum_scaled
+              FROM x GROUP BY list_id, pos ORDER BY list_id, pos""")),
+
+    // Exact per-group length quantiles (corpus length profiling): one
+    // sort-based percentile pass per source. The oracle mirrors Spark's
+    // interpolation formula term-for-term — the two-sided weighted form
+    // (higher - pos)·lo + (pos - lower)·hi over pos = p·(n-1), NOT
+    // quantile_cont's lo + (hi - lo)·frac, which differs in the last ulp
+    // — so the doubles match bit-for-bit.
+    QueryDef(
+      "l_length_quantiles",
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            percentile(col("n_chars"), lit(0.5)).as("p50"),
+            percentile(col("n_chars"), lit(0.9)).as("p90"),
+            percentile(col("n_chars"), lit(0.99)).as("p99"))
+          .orderBy(col("source")),
+      Some("""WITH s AS (
+                SELECT source, n_chars,
+                ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) - 1 AS rn,
+                COUNT(*) OVER (PARTITION BY source) AS n
+                FROM documents
+              ),
+              q AS (
+                SELECT s.source, p.p,
+                ANY_VALUE(s.n) AS grp_n,
+                ANY_VALUE(p.p * (n - 1)) AS pos,
+                MAX(CASE WHEN rn = CAST(FLOOR(p.p * (n - 1)) AS BIGINT) THEN n_chars END) AS lo,
+                MAX(CASE WHEN rn = CAST(CEIL(p.p * (n - 1)) AS BIGINT) THEN n_chars END) AS hi
+                FROM s, (VALUES (0.5e0), (0.9e0), (0.99e0)) AS p(p)
+                GROUP BY s.source, p.p
+              ),
+              i AS (
+                SELECT source, p, grp_n,
+                CASE WHEN FLOOR(pos) = CEIL(pos) THEN CAST(lo AS DOUBLE)
+                     ELSE (CEIL(pos) - pos) * lo + (pos - FLOOR(pos)) * hi END AS v
+                FROM q
+              )
+              SELECT source,
+              CAST(ANY_VALUE(grp_n) AS BIGINT) AS n_docs,
+              MAX(CASE WHEN p = 0.5e0 THEN v END) AS p50,
+              MAX(CASE WHEN p = 0.9e0 THEN v END) AS p90,
+              MAX(CASE WHEN p = 0.99e0 THEN v END) AS p99
+              FROM i GROUP BY source ORDER BY source""")),
+
     // Gopher/MassiveText document quality rules, one boolean per rule so
     // audits can report per-rule rejection rates; all row-local codegen.
     QueryDef(

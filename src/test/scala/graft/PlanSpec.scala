@@ -182,6 +182,17 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("kmeans step is one partial-aggregated shuffle, never a cartesian") {
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val cents = Array.tabulate(4)(i => Array.fill(64)(i.toDouble))
+    val p = graft.llm.Similarity.kmeansStep(vecs, "embedding", cents)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    assert(p.contains("partial_"), s"no map-side combine in:\n$p")
+    // centroid assignment is a generated literal pass — no join anywhere
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import graft.core.{RuntimeFilters, Tables}
     RuntimeFilters.withBloomJoin(spark) {

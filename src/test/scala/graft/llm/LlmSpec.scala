@@ -267,6 +267,53 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF nprobe=4/8 recall $recall")
   }
 
+  test("kmeansStep: assignment matches brute force, means are per-list averages") {
+    // 2-d toy data with two obvious clusters; fixed initial centroids.
+    val pts = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(0.2f, 0.0f)), (3L, Seq(0.0f, 0.2f)),
+      (4L, Seq(10.0f, 10.0f)), (5L, Seq(10.2f, 10.0f))).toDF("id", "v")
+    val init = Array(Array(0.1, 0.1), Array(9.0, 9.0))
+    val step = Similarity.kmeansStep(pts, "v", init)
+      .orderBy(col("list_id")).collect()
+    assert(step.length === 2)
+    assert(step(0).getAs[Long]("n_members") === 3)
+    assert(step(1).getAs[Long]("n_members") === 2)
+    val c0 = step(0).getSeq[Double](step(0).fieldIndex("centroid"))
+    val c1 = step(1).getSeq[Double](step(1).fieldIndex("centroid"))
+    assert(math.abs(c0(0) - (0.0 + 0.2f + 0.0) / 3) < 1e-6)
+    assert(math.abs(c0(1) - (0.0 + 0.0 + 0.2f) / 3) < 1e-6)
+    assert(math.abs(c1(0) - (10.0f + 10.2f) / 2) < 1e-5)
+    assert(math.abs(c1(1) - 10.0) < 1e-5)
+  }
+
+  test("distributed Lloyd training separates clusters and beats its init") {
+    def sse(cents: Array[Array[Double]]) =
+      Similarity.withIvfList(vecs.select(col("embedding").as("v")), "v", cents)
+        .select(col("v"), col("__ivf_list"))
+        .collect().map { r =>
+          val v = r.getSeq[Float](0)
+          val c = cents(r.getInt(1))
+          v.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum
+        }.sum
+    val trained = Similarity.trainIvfCentroidsDistributed(
+      vecs, "vec_id", "embedding", k = 8, iters = 6)
+    assert(trained.length === 8)
+    assert(trained.forall(_.length === 64))
+    // deterministic: retraining yields byte-identical centroids (modulo
+    // shuffle-order float sums — compare with tolerance)
+    val again = Similarity.trainIvfCentroidsDistributed(
+      vecs, "vec_id", "embedding", k = 8, iters = 6)
+    trained.zip(again).foreach { case (a, b) =>
+      a.indices.foreach(i => assert(math.abs(a(i) - b(i)) < 1e-9))
+    }
+    // Lloyd monotonicity: the trained quantizer has lower within-cluster
+    // SSE than a 1-iteration version
+    val early = Similarity.trainIvfCentroidsDistributed(
+      vecs, "vec_id", "embedding", k = 8, iters = 1)
+    assert(sse(trained) <= sse(early) + 1e-6,
+      s"training must not increase SSE: ${sse(trained)} vs ${sse(early)}")
+  }
+
   test("brute-force top-k is symmetric-rank consistent") {
     val topk = Similarity.bruteForceTopK(
       vecs.filter(col("vec_id") < 3), vecs, "vec_id", "embedding", k = 3)
