@@ -1,0 +1,53 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization — the batch form of the session windows the
+  * streaming surface builds with flatMapGroupsWithState, and the round/
+  * visit segmentation the reference's pace analytics implies (a "round"
+  * IS a session of GPS fixes; cf. round_start/round_end derivation,
+  * reference pipeline/silver/etl.py:447-474).
+  *
+  * Scale design: both steps are keyed by the entity column — the lag/
+  * cumulative-sum window and the per-session rollup partition by
+  * `entityCol`, so the work distributes across executors with ONE
+  * shuffle on the entity key (the rollup reuses the window's hash
+  * partitioning; no global ordering anywhere).
+  */
+object Sessions {
+
+  /** Assign each event a per-entity `session_id` (0-based, in time
+    * order): a new session starts when the gap to the previous event
+    * exceeds `gapSec`. `tieCol` breaks equal-timestamp ties so the
+    * assignment is deterministic. */
+  def withSessionId(
+      df: DataFrame, entityCol: String, tsCol: String, tieCol: String,
+      gapSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(asc_nulls_first(tsCol), asc_nulls_first(tieCol))
+    val gap = unix_timestamp(col(tsCol)) -
+      unix_timestamp(lag(col(tsCol), 1).over(w))
+    df.withColumn("__new_session",
+        when(gap.isNull || gap > gapSec, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+      .drop("__new_session")
+  }
+
+  /** Per-session rollup: event count, start/end, duration. One row per
+    * (entity, session). */
+  def sessionize(
+      df: DataFrame, entityCol: String, tsCol: String, tieCol: String,
+      gapSec: Long): DataFrame =
+    withSessionId(df, entityCol, tsCol, tieCol, gapSec)
+      .groupBy(col(entityCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
+          .as("duration_sec"))
+}

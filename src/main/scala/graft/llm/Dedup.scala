@@ -364,6 +364,72 @@ object Dedup {
       .filter(col("shared_fingerprints") >= minShared)
   }
 
+  /** Exact shared-token-run detection — the substring-dedup semantics of
+    * Lee et al. (2022), "Deduplicating Training Data Makes Language
+    * Models Better", at token grain: report document pairs sharing a run
+    * of ≥ `minRunTokens` CONSECUTIVE tokens, with the run count and the
+    * longest run per pair. Where [[winnowOverlapPairs]] samples local
+    * fingerprints (approximate, cheap), this measures the exact run
+    * length — the thing the suffix-array pass in the paper computes —
+    * using only joins and keyed windows:
+    *
+    *   1. posting list of k-token gram hashes WITH positions,
+    *   2. equi-join on the gram hash (posting-list shape — never doc×doc),
+    *   3. group matches by alignment diagonal (posA − posB): a shared run
+    *      of t tokens is exactly a chain of t−k+1 consecutive gram
+    *      matches on ONE diagonal,
+    *   4. islands trick (pos − row_number is constant inside a
+    *      consecutive chain) to measure each chain — the window is keyed
+    *      by (pair, diagonal), so it parallelizes.
+    *
+    * `dfCap` is the usual posting-list skew guard (boilerplate grams fan
+    * out f² — capping drops them; runs through a dropped gram split in
+    * two, so reported max runs become a lower bound). */
+  def sharedTokenRuns(
+      df: DataFrame, idCol: String, textCol: String,
+      gramSize: Int = 8, minRunTokens: Int = 16,
+      dfCap: Option[Long] = None): DataFrame = {
+    require(minRunTokens >= gramSize, "a run shorter than one gram is unobservable")
+    val postings = tokenGramPostings(df, idCol, textCol, gramSize, dfCap)
+    val a = postings.select(col("id").as("id_a"), col("pos").as("pa"), col("h"))
+    val b = postings.select(col("id").as("id_b"), col("pos").as("pb"), col("h").as("h2"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pa"))
+    a.join(b, col("h") === col("h2") && col("id_a") < col("id_b"))
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("island", col("pa") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("island"))
+      .agg((count(lit(1)) + (gramSize - 1)).as("run_tokens"))
+      .filter(col("run_tokens") >= minRunTokens)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        count(lit(1)).as("n_runs"),
+        max(col("run_tokens")).as("max_run_tokens"))
+  }
+
+  /** Posting stage of [[sharedTokenRuns]]: one row per (doc, gram
+    * position), gram hashed to 64 bits so the join shuffles fixed-width
+    * keys, not strings. Exposed for materialization. */
+  def tokenGramPostings(
+      df: DataFrame, idCol: String, textCol: String,
+      gramSize: Int, dfCap: Option[Long] = None): DataFrame = {
+    // sequence(0, n) DESCENDS when n < 0 — guard short docs explicitly.
+    val grams = when(size(col("__toks")) >= gramSize,
+      expr(s"transform(sequence(0, size(__toks) - $gramSize), " +
+        s"i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, $gramSize))))"))
+      .otherwise(array().cast(ArrayType(LongType)))
+    val exploded = df
+      .select(col(idCol).as("id"), tokens(normalize(col(textCol))).as("__toks"))
+      .select(col("id"), posexplode(grams).as(Seq("pos", "h")))
+    dfCap match {
+      case None => exploded
+      case Some(cap) =>
+        val rare = exploded.groupBy(col("h")).count()
+          .filter(col("count") <= cap).select(col("h"))
+        exploded.join(rare, "h")
+    }
+  }
+
   /** Exact passage-level duplicates (the C4/web-corpus boilerplate
     * detector): explode lines, fingerprint each normalized line of ≥
     * `minChars`, and report fingerprints appearing in ≥ `minDocs`

@@ -942,6 +942,55 @@ object LlmQueries {
                      CAST(FLOOR(m.total_out * c.target_frac) AS BIGINT) AS expected_rows
               FROM c, m ORDER BY c.source""")),
 
+    // Exact shared-token-run detection (Lee et al. substring-dedup
+    // semantics): posting-list join on positioned 8-gram hashes, aligned
+    // diagonals, islands-trick run measurement. The near-dup copies share
+    // their full original text, so every planted pair must surface with
+    // a run ≥ its token count. Spark joins 64-bit gram hashes (fixed-
+    // width shuffle keys); the oracle joins the gram strings — identical
+    // semantics modulo ~n²/2⁶⁴ collision odds.
+    QueryDef(
+      "l_substring_runs",
+      (s, d) =>
+        Dedup.sharedTokenRuns(docsWithNearDups(s, d), "doc_id", "text",
+            gramSize = 8, minRunTokens = 16)
+          .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id + 20000, text || ' graftmarker' FROM documents
+              ),
+              tk AS (
+                SELECT doc_id,
+                string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+                FROM docs
+              ),
+              g0 AS (
+                SELECT doc_id, UNNEST(list_transform(range(0, GREATEST(len(t) - 7, 0)),
+                  i -> struct_pack(pos := CAST(i AS INTEGER),
+                                   g := array_to_string(t[i+1:i+8], ' ')))) AS u
+                FROM tk
+              ),
+              g AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM g0),
+              m AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+                       a.pos - b.pos AS diag
+                FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+              ),
+              r AS (
+                SELECT id_a, id_b, diag,
+                pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa)
+                  AS island
+                FROM m
+              ),
+              runs AS (
+                SELECT id_a, id_b, COUNT(*) + 7 AS run_tokens
+                FROM r GROUP BY id_a, id_b, diag, island
+                HAVING COUNT(*) + 7 >= 16
+              )
+              SELECT id_a, id_b, COUNT(*) AS n_runs,
+              CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens
+              FROM runs GROUP BY id_a, id_b ORDER BY id_a, id_b""")),
+
     // One distributed Lloyd (k-means) assignment + aggregation step over
     // fixed centroids (the first 8 embeddings) — the per-iteration
     // contract of Similarity.trainIvfCentroidsDistributed. Assignment is

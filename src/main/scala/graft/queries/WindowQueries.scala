@@ -148,6 +148,41 @@ object WindowQueries {
                  FROM supplier GROUP BY s_nationkey
                ) ORDER BY balance_rank, s_nationkey""")),
 
+    // W7: gap-based sessionization (lag + cumulative-sum) — the batch
+    // form of a round/visit segmentation: a new session opens after a
+    // >30-min silence. Both windows and the rollup are keyed by user, so
+    // the whole operator is one shuffle on the entity key.
+    QueryDef(
+      "w7_sessionize",
+      (s, d) =>
+        graft.analytics.Sessions.sessionize(
+            t(s, d, "events"), "user_id", "ts", "event_id", gapSec = 1800L)
+          .orderBy(col("user_id"), col("session_id")),
+      Some("""WITH o AS (
+                SELECT user_id, ts, event_id,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                     OR CAST(FLOOR(epoch(ts)) AS BIGINT) -
+                        CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                     THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                  ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+              ),
+              s AS (
+                SELECT user_id, ts,
+                CAST(SUM(ns) OVER (PARTITION BY user_id
+                  ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+                  AS session_id
+                FROM o
+              )
+              SELECT user_id, session_id, COUNT(*) AS n_events,
+              MIN(ts) AS session_start, MAX(ts) AS session_end,
+              CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) -
+                CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec
+              FROM s GROUP BY user_id, session_id
+              ORDER BY user_id, session_id""")),
+
     // W6: SUM OVER (PARTITION BY ...) pct-of-total without a join
     // (client_data_insights.md:327,360,389). Decimal-accumulated so the
     // partition-sum is order-independent, then DOUBLE for the ratio.

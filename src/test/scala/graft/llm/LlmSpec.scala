@@ -314,6 +314,43 @@ class LlmSpec extends SparkSpec {
       s"training must not increase SSE: ${sse(trained)} vs ${sse(early)}")
   }
 
+  test("sharedTokenRuns measures exact run lengths on known overlaps") {
+    val shared = (1 to 20).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, shared + " " + (1 to 10).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"b$i").mkString(" ") + " " + shared),
+      (3L, (1 to 30).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val runs = Dedup.sharedTokenRuns(df, "doc_id", "text",
+      gramSize = 4, minRunTokens = 8).collect()
+    assert(runs.length === 1)
+    val r = runs(0)
+    assert(r.getAs[Long]("id_a") === 1L && r.getAs[Long]("id_b") === 2L)
+    assert(r.getAs[Long]("max_run_tokens") === 20L, "exact shared-run length")
+    assert(r.getAs[Long]("n_runs") === 1L)
+    // below-threshold overlaps stay silent
+    val none = Dedup.sharedTokenRuns(df, "doc_id", "text",
+      gramSize = 4, minRunTokens = 21).collect()
+    assert(none.isEmpty)
+  }
+
+  test("sharedTokenRuns finds planted near-dups with full-text runs") {
+    val slice = docs.filter(col("doc_id") < 50)
+    val planted = slice.unionByName(slice.select(
+      (col("doc_id") + 20000).as("doc_id"),
+      concat(col("text"), lit(" graftmarker")).as("text"),
+      col("lang"), col("source"), col("n_chars")))
+    // docs shorter than minRunTokens can't contain a qualifying run —
+    // expect exactly the pairs whose original doc has ≥ 16 tokens
+    val eligible = slice
+      .filter(size(TextAnalysis.tokens(TextAnalysis.normalize(col("text")))) >= 16)
+      .count()
+    val runs = Dedup.sharedTokenRuns(planted, "doc_id", "text",
+        gramSize = 8, minRunTokens = 16)
+      .filter(col("id_b") === col("id_a") + 20000)
+    assert(runs.count() === eligible,
+      s"every eligible planted pair must share a long run (eligible=$eligible)")
+  }
+
   test("brute-force top-k is symmetric-rank consistent") {
     val topk = Similarity.bruteForceTopK(
       vecs.filter(col("vec_id") < 3), vecs, "vec_id", "embedding", k = 3)
