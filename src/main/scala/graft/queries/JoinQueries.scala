@@ -339,6 +339,34 @@ object JoinQueries {
                FROM (SELECT l_orderkey % 10 AS k, l_quantity FROM lineitem) f
                LEFT JOIN (SELECT n_nationkey AS k, n_name FROM nation
                           WHERE n_nationkey < 10) d ON f.k = d.k
-               GROUP BY d.n_name ORDER BY d.n_name"""))
+               GROUP BY d.n_name ORDER BY d.n_name""")),
+
+    // J11 — as-of (point-in-time) join: each click enriched with the
+    // most recent view AT OR BEFORE it per user. Implemented union+
+    // carry-forward (core.AsOfJoin — one shuffle on user_id, no range
+    // blow-up); the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the
+    // gate pins our operator against a reference asof implementation.
+    QueryDef(
+      "j11_asof_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("view_event_id"), col("value").as("view_value"))
+        graft.core.AsOfJoin.asof(clicks, views, Seq("user_id"), "ts",
+            Seq("view_event_id", "view_value"),
+            rightTieCol = Some("view_event_id"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT c.user_id, c.event_id, c.ts,
+              v.event_id AS view_event_id, v.value AS view_value
+              FROM (SELECT user_id, event_id, ts FROM events
+                    WHERE event_type = 'click') c
+              ASOF LEFT JOIN (SELECT user_id, event_id, ts, value FROM events
+                              WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+              ORDER BY c.user_id, c.event_id"""))
   )
 }
