@@ -145,6 +145,32 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // Weighted sampling
+  // ---------------------------------------------------------------------
+
+  /** Efraimidis–Spirakis (A-ES) sampling key: u^(1/w) with u ∈ (0, 1]
+    * derived from the row's md5 hash bucket. The global top-k rows by
+    * this key form a weighted sample WITHOUT replacement — and because u
+    * comes from the id hash (not random()), the sample is deterministic
+    * and append-stable, like [[withSplit]]. Row-local codegen. */
+  def weightedSampleKey(id: Column, weight: Column): Column = {
+    val u = (hashBucket(id).cast(DoubleType) + lit(1.0)) / lit(65536.0)
+    pow(u, lit(1.0) / weight.cast(DoubleType))
+  }
+
+  /** Deterministic weighted sample of k rows (weights must be > 0; a
+    * row's selection odds scale with its weight). Top-k by the A-ES key
+    * compiles to TakeOrderedAndProject — a bounded per-partition heap +
+    * driver merge, never a global sort, so sampling 1k docs from 100 TB
+    * moves k rows per partition and nothing else. */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame =
+    df.withColumn("__wkey", weightedSampleKey(col(idCol), col(weightCol)))
+      .orderBy(desc("__wkey"), asc(idCol))
+      .limit(k)
+      .drop("__wkey")
+
+  // ---------------------------------------------------------------------
   // URL / domain blocklist
   // ---------------------------------------------------------------------
 

@@ -1083,6 +1083,28 @@ object LlmQueries {
               MAX(CASE WHEN p = 0.99e0 THEN v END) AS p99
               FROM i GROUP BY source ORDER BY source""")),
 
+    // Deterministic weighted sampling (Efraimidis–Spirakis top-k by
+    // u^(1/w), u from the md5 bucket): longer docs are proportionally
+    // likelier. Only ids + weights are output (the key is an ordering
+    // device; pow()'s last ulp is libm-specific, but the SELECTED SET
+    // only flips if two keys collide within that ulp — which the 16-bit
+    // u grid makes effectively impossible).
+    QueryDef(
+      "l_weighted_sample",
+      (s, d) =>
+        Curation.weightedSample(
+            t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+            "doc_id", "n_chars", k = 100)
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, n_chars FROM (
+                SELECT doc_id, n_chars,
+                POW((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) + 1.0) / 65536.0,
+                    1.0 / CAST(n_chars AS DOUBLE)) AS wkey
+                FROM documents
+              )
+              ORDER BY wkey DESC NULLS LAST, doc_id ASC LIMIT 100
+              """)),
+
     // Gopher/MassiveText document quality rules, one boolean per rule so
     // audits can report per-rule rejection rates; all row-local codegen.
     QueryDef(

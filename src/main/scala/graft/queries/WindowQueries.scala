@@ -183,6 +183,39 @@ object WindowQueries {
               FROM s GROUP BY user_id, session_id
               ORDER BY user_id, session_id""")),
 
+    // W8: rolling time-window aggregate (rangeBetween on epoch seconds)
+    // — the moving-average shape of pace smoothing. The frame sum is
+    // decimal-accumulated (dsum discipline) so sliding re-aggregation
+    // order can't perturb the double. Keyed by user → parallel.
+    QueryDef(
+      "w8_moving_avg",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("epoch_s"))
+          .rangeBetween(-3600L, 0L)
+        t(s, d, "events")
+          .withColumn("epoch_s", unix_timestamp(col("ts")))
+          .withColumn("n_last_hour", count(lit(1)).over(w))
+          .withColumn("sum_last_hour",
+            sum(col("value").cast(DecimalType(18, 4))).over(w))
+          .select(col("user_id"), col("event_id"),
+            col("n_last_hour"),
+            (col("sum_last_hour").cast(DoubleType) / col("n_last_hour"))
+              .as("avg_value_last_hour"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, n_last_hour,
+              CAST(sum_last_hour AS DOUBLE) / n_last_hour AS avg_value_last_hour
+              FROM (
+                SELECT user_id, event_id,
+                COUNT(*) OVER w AS n_last_hour,
+                SUM(CAST(value AS DECIMAL(18,4))) OVER w AS sum_last_hour
+                FROM (SELECT user_id, event_id, value,
+                      CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s FROM events)
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+              ) ORDER BY user_id, event_id""")),
+
     // W6: SUM OVER (PARTITION BY ...) pct-of-total without a join
     // (client_data_insights.md:327,360,389). Decimal-accumulated so the
     // partition-sum is order-independent, then DOUBLE for the ratio.

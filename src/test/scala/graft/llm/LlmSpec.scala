@@ -351,6 +351,29 @@ class LlmSpec extends SparkSpec {
       s"every eligible planted pair must share a long run (eligible=$eligible)")
   }
 
+  test("weighted sample is deterministic and weight-proportional") {
+    // 200 heavy rows (w=50) vs 200 light rows (w=1): a 100-row sample
+    // should be dominated by heavy rows
+    val df = (0L until 400L).map(i =>
+      (i, if (i < 200) 50L else 1L)).toDF("id", "w")
+    val s1 = Curation.weightedSample(df, "id", "w", 100)
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Curation.weightedSample(df, "id", "w", 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 === s2, "same inputs → same sample")
+    assert(s1.size === 100)
+    val heavy = s1.count(_ < 200)
+    assert(heavy >= 80, s"heavy rows should dominate, got $heavy/100")
+    // append stability: adding rows never evicts a higher-key survivor
+    // below rank k — check the sample only changes by inclusion
+    val bigger = (0L until 500L).map(i =>
+      (i, if (i < 200) 50L else 1L)).toDF("id", "w")
+    val s3 = Curation.weightedSample(bigger, "id", "w", 100)
+      .collect().map(_.getLong(0)).toSet
+    assert((s3 -- s1).forall(_ >= 400L) || s3.intersect(s1).size >= 90,
+      "appends shift the sample only through new contenders")
+  }
+
   test("brute-force top-k is symmetric-rank consistent") {
     val topk = Similarity.bruteForceTopK(
       vecs.filter(col("vec_id") < 3), vecs, "vec_id", "embedding", k = 3)
