@@ -399,6 +399,49 @@ object AggQueries {
           .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,
               COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_partkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)) AS distinct_triples
-              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // A18: native pivot with an explicit value list — wide per-category
+    // columns from long rows. An EXPLICIT pivot list matters at scale:
+    // unlisted .pivot() first runs a distinct scan of the column to
+    // discover values (an extra corpus pass + a driver-side collect).
+    // Oracle: the conditional-aggregation equivalent (DuckDB's PIVOT
+    // would reorder columns; FILTER pins names and types exactly).
+    QueryDef(
+      "a18_pivot",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", Seq("click", "view", "purchase"))
+          .agg(count(lit(1)))
+          .na.fill(0L, Seq("click", "view", "purchase"))
+          .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+              COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+              COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+              COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // A19: unpivot (melt) — wide metric columns back to long (metric,
+    // value) rows, the inverse reshape. Row-local fan-out (an Expand
+    // node, no shuffle); ids with NULL metrics drop per unpivot
+    // semantics. Oracle: the UNION ALL equivalent.
+    QueryDef(
+      "a19_unpivot",
+      (s, d) =>
+        t(s, d, "customer")
+          .select(col("c_custkey"), col("c_acctbal").cast(DoubleType).as("acctbal"),
+            col("c_nationkey").cast(DoubleType).as("nationkey"))
+          .unpivot(
+            Array(col("c_custkey")),
+            Array(col("acctbal"), col("nationkey")),
+            "metric", "value")
+          .orderBy(col("c_custkey"), col("metric")),
+      Some("""SELECT c_custkey, metric, value FROM (
+                SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS value FROM customer
+                UNION ALL
+                SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+              ) WHERE value IS NOT NULL
+              ORDER BY c_custkey, metric"""))
   )
 }
