@@ -410,4 +410,9 @@ object F {
   def cleanLines(text: Column, minWords: Int): Column = c(CleanLines(e(text), minWords))
   def quantI8Stats(v: Column): Column = c(QuantizeI8Stats(e(v)))
   def quantI8(v: Column): Column = c(QuantizeI8(e(v)))
+  /** Group-wise top-k aggregate over a struct column: the k largest
+    * structs (lexicographic over all fields), map-side combined — see
+    * [[TopKStructs]]. */
+  def topKStructs(s: Column, k: Int): Column =
+    c(TopKStructs(e(s), k).toAggregateExpression())
 }

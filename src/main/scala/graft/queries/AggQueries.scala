@@ -442,6 +442,30 @@ object AggQueries {
                 UNION ALL
                 SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
               ) WHERE value IS NOT NULL
-              ORDER BY c_custkey, metric"""))
+              ORDER BY c_custkey, metric""")),
+
+    // A20: group-wise top-k as a REAL aggregate (functions.TopKStructs,
+    // a TypedImperativeAggregate bounded heap). Same result as the W2
+    // window formulation, radically different plan: partial aggregation
+    // combines map-side, so only k rows per (group, partition) cross the
+    // shuffle instead of every row of every group. The oracle is the
+    // window formulation.
+    QueryDef(
+      "a20_topk_agg",
+      (s, d) =>
+        t(s, d, "customer")
+          .groupBy(col("c_mktsegment"))
+          .agg(graft.functions.F.topKStructs(
+            struct(col("c_acctbal"), col("c_custkey")), 3).as("top"))
+          .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("i", "r")))
+          .select(col("c_mktsegment"), (col("i") + 1).as("rn"),
+            col("r.c_acctbal").as("c_acctbal"), col("r.c_custkey").as("c_custkey"))
+          .orderBy(col("c_mktsegment"), col("rn")),
+      Some("""SELECT c_mktsegment, rn, c_acctbal, c_custkey FROM (
+                SELECT c_mktsegment, c_acctbal, c_custkey,
+                CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                  ORDER BY c_acctbal DESC, c_custkey DESC) AS INTEGER) AS rn
+                FROM customer
+              ) WHERE rn <= 3 ORDER BY c_mktsegment, rn"""))
   )
 }

@@ -213,6 +213,43 @@ class FunctionsSpec extends SparkSpec {
     })
   }
 
+  test("top_k_structs aggregate matches the window top-k under partitioning") {
+    import spark.implicits._
+    // many partitions + duplicate order values force the merge path and
+    // the full-struct lexicographic tie-break
+    val df = (1L to 1000L).map(i => (i % 7, i % 13, i))
+      .toDF("g", "score", "id").repartition(11)
+    val agg = df.groupBy(col("g"))
+      .agg(F.topKStructs(struct(col("score"), col("id")), 5).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "r")))
+      .select(col("g"), col("i"), col("r.score").as("score"), col("r.id").as("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(desc("score"), desc("id"))
+    val expected = df
+      .withColumn("i", row_number().over(win) - 1)
+      .filter(col("i") < 5)
+      .select(col("g"), col("i"), col("score"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(agg.sorted.toSeq === expected.sorted.toSeq)
+    // groups smaller than k return all their rows
+    val small = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("g", "score", "id")
+      .groupBy(col("g"))
+      .agg(F.topKStructs(struct(col("score"), col("id")), 5).as("top"))
+      .select(size(col("top"))).collect()(0).getInt(0)
+    assert(small === 2)
+  }
+
+  test("top_k_structs plans as a partial ObjectHashAggregate (map-side combine)") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i % 3, i)).toDF("g", "id")
+    val p = df.groupBy(col("g"))
+      .agg(F.topKStructs(struct(col("id")), 3).as("top"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), s"plan:\n$p")
+    assert(p.contains("partial_top_k_structs"), s"no partial phase:\n$p")
+  }
+
   test("kernels are inlined into whole-stage codegen (no fallback)") {
     // inputs must depend on a column — literal-only args constant-fold
     // before codegen and the kernels would never appear in the plan
