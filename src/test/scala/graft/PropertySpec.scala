@@ -131,4 +131,79 @@ class PropertySpec extends SparkSpec {
       agree >= 0 && agree <= 32 && (ta != tb || agree == 32)
     }, minSuccessful = 10)
   }
+
+  /** Random event streams: (user, epochSec, eventId). */
+  private val eventsGen: Gen[List[(Long, Long, Long)]] =
+    Gen.nonEmptyListOf(for {
+      user <- Gen.choose(1L, 3L)
+      sec <- Gen.choose(0L, 10000L)
+    } yield (user, sec)).map(_.zipWithIndex.map {
+      case ((u, s), i) => (u, s, i.toLong)
+    })
+
+  test("property: sessionize partitions events exactly, gaps split iff > gapSec") {
+    val gap = 600L
+    check(Prop.forAll(eventsGen) { evs =>
+      val df = evs.toDF("user_id", "sec", "event_id")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+      val withIds = graft.analytics.Sessions
+        .withSessionId(df, "user_id", "ts", "event_id", gap)
+        .select("user_id", "sec", "session_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // every event keeps exactly one session id
+      val exact = withIds.length == evs.length
+      // within a user: consecutive events (time order) share a session
+      // iff the gap is <= gapSec; session ids are dense from 0
+      val perUser = withIds.groupBy(_._1).values.forall { rows =>
+        val sorted = rows.sortBy(r => (r._2, r._3))
+        val splitsOk = sorted.zip(sorted.tail).forall { case (a, b) =>
+          if (b._2 - a._2 > gap) b._3 == a._3 + 1 else b._3 == a._3
+        }
+        splitsOk && sorted.head._3 == 0L
+      }
+      exact && perUser
+    }, minSuccessful = 15)
+  }
+
+  test("property: asof join matches the brute-force latest-at-or-before") {
+    val gen = for {
+      left <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 2L), Gen.choose(0L, 100L)))
+      right <- Gen.nonEmptyListOf(Gen.zip(Gen.choose(1L, 2L), Gen.choose(0L, 100L)))
+    } yield (left.zipWithIndex.map { case ((k, s), i) => (k, s, i.toLong) },
+      right.zipWithIndex.map { case ((k, s), i) => (k, s, i.toLong + 1000L) })
+    check(Prop.forAll(gen) { case (l, r) =>
+      val left = l.toDF("k", "sec", "lid").withColumn("ts", timestamp_seconds(col("sec")))
+      val right = r.toDF("k", "sec", "rid").withColumn("ts", timestamp_seconds(col("sec")))
+        .drop("sec")
+      val out = graft.core.AsOfJoin
+        .asof(left, right, Seq("k"), "ts", Seq("rid"), rightTieCol = Some("rid"))
+        .select("lid", "rid")
+        .collect().map(row => (row.getLong(0),
+          if (row.isNullAt(1)) None else Some(row.getLong(1)))).toMap
+      l.forall { case (k, s, lid) =>
+        val expected = r.filter(rr => rr._1 == k && rr._2 <= s)
+          .sortBy(rr => (rr._2, rr._3)).lastOption.map(_._3)
+        out(lid) == expected
+      }
+    }, minSuccessful = 15)
+  }
+
+  test("property: top_k_structs equals sort-take on the collected group") {
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 9L)))
+    check(Prop.forAll(gen) { xs =>
+      val rows = xs.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+      val agg = rows.toDF("g", "v", "id").repartition(5)
+        .groupBy(col("g"))
+        .agg(graft.functions.F.topKStructs(struct(col("v"), col("id")), 3).as("top"))
+        .select(col("g"), col("top"))
+        .collect().map { row =>
+          row.getLong(0) -> row.getSeq[org.apache.spark.sql.Row](1)
+            .map(s => (s.getLong(0), s.getLong(1)))
+        }.toMap
+      rows.groupBy(_._1).forall { case (g, grp) =>
+        val expected = grp.map(t => (t._2, t._3)).sorted.reverse.take(3)
+        agg(g) == expected
+      }
+    }, minSuccessful = 15)
+  }
 }
