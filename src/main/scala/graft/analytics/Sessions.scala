@@ -50,4 +50,21 @@ object Sessions {
         max(col(tsCol)).as("session_end"),
         (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
           .as("duration_sec"))
+
+  /** The same segmentation through Spark's NATIVE session_window — the
+    * form that runs unchanged as a streaming query (watermark + merging
+    * session state; see streaming.StreamingTelemetry.sessionizedPace).
+    * Boundary semantics differ from [[sessionize]] by one point: a
+    * session window spans [first_ts, last_ts + gap), so two events
+    * exactly `gapSec` apart SPLIT here (merge iff gap < gapSec) where
+    * the lag-based form merges (splits iff gap > gapSec). */
+  def sessionWindows(
+      df: DataFrame, entityCol: String, tsCol: String,
+      gap: String): DataFrame =
+    df.groupBy(col(entityCol), session_window(col(tsCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(entityCol),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"))
 }

@@ -183,6 +183,39 @@ object WindowQueries {
               FROM s GROUP BY user_id, session_id
               ORDER BY user_id, session_id""")),
 
+    // W9: the same segmentation as W7 through Spark's NATIVE
+    // session_window (the form that runs unchanged as a streaming query
+    // with merging session state — StreamingTelemetry.sessionizedPace is
+    // its twin). Boundary rule differs from W7: windows span
+    // [first, last + gap), so a session splits when the gap is >= the
+    // duration (W7 splits on >). The oracle mirrors that with
+    // full-precision interval arithmetic (sub-second timestamps).
+    QueryDef(
+      "w9_session_window",
+      (s, d) =>
+        graft.analytics.Sessions.sessionWindows(
+            t(s, d, "events"), "user_id", "ts", "30 minutes")
+          .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH o AS (
+                SELECT user_id, ts,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                     OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+              ),
+              s AS (
+                SELECT user_id, ts,
+                SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM o
+              )
+              SELECT user_id, MIN(ts) AS session_start,
+              MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+              COUNT(*) AS n_events
+              FROM s GROUP BY user_id, sid
+              ORDER BY user_id, session_start""")),
+
     // W8: rolling time-window aggregate (rangeBetween on epoch seconds)
     // — the moving-average shape of pace smoothing. The frame sum is
     // decimal-accumulated (dsum discipline) so sliding re-aggregation

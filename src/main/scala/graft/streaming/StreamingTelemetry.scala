@@ -75,6 +75,25 @@ object StreamingTelemetry {
         col("window.start").as("window_start"),
         col("fixes"), col("avg_pace"), col("active_rounds"))
 
+  /** Gap-based session windows over the fix stream — the NATIVE
+    * streaming session operator (merging session state in the state
+    * store, closed and emitted once the watermark passes the session
+    * end). Batch twin: analytics.Sessions.sessionWindows — same
+    * session_window call, so batch backfill and the live stream compute
+    * identical segmentations. */
+  def sessionizedPace(
+      fixes: DataFrame,
+      watermark: String = "10 minutes",
+      gap: String = "30 minutes"): DataFrame =
+    fixes
+      .withWatermark("fixTimestamp", watermark)
+      .groupBy(col("roundId"), session_window(col("fixTimestamp"), gap).as("sw"))
+      .agg(count(lit(1)).as("fixes"), avg(col("pace")).as("avg_pace"))
+      .select(col("roundId"),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("fixes"), col("avg_pace"))
+
   /** fact_rounds as a stateful stream: accumulate per-round counters in
     * the state store, emit the summary when the round's event-time stream
     * goes quiet past the timeout. KeyValueGroupedDataset +

@@ -60,6 +60,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows merge within the gap and close past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Fix]
+    val q = sessionizedPace(input.toDF(), "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        fix("r1", 0, 0, Some(100.0)), fix("r1", 5, 1, Some(200.0)), // one session
+        fix("r1", 30, 2, Some(300.0)), // > 10-min gap → new session
+        fix("r2", 1, 0, Some(50.0)))
+      // push the watermark far past every session end to flush them
+      input.addData(fix("r3", 59, 0))
+      q.processAllAvailable()
+      val out = spark.table("session_out")
+        .select(col("roundId"), col("session_start").cast("string"),
+          col("fixes"), col("avg_pace"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      assert(out(("r1", "2024-01-15 10:00:00")) === ((2L, 150.0)))
+      assert(out(("r1", "2024-01-15 10:30:00")) === ((1L, 300.0)))
+      assert(out(("r2", "2024-01-15 10:01:00")) === ((1L, 50.0)))
+      // batch twin computes the identical segmentation on the same rows
+      val batch = graft.analytics.Sessions.sessionWindows(
+          Seq(
+            ("r1", ts(0)), ("r1", ts(5)), ("r1", ts(30)), ("r2", ts(1))
+          ).toDF("roundId", "fixTimestamp"),
+          "roundId", "fixTimestamp", "10 minutes")
+        .select(col("roundId"), col("session_start").cast("string"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(batch === out.map { case (k, v) => k -> v._1 })
+    } finally q.stop()
+  }
+
   test("stateful round summaries emit on event-time quiescence (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Fix]
