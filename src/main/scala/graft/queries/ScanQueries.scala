@@ -227,6 +227,32 @@ object ScanQueries {
       Some(s"""SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS start_year, COUNT(*) AS n,
                COUNT(DISTINCT CAST(o_orderkey AS VARCHAR)) AS n_rounds,
                ${dsumSql("o_totalprice")} AS total
-               FROM orders GROUP BY 1 ORDER BY start_year"""))
+               FROM orders GROUP BY 1 ORDER BY start_year""")),
+
+    // S10 — ORC write/read roundtrip: the second columnar format of a
+    // multi-format lake (Spark's built-in ORC source; predicate pushdown
+    // and column pruning work the same as parquet). DuckDB can't read
+    // ORC, so the gate aggregates the read-back table and the oracle
+    // computes the same aggregate from the parquet original — any
+    // roundtrip corruption breaks the hash.
+    QueryDef(
+      "s10_orc_roundtrip",
+      (s, d) => {
+        val path = "/tmp/graft_oracle/orc_customer"
+        t(s, d, "customer").write.mode("overwrite").orc(path)
+        s.read.orc(path)
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("c_nationkey")).as("sum_nation"),
+            dsum(col("c_acctbal")).as("sum_bal"),
+            countDistinct(col("c_custkey")).as("n_cust"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(c_nationkey) AS BIGINT) AS sum_nation,
+               ${dsumSql("c_acctbal")} AS sum_bal,
+               COUNT(DISTINCT c_custkey) AS n_cust
+               FROM customer GROUP BY 1 ORDER BY 1"""))
   )
 }

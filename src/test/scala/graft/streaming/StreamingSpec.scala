@@ -94,6 +94,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous refresh lands micro-batches idempotently (foreachBatch + partition overwrite)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cr").toString
+    val input = MemoryStream[Fix]
+    val q = ContinuousRefresh.start(
+      input.toDF().withColumn("part", col("courseId")),
+      s"$dir/table", Seq("part"), s"$dir/ckpt")
+    try {
+      input.addData(fix("r1", 0, 0), fix("r1", 1, 1))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/table").count() === 2)
+      // second batch: replay of the same partition's full contents plus a
+      // second partition — replay must not duplicate
+      input.addData(fix("r1", 0, 0), fix("r1", 1, 1),
+        Fix("r2", "elsewhere", ts(2), 0, Some(1), Some(1.0), false))
+      q.processAllAvailable()
+      val table = spark.read.parquet(s"$dir/table")
+      assert(table.count() === 3)
+      assert(table.filter(col("part") === "americanfalls").count() === 2)
+      assert(table.filter(col("part") === "elsewhere").count() === 1)
+    } finally {
+      q.stop()
+      graft.tables.FsUtil.deleteRec(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("stateful round summaries emit on event-time quiescence (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Fix]
