@@ -352,6 +352,43 @@ object Similarity {
     centroids
   }
 
+  // ------------------------------------------------- semantic dedup
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster embeddings with
+    * a coarse quantizer, then compare pairs ONLY within a cluster —
+    * semantically-identical documents land in the same cluster, so the
+    * all-pairs n² collapses to Σ|cluster|². Pair stage: one codegen
+    * assignment pass + an equi-join on the cluster id with exact-cosine
+    * verification. Size k so clusters stay bounded (n/k ≈ thousands);
+    * a skewed giant cluster is the operator's known failure mode — at
+    * corpus scale feed it back through a finer quantizer. */
+  def semanticDedupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], minCosine: Double): DataFrame = {
+    val assigned = withIvfList(
+      df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", centroids)
+    val a = assigned.select(col("__ivf_list").as("la"), col("id").as("id_a"),
+      col("v").as("v_a"))
+    val b = assigned.select(col("__ivf_list").as("lb"), col("id").as("id_b"),
+      col("v").as("v_b"))
+    a.join(b, col("la") === col("lb") && col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Full SemDeDup keep-one: within-cluster near-identical pairs →
+    * connected components → each document labeled with its component's
+    * minimum id (`canonical_id`; survivors are rows where id ==
+    * canonical_id). */
+  def semanticDedupLabels(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], minCosine: Double): DataFrame =
+    Dedup.canonicalizeNearDups(
+      df.select(col(idCol)),
+      semanticDedupPairs(df, idCol, vecCol, centroids, minCosine))
+
   /** Approximate top-k for one query vector via LSH buckets: only
     * corpus rows sharing a (table, bucket) key with the query are
     * scored. */

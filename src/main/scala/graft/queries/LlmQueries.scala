@@ -991,6 +991,55 @@ object LlmQueries {
               CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens
               FROM runs GROUP BY id_a, id_b ORDER BY id_a, id_b""")),
 
+    // SemDeDup (cluster-then-dedup): fixed coarse quantizer (first 8
+    // embeddings), within-cluster exact-cosine pairs >= 0.999, connected
+    // components, min-id canonical labels. The injected identical copies
+    // must collapse onto their originals; cluster assignment and cosine
+    // are both index-order folds, so DuckDB reproduces them bit-for-bit.
+    QueryDef(
+      "l_semantic_dedup",
+      (s, d) => {
+        val vecs = vecsWithDups(s, d)
+        val centroids = t(s, d, "embeddings").filter(col("vec_id") < 8)
+          .orderBy(col("vec_id")).select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        Similarity.semanticDedupLabels(vecs, "vec_id", "embedding", centroids, 0.999)
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+                FROM embeddings
+              ),
+              cents AS (SELECT list(e ORDER BY vec_id) AS cs FROM v WHERE vec_id < 8),
+              a AS (
+                SELECT vec_id, e,
+                list_transform(cs, c -> list_sum(list_transform(range(1, len(e) + 1),
+                  i -> (e[i] - c[i]) * (e[i] - c[i])))) AS dists
+                FROM v, cents
+              ),
+              asn AS (SELECT vec_id, e, list_indexof(dists, list_min(dists)) AS l FROM a),
+              pairs AS (
+                SELECT x.vec_id AS id_a, y.vec_id AS id_b
+                FROM asn x JOIN asn y ON x.l = y.l AND x.vec_id < y.vec_id
+                WHERE list_sum(list_transform(range(1, len(x.e) + 1), i -> x.e[i] * y.e[i])) /
+                      (SQRT(list_sum(list_transform(x.e, q -> q * q))) *
+                       SQRT(list_sum(list_transform(y.e, q -> q * q)))) >= 0.999
+              ),
+              edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL SELECT id_b, id_a FROM pairs
+              ),
+              reach(id, r) AS (
+                SELECT vec_id, vec_id FROM v
+                UNION
+                SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+              )
+              SELECT id, MIN(r) AS canonical_id FROM reach
+              GROUP BY id ORDER BY id""")),
+
     // One distributed Lloyd (k-means) assignment + aggregation step over
     // fixed centroids (the first 8 embeddings) — the per-iteration
     // contract of Similarity.trainIvfCentroidsDistributed. Assignment is

@@ -415,6 +415,45 @@ object MaintenanceQueries {
                WHERE is_location_padding = FALSE AND hole_number IS NOT NULL
                  AND section_number IS NOT NULL
                GROUP BY course_id, hole_number
-               ORDER BY course_id, hole_number"""))
+               ORDER BY course_id, hole_number""")),
+
+    // M11 — runtime expectations (the dbt-test / CHECK-constraint
+    // surface): four row-level rules audited in ONE conditional-
+    // aggregation scan plus a grain-uniqueness check, unioned into the
+    // standard (test_name, n_rows, n_violations, pass) report.
+    QueryDef(
+      "m11_expectations",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        graft.tables.Expectations.audit(li, Seq(
+            "discount_in_range" -> col("l_discount").between(0, 0.1),
+            "price_positive" -> (col("l_extendedprice") > 0),
+            "qty_in_range" -> col("l_quantity").between(1, 50),
+            "shipdate_not_null" -> col("l_shipdate").isNotNull))
+          .unionByName(graft.tables.Expectations.auditUniqueGrain(
+            li, Seq("l_orderkey", "l_linenumber")))
+          .orderBy(col("test_name"))
+      },
+      Some("""WITH t AS (
+                SELECT COUNT(*) AS n_rows,
+                CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS discount_in_range,
+                CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS price_positive,
+                CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS qty_in_range,
+                CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS shipdate_not_null
+                FROM lineitem
+              ),
+              g AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+                CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS nv
+                FROM (SELECT COUNT(*) AS n FROM lineitem
+                      GROUP BY l_orderkey, l_linenumber)
+              )
+              SELECT test_name, n_rows, n_violations, n_violations = 0 AS pass FROM (
+                SELECT 'discount_in_range' AS test_name, n_rows, discount_in_range AS n_violations FROM t
+                UNION ALL SELECT 'price_positive', n_rows, price_positive FROM t
+                UNION ALL SELECT 'qty_in_range', n_rows, qty_in_range FROM t
+                UNION ALL SELECT 'shipdate_not_null', n_rows, shipdate_not_null FROM t
+                UNION ALL SELECT 'unique_grain', n_rows, nv FROM g
+              ) ORDER BY test_name"""))
   )
 }

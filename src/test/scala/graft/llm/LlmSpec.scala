@@ -374,6 +374,23 @@ class LlmSpec extends SparkSpec {
       "appends shift the sample only through new contenders")
   }
 
+  test("SemDeDup collapses injected identical vectors within clusters") {
+    val dupVecs = vecs.unionByName(vecs.select(
+      (col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label")))
+    val centroids = Similarity.trainIvfCentroids(vecs, "embedding", k = 8)
+    val labels = Similarity.semanticDedupLabels(
+      dupVecs, "vec_id", "embedding", centroids, minCosine = 0.999)
+    val n = vecs.count()
+    // every copy must collapse onto its original (identical vector →
+    // same cluster always → cosine 1 pair)
+    val collapsed = labels.filter(col("id") >= 10000 &&
+      col("canonical_id") === col("id") - 10000).count()
+    assert(collapsed === n, s"all $n copies must collapse, got $collapsed")
+    // survivors = rows that keep their own id; at most one per component
+    val survivors = labels.filter(col("id") === col("canonical_id")).count()
+    assert(survivors <= n)
+  }
+
   test("brute-force top-k is symmetric-rank consistent") {
     val topk = Similarity.bruteForceTopK(
       vecs.filter(col("vec_id") < 3), vecs, "vec_id", "embedding", k = 3)
