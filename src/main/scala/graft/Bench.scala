@@ -34,7 +34,9 @@ object Bench {
     "l_ivf_topk", "l_cosine_topk", "l_ngram_jaccard",
     "l_embedding_dup_pairs", "l_neardup_canonical", "l_winnow_overlap",
     "l_langid", "m9_topology_holes", "m1_partition_refresh",
-    "m4_merge_upsert")
+    "m4_merge_upsert",
+    "l_substring_runs", "l_semantic_dedup", "l_kmeans_step",
+    "j11_asof_join", "w7_sessionize", "a20_topk_agg")
 
   /** Locale-pinned number rendering: a comma-decimal default locale would
     * otherwise print "0,850" and break the driver's JSON parse. */

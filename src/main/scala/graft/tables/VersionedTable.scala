@@ -26,9 +26,11 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * current and at worst a debris directory the log never names (invisible
   * to reads, reclaimed by [[vacuum]]). The log, not the pointer, defines
   * the committed set, so [[rollback]] is metadata-only and rolled-back-
-  * over versions stay time-travelable until vacuumed. Single-writer by
-  * design (concurrent writers need a real table format's conflict
-  * detection); readers are unlimited.
+  * over versions stay time-travelable until vacuumed. Readers are
+  * unlimited and never block. [[commit]] assumes a single writer;
+  * [[commitIfCurrent]] adds the optimistic-concurrency protocol real
+  * table formats use — concurrent writers detect the conflict and retry
+  * instead of corrupting the log.
   *
   * Scale notes: snapshots share nothing (no incremental commit), so this
   * suits dimension/gold tables rewritten per run — exactly where the
@@ -77,6 +79,74 @@ object VersionedTable {
     next
   }
 
+  final case class CommitConflict(expected: Option[Int], actual: Option[Int])
+
+  /** Optimistic-concurrency commit: succeed only if the table is still at
+    * `expected` (None = table must not exist yet). The SNAPSHOT WRITE —
+    * the heavy, minutes-long part — happens OUTSIDE the critical section
+    * into a writer-unique staging directory; the lock guards only the
+    * metadata transition (validate expected → atomic-rename staging to
+    * its version number → append log → flip pointer), so writers
+    * serialize on milliseconds, not on the data write. On conflict the
+    * staging data is discarded and the caller re-reads + retries — the
+    * Delta/Iceberg commit loop.
+    *
+    * The mutex is an O_EXCL lock file (atomic create). A crashed writer's
+    * lock is broken after `staleLockMs` — the clock-based break every
+    * object-store commit protocol ultimately falls back to. */
+  def commitIfCurrent(
+      df: DataFrame, path: String, expected: Option[Int],
+      lockTimeoutMs: Long = 30000, staleLockMs: Long = 600000): Either[CommitConflict, Int] = {
+    val staging = versionsDir(path).resolve(
+      s".staging-${java.util.UUID.randomUUID().toString}")
+    df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    try {
+      withLock(path, lockTimeoutMs, staleLockMs) {
+        val cur = currentVersion(path)
+        if (cur != expected) Left(CommitConflict(expected, cur))
+        else {
+          val committed = versions(path)
+          val next = committed.lastOption.getOrElse(0) + 1
+          Files.move(staging, versionsDir(path).resolve(fmt(next)),
+            StandardCopyOption.ATOMIC_MOVE)
+          writeAtomic(commitLog(path), (committed :+ next).mkString("\n"))
+          writeAtomic(pointer(path), next.toString)
+          Right(next)
+        }
+      }
+    } finally {
+      if (Files.exists(staging)) FsUtil.deleteRec(staging)
+    }
+  }
+
+  private def withLock[T](
+      path: String, timeoutMs: Long, staleMs: Long)(body: => T): T = {
+    val lock = Paths.get(path, "_lock")
+    Files.createDirectories(Paths.get(path))
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        Files.write(lock, System.currentTimeMillis().toString
+          .getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        acquired = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = try {
+            System.currentTimeMillis() - new String(
+              Files.readAllBytes(lock), StandardCharsets.UTF_8).trim.toLong
+          } catch { case _: Exception => 0L } // racing holder — treat as fresh
+          if (age > staleMs) { Files.deleteIfExists(lock); () }
+          else if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"could not acquire $lock within ${timeoutMs}ms")
+          else Thread.sleep(50)
+      }
+    }
+    try body finally { Files.deleteIfExists(lock); () }
+  }
+
   /** Read a snapshot: the current one, or `version` for time travel. */
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
     val v = version.orElse(currentVersion(path)).getOrElse(
@@ -119,8 +189,11 @@ object VersionedTable {
     val keepSet = committed.takeRight(math.max(keep, 1)).toSet ++
       currentVersion(path)
     FsUtil.listDir(versionsDir(path)).foreach { dir =>
-      val v = dir.getFileName.toString.drop(1).toInt
-      if (!keepSet.contains(v)) FsUtil.deleteRec(dir)
+      dir.getFileName.toString match {
+        case s if s.matches("v\\d{8}") =>
+          if (!keepSet.contains(s.drop(1).toInt)) FsUtil.deleteRec(dir)
+        case _ => FsUtil.deleteRec(dir) // abandoned staging / crash debris
+      }
     }
     writeAtomic(commitLog(path),
       committed.filter(keepSet.contains).mkString("\n"))

@@ -49,6 +49,48 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versions(path) === Seq(1, 2, 3))
   }
 
+  test("commitIfCurrent: stale expectation conflicts, fresh one commits") {
+    val path = freshPath("occ")
+    val v1 = VersionedTable.commitIfCurrent(
+      Seq((1L, "a")).toDF("k", "v"), path, expected = None)
+    assert(v1 === Right(1))
+    // a writer that read v1 commits fine
+    val v2 = VersionedTable.commitIfCurrent(
+      Seq((1L, "b")).toDF("k", "v"), path, expected = Some(1))
+    assert(v2 === Right(2))
+    // a writer still holding the v1 base must conflict, not clobber
+    val stale = VersionedTable.commitIfCurrent(
+      Seq((1L, "clobber")).toDF("k", "v"), path, expected = Some(1))
+    assert(stale === Left(VersionedTable.CommitConflict(Some(1), Some(2))))
+    assert(VersionedTable.read(spark, path).select("v")
+      .collect()(0).getString(0) === "b")
+    // no staging debris left behind, and vacuum clears any that were
+    assert(!FsUtil.listDir(Paths.get(path, "_versions"))
+      .exists(_.getFileName.toString.startsWith(".staging")))
+  }
+
+  test("commitIfCurrent: racing writers — exactly one wins per base version") {
+    val path = freshPath("occ_race")
+    VersionedTable.commitIfCurrent(Seq((0L, "base")).toDF("k", "v"), path, None)
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val results = Await.result(
+        Future.sequence((1 to 4).map { i =>
+          Future(VersionedTable.commitIfCurrent(
+            Seq((i.toLong, s"w$i")).toDF("k", "v"), path, expected = Some(1)))
+        }), 120.seconds)
+      assert(results.count(_.isRight) === 1,
+        s"exactly one racer must win: $results")
+      assert(results.collect { case Right(v) => v } === Seq(2))
+      assert(VersionedTable.currentVersion(path) === Some(2))
+      assert(VersionedTable.versions(path) === Seq(1, 2))
+    } finally pool.shutdown()
+  }
+
   test("diff emits delete+insert pairs for changed rows only") {
     val path = freshPath("diff")
     VersionedTable.commit(Seq((1L, 10.0), (2L, 20.0), (3L, 0.0)).toDF("k", "bal"), path)
