@@ -444,6 +444,31 @@ object AggQueries {
               ) WHERE value IS NOT NULL
               ORDER BY c_custkey, metric""")),
 
+    // A21: ROLLUP grouping sets — subtotals at (region, segment),
+    // (region), and () grains in ONE pass (an Expand node, no re-scan
+    // per grain). GROUPING() flags disambiguate real NULLs from subtotal
+    // rows, the standard trap.
+    QueryDef(
+      "a21_rollup_cube",
+      (s, d) =>
+        t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .rollup(col("n_regionkey"), col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("c_acctbal")).as("sum_bal"),
+            grouping(col("n_regionkey")).as("g_region"),
+            grouping(col("c_mktsegment")).as("g_segment"))
+          .orderBy(asc_nulls_first("n_regionkey"), asc_nulls_first("c_mktsegment")),
+      Some(s"""SELECT n_regionkey, c_mktsegment, COUNT(*) AS n,
+               ${dsumSql("c_acctbal")} AS sum_bal,
+               CAST(GROUPING(n_regionkey) AS TINYINT) AS g_region,
+               CAST(GROUPING(c_mktsegment) AS TINYINT) AS g_segment
+               FROM customer JOIN nation ON c_nationkey = n_nationkey
+               GROUP BY ROLLUP(n_regionkey, c_mktsegment)
+               ORDER BY n_regionkey ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""")),
+
     // A20: group-wise top-k as a REAL aggregate (functions.TopKStructs,
     // a TypedImperativeAggregate bounded heap). Same result as the W2
     // window formulation, radically different plan: partial aggregation

@@ -154,6 +154,13 @@ class PlanSpec extends SparkSpec {
         }
         assert(bad.isEmpty,
           s"$q plans a single-partition window over an unbounded input")
+        // and no gate query may plan an unbuffered all-pairs product:
+        // every join must carry keys (hash/merge) or broadcast a bounded
+        // side — CartesianProductExec shuffles |L|×|R| rows by definition.
+        val cart = plan.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }
+        assert(cart.isEmpty, s"$q plans a CartesianProduct")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
