@@ -193,6 +193,38 @@ object FunctionQueries {
               GREATEST(s_acctbal, CAST(0.0 AS DOUBLE)) AS bal_floor0,
               LEAST(s_acctbal, CAST(5000.0 AS DOUBLE)) AS bal_cap5k,
               CAST(s_acctbal AS VARCHAR) AS bal_str
-              FROM supplier ORDER BY s_suppkey"""))
+              FROM supplier ORDER BY s_suppkey""")),
+
+    // The pure-SQL route end-to-end: catalog-registered tables +
+    // SQL-registered custom kernels (GraftFunctions), exercised through
+    // spark.sql TEXT — a spark.sql user gets the same codegen kernels as
+    // the Column API. Consecutive-vector cosine/L2, oracle recomputes
+    // both with the index-order fold.
+    QueryDef(
+      "f_sql_registered",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        graft.core.Tables.registerAll(s, d)
+        s.sql("""
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 cosine_sim(a.embedding, b.embedding) AS cosine,
+                 euclidean_dist(a.embedding, b.embedding) AS dist
+          FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+          WHERE a.vec_id < 100
+          ORDER BY id_a""")
+      },
+      Some("""WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+              )
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
+                (SQRT(list_sum(list_transform(a.e, x -> x * x))) *
+                 SQRT(list_sum(list_transform(b.e, x -> x * x)))) AS cosine,
+              SQRT(list_sum(list_transform(range(1, len(a.e) + 1),
+                i -> (a.e[i] - b.e[i]) * (a.e[i] - b.e[i])))) AS dist
+              FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+              WHERE a.vec_id < 100
+              ORDER BY id_a"""))
   )
 }
