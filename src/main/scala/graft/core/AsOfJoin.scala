@@ -43,6 +43,11 @@ object AsOfJoin {
       .select(((keyCols :+ tsCol) ++
           rightTieCol.filterNot((payloadCols ++ keyCols :+ tsCol).contains))
         .map(col) ++ payloadCols.map(col): _*)
+      // join semantics: a NULL key or NULL timestamp on the right can
+      // never match (DuckDB ASOF `l.ts >= r.ts` is false on NULL; equi
+      // keys don't match NULLs) — without this filter the NULL-ts row
+      // would sort FIRST and leak its payload into early left rows.
+      .filter(col(tsCol).isNotNull && keyCols.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__p", struct(payloadCols.map(col): _*))
       .withColumn("__side", lit(1))
       .withColumn("__tie",

@@ -131,16 +131,18 @@ object Curation {
   }
 
   /** Apply [[mixingWeights]] as a deterministic sample: keep a row iff
-    * its hash bucket falls under the domain's rate. Hash-based (not
-    * `sample()`), so the selection is reproducible and append-stable. */
+    * its salted hash variate falls under the domain's rate. Hash-based
+    * (not `sample()`), so the selection is reproducible and
+    * append-stable — and salted ("mix"), so it composes with
+    * [[withSplit]] without correlation (the sampled survivors still
+    * split ~90/5/5, not 100/0/0). */
   def sampleToMix(
       df: DataFrame, idCol: String, sourceCol: String,
       targets: Map[String, Double]): DataFrame = {
     val rates = mixingWeights(df, sourceCol, targets)
       .select(col("source").as("__mix_source"), col("rate").as("__mix_rate"))
     df.join(broadcast(rates), df(sourceCol) === col("__mix_source"))
-      .filter(hashBucket(col(idCol)).cast(DoubleType) / lit(65536.0) <
-        col("__mix_rate"))
+      .filter(hashUniform(col(idCol), "mix") < col("__mix_rate"))
       .drop("__mix_source", "__mix_rate")
   }
 
@@ -148,15 +150,25 @@ object Curation {
   // Weighted sampling
   // ---------------------------------------------------------------------
 
+  /** 60-bit uniform variate in (0, 1] from a SALTED md5 of the id.
+    * The salt decorrelates operators that would otherwise all read the
+    * same md5(id) stream — composing [[sampleToMix]] (keeps low
+    * buckets) with [[withSplit]] (assigns low buckets to 'train') on
+    * the raw stream would leave val/test empty. 60 bits (vs the 16-bit
+    * split bucket) matter for top-k sampling: a 16-bit grid puts ~n/65536
+    * rows on the maximal u where weights stop discriminating. */
+  def hashUniform(id: Column, salt: String): Column =
+    (conv(substring(md5(concat(id.cast(StringType), lit("|" + salt))), 1, 15),
+      16, 10).cast(LongType).cast(DoubleType) + lit(1.0)) /
+      lit(1152921504606846976.0) // 2^60
+
   /** Efraimidis–Spirakis (A-ES) sampling key: u^(1/w) with u ∈ (0, 1]
-    * derived from the row's md5 hash bucket. The global top-k rows by
+    * from [[hashUniform]] (salt "wsample"). The global top-k rows by
     * this key form a weighted sample WITHOUT replacement — and because u
     * comes from the id hash (not random()), the sample is deterministic
     * and append-stable, like [[withSplit]]. Row-local codegen. */
-  def weightedSampleKey(id: Column, weight: Column): Column = {
-    val u = (hashBucket(id).cast(DoubleType) + lit(1.0)) / lit(65536.0)
-    pow(u, lit(1.0) / weight.cast(DoubleType))
-  }
+  def weightedSampleKey(id: Column, weight: Column): Column =
+    pow(hashUniform(id, "wsample"), lit(1.0) / weight.cast(DoubleType))
 
   /** Deterministic weighted sample of k rows (weights must be > 0; a
     * row's selection odds scale with its weight). Top-k by the A-ES key

@@ -136,6 +136,13 @@ object Multimodal {
       val decoder = decoderFactory()
       decoder.open()
       var closed = false
+      def closeOnce(): Unit = if (!closed) { closed = true; decoder.close() }
+      // the iterator-drain close below never fires when the consumer
+      // stops early (limit/take) or decode() throws — the task
+      // completion listener is the backstop that keeps a real codec /
+      // GPU session from leaking for the executor's lifetime
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       val decodedRows = rows.grouped(batchSize).flatMap { batch =>
         val out = decoder.decode(batch.map(_.getAs[Array[Byte]]("content")).toArray)
         require(out.length == batch.length,
@@ -147,7 +154,7 @@ object Multimodal {
       new Iterator[Row] {
         override def hasNext: Boolean = {
           val h = decodedRows.hasNext
-          if (!h && !closed) { closed = true; decoder.close() }
+          if (!h) closeOnce()
           h
         }
         override def next(): Row = decodedRows.next()

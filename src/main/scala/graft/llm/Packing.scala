@@ -35,7 +35,15 @@ object Packing {
     df.select(
         col(idCol).cast(LongType).as("id"),
         (col(idCol) % nBuckets).cast(IntegerType).as("bucket"),
-        TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+        // split-of-empty yields [""], which would fabricate a phantom
+        // 1-token span per empty doc (same guard as tokenChunks); the
+        // rlike catches whitespace-only too (trim only strips spaces)
+        when(col(textCol).rlike("\\S"),
+            TextAnalysis.tokenCount(col(textCol)).cast(LongType))
+          .otherwise(lit(0L))
+          .as("n_tokens"))
+      // zero-token docs occupy no span: they'd emit last_seq < first_seq
+      .filter(col("n_tokens") > 0)
       .withColumn("offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("first_seq", floor(col("offset") / seqLen))
       .withColumn("last_seq",

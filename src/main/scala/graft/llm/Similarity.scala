@@ -368,6 +368,9 @@ object Similarity {
       centroids: Array[Array[Double]], minCosine: Double): DataFrame = {
     val assigned = withIvfList(
       df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", centroids)
+      // unassignable vectors (dim mismatch / null element → list -1)
+      // must NOT form a pseudo-cluster and all-pairs join each other
+      .filter(col("__ivf_list") >= 0)
     val a = assigned.select(col("__ivf_list").as("la"), col("id").as("id_a"),
       col("v").as("v_a"))
     val b = assigned.select(col("__ivf_list").as("lb"), col("id").as("id_b"),

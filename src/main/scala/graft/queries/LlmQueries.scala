@@ -827,7 +827,7 @@ object LlmQueries {
       Some("""WITH t AS (
                 SELECT doc_id AS id, CAST(doc_id % 8 AS INTEGER) AS bucket,
                        CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
-                FROM documents
+                FROM documents WHERE regexp_matches(text, '\S')
               ),
               o AS (SELECT id, bucket, n_tokens,
                       CAST(COALESCE(SUM(n_tokens) OVER (
@@ -1147,7 +1147,7 @@ object LlmQueries {
           .orderBy(col("doc_id")),
       Some("""SELECT doc_id, n_chars FROM (
                 SELECT doc_id, n_chars,
-                POW((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) + 1.0) / 65536.0,
+                POW((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|wsample'), 1, 15)) AS BIGINT) + 1.0) / 1152921504606846976.0,
                     1.0 / CAST(n_chars AS DOUBLE)) AS wkey
                 FROM documents
               )

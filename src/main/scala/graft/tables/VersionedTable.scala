@@ -137,7 +137,18 @@ object VersionedTable {
             System.currentTimeMillis() - new String(
               Files.readAllBytes(lock), StandardCharsets.UTF_8).trim.toLong
           } catch { case _: Exception => 0L } // racing holder — treat as fresh
-          if (age > staleMs) { Files.deleteIfExists(lock); () }
+          if (age > staleMs) {
+            // Atomic takeover: RENAME the stale lock rather than delete
+            // it — only one waiter wins the move (a delete could race
+            // another waiter's fresh CREATE_NEW and evict a live lock);
+            // losers see NoSuchFile and re-enter the create race.
+            val debris = lock.resolveSibling(
+              s"_lock.broken-${java.util.UUID.randomUUID().toString}")
+            try {
+              Files.move(lock, debris, StandardCopyOption.ATOMIC_MOVE)
+              Files.deleteIfExists(debris); ()
+            } catch { case _: java.nio.file.NoSuchFileException => () }
+          }
           else if (System.currentTimeMillis() > deadline)
             throw new IllegalStateException(
               s"could not acquire $lock within ${timeoutMs}ms")
@@ -183,7 +194,8 @@ object VersionedTable {
   /** Drop all but the newest `keep` committed snapshots, plus any
     * directories the commit log never named (crash debris). The current
     * version is always kept, even after a rollback past `keep`. */
-  def vacuum(path: String, keep: Int = 2): Unit = {
+  def vacuum(path: String, keep: Int = 2,
+      stagingGraceMs: Long = 3600000): Unit = {
     val committed = versions(path)
     if (committed.isEmpty || !Files.exists(versionsDir(path))) return
     val keepSet = committed.takeRight(math.max(keep, 1)).toSet ++
@@ -192,7 +204,16 @@ object VersionedTable {
       dir.getFileName.toString match {
         case s if s.matches("v\\d{8}") =>
           if (!keepSet.contains(s.drop(1).toInt)) FsUtil.deleteRec(dir)
-        case _ => FsUtil.deleteRec(dir) // abandoned staging / crash debris
+        case _ =>
+          // staging / crash debris — but an IN-FLIGHT commitIfCurrent
+          // writes its snapshot here OUTSIDE the lock, so only reclaim
+          // directories that have gone quiet for the grace period
+          // (active writes keep refreshing the mtime).
+          val age = try {
+            System.currentTimeMillis() -
+              Files.getLastModifiedTime(dir).toMillis
+          } catch { case _: Exception => 0L }
+          if (age > stagingGraceMs) FsUtil.deleteRec(dir)
       }
     }
     writeAtomic(commitLog(path),

@@ -57,6 +57,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(0).getAs[String]("pb") === "new_b")
   }
 
+  test("NULL right timestamps and NULL keys never match (join semantics)") {
+    val left = Seq(
+      (Some(1L), Some(ts("2024-01-01 08:00:00")), 1L),
+      (None: Option[Long], Some(ts("2024-01-01 10:00:00")), 2L),
+      (Some(1L), None: Option[Timestamp], 3L)
+    ).toDF("k", "ts", "lid")
+    val right = Seq(
+      (Some(1L), None: Option[Timestamp], "null_ts"),   // must never carry
+      (None: Option[Long], Some(ts("2024-01-01 09:00:00")), "null_key"),
+      (Some(1L), Some(ts("2024-01-01 09:00:00")), "real")
+    ).toDF("k", "ts", "payload")
+    val out = AsOfJoin.asof(left, right, Seq("k"), "ts", Seq("payload"))
+      .orderBy("lid").collect()
+    // lid=1 at 08:00 precedes the only real right row (09:00) → NULL,
+    // NOT the null-ts row's payload
+    assert(out(0).isNullAt(out(0).fieldIndex("payload")))
+    // NULL-key left never matches the NULL-key right row
+    assert(out(1).isNullAt(out(1).fieldIndex("payload")))
+    // NULL-ts left row precedes everything → NULL
+    assert(out(2).isNullAt(out(2).fieldIndex("payload")))
+  }
+
   test("keys never cross: other keys' right rows are invisible") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "ts")
     val right = Seq((2L, ts("2024-01-01 09:00:00"), "other"))

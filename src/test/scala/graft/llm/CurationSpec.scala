@@ -94,6 +94,20 @@ class CurationSpec extends SparkSpec {
     assert(out === again)
   }
 
+  test("sampleToMix composes with withSplit without hash correlation") {
+    val docs = (0L until 3000L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val mixed = Curation.sampleToMix(docs, "doc_id", "source",
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+    val splits = Curation.withSplit(mixed, "doc_id")
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // on the UNSALTED stream every sampled survivor had bucket < rate ≤
+    // 0.9 → 100% train; salted streams must keep val/test populated
+    assert(splits.getOrElse("val", 0L) > 0L, s"val empty: $splits")
+    assert(splits.getOrElse("test", 0L) > 0L, s"test empty: $splits")
+  }
+
   test("blocklist filter drops only docs linking to blocked domains") {
     val df = Seq(
       (1L, "read https://good.org/a and https://evil.com/b"),

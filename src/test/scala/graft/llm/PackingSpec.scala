@@ -60,6 +60,22 @@ class PackingSpec extends SparkSpec {
     pieces.unpersist()
   }
 
+  test("empty and whitespace-only docs occupy no span (no phantom tokens)") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "alpha beta gamma"),
+      (8L, ""),            // same bucket as 0 with nBuckets=8
+      (16L, "   \n\t "),   // whitespace-only, same bucket
+      (24L, "delta epsilon")
+    ).toDF("doc_id", "text")
+    val spans = Packing.withSequenceSpans(df, "doc_id", "text",
+      seqLen = 4, nBuckets = 8).orderBy("id").collect()
+    assert(spans.map(_.getLong(0)).toSeq === Seq(0L, 24L),
+      "zero-token docs must not emit spans")
+    // and the empty docs must not have shifted doc 24's offset
+    assert(spans(1).getAs[Long]("offset") === 3L)
+  }
+
   test("assignment is invariant to input partitioning") {
     val a = Packing.withSequenceSpans(docs, "doc_id", "text", seqLen, nBuckets)
       .collect().map(r => r.getLong(0) -> r.toSeq).toMap
