@@ -200,6 +200,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"assignment must not join:\n$p")
   }
 
+  test("asof join and sessionize are single-shuffle operators") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.size
+      val ev = Tables.load(spark, sfDir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value").as("view_value"))
+      val asof = graft.core.AsOfJoin.asof(
+        clicks, views, Seq("user_id"), "ts", Seq("view_value"))
+      assert(exchanges(asof) === 1,
+        s"asof must shuffle once on the key:\n${asof.queryExecution.executedPlan}")
+      val sess = graft.analytics.Sessions.sessionize(
+        ev, "user_id", "ts", "event_id", 1800L)
+      assert(exchanges(sess) === 1,
+        s"sessionize must shuffle once on the entity key:\n${sess.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import graft.core.{RuntimeFilters, Tables}
     RuntimeFilters.withBloomJoin(spark) {
