@@ -1154,6 +1154,58 @@ object LlmQueries {
               ORDER BY wkey DESC NULLS LAST, doc_id ASC LIMIT 100
               """)),
 
+    // Dataset-card profile: the per-source corpus summary a training-data
+    // audit starts from — doc/token volumes, exact-dup rate (fingerprint
+    // census), language composition — in ONE aggregation pass over the
+    // corpus. All counts are integers; ratios come from one final
+    // division, so nothing accumulates in engine-dependent order.
+    QueryDef(
+      "l_dataset_profile",
+      (s, d) =>
+        t(s, d, "documents")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text")).cast(LongType))
+              .as("total_tokens"),
+            countDistinct(TextAnalysis.fingerprint(col("text")))
+              .as("distinct_fps"),
+            count(when(TextAnalysis.languageId(col("text")) === "en", 1))
+              .as("n_en"))
+          .withColumn("dup_rate",
+            lit(1.0) - col("distinct_fps").cast(DoubleType) /
+              col("n_docs").cast(DoubleType))
+          .withColumn("en_frac",
+            col("n_en").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .orderBy(col("source")),
+      Some("""WITH scored AS (
+                SELECT source, text,
+                CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_en,
+                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_de,
+                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['le','la','les','et','est','un','une','pas','avec','pour'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_fr,
+                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['el','la','los','y','es','un','una','no','con','para'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_es
+                FROM documents
+              ),
+              lang AS (
+                SELECT source, ws_tokens, fp,
+                CASE WHEN (s_en + s_de + s_fr + s_es) > 0 THEN
+                  CASE WHEN s_es > GREATEST(s_en, s_de, s_fr) THEN 'es'
+                       WHEN s_fr > GREATEST(s_en, s_de) THEN 'fr'
+                       WHEN s_de > s_en THEN 'de'
+                       ELSE 'en' END
+                ELSE 'und' END AS detected
+                FROM scored
+              )
+              SELECT source, COUNT(*) AS n_docs,
+              CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens,
+              COUNT(DISTINCT fp) AS distinct_fps,
+              COUNT(CASE WHEN detected = 'en' THEN 1 END) AS n_en,
+              1.0e0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
+              CAST(COUNT(CASE WHEN detected = 'en' THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS en_frac
+              FROM lang GROUP BY source ORDER BY source""")),
+
     // Gopher/MassiveText document quality rules, one boolean per rule so
     // audits can report per-rule rejection rates; all row-local codegen.
     QueryDef(
