@@ -80,7 +80,13 @@ object GraftFunctions {
       (es: Seq[Expression]) => QuantizeI8Stats(es(0))),
     ("quant_i8",
       info("quant_i8", "quant_i8(v) - int8 quantization (scale, codes array<tinyint>)"),
-      (es: Seq[Expression]) => QuantizeI8(es(0))))
+      (es: Seq[Expression]) => QuantizeI8(es(0))),
+    ("nfc_normalize",
+      info("nfc_normalize", "nfc_normalize(s) - Unicode canonical composition (NFC)"),
+      (es: Seq[Expression]) => NfcNormalize(es(0))),
+    ("strip_accents",
+      info("strip_accents", "strip_accents(s) - NFD + drop combining marks (cafe from café)"),
+      (es: Seq[Expression]) => StripAccents(es(0))))
 
   /** Register on a live session (temp functions in its registry). */
   def register(spark: SparkSession): Unit =

@@ -350,4 +350,47 @@ object Kernels {
     }
     c
   }
+
+  /** Unicode NFC normalization (canonical composition) — é as e+◌́
+    * collapses to the single codepoint, so visually-identical strings
+    * fingerprint identically. ASCII fast path: already-normalized bytes
+    * skip the (allocating) Normalizer call, which is the overwhelmingly
+    * common case in web corpora. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    if (isAscii(s)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+  }
+
+  /** Accent/diacritic stripping: NFD decomposition, then every combining
+    * mark (Unicode category M) removed — café → cafe. Same contract as
+    * DuckDB's strip_accents for Latin text. ASCII fast path as above. */
+  def stripAccents(s: UTF8String): UTF8String = {
+    if (isAscii(s)) s
+    else {
+      val d = java.text.Normalizer.normalize(
+        s.toString, java.text.Normalizer.Form.NFD)
+      val sb = new java.lang.StringBuilder(d.length)
+      var i = 0
+      while (i < d.length) {
+        val cp = d.codePointAt(i)
+        val t = Character.getType(cp)
+        if (t != Character.NON_SPACING_MARK &&
+            t != Character.COMBINING_SPACING_MARK &&
+            t != Character.ENCLOSING_MARK) sb.appendCodePoint(cp)
+        i += Character.charCount(cp)
+      }
+      UTF8String.fromString(sb.toString)
+    }
+  }
+
+  private def isAscii(s: UTF8String): Boolean = {
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) {
+      if ((s.getByte(i) & 0x80) != 0) return false
+      i += 1
+    }
+    true
+  }
 }

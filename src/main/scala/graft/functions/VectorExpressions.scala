@@ -227,6 +227,51 @@ case class CleanLines(child: Expression, minWords: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (java.text.Normalizer, codegen, ASCII fast
+  * path) — Spark SQL has no built-in for this. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "nfc_normalize"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires string input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.nfcNormalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Kernels.nfcNormalize($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Diacritic stripping (NFD + drop combining marks) — café → cafe. */
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "strip_accents"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"strip_accents requires string input, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.stripAccents(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Kernels.stripAccents($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Occurrence count of the most frequent token in an array<string>. */
 case class MaxTokenFreq(child: Expression) extends UnaryExpression {
   override def prettyName: String = "max_token_freq"
@@ -410,6 +455,8 @@ object F {
   def cleanLines(text: Column, minWords: Int): Column = c(CleanLines(e(text), minWords))
   def quantI8Stats(v: Column): Column = c(QuantizeI8Stats(e(v)))
   def quantI8(v: Column): Column = c(QuantizeI8(e(v)))
+  def nfcNormalize(s: Column): Column = c(NfcNormalize(e(s)))
+  def stripAccents(s: Column): Column = c(StripAccents(e(s)))
   /** Group-wise top-k aggregate over a struct column: the k largest
     * structs (lexicographic over all fields), map-side combined — see
     * [[TopKStructs]]. */

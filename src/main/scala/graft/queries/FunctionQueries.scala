@@ -195,6 +195,33 @@ object FunctionQueries {
               CAST(s_acctbal AS VARCHAR) AS bal_str
               FROM supplier ORDER BY s_suppkey""")),
 
+    // Unicode normalization kernels (Spark has no built-in): NFC
+    // composition makes decomposed text fingerprint-identical to its
+    // precomposed twin; strip_accents folds diacritics for matching.
+    // Planted composed/decomposed suffixes per doc; the oracle runs
+    // DuckDB's OWN nfc_normalize/strip_accents — two independent
+    // implementations of the Unicode standard must agree byte-for-byte.
+    QueryDef(
+      "f_unicode_normalize",
+      (s, d) => {
+        val comp = lit(" caf\u00e9 na\u00efve")  // precomposed
+                val decomp = lit(" cafe\u0301 nai\u0308ve")  // combining marks
+                val F = graft.functions.F
+        t(s, d, "documents").select(
+            col("doc_id"),
+            (F.nfcNormalize(concat(col("text"), decomp)) ===
+              F.nfcNormalize(concat(col("text"), comp))).as("nfc_equal"),
+            md5(F.nfcNormalize(concat(col("text"), decomp))).as("nfc_md5"),
+            md5(F.stripAccents(concat(col("text"), decomp))).as("stripped_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+              nfc_normalize(text || ' cafe' || chr(769) || ' nai' || chr(776) || 've') =
+                nfc_normalize(text || ' café naïve') AS nfc_equal,
+              md5(nfc_normalize(text || ' cafe' || chr(769) || ' nai' || chr(776) || 've')) AS nfc_md5,
+              md5(strip_accents(text || ' cafe' || chr(769) || ' nai' || chr(776) || 've')) AS stripped_md5
+              FROM documents ORDER BY doc_id""")),
+
     // The pure-SQL route end-to-end: catalog-registered tables +
     // SQL-registered custom kernels (GraftFunctions), exercised through
     // spark.sql TEXT — a spark.sql user gets the same codegen kernels as

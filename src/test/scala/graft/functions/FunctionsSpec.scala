@@ -213,6 +213,26 @@ class FunctionsSpec extends SparkSpec {
     })
   }
 
+  test("nfc_normalize composes decomposed text; strip_accents folds diacritics") {
+    import spark.implicits._
+    val df = Seq(
+      ("cafe\u0301", "caf\u00e9"),   // decomposed vs precomposed
+      ("nai\u0308ve", "na\u00efve"),
+      ("plain ascii", "plain ascii")
+    ).toDF("decomp", "comp")
+    val out = df.select(
+      (F.nfcNormalize(col("decomp")) === col("comp")).as("nfc_eq"),
+      F.stripAccents(col("decomp")).as("strip_d"),
+      F.stripAccents(col("comp")).as("strip_c")).collect()
+    assert(out.forall(_.getBoolean(0)), "NFC must compose to the precomposed twin")
+    assert(out.map(_.getString(1)).toSeq === Seq("cafe", "naive", "plain ascii"))
+    assert(out.map(_.getString(2)).toSeq === Seq("cafe", "naive", "plain ascii"))
+    // registered for SQL use
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT strip_accents('\\u00e9l\\u00e8ve') AS s")
+      .collect()(0).getString(0) === "eleve")
+  }
+
   test("top_k_structs aggregate matches the window top-k under partitioning") {
     import spark.implicits._
     // many partitions + duplicate order values force the merge path and
