@@ -27,10 +27,14 @@ object Sessions {
       gapSec: Long): DataFrame = {
     val w = Window.partitionBy(col(entityCol))
       .orderBy(asc_nulls_first(tsCol), asc_nulls_first(tieCol))
-    val gap = unix_timestamp(col(tsCol)) -
-      unix_timestamp(lag(col(tsCol), 1).over(w))
+    // Compare at MICROSECOND (native timestamp) precision: unix_timestamp
+    // truncates to whole seconds, which would merge events 1800.9s apart
+    // under gapSec=1800 — "splits iff gap > gapSec" must hold for
+    // sub-second timestamps too.
+    val gapMicros = unix_micros(col(tsCol)) -
+      unix_micros(lag(col(tsCol), 1).over(w))
     df.withColumn("__new_session",
-        when(gap.isNull || gap > gapSec, 1L).otherwise(0L))
+        when(gapMicros.isNull || gapMicros > gapSec * 1000000L, 1L).otherwise(0L))
       .withColumn("session_id",
         sum(col("__new_session")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
@@ -48,7 +52,10 @@ object Sessions {
         count(lit(1)).as("n_events"),
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"),
-        (unix_timestamp(max(col(tsCol))) - unix_timestamp(min(col(tsCol))))
+        // whole seconds of the TRUE (microsecond) duration — not a
+        // difference of per-timestamp second truncations
+        floor((unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
+            / 1000000L).cast("long")
           .as("duration_sec"))
 
   /** The same segmentation through Spark's NATIVE session_window — the

@@ -50,15 +50,21 @@ object AsOfJoin {
       .filter(col(tsCol).isNotNull && keyCols.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__p", struct(payloadCols.map(col): _*))
       .withColumn("__side", lit(1))
-      .withColumn("__tie",
-        rightTieCol.map(c => col(c).cast("long")).getOrElse(lit(0L)))
+      // Tie resolution orders the column in its NATIVE type: a cast
+      // (e.g. to long) would silently NULL a string event id and degrade
+      // "greatest tie wins" to arbitrary. Non-orderable tie types fail
+      // fast at analysis, which is the correct contract.
+      .withColumn("__tie", rightTieCol.map(col).getOrElse(lit(0L)))
       .select((keyCols :+ tsCol).map(col) ++ Seq(col("__p"), col("__side"), col("__tie")): _*)
     val pType = rTagged.schema("__p").dataType
+    val tieType = rTagged.schema("__tie").dataType
 
     val lTagged = left
       .withColumn("__p", lit(null).cast(pType))
       .withColumn("__side", lit(0))
-      .withColumn("__tie", lit(0L))
+      // Left rows never contribute a payload and always sort after the
+      // same-ts right rows (__side desc), so their tie value is inert.
+      .withColumn("__tie", lit(null).cast(tieType))
     // align: right side gains the left-only columns as NULLs
     val rAligned = leftCols.filterNot((keyCols :+ tsCol).contains)
       .foldLeft(rTagged)((d, c) =>

@@ -161,8 +161,7 @@ object WindowQueries {
       Some("""WITH o AS (
                 SELECT user_id, ts, event_id,
                 CASE WHEN LAG(ts) OVER w IS NULL
-                     OR CAST(FLOOR(epoch(ts)) AS BIGINT) -
-                        CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                     OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                      THEN 1 ELSE 0 END AS ns
                 FROM events
                 WINDOW w AS (PARTITION BY user_id
@@ -178,8 +177,8 @@ object WindowQueries {
               )
               SELECT user_id, session_id, COUNT(*) AS n_events,
               MIN(ts) AS session_start, MAX(ts) AS session_end,
-              CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) -
-                CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS duration_sec
+              CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+                AS BIGINT) AS duration_sec
               FROM s GROUP BY user_id, session_id
               ORDER BY user_id, session_id""")),
 

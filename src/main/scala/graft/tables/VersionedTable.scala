@@ -123,20 +123,20 @@ object VersionedTable {
       path: String, timeoutMs: Long, staleMs: Long)(body: => T): T = {
     val lock = Paths.get(path, "_lock")
     Files.createDirectories(Paths.get(path))
+    // Lock content is "<acquireMillis> <holderToken>": the timestamp
+    // drives staleness, the token proves ownership at release time.
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + timeoutMs
     var acquired = false
     while (!acquired) {
       try {
-        Files.write(lock, System.currentTimeMillis().toString
+        Files.write(lock, s"${System.currentTimeMillis()} $token"
           .getBytes(StandardCharsets.UTF_8),
           java.nio.file.StandardOpenOption.CREATE_NEW)
         acquired = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          val age = try {
-            System.currentTimeMillis() - new String(
-              Files.readAllBytes(lock), StandardCharsets.UTF_8).trim.toLong
-          } catch { case _: Exception => 0L } // racing holder — treat as fresh
+          val age = lockAge(lock)
           if (age > staleMs) {
             // Atomic takeover: RENAME the stale lock rather than delete
             // it — only one waiter wins the move (a delete could race
@@ -155,8 +155,35 @@ object VersionedTable {
           else Thread.sleep(50)
       }
     }
-    try body finally { Files.deleteIfExists(lock); () }
+    try body finally releaseLock(lock, token)
   }
+
+  /** Lock age from its recorded acquire time. When the content doesn't
+    * parse (crash between CREATE_NEW and the content write, corruption),
+    * fall back to the file mtime so an orphaned empty lock still goes
+    * stale instead of wedging every future writer until manual cleanup. */
+  private def lockAge(lock: Path): Long =
+    try {
+      System.currentTimeMillis() - new String(
+        Files.readAllBytes(lock), StandardCharsets.UTF_8)
+        .trim.split("\\s+")(0).toLong
+    } catch {
+      case _: Exception =>
+        try System.currentTimeMillis() - Files.getLastModifiedTime(lock).toMillis
+        catch { case _: Exception => 0L } // vanished mid-check — racing holder
+    }
+
+  /** Release only a lock this holder still owns: a writer paused past
+    * staleMs may have been stale-broken and replaced by another writer's
+    * fresh lock — an unconditional delete here would evict that live
+    * holder and let a third writer into the critical section. The token
+    * check narrows the exposure to the read→delete window (the stale
+    * BREAK itself is an atomic rename, so two breakers can't race). */
+  private def releaseLock(lock: Path, token: String): Unit =
+    try {
+      val content = new String(Files.readAllBytes(lock), StandardCharsets.UTF_8)
+      if (content.contains(token)) { Files.deleteIfExists(lock); () }
+    } catch { case _: Exception => () } // already gone or replaced — not ours to touch
 
   /** Read a snapshot: the current one, or `version` for time travel. */
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
@@ -193,30 +220,41 @@ object VersionedTable {
 
   /** Drop all but the newest `keep` committed snapshots, plus any
     * directories the commit log never named (crash debris). The current
-    * version is always kept, even after a rollback past `keep`. */
+    * version is always kept, even after a rollback past `keep`.
+    *
+    * Serializes with [[commitIfCurrent]] under the same OCC lock: the
+    * versions()-read → delete → log-rewrite sequence must not interleave
+    * with a concurrent commit, or vacuum would rewrite the log without
+    * the just-committed version (its number then gets reused and the
+    * live snapshot collides with the next commit's rename). */
   def vacuum(path: String, keep: Int = 2,
-      stagingGraceMs: Long = 3600000): Unit = {
-    val committed = versions(path)
-    if (committed.isEmpty || !Files.exists(versionsDir(path))) return
-    val keepSet = committed.takeRight(math.max(keep, 1)).toSet ++
-      currentVersion(path)
-    FsUtil.listDir(versionsDir(path)).foreach { dir =>
-      dir.getFileName.toString match {
-        case s if s.matches("v\\d{8}") =>
-          if (!keepSet.contains(s.drop(1).toInt)) FsUtil.deleteRec(dir)
-        case _ =>
-          // staging / crash debris — but an IN-FLIGHT commitIfCurrent
-          // writes its snapshot here OUTSIDE the lock, so only reclaim
-          // directories that have gone quiet for the grace period
-          // (active writes keep refreshing the mtime).
-          val age = try {
-            System.currentTimeMillis() -
-              Files.getLastModifiedTime(dir).toMillis
-          } catch { case _: Exception => 0L }
-          if (age > stagingGraceMs) FsUtil.deleteRec(dir)
+      stagingGraceMs: Long = 3600000,
+      lockTimeoutMs: Long = 30000, staleLockMs: Long = 600000): Unit = {
+    if (!Files.exists(versionsDir(path))) return
+    withLock(path, lockTimeoutMs, staleLockMs) {
+      val committed = versions(path)
+      if (committed.nonEmpty) {
+        val keepSet = committed.takeRight(math.max(keep, 1)).toSet ++
+          currentVersion(path)
+        FsUtil.listDir(versionsDir(path)).foreach { dir =>
+          dir.getFileName.toString match {
+            case s if s.matches("v\\d{8}") =>
+              if (!keepSet.contains(s.drop(1).toInt)) FsUtil.deleteRec(dir)
+            case _ =>
+              // staging / crash debris — but an IN-FLIGHT commitIfCurrent
+              // writes its snapshot here OUTSIDE the lock, so only reclaim
+              // directories that have gone quiet for the grace period
+              // (active writes keep refreshing the mtime).
+              val age = try {
+                System.currentTimeMillis() -
+                  Files.getLastModifiedTime(dir).toMillis
+              } catch { case _: Exception => 0L }
+              if (age > stagingGraceMs) FsUtil.deleteRec(dir)
+          }
+        }
+        writeAtomic(commitLog(path),
+          committed.filter(keepSet.contains).mkString("\n"))
       }
     }
-    writeAtomic(commitLog(path),
-      committed.filter(keepSet.contains).mkString("\n"))
   }
 }
