@@ -90,8 +90,12 @@ object DashboardQueries {
     silver
       .filter(col("course_id") === courseId && col("round_id") === roundId &&
         nonPadding && col("latitude").isNotNull && col("longitude").isNotNull)
+      // partitioned by the round the filter pinned: same numbering, but
+      // no single-partition global window (and still correct if a caller
+      // ever maps this over many rounds)
       .withColumn("event_sequence",
-        row_number().over(Window.orderBy(col("location_index"))))
+        row_number().over(
+          Window.partitionBy(col("round_id")).orderBy(col("location_index"))))
       .select(
         col("location_index"), col("latitude"), col("longitude"),
         col("nine_number"), col("hole_number"), col("section_number"),
@@ -99,10 +103,12 @@ object DashboardQueries {
       .orderBy(col("location_index"))
 
   /** get_round_progression (queries.py:997-1034): W3/W4 sequencing with
-    * hole/section transition classification for ONE round (the global
-    * window is safe — one round is bounded). */
+    * hole/section transition classification for ONE round. The window
+    * partitions by the round the filter pinned — identical output, but a
+    * hash-partitioned WindowExec instead of a single-partition global
+    * sort. */
   def roundProgression(silver: DataFrame, courseId: String, roundId: String): DataFrame = {
-    val w = Window.orderBy(col("location_index"))
+    val w = Window.partitionBy(col("round_id")).orderBy(col("location_index"))
     def transition(c: Column): Column = {
       val prev = lag(c, 1).over(w)
       when(prev.isNull, "start")
@@ -114,11 +120,13 @@ object DashboardQueries {
     silver
       .filter(col("course_id") === courseId && col("round_id") === roundId && nonPadding)
       .select(
-        col("location_index"), col("nine_number"), col("hole_number"),
-        col("section_number"), col("fix_timestamp"), col("pace"))
+        col("round_id"), col("location_index"), col("nine_number"),
+        col("hole_number"), col("section_number"), col("fix_timestamp"),
+        col("pace"))
       .withColumn("event_sequence", row_number().over(w))
       .withColumn("hole_transition", transition(col("hole_number")))
       .withColumn("section_transition", transition(col("section_number")))
+      .drop("round_id")
       .orderBy(col("location_index"))
   }
 

@@ -483,10 +483,18 @@ object DashboardQueries2 {
           nullif(count(lit(1)), lit(0)), 1).as("timestamp_completeness"))
     val score = (col("pace_completeness") + col("gps_completeness") +
       col("hole_completeness") + col("timestamp_completeness")) / 4
-    metrics
-      .withColumn("avg_quality_score", round(score, 1))
-      // global RANK window is fine here: one row per course, tiny
-      .withColumn("quality_rank", rank().over(Window.orderBy(score.desc)))
+    // RANK as 1 + count of strictly-greater scores via a broadcast
+    // self-join of the tiny per-course aggregate (same shape as w5_rank):
+    // no WindowExec at all, so nothing single-partition even in the plan.
+    val scored = metrics.withColumn("avg_quality_score", round(score, 1))
+      .withColumn("__score", score)
+    val rankByScore = scored.select(col("__score")).distinct()
+      .join(broadcast(scored.select(col("__score").as("__s2"))),
+        col("__s2") > col("__score"), "left")
+      .groupBy(col("__score"))
+      .agg((count(col("__s2")) + 1).cast("int").as("quality_rank"))
+    scored.join(broadcast(rankByScore), Seq("__score"))
+      .drop("__score")
       .orderBy(col("quality_rank"))
   }
 

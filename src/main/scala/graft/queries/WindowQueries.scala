@@ -99,14 +99,18 @@ object WindowQueries {
                 )
               ) GROUP BY event_type, transition ORDER BY event_type, transition""")),
 
-    // W4: global ROW_NUMBER sequencing over a bounded, pre-filtered slice
-    // (queries.py:1010,1049 sequences one round at a time). A global window
-    // is a single-partition bottleneck at scale, so the filter comes FIRST —
-    // only one user's events are sequenced.
+    // W4: ROW_NUMBER sequencing over a bounded, pre-filtered slice
+    // (queries.py:1010,1049 sequences one round at a time). The filter
+    // comes FIRST, and the window partitions by the SAME entity key the
+    // filter pinned — identical output for the single entity, but the
+    // plan is a hash-partitioned WindowExec (no single-partition global
+    // sort, no "No Partition Defined" warning, and it stays correct and
+    // distributed if the filter ever widens to several entities).
     QueryDef(
       "w4_global_sequence",
       (s, d) => {
-        val w = Window.orderBy(asc_nulls_first("ts"), asc_nulls_first("event_id"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(asc_nulls_first("ts"), asc_nulls_first("event_id"))
         t(s, d, "events")
           .filter(col("user_id") === 7)
           .withColumn("seq", row_number().over(w))

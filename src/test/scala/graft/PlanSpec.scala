@@ -140,10 +140,10 @@ class PlanSpec extends SparkSpec {
   test("no gate query plans an unpartitioned window over an unbounded input") {
     // A WindowExec with an empty partitionSpec moves its whole input to
     // ONE partition — a scale-killer unless the input is provably bounded
-    // first. Every exemption below must be a bounded frame:
-    //   w4_global_sequence — pre-filtered to a single user's events
-    //     (queries.py:1010 sequences one round at a time).
-    val exempt = Set("w4_global_sequence")
+    // first. No exemptions: every former bounded-global-window site now
+    // partitions by the entity its filter pinned (w4, round progression)
+    // or ranks via broadcast self-join (w5, quality ranking).
+    val exempt = Set.empty[String]
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       for (q <- Corpus.defs.map(_.name) if !exempt(q)) {
