@@ -151,14 +151,29 @@ object Similarity {
     * deterministic sample collected to the driver — the standard IVF
     * recipe (train on a sample, assign the full corpus distributed).
     * The sample is capped so driver memory is bounded regardless of
-    * corpus size; assignment is one codegen pass, no shuffle. */
+    * corpus size; assignment is one codegen pass, no shuffle.
+    *
+    * AUTO-SWITCH: above `autoDistributeOver` rows the bounded sample is
+    * a shrinking, unrepresentative fraction of the corpus (a 10k sample
+    * of 10⁹ rows misses tail clusters entirely), so training silently
+    * delegates to [[trainIvfCentroidsDistributed]] — full-corpus Lloyd
+    * at one O(k×dim×tasks) shuffle per iteration. No caller can train a
+    * 100 TB quantizer on 10k driver rows by default; pass
+    * `autoDistributeOver = Long.MaxValue` to force the sample path. */
   def trainIvfCentroids(
       df: DataFrame, vecCol: String, k: Int,
-      sampleSize: Int = 10000, iters: Int = 8, seed: Long = 42L): Array[Array[Double]] = {
-    val frac = {
-      val total = df.count().toDouble
-      math.min(1.0, sampleSize * 1.2 / math.max(total, 1.0))
-    }
+      sampleSize: Int = 10000, iters: Int = 8, seed: Long = 42L,
+      autoDistributeOver: Long = 1000000L): Array[Array[Double]] = {
+    val total = df.count()
+    if (total > autoDistributeOver)
+      return trainIvfCentroidsDistributed(
+        // synthetic deterministic id: the distributed init orders by a
+        // hash of (id, vector); hashing the vector itself keeps init
+        // deterministic without requiring callers to name an id column
+        df.select(col(vecCol)).withColumn("__ivf_tid", xxhash64(col(vecCol))),
+        "__ivf_tid", vecCol, k, iters)
+    val frac =
+      math.min(1.0, sampleSize * 1.2 / math.max(total.toDouble, 1.0))
     val sample = df.select(col(vecCol)).sample(withReplacement = false, frac, seed)
       .limit(sampleSize)
       .collect()

@@ -314,6 +314,72 @@ class LlmSpec extends SparkSpec {
       s"training must not increase SSE: ${sse(trained)} vs ${sse(early)}")
   }
 
+  test("trainIvfCentroids auto-delegates to distributed Lloyd above the threshold") {
+    // forcing the threshold below the corpus size must produce exactly
+    // the distributed-Lloyd result (same synthetic-id init), so no
+    // caller can silently train a huge corpus's quantizer on a 10k
+    // driver sample
+    val auto = Similarity.trainIvfCentroids(
+      vecs, "embedding", k = 8, autoDistributeOver = 10L)
+    val dist = Similarity.trainIvfCentroidsDistributed(
+      vecs.select(col("embedding")).withColumn("__ivf_tid", xxhash64(col("embedding"))),
+      "__ivf_tid", "embedding", k = 8)
+    assert(auto.length === dist.length)
+    auto.zip(dist).foreach { case (a, b) =>
+      a.indices.foreach(i => assert(math.abs(a(i) - b(i)) < 1e-9))
+    }
+    // and the sample path still answers below the threshold
+    val sampled = Similarity.trainIvfCentroids(
+      vecs, "embedding", k = 8, autoDistributeOver = Long.MaxValue)
+    assert(sampled.length === 8)
+  }
+
+  test("IVF recall@10 curve: monotone in nprobe, >=0.9 at nprobe=8, exact at k") {
+    // Deterministic clustered corpus: 8 well-separated Gaussian clusters
+    // in 16-d, k=16 trained lists (each true cluster splits across ~2
+    // lists, so partial probes genuinely miss neighbors).
+    val rnd = new java.util.Random(7)
+    val dim = 16
+    // overlapping clusters (noise ~ center scale): a query's true top-10
+    // straddles list boundaries, so small probes genuinely miss
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian() * 2.0))
+    // unit-normalized so cosine ordering (bruteForceTopK) and euclidean
+    // ordering (ivfTopK) agree — the operator contract for embeddings
+    val pts = (0 until 2000).map { i =>
+      val c = centers(i % 8)
+      val raw = c.map(x => x + rnd.nextGaussian() * 3.0)
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      (i.toLong, raw.map(x => (x / norm).toFloat).toSeq)
+    }
+    val corpus = pts.toDF("vec_id", "embedding")
+    val centroids = Similarity.trainIvfCentroids(corpus, "embedding", k = 16)
+    val queryIds = Seq(3L, 401L, 805L, 1207L, 1601L)
+    val exact = queryIds.map { q =>
+      q -> Similarity.bruteForceTopK(
+          corpus.filter(col("vec_id") === q), corpus, "vec_id", "embedding", k = 10)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    }.toMap
+    val curve = Seq(1, 2, 4, 8, 16).map { np =>
+      val r = queryIds.map { q =>
+        val qv = pts(q.toInt)._2.toArray
+        val got = Similarity.ivfTopK(
+            corpus.filter(col("vec_id") =!= q), "vec_id", "embedding",
+            centroids, qv, k = 10, nprobe = np)
+          .select("id").collect().map(_.getLong(0)).toSet
+        got.intersect(exact(q)).size.toDouble / exact(q).size
+      }.sum / queryIds.size
+      np -> r
+    }
+    info(s"recall curve: ${curve.map { case (np, r) => s"nprobe=$np:$r" }.mkString(", ")}")
+    // candidate sets are nested in nprobe, so recall must be monotone
+    curve.sliding(2).foreach {
+      case Seq((_, a), (_, b)) => assert(b >= a - 1e-9, s"recall curve dipped: $curve")
+      case _ =>
+    }
+    assert(curve.toMap.apply(8) >= 0.9, s"recall@nprobe=8 below 0.9: $curve")
+    assert(curve.toMap.apply(16) === 1.0, "probing every list must be exact")
+  }
+
   test("sharedTokenRuns measures exact run lengths on known overlaps") {
     val shared = (1 to 20).map(i => s"s$i").mkString(" ")
     val df = Seq(
