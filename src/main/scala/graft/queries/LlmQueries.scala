@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
-import graft.llm.{Curation, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, MediaCodecs, Multimodal, Packing, Similarity, TextAnalysis}
 import QueryDef._
 
 /** LLM-training-data operators (builder brief §extensions) over the
@@ -726,6 +726,61 @@ object LlmQueries {
               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
               CAST(SUM(frame_idx * 1000) AS BIGINT) AS sum_frame_ts
               FROM frames GROUP BY modality ORDER BY modality""")),
+
+    // REAL media decode (no stub): deterministic P6 PPM / PCM-16 WAV
+    // payloads are byte-encoded for a bounded id set (closed-form pixels
+    // and samples), decoded in Spark by the pure-JVM CodecBatchDecoder
+    // through the batched mapPartitions contract, and the extracted
+    // features (dimensions, per-channel means, sample rate, RMS, peak,
+    // duration) are pinned numerically by the oracle recomputing the
+    // same closed forms. The one collect() is the ≤200-row fixture.
+    QueryDef(
+      "l_multimodal_decode",
+      (s, d) => {
+        import s.implicits._
+        val ids = t(s, d, "documents")
+          .filter(col("doc_id") % 5 === 0 && col("doc_id") < 1000)
+          .select(col("doc_id").cast(LongType)).as[Long].collect().sorted
+        val rows = ids.toSeq.map { id =>
+          val content: Array[Byte] =
+            if (id % 2 == 0) {
+              val w = (id % 8 + 2).toInt; val h = (id % 6 + 2).toInt
+              MediaCodecs.encodePpm(w, h, (_, _) =>
+                ((id % 256).toInt, (2 * id % 256).toInt, (3 * id % 256).toInt))
+            } else {
+              val nSamples = (id % 50 + 10).toInt
+              val a = (id * 37 % 1000).toShort
+              MediaCodecs.encodeWavPcm16(8000, 1,
+                Array.tabulate(nSamples)(i => if (i % 2 == 0) a else (-a).toShort))
+            }
+          (id, if (id % 2 == 0) "image" else "audio", content)
+        }
+        val media = rows.toDF("media_id", "modality", "content")
+          .select(col("media_id"), col("modality"), col("content"),
+            struct(
+              col("modality").as("format"),
+              lit(null).cast(IntegerType).as("width"),
+              lit(null).cast(IntegerType).as("height"),
+              lit(null).cast(LongType).as("duration_ms")).as("meta"))
+        val feats = (0 to 5).map(i =>
+          element_at(col("features"), i + 1).cast(DoubleType).as(s"f$i"))
+        Multimodal.decodeBatched(media, batchSize = 32,
+            () => new MediaCodecs.CodecBatchDecoder(strict = true))
+          .select(Seq(col("media_id"), col("modality")) ++ feats: _*)
+          .orderBy(col("media_id"))
+      },
+      Some("""SELECT doc_id AS media_id,
+              CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 + 2 ELSE 8000 END AS DOUBLE) AS f0,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 6 + 2 ELSE 1 END AS DOUBLE) AS f1,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 256 ELSE doc_id % 50 + 10 END AS DOUBLE) AS f2,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN (2*doc_id) % 256 ELSE (doc_id*37) % 1000 END AS DOUBLE) AS f3,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN (3*doc_id) % 256 ELSE (doc_id*37) % 1000 END AS DOUBLE) AS f4,
+              CAST(CASE WHEN doc_id % 2 = 0
+                   THEN doc_id % 256 + (2*doc_id) % 256 + (3*doc_id) % 256
+                   ELSE ((doc_id % 50 + 10) * 1000) // 8000 END AS DOUBLE) AS f5
+              FROM documents WHERE doc_id % 5 = 0 AND doc_id < 1000
+              ORDER BY media_id""")),
 
     // URL extraction + domain blocklist over planted links (same
     // plant-then-verify pattern as l_pii_scrub); both engines run the

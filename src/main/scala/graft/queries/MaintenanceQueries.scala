@@ -243,6 +243,52 @@ object MaintenanceQueries {
                FROM customer WHERE c_custkey % 2 = 0 AND c_acctbal <> c_acctbal * 2
                ORDER BY __change""")),
 
+    // M13 — manifest-based INCREMENTAL versioned commit (the Iceberg
+    // capability the reference leans on at etl.py:639-682): the M1
+    // partition refresh rerun through the versioned path. v1 full commit,
+    // v2/v3 incremental refreshes of ONE partition (idempotency), then
+    // one row pins: the v1 snapshot still readable post-refresh, the
+    // current snapshot's state, the v1→v3 row-level diff, and — via
+    // manifest file-diff — that both refreshes touched ONLY the refreshed
+    // partition's files (the O(changed partitions) commit property).
+    QueryDef(
+      "m13_incremental_refresh",
+      (s, d) => {
+        val it = graft.tables.IncrementalTable
+        val base = scratch("m13")
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        it.commitFull(orders, base, Seq("o_orderpriority"))
+        val reingest = orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+            col("o_orderpriority"))
+        it.refreshPartitions(reingest, base, Seq("o_orderpriority"))
+        it.refreshPartitions(reingest, base, Seq("o_orderpriority")) // idempotent
+        val v1 = it.read(s, base, Some(1))
+          .agg(count(lit(1)).as("n_v1"), dsum(col("o_totalprice")).as("v1_total"))
+        val cur = it.read(s, base).agg(dsum(col("o_totalprice")).as("cur_total"))
+        val d13 = it.diff(s, base, 1, 3)
+        val ins = d13.filter(col("__change") === "insert")
+          .agg(count(lit(1)).as("n_ins"), dsum(col("o_totalprice")).as("ins_total"))
+        val del = d13.filter(col("__change") === "delete")
+          .agg(count(lit(1)).as("n_del"), dsum(col("o_totalprice")).as("del_total"))
+        val urgentOnly = (v: Int) => {
+          val (a, r) = it.fileChanges(base, v, v + 1)
+          a.nonEmpty && (a ++ r).forall(_.startsWith("o_orderpriority=1-URGENT/"))
+        }
+        v1.crossJoin(cur).crossJoin(ins).crossJoin(del)
+          .withColumn("incremental_commit", lit(urgentOnly(1) && urgentOnly(2)))
+      },
+      Some(s"""SELECT COUNT(*) AS n_v1,
+               ${dsumSql("o_totalprice")} AS v1_total,
+               ${dsumSql("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2 ELSE o_totalprice END")} AS cur_total,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_ins,
+               ${dsumSql("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice * 2 END")} AS ins_total,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+               ${dsumSql("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END")} AS del_total,
+               TRUE AS incremental_commit
+               FROM orders""")),
+
     // M7 — namespace/table DDL + catalog scan (etl.py:626, dimensions.py:303-327).
     QueryDef(
       "m7_ddl_catalog",

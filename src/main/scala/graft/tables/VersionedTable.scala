@@ -119,7 +119,7 @@ object VersionedTable {
     }
   }
 
-  private def withLock[T](
+  private[tables] def withLock[T](
       path: String, timeoutMs: Long, staleMs: Long)(body: => T): T = {
     val lock = Paths.get(path, "_lock")
     Files.createDirectories(Paths.get(path))

@@ -1,0 +1,154 @@
+package graft.tables
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Manifest-based incremental commits: a refresh must move only the
+  * changed partitions' data while history, time travel, rollback, file
+  * diff and vacuum keep the VersionedTable contract. */
+class IncrementalTableSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshPath(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_it_spec", name)
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    p.toString
+  }
+
+  private def df(rows: (Long, String, String)*) =
+    rows.toDF("k", "v", "part")
+
+  test("full commit + incremental refresh: only changed partitions gain files") {
+    val path = freshPath("incr")
+    val v1 = IncrementalTable.commitFull(
+      df((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"), (4L, "d", "p3")),
+      path, Seq("part"))
+    assert(v1 === 1)
+    val v2 = IncrementalTable.refreshPartitions(
+      df((3L, "c2", "p2")), path, Seq("part"))
+    assert(v2 === 2)
+
+    // current read: p1 and p3 carried untouched, p2 replaced
+    val cur = IncrementalTable.read(spark, path)
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(cur === Set((1L, "a"), (2L, "b"), (3L, "c2"), (4L, "d")))
+
+    // time travel to v1 still sees the original p2
+    val old = IncrementalTable.read(spark, path, Some(1))
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(old === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+
+    // the commit was incremental: added AND removed files all live in
+    // p2; p1's and p3's files carried by reference
+    val (added, removed) = IncrementalTable.fileChanges(path, 1, 2)
+    assert(added.nonEmpty && removed.nonEmpty)
+    assert(added.forall(_.startsWith("part=p2/")), s"added outside p2: $added")
+    assert(removed.forall(_.startsWith("part=p2/")), s"removed outside p2: $removed")
+  }
+
+  test("refresh carries untouched partitions by reference (same physical files)") {
+    val path = freshPath("carry")
+    IncrementalTable.commitFull(
+      df((1L, "a", "p1"), (2L, "b", "p2")), path, Seq("part"))
+    IncrementalTable.refreshPartitions(df((2L, "b2", "p2")), path, Seq("part"))
+    val (added, removed) = IncrementalTable.fileChanges(path, 1, 2)
+    assert(added.forall(_.startsWith("part=p2/")))
+    assert(removed.forall(_.startsWith("part=p2/")))
+    // untouched partition must still be present in both versions AND be
+    // the identical file paths (reference carry, no rewrite)
+    val v1Files = IncrementalTable.read(spark, path, Some(1))
+      .select(input_file_name()).as[String].collect().filter(_.contains("part=p1")).toSet
+    val v2Files = IncrementalTable.read(spark, path, Some(2))
+      .select(input_file_name()).as[String].collect().filter(_.contains("part=p1")).toSet
+    assert(v1Files === v2Files && v1Files.nonEmpty)
+  }
+
+  test("idempotent refresh: re-running the same refresh keeps row counts") {
+    val path = freshPath("idem")
+    IncrementalTable.commitFull(
+      df((1L, "a", "p1"), (2L, "b", "p2")), path, Seq("part"))
+    IncrementalTable.refreshPartitions(df((2L, "b2", "p2")), path, Seq("part"))
+    IncrementalTable.refreshPartitions(df((2L, "b2", "p2")), path, Seq("part"))
+    assert(IncrementalTable.versions(path) === Seq(1, 2, 3))
+    assert(IncrementalTable.read(spark, path).count() === 2)
+    assert(IncrementalTable.read(spark, path)
+      .filter(col("part") === "p2").select("v").as[String].collect().toSeq === Seq("b2"))
+  }
+
+  test("rollback is metadata-only and a later commit branches forward") {
+    val path = freshPath("rb")
+    IncrementalTable.commitFull(df((1L, "a", "p1")), path, Seq("part"))
+    IncrementalTable.refreshPartitions(df((1L, "a2", "p1")), path, Seq("part"))
+    IncrementalTable.rollback(path, 1)
+    assert(IncrementalTable.read(spark, path)
+      .select("v").as[String].collect().toSeq === Seq("a"))
+    val v3 = IncrementalTable.refreshPartitions(df((1L, "a3", "p1")), path, Seq("part"))
+    assert(v3 === 3)
+    assert(IncrementalTable.read(spark, path, Some(2))
+      .select("v").as[String].collect().toSeq === Seq("a2"))
+  }
+
+  test("diff between versions yields the delete+insert pairs of changed rows") {
+    val path = freshPath("diff")
+    IncrementalTable.commitFull(
+      df((1L, "a", "p1"), (2L, "b", "p2")), path, Seq("part"))
+    IncrementalTable.refreshPartitions(df((2L, "B", "p2")), path, Seq("part"))
+    val d = IncrementalTable.diff(spark, path, 1, 2)
+      .select("__change", "k", "v").as[(String, Long, String)].collect().toSet
+    assert(d === Set(("insert", 2L, "B"), ("delete", 2L, "b")))
+  }
+
+  test("vacuum drops old versions' unreferenced files, keeps live ones") {
+    val path = freshPath("vac")
+    IncrementalTable.commitFull(
+      df((1L, "a", "p1"), (2L, "b", "p2")), path, Seq("part"))
+    IncrementalTable.refreshPartitions(df((2L, "b2", "p2")), path, Seq("part"))
+    IncrementalTable.refreshPartitions(df((2L, "b3", "p2")), path, Seq("part"))
+    IncrementalTable.vacuum(path, keep = 1)
+    assert(IncrementalTable.versions(path) === Seq(3))
+    // current still reads fine, including the carried p1 file from v1
+    assert(IncrementalTable.read(spark, path)
+      .select("k", "v").as[(Long, String)].collect().toSet
+      === Set((1L, "a"), (2L, "b3")))
+    // old versions are gone
+    intercept[IllegalArgumentException] {
+      IncrementalTable.read(spark, path, Some(1))
+    }
+    // v2's replaced p2 file was physically deleted; v3's and the carried
+    // p1 file survive
+    val live = FsUtil.parquetFiles(Paths.get(path, "data")).map(_.toString)
+    assert(live.count(_.contains("part=p2")) >= 1)
+    assert(live.count(_.contains("part=p1")) >= 1)
+  }
+
+  test("empty refresh frame commits a no-op version; empty table reads empty") {
+    val path = freshPath("empty")
+    IncrementalTable.commitFull(df((1L, "a", "p1")), path, Seq("part"))
+    IncrementalTable.refreshPartitions(
+      df().filter(lit(false)), path, Seq("part"))
+    assert(IncrementalTable.read(spark, path).count() === 1)
+    // an empty FULL commit is readable with the right schema
+    val p2 = freshPath("empty2")
+    IncrementalTable.commitFull(df().filter(lit(false)), p2, Seq("part"))
+    val out = IncrementalTable.read(spark, p2)
+    assert(out.count() === 0)
+    assert(out.columns.toSeq === Seq("k", "v", "part"))
+  }
+
+  test("schema mismatch on refresh fails fast instead of corrupting the manifest") {
+    val path = freshPath("schema")
+    IncrementalTable.commitFull(df((1L, "a", "p1")), path, Seq("part"))
+    intercept[IllegalArgumentException] {
+      IncrementalTable.refreshPartitions(
+        Seq((1L, "p1")).toDF("k", "part"), path, Seq("part"))
+    }
+    assert(IncrementalTable.versions(path) === Seq(1))
+  }
+}
