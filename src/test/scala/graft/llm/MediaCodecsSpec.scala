@@ -114,9 +114,9 @@ class MediaCodecsSpec extends SparkSpec {
       val exp = local.decode(Array(content))(0)
       assert(got(id) === exp.features.toSeq, s"media $id features diverge")
     }
-    // spot-check a known image: id=2 → 3x2, pixels (x*2%256, y*2%256, (x+y+2)%256)
+    // spot-check a known image: id=2 → w=2%5+1=3, h=2%4+1=3
     val f2 = got(2L)
-    assert(f2(0) === 3.0f && f2(1) === 2.0f)
+    assert(f2(0) === 3.0f && f2(1) === 3.0f)
   }
 
   test("strict decoder rejects junk; lenient passes it through featureless") {
