@@ -19,7 +19,8 @@ object Corpus {
       GoldQueries3.defs ++
       MaintenanceQueries.defs ++
       DashQueries.defs ++
-      LlmQueries.defs
+      LlmQueries.defs ++
+      StreamingQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(q => q.name -> q.run).toMap

@@ -1,0 +1,175 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.core.Tables
+import graft.streaming.StreamingTelemetry
+import QueryDef._
+
+/** Structured Streaming oracle gates: each gate executes a REAL
+  * end-to-end stream — file source → stateful operator → parquet sink,
+  * Trigger.AvailableNow — then returns the sink contents. Batch/
+  * streaming parity means the batch SQL over the same input IS the
+  * oracle, so these rows pin the streaming engine's actual output, not
+  * a spec-only MemoryStream run.
+  *
+  * Watermark mechanics matter here: a watermark only advances at batch
+  * boundaries, and append-mode session aggregates emit a session in the
+  * first batch whose (previous-data) watermark passed the session end.
+  * The sessionize gate therefore lands its events as THREE files read
+  * one-per-batch (maxFilesPerTrigger=1): the real events, then two
+  * far-future flush fixes whose only job is to drag the watermark past
+  * every real session end so the state store drains before AvailableNow
+  * terminates. The flush rounds are filtered out of the result.
+  */
+object StreamingQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  private def scratch(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_q", name)
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  /** Land `df` as exactly one JSON file named `name` with a pinned
+    * mtime — the file source orders batches by modification time, so
+    * pinned mtimes make the batch sequence deterministic. */
+  private def landJson(df: DataFrame, landDir: String, name: String,
+      mtimeMs: Long): Unit = {
+    val tmp = Paths.get(landDir).resolve(s".tmp-$name")
+    df.coalesce(1).write.mode("overwrite")
+      .option("timestampFormat", StreamingTelemetry.FixTimestampFormat)
+      .json(tmp.toString)
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.toString.endsWith(".json"))
+      .getOrElse(throw new IllegalStateException(s"no json part in $tmp"))
+    val target = Paths.get(landDir).resolve(name)
+    Files.move(part, target)
+    Files.setLastModifiedTime(target, FileTime.fromMillis(mtimeMs))
+    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+
+  /** events → the streaming Fix shape. */
+  private def asFixes(ev: DataFrame): DataFrame =
+    ev.select(
+      col("user_id").cast(StringType).as("roundId"),
+      lit("c1").as("courseId"),
+      col("ts").as("fixTimestamp"),
+      col("event_id").cast(IntegerType).as("locationIndex"),
+      lit(1).as("holeNumber"),
+      col("value").as("pace"),
+      lit(false).as("isCache"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ST1 — watermarked streaming dedup, end to end: every event lands
+    // TWICE in the stream; dropDuplicatesWithinWatermark must emit each
+    // exactly once into the parquet sink. Oracle = the batch aggregate
+    // over the events table (each row once).
+    QueryDef(
+      "st_dedup",
+      (s, d) => {
+        val base = scratch("st_dedup")
+        val land = s"$base/land"; Files.createDirectories(Paths.get(land))
+        val fixes = asFixes(t(s, d, "events"))
+        landJson(fixes.unionByName(fixes), land, "events.json",
+          System.currentTimeMillis())
+        val q = StreamingTelemetry.dedupStream(
+            StreamingTelemetry.readFixStream(s, land))
+          .writeStream
+          .format("parquet")
+          .option("path", s"$base/sink")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$base/sink")
+          .groupBy(col("roundId"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("locationIndex").cast(LongType)).as("sum_idx"),
+            dsum(col("pace")).as("value_total"))
+          .orderBy(col("roundId"))
+      },
+      Some(s"""SELECT CAST(user_id AS VARCHAR) AS roundId,
+               COUNT(*) AS n_events,
+               CAST(SUM(event_id) AS BIGINT) AS sum_idx,
+               ${dsumSql("value")} AS value_total
+               FROM events GROUP BY roundId ORDER BY roundId""")),
+
+    // ST2 — native streaming session windows, end to end: the same
+    // session_window the batch W9 gate runs, executed as a stream with
+    // merging session state. Two flush batches drag the watermark past
+    // every real session end (see object scaladoc) so AvailableNow
+    // drains the state store; the oracle is W9's batch session SQL.
+    QueryDef(
+      "st_sessionize",
+      (s, d) => {
+        val base = scratch("st_sess")
+        val land = s"$base/land"; Files.createDirectories(Paths.get(land))
+        val fixes = asFixes(t(s, d, "events"))
+        val t0 = System.currentTimeMillis()
+        landJson(fixes, land, "events.json", t0)
+        val maxTs = fixes.agg(max(col("fixTimestamp"))).collect()(0)
+          .getTimestamp(0).getTime
+        import s.implicits._
+        def flush(tag: String, tsMs: Long) =
+          Seq((tag, "c1", new java.sql.Timestamp(tsMs), 0, 1, 0.0, false))
+            .toDF("roundId", "courseId", "fixTimestamp", "locationIndex",
+              "holeNumber", "pace", "isCache")
+        landJson(flush("__flush1__", maxTs + 86400000L), land,
+          "flush1.json", t0 + 60000)
+        landJson(flush("__flush2__", maxTs + 2 * 86400000L), land,
+          "flush2.json", t0 + 120000)
+        val q = StreamingTelemetry.sessionizedPace(
+            StreamingTelemetry.readFixStream(s, land, maxFilesPerTrigger = Some(1)),
+            watermark = "10 minutes", gap = "30 minutes")
+          .writeStream
+          .format("parquet")
+          .option("path", s"$base/sink")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$base/sink")
+          .filter(!col("roundId").startsWith("__flush"))
+          .select(col("roundId"), col("session_start"), col("session_end"),
+            col("fixes"))
+          .orderBy(col("roundId"), col("session_start"))
+      },
+      Some("""WITH o AS (
+                SELECT CAST(user_id AS VARCHAR) AS roundId, ts,
+                CASE WHEN LAG(ts) OVER w IS NULL
+                     OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+              ),
+              s AS (
+                SELECT roundId, ts,
+                SUM(ns) OVER (PARTITION BY roundId ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM o
+              )
+              SELECT roundId, MIN(ts) AS session_start,
+              MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+              COUNT(*) AS fixes
+              FROM s GROUP BY roundId, sid
+              ORDER BY roundId, session_start"""))
+  )
+}

@@ -42,12 +42,21 @@ object StreamingTelemetry {
   /** File-source streaming read of landed JSON rounds — at scale this is
     * the continuous version of the bronze→silver hop (same directory
     * layout, schema locked up front: streaming sources must not infer). */
-  def readFixStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
+  /** JSON wire format for fix timestamps: full microsecond precision —
+    * the default (millisecond) format silently truncates event times,
+    * which shifts session/window boundaries for sub-ms telemetry. */
+  val FixTimestampFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  def readFixStream(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
       .schema(
         "roundId STRING, courseId STRING, fixTimestamp TIMESTAMP, " +
           "locationIndex INT, holeNumber INT, pace DOUBLE, isCache BOOLEAN")
-      .json(dir)
+      .option("timestampFormat", FixTimestampFormat)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.json(dir)
+  }
 
   /** W1's streaming form: exact-once per (round, ts, index) within the
     * watermark horizon. State size is bounded by the watermark — the
