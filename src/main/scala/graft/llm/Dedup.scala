@@ -273,23 +273,46 @@ object Dedup {
     * verified by full Hamming distance afterwards. */
   def simHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 1, maxDistance: Int = 7): DataFrame =
+      n: Int = 1, maxDistance: Int = 7,
+      blockCap: Option[Long] = None): DataFrame =
     simHashNearDupsFromKeys(
       withSimHash64(df.select(col(idCol).as("id"), col(textCol)), textCol, n)
         .select(col("id"), col("simhash").as("skey")),
-      maxDistance)
+      maxDistance, blockCap)
 
   /** Pair stage of [[simHashNearDups]] over a precomputed `(id, skey)`
     * frame — exposed separately so the keys can be materialized (and the
-    * exact ≤7-bit pair set recomputed independently from them). */
+    * exact ≤7-bit pair set recomputed independently from them).
+    *
+    * SCALE CEILING (measured by tools.ScaleStress): the 8×8-bit
+    * pigeonhole scheme puts ~n/256 docs in the average (block, value)
+    * bucket, so candidate pairs grow O(n²/256) REGARDLESS of content —
+    * at 10⁶ docs that is ~10¹⁰ candidates. `blockCap` drops buckets
+    * larger than the cap (the posting-list guard the other sketch ops
+    * use): the ≤7-bit guarantee then becomes a lower bound. Beyond
+    * ~10⁵ docs prefer MinHash-LSH (whose bucket sizes track true
+    * similarity, not signature-space density) or widen the signature;
+    * the exact ≤7-of-64-bit contract fundamentally requires quadratic
+    * candidates at this block width. */
   def simHashNearDupsFromKeys(
-      keyed: DataFrame, maxDistance: Int = 7): DataFrame = {
+      keyed: DataFrame, maxDistance: Int = 7,
+      blockCap: Option[Long] = None): DataFrame = {
     require(maxDistance <= 7, "8-block scheme guarantees exactness only for distance <= 7")
     val k = keyed.select(col("id"), col("skey").as("key"))
-    val blocked = k.select(col("id"), col("key"),
+    val blocked0 = k.select(col("id"), col("key"),
       posexplode(array((0 to 7).map(q =>
         shiftright(col("key"), q * 8).bitwiseAND(0xFFL)): _*))
         .as(Seq("block_idx", "block_val")))
+    val blocked = blockCap match {
+      case None => blocked0
+      case Some(cap) =>
+        val rare = blocked0.groupBy(col("block_idx"), col("block_val"))
+          .count().filter(col("count") <= cap)
+          .select(col("block_idx").as("ri"), col("block_val").as("rv"))
+        blocked0.join(rare,
+          col("block_idx") === col("ri") && col("block_val") === col("rv"))
+          .drop("ri", "rv")
+    }
     val a = blocked.select(col("block_idx"), col("block_val"),
       col("id").as("id_a"), col("key").as("key_a"))
     val b = blocked.select(col("block_idx").as("qi2"), col("block_val").as("qv2"),
@@ -311,6 +334,75 @@ object Dedup {
       .filter(noEarlierMatch)
       .select(col("id_a"), col("id_b"),
         hammingDistance(col("key_a"), col("key_b")).as("hamming"))
+      .filter(col("hamming") <= maxDistance)
+  }
+
+  /** 128-bit SimHash — THE SCALE PATH the 64-bit scheme lacks: two
+    * independently-seeded 64-bit simhashes (the second over
+    * sentinel-salted shingles, which re-randomizes every per-shingle
+    * hash) concatenate to a 128-bit signature split into eight 16-BIT
+    * pigeonhole blocks. Same ≤7-bit exactness guarantee, but the
+    * average (block, value) bucket holds n/65536 docs instead of n/256
+    * — candidate pairs stay near-linear to ~10⁷ docs where the 64-bit
+    * scheme (O(n²/256)) dies at ~10⁵. */
+  def withSimHash128(df: DataFrame, textCol: String, n: Int = 1,
+      out1: String = "skey1", out2: String = "skey2"): DataFrame = {
+    val sh = wordShingles(col(textCol), n)
+    val salted = transform(sh, s => concat(s, lit("")))
+    df.withColumn(out1, graft.functions.F.simhash64(sh))
+      .withColumn(out2, graft.functions.F.simhash64(salted))
+  }
+
+  def simHash128NearDups(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 1, maxDistance: Int = 7,
+      blockCap: Option[Long] = None): DataFrame =
+    simHash128NearDupsFromKeys(
+      withSimHash128(df.select(col(idCol).as("id"), col(textCol)), textCol, n)
+        .select(col("id"), col("skey1"), col("skey2")),
+      maxDistance, blockCap)
+
+  /** Pair stage of [[simHash128NearDups]] over precomputed
+    * `(id, skey1, skey2)` keys. Same lowest-matching-block dedup and
+    * optional bucket cap as the 64-bit form. */
+  def simHash128NearDupsFromKeys(
+      keyed: DataFrame, maxDistance: Int = 7,
+      blockCap: Option[Long] = None): DataFrame = {
+    require(maxDistance <= 7, "8-block scheme guarantees exactness only for distance <= 7")
+    def slice(k1: Column, k2: Column, j: Int): Column =
+      if (j < 4) shiftright(k1, j * 16).bitwiseAND(0xFFFFL)
+      else shiftright(k2, (j - 4) * 16).bitwiseAND(0xFFFFL)
+    val k = keyed.select(col("id"), col("skey1"), col("skey2"))
+    val blocked0 = k.select(col("id"), col("skey1"), col("skey2"),
+      posexplode(array((0 to 7).map(q =>
+        slice(col("skey1"), col("skey2"), q)): _*))
+        .as(Seq("block_idx", "block_val")))
+    val blocked = blockCap match {
+      case None => blocked0
+      case Some(cap) =>
+        val rare = blocked0.groupBy(col("block_idx"), col("block_val"))
+          .count().filter(col("count") <= cap)
+          .select(col("block_idx").as("ri"), col("block_val").as("rv"))
+        blocked0.join(rare,
+          col("block_idx") === col("ri") && col("block_val") === col("rv"))
+          .drop("ri", "rv")
+    }
+    val a = blocked.select(col("block_idx"), col("block_val"),
+      col("id").as("id_a"), col("skey1").as("a1"), col("skey2").as("a2"))
+    val b = blocked.select(col("block_idx").as("qi2"), col("block_val").as("qv2"),
+      col("id").as("id_b"), col("skey1").as("b1"), col("skey2").as("b2"))
+    val noEarlierMatch = (0 to 6).map { j =>
+      when(lit(j) < col("block_idx"),
+        slice(col("a1"), col("a2"), j) =!= slice(col("b1"), col("b2"), j))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    a.join(b,
+        col("block_idx") === col("qi2") && col("block_val") === col("qv2") &&
+          col("id_a") < col("id_b"))
+      .filter(noEarlierMatch)
+      .select(col("id_a"), col("id_b"),
+        (hammingDistance(col("a1"), col("b1")) +
+          hammingDistance(col("a2"), col("b2"))).as("hamming"))
       .filter(col("hamming") <= maxDistance)
   }
 

@@ -218,7 +218,14 @@ object LlmQueries {
             "text", n = 1)
             .select(col("id"), col("simhash").as("skey")),
           "simhash_keys")
-        Dedup.simHashNearDupsFromKeys(keyed, maxDistance = 7)
+        // blockCap: the 8×8-bit pigeonhole puts ~n/256 docs per bucket,
+        // so candidates grow O(n²/256) with corpus size — the cap keeps
+        // the operator bounded under the ×100 scale-stress corpus (where
+        // it reports a lower bound) and is a no-op at gate scale (~4
+        // docs/bucket), so the exact-pair oracle below still matches.
+        // The scale path proper is simHash128 (l_simhash128_near_dups).
+        Dedup.simHashNearDupsFromKeys(keyed, maxDistance = 7,
+          blockCap = Some(2000L))
       },
       Some(s"""WITH k AS (SELECT id, skey
                  FROM read_parquet('$OracleScratch/simhash_keys/*.parquet'))
@@ -226,6 +233,32 @@ object LlmQueries {
                CAST(bit_count(xor(a.skey, b.skey)) AS INTEGER) AS hamming
                FROM k a JOIN k b ON a.id < b.id
                WHERE bit_count(xor(a.skey, b.skey)) <= 7""")),
+
+    // 128-bit SimHash near-dups — the SCALE PATH for signature-space
+    // similarity: eight 16-bit pigeonhole blocks put n/65536 docs per
+    // bucket (vs n/256 for the 64-bit scheme), keeping candidates
+    // near-linear to ~10⁷ docs with the same exact ≤7-bit guarantee.
+    // Keys materialized (engine-seeded hashes); oracle brute-forces the
+    // exact ≤7 pair set over the 128-bit signature from the keys.
+    QueryDef(
+      "l_simhash128_near_dups",
+      (s, d) => {
+        val keyed = materialize(
+          Dedup.withSimHash128(
+            docsWithNearDups(s, d).select(col("doc_id").as("id"), col("text")),
+            "text", n = 1)
+            .select(col("id"), col("skey1"), col("skey2")),
+          "simhash128_keys")
+        Dedup.simHash128NearDupsFromKeys(keyed, maxDistance = 7)
+      },
+      Some(s"""WITH k AS (SELECT id, skey1, skey2
+                 FROM read_parquet('$OracleScratch/simhash128_keys/*.parquet'))
+               SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.skey1, b.skey1)) +
+                    bit_count(xor(a.skey2, b.skey2)) AS INTEGER) AS hamming
+               FROM k a JOIN k b ON a.id < b.id
+               WHERE bit_count(xor(a.skey1, b.skey1)) +
+                     bit_count(xor(a.skey2, b.skey2)) <= 7""")),
 
     // Embedding-cosine duplicate pairs over injected identical vectors —
     // the LSH SCALE PATH, unbounded over the whole table: E2LSH bucket
@@ -534,7 +567,12 @@ object LlmQueries {
         val postings = materialize(
           Dedup.winnowPostings(
             docsWithNearDups(s, d).filter(col("doc_id") % 20000 < 500),
-            "doc_id", "text", k = 8, w = 4),
+            // dfCap: boilerplate passages shared by thousands of docs fan
+            // out f² pairs on their fingerprints — the scale-stress run
+            // (hot phrase in 30% of docs) goes superlinear without it.
+            // No-op at gate scale (the slice has no fingerprint this hot),
+            // and the oracle derives from the capped postings either way.
+            "doc_id", "text", k = 8, w = 4, dfCap = Some(500L)),
           "winnow_postings")
         Dedup.overlapFromPostings(postings, minShared = 5)
       },
@@ -1007,8 +1045,13 @@ object LlmQueries {
     QueryDef(
       "l_substring_runs",
       (s, d) =>
+        // dfCap mirrors in the oracle below (HAVING COUNT(*) <= 500 per
+        // gram): a boilerplate gram in f docs joins f² match rows — the
+        // scale-stress hot phrase makes this explode without the guard.
+        // No-op at gate scale; runs through a dropped gram split in two
+        // (documented lower-bound semantics of sharedTokenRuns).
         Dedup.sharedTokenRuns(docsWithNearDups(s, d), "doc_id", "text",
-            gramSize = 8, minRunTokens = 16)
+            gramSize = 8, minRunTokens = 16, dfCap = Some(500L))
           .orderBy(col("id_a"), col("id_b")),
       Some("""WITH docs AS (
                 SELECT doc_id, text FROM documents
@@ -1025,7 +1068,9 @@ object LlmQueries {
                                    g := array_to_string(t[i+1:i+8], ' ')))) AS u
                 FROM tk
               ),
-              g AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM g0),
+              g_all AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM g0),
+              rare AS (SELECT g FROM g_all GROUP BY g HAVING COUNT(*) <= 500),
+              g AS (SELECT g_all.* FROM g_all JOIN rare USING (g)),
               m AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
                        a.pos - b.pos AS diag

@@ -1,0 +1,252 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Corpus
+
+/** Scale-stress harness: measured evidence that the gate operators'
+  * plans survive a 100× data blow-up with injected skew — the claim
+  * COVERAGE.md makes from plan shapes, converted into wall-clock data.
+  *
+  * What it does:
+  *   1. REPLICATE the sf tables ×N into a scratch dir, remapping the
+  *      fact keys per replica (new orders/rounds/users/docs — so
+  *      CARDINALITIES scale, not just row copies) while dimension
+  *      tables stay fixed, exactly how a lake grows.
+  *   2. INJECT SKEW: ~30% of lineitem rows are forced onto one hot
+  *      course (l_returnflag='R'), and ~30% of documents share one hot
+  *      boilerplate phrase (the posting-list poison that df-caps exist
+  *      for). Both knobs are off for plain scaling runs (`--no-skew`),
+  *      which is also how the harness synthesizes an sf1-equivalent
+  *      dataset (factor 10, no skew) for dual-scale benching.
+  *   3. TIME the most expensive gate operators at 1× (median of 3) and
+  *      at N× (single run — the run IS minutes long), compute the
+  *      per-query slope tN / (t1 · N), and check skew-path engagement:
+  *      the salted join must plan its __salt scatter, and a deliberately
+  *      hot unsalted sort-merge join must trigger AQE's skew split
+  *      (`skew=true` in the adaptive plan).
+  *   4. WRITE scale_report.json (machine) — SCALE.md is derived from it.
+  *
+  * Run: `sbt "runMain graft.tools.ScaleStress 100 /root/testdata/sf0.1
+  * /tmp/graft_stress/x100"` with SPARK_DRIVER_MEM=48g.
+  */
+object ScaleStress {
+
+  /** The 10 most expensive gate operators (round-3 bench ranking), plus
+    * the simhash128 scale path the stress campaign motivated. */
+  val StressQueries: Seq[String] = Seq(
+    "gm_coverage_audit", "l_simhash_near_dups", "l_simhash128_near_dups",
+    "l_minhash_near_dups", "l_substring_runs", "l_winnow_overlap",
+    "a14_mega_rollup", "gm_dim_round", "j10_salted_skew_join",
+    "w7_sessionize", "l_seq_packing")
+
+  /** Hot boilerplate phrase planted into ~30% of documents. */
+  val HotPhrase =
+    " click here to subscribe to our newsletter and follow us on social media today"
+
+  /** Replicate the sf tables ×`factor` into `outDir`. Fact keys shift by
+    * a per-replica stride so every replica contributes NEW orders /
+    * rounds / users / docs; dims copy through unchanged. Idempotent via
+    * a _READY marker. */
+  def replicate(spark: SparkSession, sfDir: String, outDir: String,
+      factor: Int, skew: Boolean): Unit = {
+    val ready = Paths.get(outDir, "_READY")
+    if (Files.exists(ready)) return
+    Files.createDirectories(Paths.get(outDir))
+    def reps(df: DataFrame): DataFrame =
+      df.withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    // Tables.load, not raw parquet: the source testdata stores
+    // TIMESTAMP(NANOS) which the plain reader rejects; the replicated
+    // output lands as normal micros timestamps (load is conditional, so
+    // gates re-loading the stress dir pass through unchanged)
+    def src(name: String): DataFrame = graft.core.Tables.load(spark, sfDir, name)
+
+    // dims: copy through (a bigger lake has the same nations/parts)
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(n => write(src(n), n))
+
+    val orderStride = 10000000L
+    write(reps(src("orders"))
+      .withColumn("o_orderkey", col("o_orderkey") + col("__rep") * orderStride)
+      .drop("__rep"), "orders")
+
+    val li0 = reps(src("lineitem"))
+      .withColumn("l_orderkey", col("l_orderkey") + col("__rep") * orderStride)
+    val li1 =
+      if (!skew) li0
+      // hot course: ~30% of ALL rows forced onto 'R' (on top of its
+      // natural share) — deterministic row pick, not rand()
+      else li0.withColumn("l_returnflag",
+        when(pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(10)) < 3,
+          lit("R")).otherwise(col("l_returnflag")))
+    write(li1.drop("__rep"), "lineitem")
+
+    write(reps(src("events"))
+      .withColumn("event_id", col("event_id") + col("__rep") * 100000000L)
+      .withColumn("user_id", col("user_id") + col("__rep") * 1000000L)
+      .drop("__rep"), "events")
+
+    // doc_id stride is a multiple of 20000 so gates that slice by
+    // doc_id % 20000 keep their per-replica semantics
+    val docs0 = reps(src("documents"))
+      .withColumn("doc_id", col("doc_id") + col("__rep") * 1000000L)
+      // per-replica token: replicas are near-dup families, not exact
+      // clones of one giant duplicate class
+      .withColumn("text", concat(col("text"), lit(" r"), col("__rep")))
+    val docs1 =
+      if (!skew) docs0
+      else docs0.withColumn("text",
+        when(pmod(col("doc_id"), lit(10)) < 3,
+          concat(col("text"), lit(HotPhrase))).otherwise(col("text")))
+    write(docs1.drop("__rep"), "documents")
+
+    write(reps(src("embeddings"))
+      .withColumn("vec_id", col("vec_id") + col("__rep") * 1000000L)
+      .drop("__rep"), "embeddings")
+
+    Files.write(ready, s"factor=$factor skew=$skew".getBytes)
+    ()
+  }
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def runQuery(spark: SparkSession, name: String, dir: String): Double =
+    time {
+      Corpus.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+    }
+
+  /** Evidence that AQE's skew-join split engages in this engine config:
+    * a deliberately hot sort-merge join (broadcast suppressed) must plan
+    * at least one `skew=true` reader. The key distribution is one hot
+    * key carrying ~30% of rows against a 100k-key long tail — AQE's
+    * split rule is `partition > max(threshold, factor × median)`, so the
+    * hot partition must dwarf the MEDIAN, not just be big (a 3-key
+    * course column never triggers it: every partition is fat, median
+    * included). */
+  def aqeSkewEngages(spark: SparkSession, stressDir: String,
+      skewThreshold: String = "16MB", advisorySize: String = "8MB"): Boolean = {
+    // thresholds sized to the data under test (shuffle bytes are
+    // compressed; the hot partition is tens of MB on the wire at ×100,
+    // tens of KB in the CI replica) — what's under test is the split
+    // MECHANISM, the byte thresholds are deployment config
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> skewThreshold,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> advisorySize,
+      // enough partitions that the long-tail keys spread thin and the
+      // hot partition dwarfs the MEDIAN (with very few partitions every
+      // partition carries a fat tail slice and the ratio never trips)
+      "spark.sql.shuffle.partitions" -> "32")
+    val saved = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val hot = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(10)) < 3
+      // the payload must SURVIVE column pruning into the aggregate and
+      // be incompressible (high-entropy hash): a pruned or constant-key
+      // shuffle partition compresses to almost nothing, and AQE's
+      // byte-based skew detection then literally cannot see a 30%-hot
+      // partition (measured here — quantity payloads hid the skew)
+      // repartition(16): AQE splits a skewed partition at MAPPER
+      // boundaries — a small replica landing in one parquet file is one
+      // mapper, and a one-mapper partition is unsplittable however hot
+      val li = spark.read.parquet(s"$stressDir/lineitem.parquet")
+        .select(when(hot, 0L).otherwise(pmod(xxhash64(col("l_orderkey")), lit(100000L)))
+          .as("k"), xxhash64(col("l_orderkey"), col("l_linenumber"), lit(7)).as("v"))
+        .repartition(16)
+      val dim = spark.range(0, 100000).select(col("id").as("k"),
+        (col("id") % 7).as("tag"))
+      val joined = li.join(dim, "k")
+        // max, not sum: summing random 64-bit hashes overflows under ANSI
+        .groupBy(col("tag")).agg(count(lit(1)).as("n"), max(col("v")).as("mv"))
+      // collect(), not a write: a write action plans through its OWN
+      // QueryExecution, leaving joined.queryExecution un-executed (its
+      // adaptive plan never finalizes, so no skew markers appear).
+      // The aggregate output is 7 rows — collect is free.
+      joined.collect()
+      joined.queryExecution.executedPlan.toString.contains("skew=true")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** The salted-join gate must actually plan its salt scatter. */
+  def saltEngages(spark: SparkSession, dir: String): Boolean =
+    Corpus.queries("j10_salted_skew_join")(spark, dir)
+      .queryExecution.optimizedPlan.toString.contains("__salt")
+
+  final case class Row1(name: String, t1: Double, tN: Double, slope: Double)
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(100)
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(2).getOrElse(s"/tmp/graft_stress/x$factor")
+    val skew = !args.contains("--no-skew")
+    // optional query subset (positions 3+, ignoring flags) so a long
+    // stress campaign can run in resumable chunks; each chunk appends to
+    // scale_report_parts.jsonl
+    val subset = args.drop(3).filterNot(_.startsWith("--")).toSet
+    val queries =
+      if (subset.isEmpty) StressQueries else StressQueries.filter(subset)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-stress")
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.local.dir", "/tmp/graft_stress_spill")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    println(s"[stress] replicating $sfDir x$factor (skew=$skew) -> $outDir")
+    val tRep = time(replicate(spark, sfDir, outDir, factor, skew))
+    println(f"[stress] replication done in $tRep%.1f s")
+
+    // session warm-up, then 1x baselines (median of 3 — these are fast)
+    spark.range(0, 1000000).selectExpr("sum(id * 2)")
+      .write.mode("overwrite").format("noop").save()
+    def median3(body: => Double): Double = {
+      val ts = (1 to 3).map(_ => body)
+      ts.sorted.apply(1)
+    }
+    val rows = queries.map { q =>
+      val t1 = median3(runQuery(spark, q, sfDir))
+      println(f"[stress] $q baseline $t1%.2f s")
+      val tN = runQuery(spark, q, outDir)
+      val slope = tN / (t1 * factor)
+      println(f"[stress] $q x$factor $tN%.1f s  slope=$slope%.3f")
+      val part = f"""{"name":"$q","t1_sec":$t1%.3f,"tN_sec":$tN%.3f,"slope":$slope%.4f}"""
+      Files.writeString(Paths.get("scale_report_parts.jsonl"), part + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      Row1(q, t1, tN, slope)
+    }
+    val salt = saltEngages(spark, outDir)
+    val aqe = aqeSkewEngages(spark, outDir)
+    println(s"[stress] salt_path_planned=$salt aqe_skew_split=$aqe")
+
+    val json = rows.map(r =>
+      f"""{"name":"${r.name}","t1_sec":${r.t1}%.3f,"tN_sec":${r.tN}%.3f,"slope":${r.slope}%.4f}""")
+      .mkString("[", ",", "]")
+    val report =
+      f"""{"factor":$factor,"skew":$skew,"sf_dir":"$sfDir","stress_dir":"$outDir",
+         |"replicate_sec":$tRep%.1f,"salt_path_planned":$salt,"aqe_skew_split":$aqe,
+         |"queries":$json}""".stripMargin.replace("\n", "")
+    Files.writeString(Paths.get("scale_report.json"), report)
+    println(report)
+    spark.stop()
+  }
+}

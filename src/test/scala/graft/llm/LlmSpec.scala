@@ -314,6 +314,26 @@ class LlmSpec extends SparkSpec {
       s"training must not increase SSE: ${sse(trained)} vs ${sse(early)}")
   }
 
+  test("simHash128 pair set is exactly the brute-force <=7-bit set") {
+    // pigeonhole exactness must hold for the 16-bit-block scheme too
+    val docs = nearDupDocs.limit(300)
+    val keys = Dedup.withSimHash128(
+        docs.select(col("doc_id").as("id"), col("text")), "text", n = 1)
+      .select(col("id"), col("skey1"), col("skey2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = (for {
+      (ia, a1, a2) <- keys; (ib, b1, b2) <- keys if ia < ib
+      h = java.lang.Long.bitCount(a1 ^ b1) + java.lang.Long.bitCount(a2 ^ b2)
+      if h <= 7
+    } yield (ia, ib, h)).toSet
+    val got = Dedup.simHash128NearDups(docs, "doc_id", "text", n = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === brute, s"${got.size} vs brute ${brute.size}")
+    // the two signature halves are genuinely independent (salt works):
+    // identical halves would make the scheme 64-bit in disguise
+    assert(keys.exists { case (_, s1, s2) => s1 != s2 })
+  }
+
   test("trainIvfCentroids auto-delegates to distributed Lloyd above the threshold") {
     // forcing the threshold below the corpus size must produce exactly
     // the distributed-Lloyd result (same synthetic-id init), so no
