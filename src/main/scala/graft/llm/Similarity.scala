@@ -85,25 +85,50 @@ object Similarity {
   def lshSimilarityJoin(
       df: DataFrame, idCol: String, vecCol: String,
       maxDistance: Double, numHashTables: Int = 8,
-      bucketLength: Double = 0.5, seed: Long = 42L): DataFrame =
+      bucketLength: Double = 0.5, seed: Long = 42L,
+      bucketCap: Int = 0): DataFrame =
     verifyEuclidean(
-      lshCandidatePairs(df, idCol, vecCol, numHashTables, bucketLength, seed),
+      lshCandidatePairs(df, idCol, vecCol, numHashTables, bucketLength, seed,
+        bucketCap),
       df, idCol, vecCol, maxDistance)
 
   /** Candidate stage of [[lshSimilarityJoin]]: id pairs sharing ≥ 1
     * (table, bucket) key, deduplicated. Exposed separately so the
     * candidate set can be materialized (and the exact-distance verify
-    * recomputed independently from it). */
+    * recomputed independently from it).
+    *
+    * `bucketCap` (0 = uncapped) is the skew guard the ×100 stress
+    * campaign showed every pair-generating join needs: a (table, bucket)
+    * cell holding b ids fans out b²/2 candidate pairs, so one
+    * pathological bucket — a mass of exact-duplicate vectors, or a
+    * bucketLength too coarse for a dense region — dominates the whole
+    * join. Buckets larger than the cap are DROPPED (lower-bound
+    * semantics, mirroring the posting-list dfCap in [[Dedup]]): pairs
+    * in an oversized bucket usually still co-occur in another table
+    * whose projections split the region, and exact-duplicate masses are
+    * better collapsed by exact dedup (md5 over the raw bytes) before an
+    * ANN pass. Recall under the cap is pinned in LlmSpec. */
   def lshCandidatePairs(
       df: DataFrame, idCol: String, vecCol: String,
       numHashTables: Int = 8, bucketLength: Double = 0.5,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, bucketCap: Int = 0): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     val dim = v.select(size(col("v"))).first().getInt(0)
     val dirs = projectionDirs(numHashTables * ProjectionsPerTable, dim, seed)
-    val keyed = v.select(col("id"),
+    val keyed0 = v.select(col("id"),
       posexplode(bucketKeys(col("v"), dirs, bucketLength, numHashTables))
         .as(Seq("tbl", "bkt")))
+    val keyed =
+      if (bucketCap <= 0) keyed0
+      else {
+        // one extra count-by-key aggregate (cheap: key-grain, map-side
+        // partial) buys a hard ceiling on join fan-out
+        val sizes = keyed0.groupBy(col("tbl"), col("bkt"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") <= bucketCap)
+          .drop("__bsz")
+        keyed0.join(sizes, Seq("tbl", "bkt"))
+      }
     val a = keyed.select(col("tbl"), col("bkt"), col("id").as("id_a"))
     val b = keyed.select(col("tbl").as("tbl2"), col("bkt").as("bkt2"),
       col("id").as("id_b"))

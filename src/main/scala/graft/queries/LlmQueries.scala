@@ -272,7 +272,7 @@ object LlmQueries {
         val vecs = vecsWithDups(s, d)
         val cands = materialize(
           Similarity.lshCandidatePairs(vecs, "vec_id", "embedding",
-            numHashTables = 4, bucketLength = 1.0),
+            numHashTables = 4, bucketLength = 1.0, bucketCap = 1000),
           "embdup_cands")
         Similarity.verifyCosine(cands, vecs, "vec_id", "embedding", 0.999)
           .select(col("id_a"), col("id_b"))
@@ -333,7 +333,7 @@ object LlmQueries {
         val vecs = vecsWithDups(s, d)
         val cands = materialize(
           Similarity.lshCandidatePairs(vecs, "vec_id", "embedding",
-            numHashTables = 4, bucketLength = 1.0),
+            numHashTables = 4, bucketLength = 1.0, bucketCap = 1000),
           "lsh_cands")
         Similarity.verifyEuclidean(cands, vecs, "vec_id", "embedding", 0.1)
           .select(col("id_a"), col("id_b"))

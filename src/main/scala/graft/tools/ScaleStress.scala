@@ -105,8 +105,20 @@ object ScaleStress {
           concat(col("text"), lit(HotPhrase))).otherwise(col("text")))
     write(docs1.drop("__rep"), "documents")
 
+    // replicas are NEW vectors, not verbatim clones: a deterministic
+    // ±0.5-magnitude jitter per (replica, id, dim) pushes each replica
+    // far outside any near-dup threshold. Verbatim copies would grow
+    // duplicate FAMILIES instead of the corpus — every LSH/cluster
+    // bucket then holds f exact clones and pair counts scale f², which
+    // benchmarks the degenerate input, not the plan. (Exact-duplicate
+    // masses are exact-dedup's job, upstream of any ANN pass.)
     write(reps(src("embeddings"))
       .withColumn("vec_id", col("vec_id") + col("__rep") * 1000000L)
+      .withColumn("embedding",
+        when(col("__rep") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), (x, i) =>
+            (x + sin(col("vec_id").cast("double") * 0.73 +
+              i.cast("double") * 1.37) * 0.5).cast("float"))))
       .drop("__rep"), "embeddings")
 
     Files.write(ready, s"factor=$factor skew=$skew".getBytes)

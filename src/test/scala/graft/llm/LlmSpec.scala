@@ -108,6 +108,21 @@ class LlmSpec extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  test("lshCandidatePairs bucketCap: generous cap exact, oversized buckets dropped") {
+    val dupVecs = vecs.unionByName(vecs.select(
+      (col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label")))
+    def cands(cap: Int) = Similarity.lshCandidatePairs(
+        dupVecs, "vec_id", "embedding",
+        numHashTables = 4, bucketLength = 1.0, bucketCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = cands(0)
+    // a cap above every bucket size changes nothing
+    assert(cands(100000) === uncapped)
+    // cap 1 drops every pair-producing bucket (pairs need ≥2 ids) —
+    // the lower-bound semantics in one line
+    assert(cands(1).isEmpty && uncapped.nonEmpty)
+  }
+
   test("winnowing: shared substring guarantee, identical docs share all fingerprints") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
