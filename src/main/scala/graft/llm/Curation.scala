@@ -182,6 +182,29 @@ object Curation {
       .limit(k)
       .drop("__wkey")
 
+  /** Deterministic stratified sample: up to `perStratum` rows from EACH
+    * stratum, chosen by the hashed-id order (salt "strata") — the
+    * per-source / per-language quota downsampling every mixing recipe
+    * needs (cap the over-represented crawl, keep all of the rare
+    * high-quality source). Same append-stability argument as
+    * [[withSplit]]: a row's in/out depends only on its id and the ids
+    * hashing below it, never on random() or row order.
+    *
+    * Shape: one shuffle by stratum + a per-stratum bounded rank — the
+    * window partitions by stratum, so no global sort. Strata counts are
+    * typically few (sources, languages); a single mega-stratum is the
+    * W1-dedup shape and AQE handles it the same way. */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      perStratum: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hashUniform(col(idCol), "strata").asc, col(idCol).asc)
+    df.withColumn("__srank", row_number().over(w))
+      .filter(col("__srank") <= perStratum)
+      .drop("__srank")
+  }
+
   // ---------------------------------------------------------------------
   // URL / domain blocklist
   // ---------------------------------------------------------------------

@@ -491,6 +491,66 @@ object AggQueries {
                 CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
                   ORDER BY c_acctbal DESC, c_custkey DESC) AS INTEGER) AS rn
                 FROM customer
-              ) WHERE rn <= 3 ORDER BY c_mktsegment, rn"""))
+              ) WHERE rn <= 3 ORDER BY c_mktsegment, rn""")),
+
+    // A22: sketch-based approximate distinct (HyperLogLog++) with its
+    // accuracy PINNED by the gate: the query emits whether the sketch
+    // estimate lands within 5% of the exact count per group, and the
+    // oracle states TRUE. At 100 TB approx_count_distinct is the only
+    // sane form of wide distinct-count dashboards — the sketch merges
+    // map-side (one pass, no Expand, fixed memory per group) where exact
+    // distinct shuffles the key universe. rsd=0.01 ⇒ sketch ≈ 24 KB per
+    // group; the 5% gate bound is 5σ.
+    QueryDef(
+      "a22_approx_distinct",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_orderkey")).as("n_exact"),
+            approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("n_approx"))
+          .select(
+            col("l_returnflag"), col("n_exact"),
+            (abs(col("n_approx") - col("n_exact")) <=
+              col("n_exact") * lit(0.05)).as("within_5pct"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS n_exact,
+               TRUE AS within_5pct
+               FROM lineitem GROUP BY l_returnflag
+               ORDER BY l_returnflag""")),
+
+    // A23: sketch-based approximate quantiles (Greenwald–Khanna) with
+    // accuracy pinned like A22: the estimate must land within
+    // max(2% · exact, 1.0) of the exact interpolated percentile — GK at
+    // accuracy 10000 returns an actual data point, so the bound covers
+    // the interpolation gap on integer-grained data. The sketch is the
+    // scale path: mergeable, single pass, bounded memory, where exact
+    // percentile sorts every group. Exact semantics are separately gated
+    // by a8_median.
+    QueryDef(
+      "a23_approx_quantile",
+      (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+            expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"),
+            count(lit(1)).as("n"))
+          .select(
+            col("l_returnflag"),
+            col("p50_exact").cast(DecimalType(18, 4)).cast(DoubleType)
+              .as("p50_exact"),
+            (abs(col("p50_approx") - col("p50_exact")) <=
+              greatest(col("p50_exact") * lit(0.02), lit(1.0)))
+              .as("within_tolerance"),
+            col("n"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+               CAST(CAST(QUANTILE_CONT(l_extendedprice, 0.5e0) AS DECIMAL(18,4)) AS DOUBLE) AS p50_exact,
+               TRUE AS within_tolerance,
+               COUNT(*) AS n
+               FROM lineitem GROUP BY l_returnflag
+               ORDER BY l_returnflag"""))
   )
 }

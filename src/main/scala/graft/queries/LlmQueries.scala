@@ -1254,6 +1254,28 @@ object LlmQueries {
               ORDER BY wkey DESC NULLS LAST, doc_id ASC LIMIT 100
               """)),
 
+    // Stratified sampling with exact per-stratum quotas: up to 50 docs
+    // per source, chosen by hashed-id order — deterministic and
+    // append-stable like the split/mix operators. The oracle exploits
+    // that ordering by the 15-hex-digit md5 prefix STRING equals
+    // ordering by its numeric value (fixed-width lowercase hex is
+    // lexicographically monotone), so no hex→int conversion is needed.
+    QueryDef(
+      "l_stratified_sample",
+      (s, d) =>
+        Curation.stratifiedSample(
+            t(s, d, "documents").select(col("doc_id"), col("source")),
+            "doc_id", "source", perStratum = 10)
+          .orderBy(col("source"), col("doc_id")),
+      Some("""SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '|strata'), 1, 15) ASC,
+                           doc_id ASC) AS r
+                FROM documents
+              ) WHERE r <= 10
+              ORDER BY source, doc_id""")),
+
     // Dataset-card profile: the per-source corpus summary a training-data
     // audit starts from — doc/token volumes, exact-dup rate (fingerprint
     // census), language composition — in ONE aggregation pass over the

@@ -500,6 +500,84 @@ object MaintenanceQueries {
                 UNION ALL SELECT 'qty_in_range', n_rows, qty_in_range FROM t
                 UNION ALL SELECT 'shipdate_not_null', n_rows, shipdate_not_null FROM t
                 UNION ALL SELECT 'unique_grain', n_rows, nv FROM g
-              ) ORDER BY test_name"""))
+              ) ORDER BY test_name""")),
+
+    // M14 — SCD2 dimension versioning (tables/Scd2): bootstrap customer
+    // as version 1 (current as of 2020-01-01), apply one change batch
+    // (every custkey % 3 = 0 moves to segment 'CHANGED'; every
+    // custkey % 10 = 0 also arrives as a brand-new key with segment
+    // 'NEW') effective 2023-06-01, emit the full versioned table. The
+    // batch deliberately includes NO-OP rows (custkey % 3 = 1 resent
+    // with unchanged values) — they must not spawn versions. The oracle
+    // states the expected final history directly.
+    QueryDef(
+      "m14_scd2",
+      (s, d) => {
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val dim = graft.tables.Scd2.init(
+          cust, lit(java.sql.Date.valueOf("2020-01-01")))
+        val changes = cust.filter(col("c_custkey") % 3 === 0)
+          .withColumn("c_mktsegment", lit("CHANGED"))
+          .unionByName(cust.filter(col("c_custkey") % 3 === 1)) // no-ops
+          .unionByName(cust.filter(col("c_custkey") % 10 === 0)
+            .select((col("c_custkey") + 10000000L).as("c_custkey"),
+              lit("NEW").as("c_mktsegment"), lit(0.0).as("c_acctbal")))
+          .withColumn("change_ts", lit(java.sql.Date.valueOf("2023-06-01")))
+        graft.tables.Scd2.apply(dim, changes, "c_custkey",
+            Seq("c_mktsegment", "c_acctbal"), "change_ts")
+          .orderBy(col("c_custkey"), col("effective_from"))
+      },
+      Some("""SELECT * FROM (
+                SELECT c_custkey, c_mktsegment, c_acctbal,
+                       DATE '2020-01-01' AS effective_from,
+                       DATE '2023-06-01' AS effective_to,
+                       FALSE AS is_current
+                FROM customer WHERE c_custkey % 3 = 0
+                UNION ALL
+                SELECT c_custkey, 'CHANGED', c_acctbal,
+                       DATE '2023-06-01', NULL, TRUE
+                FROM customer WHERE c_custkey % 3 = 0
+                UNION ALL
+                SELECT c_custkey, c_mktsegment, c_acctbal,
+                       DATE '2020-01-01', NULL, TRUE
+                FROM customer WHERE c_custkey % 3 <> 0
+                UNION ALL
+                SELECT c_custkey + 10000000, 'NEW', 0.0e0,
+                       DATE '2023-06-01', NULL, TRUE
+                FROM customer WHERE c_custkey % 10 = 0
+              ) ORDER BY c_custkey, effective_from""")),
+
+    // M15 — file-level min/max stats index + pruned range scan
+    // (tables/StatsIndex — the data-skipping half of Iceberg/Delta over
+    // plain parquet): land lineitem range-clustered on l_orderkey in 8
+    // files, build the stats manifest, range-scan a key slice reading
+    // only stats-selected files. `files_skipped` pins that the cut
+    // actually happened (files_read < files_total); the aggregate pins
+    // that it lost no rows. Correctness never depends on the stats —
+    // the predicate is re-applied on the scan.
+    QueryDef(
+      "m15_stats_skipping",
+      (s, d) => {
+        val base = scratch("m15")
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
+          .repartitionByRange(8, col("l_orderkey"))
+          .sortWithinPartitions(col("l_orderkey"))
+          .write.mode("overwrite").parquet(base)
+        graft.tables.StatsIndex.build(s, base, Seq("l_orderkey"))
+        val (scan, read, total) = graft.tables.StatsIndex.scanBetween(
+          s, base, "l_orderkey", 1000L, 2500L)
+        scan.agg(
+            count(lit(1)).as("n"),
+            dsum(col("l_extendedprice")).as("price_total"),
+            dsum(col("l_quantity")).as("qty_total"))
+          .withColumn("files_skipped", lit(read < total))
+      },
+      Some(s"""SELECT COUNT(*) AS n,
+               ${dsumSql("l_extendedprice")} AS price_total,
+               ${dsumSql("l_quantity")} AS qty_total,
+               TRUE AS files_skipped
+               FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2500"""))
   )
 }

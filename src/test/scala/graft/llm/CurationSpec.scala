@@ -159,4 +159,28 @@ class CurationSpec extends SparkSpec {
     Seq(2L, 3L, 4L, 5L, 6L, 7L).foreach(id =>
       assert(!out(id).getBoolean(7), s"doc $id must be rejected"))
   }
+
+  test("stratifiedSample: exact quotas, deterministic, append-stable") {
+    val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val s1 = Curation.stratifiedSample(df, "id", "src", perStratum = 10)
+    val counts = s1.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("src0" -> 10L, "src1" -> 10L, "src2" -> 10L))
+    // deterministic across runs
+    val ids1 = s1.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.stratifiedSample(df, "id", "src", perStratum = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+    // a stratum under quota keeps everything
+    val tiny = (0L until 4L).map(i => (i, "only")).toDF("id", "src")
+    assert(Curation.stratifiedSample(tiny, "id", "src", 10).count() === 4)
+    // append stability: a kept id can only be displaced by NEW ids that
+    // hash below it, never resampled arbitrarily — growing the corpus
+    // keeps the sample a subset of (old sample ∪ new rows)
+    val grown = df.unionByName(
+      (300L until 600L).map(i => (i, s"src${i % 3}")).toDF("id", "src"))
+    val ids3 = Curation.stratifiedSample(grown, "id", "src", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids3.subsetOf(ids1 ++ (300L until 600L)))
+  }
 }

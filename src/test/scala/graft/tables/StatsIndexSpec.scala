@@ -1,0 +1,71 @@
+package graft.tables
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StatsIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val base = Files.createTempDirectory("statsidx").toString + "/t"
+    // 4 range-clustered files over id 0..3999
+    spark.range(0, 4000)
+      .select(col("id"), (col("id") * 2).as("v"))
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id")
+      .write.parquet(base)
+    base
+  }
+
+  test("build writes one manifest row per data file") {
+    val base = freshTable()
+    val n = StatsIndex.build(spark, base, Seq("id", "v"))
+    assert(n === 4)
+    val stats = spark.read.parquet(s"$base/_stats")
+    assert(stats.columns.sorted.toSeq ===
+      Seq("file", "max_id", "max_v", "min_id", "min_v"))
+    // ranges tile 0..3999 without gaps
+    val covered = stats.agg(min("min_id"), max("max_id")).collect()(0)
+    assert(covered.getLong(0) === 0L && covered.getLong(1) === 3999L)
+  }
+
+  test("scanBetween skips files and loses no rows") {
+    val base = freshTable()
+    StatsIndex.build(spark, base, Seq("id"))
+    val (df, read, total) = StatsIndex.scanBetween(spark, base, "id", 100L, 900L)
+    assert(total === 4)
+    assert(read < total, s"expected a file cut, read $read of $total")
+    val expected = spark.read.parquet(base)
+      .filter(col("id").between(100, 900))
+      .agg(count(lit(1)), sum("v")).collect()(0)
+    val got = df.agg(count(lit(1)), sum("v")).collect()(0)
+    assert(got === expected)
+  }
+
+  test("the manifest is invisible to a plain scan of the table") {
+    val base = freshTable()
+    val before = spark.read.parquet(base).count()
+    StatsIndex.build(spark, base, Seq("id"))
+    assert(spark.read.parquet(base).count() === before)
+  }
+
+  test("empty intersection returns an empty frame, not an error") {
+    val base = freshTable()
+    StatsIndex.build(spark, base, Seq("id"))
+    val (df, read, _) = StatsIndex.scanBetween(spark, base, "id", 50000L, 60000L)
+    assert(read === 0 && df.count() === 0)
+  }
+
+  test("stats are a superset guarantee: stale stats still return correct rows") {
+    val base = freshTable()
+    StatsIndex.build(spark, base, Seq("id"))
+    // predicate re-applied on the scan: a range inside one file returns
+    // exactly that range even though the file covers more
+    val (df, _, _) = StatsIndex.scanBetween(spark, base, "id", 10L, 20L)
+    assert(df.count() === 11)
+    assert(df.agg(min("id"), max("id")).collect()(0).toSeq === Seq(10L, 20L))
+  }
+}
