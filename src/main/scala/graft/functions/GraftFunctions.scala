@@ -86,7 +86,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => NfcNormalize(es(0))),
     ("strip_accents",
       info("strip_accents", "strip_accents(s) - NFD + drop combining marks (cafe from café)"),
-      (es: Seq[Expression]) => StripAccents(es(0))))
+      (es: Seq[Expression]) => StripAccents(es(0))),
+    ("zorder2",
+      info("zorder2", "zorder2(a, b) - 2-D Z-order (Morton) interleave of two non-negative bigint bucket ids"),
+      (es: Seq[Expression]) => ZOrder2Expr(es(0), es(1))))
 
   /** Register on a live session (temp functions in its registry). */
   def register(spark: SparkSession): Unit =

@@ -351,6 +351,28 @@ object Kernels {
     c
   }
 
+  /** Bit-spread for 2-D Morton interleave: the low 31 bits of `v`
+    * spread to the even bit positions of the result. */
+  private def part1by1(v: Long): Long = {
+    var x = v & 0x7FFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  /** 2-D Z-order (Morton) key: interleaves the low 31 bits of two
+    * NON-NEGATIVE ids (`a` in the even bits, `b` in the odd), so sorting
+    * by the result clusters rows that are close in BOTH dimensions.
+    * Callers must rank/bucket the raw columns into comparable magnitudes
+    * first (e.g. `width_bucket`) — interleaving a 30-bit key with a
+    * 10-bit key degenerates to single-column sorting. Pure bit math:
+    * branchless, codegen-inlined. */
+  def zorder2(a: Long, b: Long): Long =
+    part1by1(a) | (part1by1(b) << 1)
+
   /** Unicode NFC normalization (canonical composition) — é as e+◌́
     * collapses to the single codepoint, so visually-identical strings
     * fingerprint identically. ASCII fast path: already-normalized bytes

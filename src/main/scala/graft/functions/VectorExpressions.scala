@@ -434,6 +434,34 @@ case class QuantizeI8(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 2-D Z-order (Morton) interleave of two non-negative long bucket ids —
+  * the clustering key behind OPTIMIZE ... ZORDER BY (a, b): sort by it
+  * and every data file covers a tight rectangle in BOTH dimensions, so
+  * file-level min/max stats ([[graft.tables.StatsIndex]]) prune range
+  * scans on either column. */
+case class ZOrder2Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "zorder2"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"zorder2 requires (bigint, bigint), got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.zorder2(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Kernels.zorder2($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points. */
 object F {
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -457,6 +485,10 @@ object F {
   def quantI8(v: Column): Column = c(QuantizeI8(e(v)))
   def nfcNormalize(s: Column): Column = c(NfcNormalize(e(s)))
   def stripAccents(s: Column): Column = c(StripAccents(e(s)))
+  /** Z-order clustering key over two columns (cast to long; bucket the
+    * raw values into comparable magnitudes first — see [[ZOrder2Expr]]). */
+  def zorder2(a: Column, b: Column): Column =
+    c(ZOrder2Expr(e(a.cast("long")), e(b.cast("long"))))
   /** Group-wise top-k aggregate over a struct column: the k largest
     * structs (lexicographic over all fields), map-side combined — see
     * [[TopKStructs]]. */

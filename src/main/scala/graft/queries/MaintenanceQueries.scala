@@ -578,6 +578,101 @@ object MaintenanceQueries {
                ${dsumSql("l_extendedprice")} AS price_total,
                ${dsumSql("l_quantity")} AS qty_total,
                TRUE AS files_skipped
-               FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2500"""))
+               FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2500""")),
+
+    // M16 — CDC apply (tables/Cdc): fold an ordered change feed with
+    // row-level DELETES and last-write-wins per key (the Debezium/binlog
+    // shape merge doesn't cover) into a keyed table. Every even %3==0
+    // key carries BOTH an upsert (seq 1) and a delete (seq 2) — the
+    // delete must win; new keys insert; untouched keys pass through.
+    QueryDef(
+      "m16_cdc_apply",
+      (s, d) => {
+        val sup = t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        val upserts = sup.filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey"), col("s_name"),
+            (col("s_acctbal") + 1000.0).as("s_acctbal"),
+            lit("upsert").as("op"), lit(1L).as("seq"))
+        val deletes = sup.filter(col("s_suppkey") % 3 === 0)
+          .select(col("s_suppkey"),
+            lit(null).cast("string").as("s_name"),
+            lit(null).cast("double").as("s_acctbal"),
+            lit("delete").as("op"), lit(2L).as("seq"))
+        val inserts = sup.filter(col("s_suppkey") % 5 === 0)
+          .select((col("s_suppkey") + 10000L).as("s_suppkey"),
+            concat(lit("cdc_"), col("s_name")).as("s_name"),
+            lit(0.0).as("s_acctbal"),
+            lit("upsert").as("op"), lit(1L).as("seq"))
+        graft.tables.Cdc.applyChanges(
+            sup, upserts.unionByName(deletes).unionByName(inserts),
+            keys = Seq("s_suppkey"), seqCol = "seq", opCol = "op")
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT * FROM (
+                SELECT s_suppkey, s_name,
+                       CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal + 1000.0e0
+                            ELSE s_acctbal END AS s_acctbal
+                FROM supplier WHERE s_suppkey % 3 <> 0
+                UNION ALL
+                SELECT s_suppkey + 10000, 'cdc_' || s_name, 0.0e0
+                FROM supplier WHERE s_suppkey % 5 = 0
+              ) ORDER BY s_suppkey""")),
+
+    // M17 — Z-order clustering + multi-column data skipping (the
+    // OPTIMIZE ... ZORDER BY story): bucket both keys to a 1024-grid
+    // (width_bucket), sort by the Morton interleave (functions.zorder2,
+    // codegen kernel), land 16 files, build the M15 stats manifest —
+    // then range scans on EITHER column read fewer files than the
+    // table has. Single-column clustering can only ever skip for one
+    // column; the interleave gives every file a tight rectangle in
+    // both. Slice bounds are min + span/8 computed identically on both
+    // engines (integer floor-division on non-negative keys).
+    QueryDef(
+      "m17_zorder_skipping",
+      (s, d) => {
+        val base = scratch("m17")
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+        val b = li.agg(
+          min(col("l_orderkey")), max(col("l_orderkey")),
+          min(col("l_partkey")), max(col("l_partkey"))).collect()(0)
+        val (okMin, okMax, pkMin, pkMax) =
+          (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+        val z = graft.functions.F.zorder2(
+          expr(s"width_bucket(l_orderkey, $okMin, ${okMax + 1}, 1024)"),
+          expr(s"width_bucket(l_partkey, $pkMin, ${pkMax + 1}, 1024)"))
+        li.withColumn("__z", z)
+          .repartitionByRange(16, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+          .write.mode("overwrite").parquet(base)
+        graft.tables.StatsIndex.build(s, base, Seq("l_orderkey", "l_partkey"))
+        val (scanA, readA, totalA) = graft.tables.StatsIndex.scanBetween(
+          s, base, "l_orderkey", okMin, okMin + (okMax - okMin) / 8)
+        val (scanB, readB, totalB) = graft.tables.StatsIndex.scanBetween(
+          s, base, "l_partkey", pkMin, pkMin + (pkMax - pkMin) / 8)
+        val aggA = scanA.agg(count(lit(1)).as("n_by_orderkey"),
+          dsum(col("l_extendedprice")).as("price_by_orderkey"))
+        val aggB = scanB.agg(count(lit(1)).as("n_by_partkey"),
+          dsum(col("l_extendedprice")).as("price_by_partkey"))
+        aggA.crossJoin(aggB)
+          .withColumn("both_columns_skip",
+            lit(readA < totalA && readB < totalB))
+      },
+      Some(s"""SELECT
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey BETWEEN (SELECT MIN(l_orderkey) FROM lineitem)
+                  AND (SELECT MIN(l_orderkey) + (MAX(l_orderkey) - MIN(l_orderkey)) // 8 FROM lineitem)) AS n_by_orderkey,
+               (SELECT ${dsumSql("l_extendedprice")} FROM lineitem
+                WHERE l_orderkey BETWEEN (SELECT MIN(l_orderkey) FROM lineitem)
+                  AND (SELECT MIN(l_orderkey) + (MAX(l_orderkey) - MIN(l_orderkey)) // 8 FROM lineitem)) AS price_by_orderkey,
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_partkey BETWEEN (SELECT MIN(l_partkey) FROM lineitem)
+                  AND (SELECT MIN(l_partkey) + (MAX(l_partkey) - MIN(l_partkey)) // 8 FROM lineitem)) AS n_by_partkey,
+               (SELECT ${dsumSql("l_extendedprice")} FROM lineitem
+                WHERE l_partkey BETWEEN (SELECT MIN(l_partkey) FROM lineitem)
+                  AND (SELECT MIN(l_partkey) + (MAX(l_partkey) - MIN(l_partkey)) // 8 FROM lineitem)) AS price_by_partkey,
+               TRUE AS both_columns_skip"""))
   )
 }

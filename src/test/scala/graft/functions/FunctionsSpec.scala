@@ -233,6 +233,34 @@ class FunctionsSpec extends SparkSpec {
       .collect()(0).getString(0) === "eleve")
   }
 
+  test("zorder2: locality-preserving Morton interleave, reference bit math") {
+    import spark.implicits._
+    // reference values: interleave(a even bits, b odd bits)
+    assert(graft.functions.Kernels.zorder2(0L, 0L) === 0L)
+    assert(graft.functions.Kernels.zorder2(1L, 0L) === 1L)
+    assert(graft.functions.Kernels.zorder2(0L, 1L) === 2L)
+    assert(graft.functions.Kernels.zorder2(3L, 3L) === 15L)
+    assert(graft.functions.Kernels.zorder2(0x7FFFFFFFL, 0L) ===
+      0x1555555555555555L)
+    // expression ≡ kernel over a grid, and z-sorting clusters 2-D tiles:
+    // rows within one 4x4 tile occupy one contiguous z-run of length 16
+    val grid = (for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b))
+      .toDF("a", "b")
+    val z = grid.select(col("a"), col("b"),
+        F.zorder2(col("a"), col("b")).as("z")).collect()
+    z.foreach(r => assert(r.getLong(2) ===
+      graft.functions.Kernels.zorder2(r.getLong(0), r.getLong(1))))
+    val byTile = z.groupBy(r => (r.getLong(0) / 4, r.getLong(1) / 4))
+    byTile.foreach { case (_, rows) =>
+      val zs = rows.map(_.getLong(2)).sorted
+      assert(zs.length === 16 && zs.last - zs.head === 15,
+        "a 4x4 tile must be one contiguous z-run")
+    }
+    // registered for SQL use
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT zorder2(3L, 3L) AS z").collect()(0).getLong(0) === 15L)
+  }
+
   test("top_k_structs aggregate matches the window top-k under partitioning") {
     import spark.implicits._
     // many partitions + duplicate order values force the merge path and
