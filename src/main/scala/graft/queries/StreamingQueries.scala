@@ -170,6 +170,53 @@ object StreamingQueries {
               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
               COUNT(*) AS fixes
               FROM s GROUP BY roundId, sid
-              ORDER BY roundId, session_start"""))
+              ORDER BY roundId, session_start""")),
+
+    // ST3 — stream-stream INTERVAL join, end to end: the fix stream
+    // joined with an alert stream (events with value > 250) of the same
+    // round within ±5 minutes of event time. Both sides watermarked;
+    // the two-directional time bound makes buffered state evictable.
+    // Inner joins emit eagerly on match, so no flush batches are
+    // needed. Oracle = the batch self-join over events.
+    QueryDef(
+      "st_join",
+      (s, d) => {
+        val base = scratch("st_join")
+        val landF = s"$base/fixes"; Files.createDirectories(Paths.get(landF))
+        val landA = s"$base/alerts"; Files.createDirectories(Paths.get(landA))
+        val ev = t(s, d, "events")
+        val t0 = System.currentTimeMillis()
+        landJson(asFixes(ev), landF, "fixes.json", t0)
+        landJson(ev.filter(col("value") > 250.0)
+            .select(col("user_id").cast(StringType).as("alertRoundId"),
+              col("ts").as("alertTimestamp"),
+              col("event_id").cast(IntegerType).as("alertId")),
+          landA, "alerts.json", t0)
+        val q = StreamingTelemetry.alertJoinedFixes(
+            StreamingTelemetry.readFixStream(s, landF),
+            StreamingTelemetry.readAlertStream(s, landA),
+            tolerance = "5 minutes", watermark = "10 minutes")
+          .writeStream
+          .format("parquet")
+          .option("path", s"$base/sink")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$base/sink")
+          .groupBy(col("roundId"))
+          .agg(count(lit(1)).as("n_matches"),
+            sum(col("alertId").cast(LongType)).as("sum_alert_id"))
+          .orderBy(col("roundId"))
+      },
+      Some("""SELECT CAST(f.user_id AS VARCHAR) AS roundId,
+              COUNT(*) AS n_matches,
+              CAST(SUM(a.event_id) AS BIGINT) AS sum_alert_id
+              FROM events f JOIN events a
+              ON f.user_id = a.user_id AND a.value > 250
+              AND a.ts BETWEEN f.ts - INTERVAL 5 MINUTE
+                           AND f.ts + INTERVAL 5 MINUTE
+              GROUP BY f.user_id ORDER BY roundId"""))
   )
 }

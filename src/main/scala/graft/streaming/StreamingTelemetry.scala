@@ -103,6 +103,35 @@ object StreamingTelemetry {
         col("sw.end").as("session_end"),
         col("fixes"), col("avg_pace"))
 
+  /** Streaming read of a landed alert feed (roundId, alertTimestamp,
+    * alertId) — the second stream for the interval join below. */
+  def readAlertStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("alertRoundId STRING, alertTimestamp TIMESTAMP, alertId INT")
+      .option("timestampFormat", FixTimestampFormat)
+      .json(dir)
+
+  /** Stream-stream INTERVAL join: each fix is enriched with the alerts
+    * of the same round whose timestamp falls within ±`tolerance` of the
+    * fix — the live correlate-two-feeds primitive (telemetry × alert
+    * bus, clicks × impressions). Both sides carry watermarks and the
+    * join condition bounds event time in BOTH directions, so each
+    * side's buffered state is evicted once the other side's watermark
+    * passes the interval — state is O(rate × (watermark + tolerance)),
+    * never unbounded. Inner joins emit eagerly on match (no flush
+    * batches needed); only state CLEANUP waits for the watermark. */
+  def alertJoinedFixes(
+      fixes: DataFrame, alerts: DataFrame,
+      tolerance: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val f = fixes.withWatermark("fixTimestamp", watermark)
+    val a = alerts.withWatermark("alertTimestamp", watermark)
+    f.join(a,
+      col("roundId") === col("alertRoundId") &&
+        col("alertTimestamp") >= col("fixTimestamp") - expr(s"INTERVAL $tolerance") &&
+        col("alertTimestamp") <= col("fixTimestamp") + expr(s"INTERVAL $tolerance"))
+  }
+
   /** fact_rounds as a stateful stream: accumulate per-round counters in
     * the state store, emit the summary when the round's event-time stream
     * goes quiet past the timeout. KeyValueGroupedDataset +
