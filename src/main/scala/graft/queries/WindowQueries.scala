@@ -273,6 +273,45 @@ object WindowQueries {
                 SELECT c_custkey, c_nationkey, c_acctbal,
                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER (PARTITION BY c_nationkey) AS DOUBLE) AS nation_total
                 FROM customer
-              ) ORDER BY c_custkey"""))
+              ) ORDER BY c_custkey""")),
+
+    // W10 — time-series resample + forward gap-fill (analytics.Resample):
+    // each user's irregular events regularized to an hourly grid spanning
+    // their own [first, last] observation, bucket means decimal-
+    // accumulated, gaps forward-filled by a per-key running
+    // last(ignoreNulls). The grid is generated distributed (per-key
+    // sequence + explode, no driver loop, no global calendar); the
+    // oracle mirrors with generate_series + last_value IGNORE NULLS.
+    QueryDef(
+      "w10_gap_fill",
+      (s, d) =>
+        graft.analytics.Resample.gapFill(
+            t(s, d, "events").filter(col("user_id") < 30),
+            "user_id", "ts", "value", stepSec = 3600L)
+          .orderBy(col("user_id"), col("tick_s")),
+      Some("""WITH e AS (
+                SELECT user_id,
+                CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS tick_s,
+                value
+                FROM events WHERE user_id < 30
+              ),
+              obs AS (
+                SELECT user_id, tick_s,
+                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS avg_value
+                FROM e GROUP BY user_id, tick_s
+              ),
+              grid AS (
+                SELECT user_id,
+                UNNEST(generate_series(MIN(tick_s), MAX(tick_s), 3600)) AS tick_s
+                FROM e GROUP BY user_id
+              )
+              SELECT g.user_id, g.tick_s,
+              o.avg_value IS NOT NULL AS has_obs,
+              LAST_VALUE(o.avg_value IGNORE NULLS) OVER (
+                PARTITION BY g.user_id ORDER BY g.tick_s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+              FROM grid g LEFT JOIN obs o
+                ON g.user_id = o.user_id AND g.tick_s = o.tick_s
+              ORDER BY g.user_id, g.tick_s"""))
   )
 }
