@@ -421,6 +421,23 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** [[semanticDedupPairs]] with the quantizer sized to the corpus:
+    * k = ⌈n / targetClusterSize⌉ (min 8), so mean cluster size — and
+    * with it the Σ|cluster|²/2 pair cost PER cluster — stays constant
+    * as the corpus grows, which is what keeps SemDeDup linear-ish at
+    * scale (a FIXED k makes clusters grow ∝ n and the within-cluster
+    * join quadratic; measured slope 3.0 on the ×10 dual-scale bench).
+    * Training rides [[trainIvfCentroids]]'s size auto-switch, so a
+    * 100 TB corpus trains distributed without the caller knowing. */
+  def semanticDedupPairsAuto(
+      df: DataFrame, idCol: String, vecCol: String, minCosine: Double,
+      targetClusterSize: Long = 4096L): DataFrame = {
+    val n = df.count()
+    val k = math.max(8L, (n + targetClusterSize - 1) / targetClusterSize).toInt
+    val centroids = trainIvfCentroids(df, vecCol, k)
+    semanticDedupPairs(df, idCol, vecCol, centroids, minCosine)
+  }
+
   /** Full SemDeDup keep-one: within-cluster near-identical pairs →
     * connected components → each document labeled with its component's
     * minimum id (`canonical_id`; survivors are rows where id ==

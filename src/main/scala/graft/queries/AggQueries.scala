@@ -503,17 +503,25 @@ object AggQueries {
     // group; the 5% gate bound is 5σ.
     QueryDef(
       "a22_approx_distinct",
-      (s, d) =>
-        t(s, d, "lineitem")
-          .groupBy(col("l_returnflag"))
-          .agg(
-            countDistinct(col("l_orderkey")).as("n_exact"),
-            approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("n_approx"))
+      (s, d) => {
+        // exact and sketch in SEPARATE aggregations, joined on the tiny
+        // group key: combined in one agg, the planner routes the HLL
+        // through the distinct-rewrite Expand alongside countDistinct
+        // and evaluates sketch buffers per (group, key) — measured ~16×
+        // slower than the two-pass form at sf0.1
+        val li = t(s, d, "lineitem")
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+        val approx = li.groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.01)
+            .as("n_approx"))
+        exact.join(approx, "l_returnflag")
           .select(
             col("l_returnflag"), col("n_exact"),
             (abs(col("n_approx") - col("n_exact")) <=
               col("n_exact") * lit(0.05)).as("within_5pct"))
-          .orderBy(col("l_returnflag")),
+          .orderBy(col("l_returnflag"))
+      },
       Some("""SELECT l_returnflag,
                COUNT(DISTINCT l_orderkey) AS n_exact,
                TRUE AS within_5pct

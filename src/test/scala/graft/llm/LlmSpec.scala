@@ -123,6 +123,32 @@ class LlmSpec extends SparkSpec {
     assert(cands(1).isEmpty && uncapped.nonEmpty)
   }
 
+  test("semanticDedupPairsAuto sizes k to the corpus and matches the manual path") {
+    val dupVecs = vecs.unionByName(vecs.select(
+      (col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label")))
+    val n = dupVecs.count()
+    val target = 16L
+    val k = math.max(8L, (n + target - 1) / target).toInt
+    assert(k > 8, "fixture must exercise the scaled-k branch")
+    val auto = Similarity.semanticDedupPairsAuto(
+        dupVecs, "vec_id", "embedding", minCosine = 0.999,
+        targetClusterSize = target)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val manual = Similarity.semanticDedupPairs(
+        dupVecs, "vec_id", "embedding",
+        Similarity.trainIvfCentroids(dupVecs, "embedding", k),
+        minCosine = 0.999)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === manual)
+    // the injected identical twins are found (same cluster always)
+    val injected = vecs.select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 10000)).toSet
+    val recall = injected.intersect(auto).size.toDouble / injected.size
+    assert(recall >= 0.95, s"auto-k recall $recall")
+  }
+
   test("winnowing: shared substring guarantee, identical docs share all fingerprints") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
