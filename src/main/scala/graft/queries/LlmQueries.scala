@@ -1140,6 +1140,57 @@ object LlmQueries {
               SELECT id, MIN(r) AS canonical_id FROM reach
               GROUP BY id ORDER BY id""")),
 
+    // SemDeDup with the quantizer sized to the corpus (the
+    // semanticDedupPairsAuto formula: k = n / targetClusterSize, so mean
+    // cluster size stays constant as the corpus grows — fixed k goes
+    // quadratic). The k-means training is seed-deterministic but its
+    // centroids are engine-specific, so the ASSIGNMENT is materialized
+    // and the oracle recomputes the within-cluster exact-cosine pairs
+    // from it — same split as the LSH gates (candidates engine-side,
+    // verification oracle-side).
+    QueryDef(
+      "l_semantic_dedup_auto",
+      (s, d) => {
+        val vecs = vecsWithDups(s, d)
+        val n = vecs.count()
+        val k = math.max(8L, (n + 63) / 64).toInt
+        val centroids = Similarity.trainIvfCentroids(vecs, "embedding", k)
+        val assign = materialize(
+          Similarity.withIvfList(
+              vecs.select(col("vec_id").as("id"), col("embedding").as("v")),
+              "v", centroids)
+            .filter(col("__ivf_list") >= 0)
+            .select(col("id"), col("__ivf_list").as("list")),
+          "semauto_assign")
+        val cands = assign.select(col("id").as("id_a"), col("list"))
+          .join(assign.select(col("id").as("id_b"), col("list").as("l2")),
+            col("list") === col("l2") && col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+        Similarity.verifyCosine(cands, vecs, "vec_id", "embedding", 0.999)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH v AS (
+                 SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings
+                 UNION ALL
+                 SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+                 FROM embeddings
+               ),
+               a AS (SELECT id, list
+                     FROM read_parquet('$OracleScratch/semauto_assign/*.parquet')),
+               c AS (
+                 SELECT a1.id AS id_a, a2.id AS id_b
+                 FROM a a1 JOIN a a2 ON a1.list = a2.list AND a1.id < a2.id
+               )
+               SELECT c.id_a, c.id_b
+               FROM c JOIN v va ON va.vec_id = c.id_a
+                      JOIN v vb ON vb.vec_id = c.id_b
+               WHERE list_sum(list_transform(range(1, len(va.e) + 1), i -> va.e[i] * vb.e[i])) /
+                     (SQRT(list_sum(list_transform(va.e, x -> x * x))) *
+                      SQRT(list_sum(list_transform(vb.e, x -> x * x)))) >= 0.999
+               ORDER BY id_a, id_b""")),
+
     // One distributed Lloyd (k-means) assignment + aggregation step over
     // fixed centroids (the first 8 embeddings) — the per-iteration
     // contract of Similarity.trainIvfCentroidsDistributed. Assignment is

@@ -673,6 +673,39 @@ object MaintenanceQueries {
                (SELECT ${dsumSql("l_extendedprice")} FROM lineitem
                 WHERE l_partkey BETWEEN (SELECT MIN(l_partkey) FROM lineitem)
                   AND (SELECT MIN(l_partkey) + (MAX(l_partkey) - MIN(l_partkey)) // 8 FROM lineitem)) AS price_by_partkey,
-               TRUE AS both_columns_skip"""))
+               TRUE AS both_columns_skip""")),
+
+    // M18 — OPTIMIZE inside the versioned table (IncrementalTable
+    // .compact): a fragmented commit (6-way shuffle → up to 6 files per
+    // partition) compacts into a NEW manifest version. Pins: file count
+    // fell, the pre-compaction version still reads (time travel), the
+    // current version's data is untouched, and the row-level diff across
+    // the compaction is EMPTY — compaction is a layout rewrite, never a
+    // data change.
+    QueryDef(
+      "m18_incremental_compact",
+      (s, d) => {
+        val it = graft.tables.IncrementalTable
+        val base = scratch("m18")
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        it.commitFull(orders.repartition(6), base, Seq("o_orderpriority"))
+        val (before, after) = it.compact(s, base, Seq("o_orderpriority"))
+        val v1 = it.read(s, base, Some(1))
+          .agg(count(lit(1)).as("n_v1"), dsum(col("o_totalprice")).as("v1_total"))
+        val cur = it.read(s, base)
+          .agg(count(lit(1)).as("n_cur"), dsum(col("o_totalprice")).as("cur_total"))
+        val diffRows = it.diff(s, base, 1, 2).count()
+        v1.crossJoin(cur)
+          .withColumn("files_reduced", lit(after < before))
+          .withColumn("diff_empty", lit(diffRows == 0L))
+      },
+      Some(s"""SELECT COUNT(*) AS n_v1,
+               ${dsumSql("o_totalprice")} AS v1_total,
+               COUNT(*) AS n_cur,
+               ${dsumSql("o_totalprice")} AS cur_total,
+               TRUE AS files_reduced,
+               TRUE AS diff_empty
+               FROM orders"""))
   )
 }

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Manifest-based incremental table versioning — the Iceberg-shaped
@@ -172,6 +172,65 @@ object IncrementalTable {
             }
         }
         commitManifest(path, df.schema, carried ++ adopt(staging, rels, path))
+      }
+    } finally FsUtil.deleteRec(staging)
+  }
+
+  /** OPTIMIZE as a manifest commit: every partition holding more than
+    * `maxFilesPerPartition` live files is rewritten into coalesced files
+    * and the result commits as a NEW version whose manifest swaps the
+    * fragments for the compacted files. Untouched partitions carry by
+    * reference; previous versions still read the original fragments
+    * (time travel unaffected; the row-level diff across a compaction is
+    * EMPTY — it is a metadata-plus-layout rewrite, never a data change);
+    * [[vacuum]] eventually reclaims the fragments.
+    *
+    * Concurrency (Delta OPTIMIZE semantics): the heavy rewrite runs
+    * outside the lock against the version it read; under the lock each
+    * compacted partition is swapped ONLY IF its live file set is still
+    * exactly what was compacted — a partition refreshed concurrently
+    * keeps the refresher's files and this compactor's rewrite of it is
+    * discarded (skip, not fail). Returns (filesBefore, filesAfter) over
+    * the whole table at commit time; equal counts mean nothing needed
+    * compacting (no empty commit is made). */
+  def compact(
+      spark: SparkSession, path: String, partitionCols: Seq[String],
+      maxFilesPerPartition: Int = 1,
+      lockTimeoutMs: Long = 30000, staleLockMs: Long = 600000): (Int, Int) = {
+    require(partitionCols.nonEmpty, "compaction works on partitioned tables")
+    def dirOf(f: String): String =
+      Option(Paths.get(f).getParent).map(_.toString).getOrElse("")
+    val v0 = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $path"))
+    val (schema0, files0) = manifest(path, v0)
+    val frag = files0.groupBy(dirOf)
+      .filter(_._2.size > maxFilesPerPartition)
+    if (frag.isEmpty) return (files0.size, files0.size)
+
+    // heavy rewrite outside the lock: read ONLY the fragmented
+    // partitions, one task per partition so each dir lands as one file
+    val abs = frag.values.flatten
+      .map(f => dataDir(path).resolve(f).toString).toSeq
+    val df = ParquetTable.alignToSchema(
+        spark.read.option("basePath", dataDir(path).toString).parquet(abs: _*),
+        schema0)
+      .repartition(partitionCols.map(col): _*)
+    val (staging, rels) = stage(df, path, partitionCols)
+    try {
+      VersionedTable.withLock(path, lockTimeoutMs, staleLockMs) {
+        val vNow = currentVersion(path).getOrElse(v0)
+        val (schemaNow, filesNow) = manifest(path, vNow)
+        val nowByDir = filesNow.groupBy(dirOf)
+        val safe = frag.keySet.filter(d =>
+          nowByDir.get(d).map(_.toSet) == frag.get(d).map(_.toSet))
+        if (safe.isEmpty) (filesNow.size, filesNow.size)
+        else {
+          val keep = filesNow.filterNot(f => safe.contains(dirOf(f)))
+          val adopted = adopt(staging,
+            rels.filter(r => safe.contains(dirOf(r.toString))), path)
+          commitManifest(path, schemaNow, keep ++ adopted)
+          (filesNow.size, keep.size + adopted.size)
+        }
       }
     } finally FsUtil.deleteRec(staging)
   }

@@ -142,6 +142,29 @@ class IncrementalTableSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("k", "v", "part"))
   }
 
+  test("compact: fragments collapse, history intact, diff across compaction empty") {
+    val path = freshPath("compact")
+    val rows = (1L to 40L).map(i => (i, s"v$i", s"p${i % 2}"))
+    // 4-way shuffle → up to 4 files per partition
+    IncrementalTable.commitFull(
+      rows.toDF("k", "v", "part").repartition(4), path, Seq("part"))
+    val (b, a) = IncrementalTable.compact(spark, path, Seq("part"))
+    assert(b > a && a === 2, s"expected 2 compacted files, got $a of $b")
+    assert(IncrementalTable.versions(path) === Seq(1, 2))
+    // data identical in both versions; v1 still reads its fragments
+    assert(IncrementalTable.read(spark, path).count() === 40)
+    assert(IncrementalTable.read(spark, path, Some(1)).count() === 40)
+    assert(IncrementalTable.diff(spark, path, 1, 2).count() === 0)
+    // second compact: nothing fragmented → no-op, no empty commit
+    val (b2, a2) = IncrementalTable.compact(spark, path, Seq("part"))
+    assert(b2 === a2 && IncrementalTable.versions(path) === Seq(1, 2))
+    // refresh after compaction composes: only that partition's files change
+    IncrementalTable.refreshPartitions(
+      df((99L, "z", "p1")), path, Seq("part"))
+    val (added, removed) = IncrementalTable.fileChanges(path, 2, 3)
+    assert((added ++ removed).forall(_.startsWith("part=p1/")))
+  }
+
   test("schema mismatch on refresh fails fast instead of corrupting the manifest") {
     val path = freshPath("schema")
     IncrementalTable.commitFull(df((1L, "a", "p1")), path, Seq("part"))

@@ -45,6 +45,14 @@ class ScaleStressSpec extends SparkSpec {
     val hot = docs.filter(col("text").contains("subscribe to our newsletter")).count()
     val share = hot.toDouble / docs.count()
     assert(share > 0.25 && share < 0.35, s"hot-phrase share $share")
+    // replica embeddings are NEW vectors, not clones: verbatim copies
+    // made every LSH bucket hold f exact duplicates (pairs ∝ f²) — the
+    // first sf1 bench measured that as a 90× blow-up before the jitter
+    val emb = spark.read.parquet(s"$stressDir/embeddings.parquet")
+    val emb1 = graft.core.Tables.load(spark, sfDir, "embeddings")
+    assert(emb.count() === emb1.count() * factor)
+    assert(emb.select(md5(col("embedding").cast("string"))).distinct().count()
+      === emb.count(), "replicated embedding vectors must be distinct")
   }
 
   test("every stress operator completes on the skewed replica") {
