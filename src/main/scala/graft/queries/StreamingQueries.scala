@@ -217,6 +217,51 @@ object StreamingQueries {
               ON f.user_id = a.user_id AND a.value > 250
               AND a.ts BETWEEN f.ts - INTERVAL 5 MINUTE
                            AND f.ts + INTERVAL 5 MINUTE
-              GROUP BY f.user_id ORDER BY roundId"""))
+              GROUP BY f.user_id ORDER BY roundId""")),
+
+    // ST4 — streaming ingestion into the VERSIONED table
+    // (ContinuousRefresh.startVersioned): two landed files process as
+    // two micro-batches (maxFilesPerTrigger=1), each committing an
+    // IncrementalTable manifest version. Pins: final content matches the
+    // batch aggregate, the stream produced ≥ 2 versions, and version 1
+    // (time travel INTO the stream's history) holds exactly the first
+    // batch's partition.
+    QueryDef(
+      "st_refresh",
+      (s, d) => {
+        val base = scratch("st_refresh")
+        val land = s"$base/land"; Files.createDirectories(Paths.get(land))
+        val table = s"$base/table"
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            when(col("user_id") % 2 === 0, "d1").otherwise("d2").as("pday"))
+        val t0 = System.currentTimeMillis()
+        landJson(ev.filter(col("pday") === "d1"), land, "b1.json", t0)
+        landJson(ev.filter(col("pday") === "d2"), land, "b2.json", t0 + 60000)
+        val stream = s.readStream
+          .schema("event_id LONG, user_id LONG, value DOUBLE, pday STRING")
+          .option("maxFilesPerTrigger", "1")
+          .json(land)
+        val q = graft.streaming.ContinuousRefresh.startVersioned(
+          stream, table, Seq("pday"), s"$base/ckpt",
+          trigger = Some(Trigger.AvailableNow()))
+        q.awaitTermination()
+        val it = graft.tables.IncrementalTable
+        val v1Parts = it.read(s, table, Some(1))
+          .select(col("pday")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        it.read(s, table)
+          .groupBy(col("pday"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("value_total"))
+          .withColumn("multi_version", lit(it.versions(table).size >= 2))
+          .withColumn("v1_single_partition", lit(v1Parts == Seq("d1")))
+          .orderBy(col("pday"))
+      },
+      Some(s"""SELECT CASE WHEN user_id % 2 = 0 THEN 'd1' ELSE 'd2' END AS pday,
+               COUNT(*) AS n,
+               ${dsumSql("value")} AS value_total,
+               TRUE AS multi_version,
+               TRUE AS v1_single_partition
+               FROM events GROUP BY pday ORDER BY pday"""))
   )
 }

@@ -1,9 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.tables.ParquetTable
+import graft.tables.{IncrementalTable, ParquetTable}
 
 /** The streaming → lakehouse hop: land each micro-batch through the SAME
   * idempotent maintenance op the batch backfill uses
@@ -33,4 +33,27 @@ object ContinuousRefresh {
           ParquetTable.refreshPartitions(batch, path, partitionCols)
       }
       .start()
+
+  /** The same hop landing into the VERSIONED table: every micro-batch
+    * commits as a new [[IncrementalTable]] manifest version, so the live
+    * stream produces a table with time travel, rollback and row-level
+    * diff — the streaming-sink half of a real table format. Same
+    * complete-partition contract as [[start]]; a checkpoint replay
+    * rewrites the same partitions with the same rows, adding a version
+    * whose content (and row-level diff vs its predecessor) is empty —
+    * content-idempotent, history-visible. */
+  def startVersioned(
+      stream: DataFrame, path: String, partitionCols: Seq[String],
+      checkpointDir: String,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty)
+          IncrementalTable.refreshPartitions(batch, path, partitionCols): Unit
+      }
+    trigger.foreach(w.trigger)
+    w.start()
+  }
 }
