@@ -27,10 +27,17 @@ object Cdc {
   def latestChanges(
       changes: DataFrame, keys: Seq[String], seqCol: String,
       opCol: String): DataFrame = {
+    // unknown ops fail the job, not silently upsert: a feed with
+    // "update"/"truncate"/typo'd ops means a producer contract break
+    val checked = changes.withColumn(opCol,
+      when(lower(col(opCol)).isin("upsert", "delete"), lower(col(opCol)))
+        .otherwise(raise_error(concat(
+          lit("Cdc: unknown op '"), col(opCol),
+          lit("' (expected upsert|delete)")))))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(seqCol).desc,
-        when(lower(col(opCol)) === "delete", 0).otherwise(1).asc)
-    changes.withColumn("__rn", row_number().over(w))
+        when(col(opCol) === "delete", 0).otherwise(1).asc)
+    checked.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
   }

@@ -29,6 +29,7 @@ object StatsIndex {
   /** One distributed pass: per-file min/max for `cols`, written as a
     * parquet manifest at `path/_stats`. Returns the file count. */
   def build(spark: SparkSession, path: String, cols: Seq[String]): Long = {
+    require(cols.nonEmpty, "stats index needs at least one column")
     val df = spark.read.parquet(path)
     val aggs = cols.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))

@@ -21,7 +21,17 @@ class CdcSpec extends SparkSpec {
     val latest = Cdc.latestChanges(feed, Seq("id"), "seq", "op")
       .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(3))).toMap
     assert(latest(1L) === (("a2", "upsert")))
-    assert(latest(2L)._2 === "DELETE")
+    assert(latest(2L)._2 === "delete") // ops normalize to lowercase
+  }
+
+  test("unknown op fails the job instead of silently upserting") {
+    val feed = Seq((1L, "x", 0.0, "truncate", 1L))
+      .toDF("id", "name", "bal", "op", "seq")
+    val e = intercept[Exception] {
+      Cdc.applyChanges(target, feed, Seq("id"), "seq", "op").collect()
+    }
+    assert(e.getMessage.contains("unknown op") ||
+      Option(e.getCause).exists(_.getMessage.contains("unknown op")))
   }
 
   test("applyChanges: upsert replaces, delete removes, absent keys pass through") {
