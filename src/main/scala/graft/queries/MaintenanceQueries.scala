@@ -706,6 +706,46 @@ object MaintenanceQueries {
                ${dsumSql("o_totalprice")} AS cur_total,
                TRUE AS files_reduced,
                TRUE AS diff_empty
-               FROM orders"""))
+               FROM orders""")),
+
+    // M19 — targeted row deletion (IncrementalTable.deleteWhere, the
+    // compliance DELETE): every 1-URGENT order plus half of 2-HIGH is
+    // deleted in one versioned commit. Pins: the current version's
+    // per-priority totals (1-URGENT gone ENTIRELY — the all-rows-deleted
+    // partition must vanish, which a partition refresh can't express),
+    // version 1 still holds everything (until vacuum), and the file
+    // changes touch ONLY the two affected partitions.
+    QueryDef(
+      "m19_delete_where",
+      (s, d) => {
+        val it = graft.tables.IncrementalTable
+        val base = scratch("m19")
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        it.commitFull(orders, base, Seq("o_orderpriority"))
+        val doomed = col("o_orderpriority") === "1-URGENT" ||
+          (col("o_orderpriority") === "2-HIGH" && col("o_orderkey") % 2 === 0)
+        it.deleteWhere(s, base, Seq("o_orderpriority"), doomed)
+        val nAll = orders.count()
+        val v1Intact = it.read(s, base, Some(1)).count() == nAll
+        val (added, removed) = it.fileChanges(base, 1, 2)
+        val scoped = (added ++ removed).nonEmpty &&
+          (added ++ removed).forall(f =>
+            f.startsWith("o_orderpriority=1-URGENT/") ||
+              f.startsWith("o_orderpriority=2-HIGH/"))
+        it.read(s, base)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("v1_intact", lit(v1Intact))
+          .withColumn("files_scoped", lit(scoped))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+               ${dsumSql("o_totalprice")} AS total,
+               TRUE AS v1_intact, TRUE AS files_scoped
+               FROM orders
+               WHERE NOT (o_orderpriority = '1-URGENT'
+                 OR (o_orderpriority = '2-HIGH' AND o_orderkey % 2 = 0))
+               GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

@@ -176,6 +176,57 @@ object IncrementalTable {
     } finally FsUtil.deleteRec(staging)
   }
 
+  /** Targeted row deletion (DELETE WHERE — the compliance/right-to-be-
+    * forgotten path) at O(affected partitions) cost: partitions holding
+    * matching rows are rewritten WITHOUT them and committed as a new
+    * manifest version; untouched partitions carry by reference. A
+    * partition whose every row matches disappears from the new version
+    * entirely — the subtlety [[refreshPartitions]] cannot express,
+    * since it only replaces partitions present in the incoming frame
+    * and an all-deleted partition produces no rows to land. Previous
+    * versions still hold the deleted rows until [[vacuum]] reclaims
+    * them (run vacuum(keep = 1) after a compliance delete to actually
+    * destroy the data). Returns the new version (or the current one
+    * when nothing matches — no empty commit). */
+  def deleteWhere(
+      spark: SparkSession, path: String, partitionCols: Seq[String],
+      predicate: org.apache.spark.sql.Column,
+      lockTimeoutMs: Long = 30000, staleLockMs: Long = 600000): Int = {
+    require(partitionCols.nonEmpty, "deleteWhere works on partitioned tables")
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    def dirOf(f: String): String =
+      Option(Paths.get(f).getParent).map(_.toString).getOrElse("")
+    val v0 = currentVersion(path).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $path"))
+    val cur = read(spark, path, Some(v0))
+    // affected partition VALUES — bounded by partition count, the same
+    // driver-side scale the manifest itself lives at
+    val affected = cur.filter(predicate)
+      .select(partitionCols.map(col): _*).distinct().collect()
+    if (affected.isEmpty) return v0
+    val affectedDirs = affected.map { r =>
+      partitionCols.zipWithIndex.map { case (c, i) =>
+        s"${escapePathName(c)}=${escapePathName(
+          Option(r.get(i)).map(_.toString).getOrElse("__HIVE_DEFAULT_PARTITION__"))}"
+      }.mkString("/")
+    }.toSet
+    val inAffected = affected.map { r =>
+      partitionCols.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val keepRows = cur.filter(inAffected && !predicate)
+    val (staging, rels) = stage(keepRows, path, partitionCols)
+    try {
+      VersionedTable.withLock(path, lockTimeoutMs, staleLockMs) {
+        val vNow = currentVersion(path).getOrElse(v0)
+        val (schemaNow, filesNow) = manifest(path, vNow)
+        val carried = filesNow.filterNot(f => affectedDirs.contains(dirOf(f)))
+        commitManifest(path, schemaNow, carried ++ adopt(staging, rels, path))
+      }
+    } finally FsUtil.deleteRec(staging)
+  }
+
   /** OPTIMIZE as a manifest commit: every partition holding more than
     * `maxFilesPerPartition` live files is rewritten into coalesced files
     * and the result commits as a NEW version whose manifest swaps the

@@ -165,6 +165,37 @@ class IncrementalTableSpec extends SparkSpec {
     assert((added ++ removed).forall(_.startsWith("part=p1/")))
   }
 
+  test("deleteWhere: partial rewrite, all-deleted partition vanishes, history keeps rows") {
+    val path = freshPath("delete")
+    IncrementalTable.commitFull(
+      df((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"), (5L, "e", "p2"),
+        (4L, "d", "p3")),
+      path, Seq("part"))
+    // delete all of p1 and half of p2; p3 untouched
+    val v = IncrementalTable.deleteWhere(spark, path, Seq("part"),
+      col("part") === "p1" || col("k") === 3L)
+    assert(v === 2)
+    val cur = IncrementalTable.read(spark, path)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(cur === Set(4L, 5L))
+    // p1's dir is gone from the manifest entirely
+    val (added, removed) = IncrementalTable.fileChanges(path, 1, 2)
+    assert(removed.exists(_.startsWith("part=p1/")))
+    assert(!added.exists(_.startsWith("part=p1/")))
+    // p3 carried by reference: no file churn outside affected partitions
+    assert((added ++ removed).forall(f =>
+      f.startsWith("part=p1/") || f.startsWith("part=p2/")))
+    // history intact until vacuum; then the data is really gone
+    assert(IncrementalTable.read(spark, path, Some(1)).count() === 5)
+    IncrementalTable.vacuum(path, keep = 1)
+    assert(IncrementalTable.versions(path) === Seq(2))
+    assert(IncrementalTable.read(spark, path).count() === 2)
+    // no-op delete makes no commit
+    assert(IncrementalTable.deleteWhere(spark, path, Seq("part"),
+      col("k") === 999L) === 2)
+    assert(IncrementalTable.versions(path) === Seq(2))
+  }
+
   test("schema mismatch on refresh fails fast instead of corrupting the manifest") {
     val path = freshPath("schema")
     IncrementalTable.commitFull(df((1L, "a", "p1")), path, Seq("part"))
