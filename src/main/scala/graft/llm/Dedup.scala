@@ -348,7 +348,10 @@ object Dedup {
   def withSimHash128(df: DataFrame, textCol: String, n: Int = 1,
       out1: String = "skey1", out2: String = "skey2"): DataFrame = {
     val sh = wordShingles(col(textCol), n)
-    val salted = transform(sh, s => concat(s, lit("")))
+    // visible U+0001 escape (NOT a raw control byte): the sentinel must
+    // survive formatters/copy-paste, else skey2 collapses to skey1 and
+    // the scheme silently degrades to a duplicated 64-bit signature
+    val salted = transform(sh, s => concat(s, lit("\u0001")))
     df.withColumn(out1, graft.functions.F.simhash64(sh))
       .withColumn(out2, graft.functions.F.simhash64(salted))
   }

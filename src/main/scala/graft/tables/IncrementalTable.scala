@@ -198,6 +198,7 @@ object IncrementalTable {
       Option(Paths.get(f).getParent).map(_.toString).getOrElse("")
     val v0 = currentVersion(path).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $path"))
+    val (_, files0) = manifest(path, v0)
     val cur = read(spark, path, Some(v0))
     // affected partition VALUES — bounded by partition count, the same
     // driver-side scale the manifest itself lives at
@@ -215,12 +216,28 @@ object IncrementalTable {
         .map { case (c, i) => col(c) <=> lit(r.get(i)) }
         .reduce(_ && _)
     }.reduce(_ || _)
-    val keepRows = cur.filter(inAffected && !predicate)
+    // SQL DELETE semantics: only predicate-TRUE rows go; NULL keeps the
+    // row, exactly as in unaffected partitions it never looked at.
+    val keepRows = cur.filter(
+      inAffected && !org.apache.spark.sql.functions.coalesce(predicate, lit(false)))
     val (staging, rels) = stage(keepRows, path, partitionCols)
     try {
       VersionedTable.withLock(path, lockTimeoutMs, staleLockMs) {
         val vNow = currentVersion(path).getOrElse(v0)
         val (schemaNow, filesNow) = manifest(path, vNow)
+        // OCC guard (same shape as compact's): the rewrite was derived
+        // from v0, so each affected dir's live file set must still be
+        // exactly v0's — otherwise a concurrent commit to that dir would
+        // be silently reverted to stale v0 contents. Fail; the caller
+        // re-runs against the new current version.
+        val byDir0 = files0.groupBy(dirOf)
+        val byDirNow = filesNow.groupBy(dirOf)
+        val raced = affectedDirs.filter(d =>
+          byDir0.getOrElse(d, Nil).toSet != byDirNow.getOrElse(d, Nil).toSet)
+        if (raced.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"deleteWhere read v$v0 but partitions ${raced.mkString(", ")} " +
+              s"changed by a concurrent commit (now v$vNow); retry the delete")
         val carried = filesNow.filterNot(f => affectedDirs.contains(dirOf(f)))
         commitManifest(path, schemaNow, carried ++ adopt(staging, rels, path))
       }

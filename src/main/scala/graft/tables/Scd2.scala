@@ -42,12 +42,18 @@ object Scd2 {
       .withColumnsRenamed(
         (key +: attrs :+ changeTs).map(n => n -> s"__c_$n").toMap)
 
-    val joined = current.join(c, col(key) === col(s"__c_$key"), "full_outer")
+    // null-safe key join + presence markers: key-nullness cannot stand in
+    // for side-presence (a legitimately null-keyed dim row would match no
+    // branch and silently vanish), so each side carries an explicit flag
+    // that full_outer leaves null exactly when that side is absent.
+    val joined = current.withColumn("__t_present", lit(true))
+      .join(c.withColumn("__c_present", lit(true)),
+        col(key) <=> col(s"__c_$key"), "full_outer")
     val changed: Column = attrs
       .map(a => !(col(a) <=> col(s"__c_$a")))
       .reduce(_ || _)
-    val hasTarget = col(key).isNotNull
-    val hasChange = col(s"__c_$key").isNotNull
+    val hasTarget = col("__t_present").isNotNull
+    val hasChange = col("__c_present").isNotNull
 
     val dimCols = dim.columns
 

@@ -69,11 +69,15 @@ object StatsIndex {
       lo: Any, hi: Any): (DataFrame, Long, Long) = {
     val total = spark.read.parquet(s"$path/_stats").count()
     val files = candidateFiles(spark, path, c, lo, hi)
+    // basePath keeps hive partition columns in the pruned scan's schema
+    // (mirrors IncrementalTable.read) — without it a partitioned table's
+    // pruned read would drop partition columns and a range predicate on
+    // one would fail to resolve
     val df =
       if (files.isEmpty)
         spark.read.parquet(path).filter(lit(false))
       else
-        spark.read.parquet(files: _*)
+        spark.read.option("basePath", path).parquet(files: _*)
           .filter(col(c) >= lit(lo) && col(c) <= lit(hi))
     (df, files.size.toLong, total)
   }
