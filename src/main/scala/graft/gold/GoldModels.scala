@@ -765,16 +765,20 @@ object GoldModels {
     * pruned passes instead of a 9-way Expand of the fact table. */
   def globalOverview(silver: DataFrame, exactPercentiles: Boolean = false): DataFrame = {
     val median =
-      if (exactPercentiles)
-        expr("percentile(CASE WHEN NOT is_location_padding THEN pace_gap END, 0.5)")
-      else
-        expr("percentile_approx(CASE WHEN NOT is_location_padding THEN pace_gap END, 0.5, 10000)")
-    val rowStats = silver.filter(col("course_id").isNotNull).agg(
+      if (exactPercentiles) expr("percentile(pg, 0.5)")
+      else expr("percentile_approx(pg, 0.5, 10000)")
+    // Same decomposition as globalCourseSummary: two countDistincts in
+    // one agg Expand the full 100 TB scan ×3 before partial
+    // aggregation, and the percentile drags every counter through a
+    // sort-based ObjectHashAggregate. Split into a codegen counter agg,
+    // one two-level distinct agg per distinct column, and a percentile
+    // over a one-column slice; all are single-row frames, so the
+    // crossJoins are free.
+    val filtered = silver.filter(col("course_id").isNotNull)
+    val baseStats = filtered.agg(
       count(lit(1)).as("total_rows"),
       sum(when(col("is_location_padding"), 1).otherwise(0)).as("padding_rows"),
       sum(when(!col("is_location_padding"), 1).otherwise(0)).as("non_padding_rows"),
-      countDistinct(col("course_id")).as("courses"),
-      countDistinct(col("device")).as("distinct_devices"),
       sum(when(col("is_timestamp_missing"), 1).otherwise(0)).as("ts_missing_rows"),
       sum(when(col("is_timestamp_missing") && !col("is_location_padding"), 1).otherwise(0))
         .as("ts_missing_non_padding_rows"),
@@ -782,8 +786,16 @@ object GoldModels {
         .as("problem_rows"),
       min(col("fix_timestamp")).as("first_fix_ts"),
       max(col("fix_timestamp")).as("last_fix_ts"),
-      avg(when(!col("is_location_padding"), col("pace_gap"))).as("avg_pace_gap_sec"),
-      median.as("median_pace_gap_sec"))
+      avg(when(!col("is_location_padding"), col("pace_gap"))).as("avg_pace_gap_sec"))
+    val courseStats = filtered.select(col("course_id"))
+      .agg(countDistinct(col("course_id")).as("courses"))
+    val devStats = filtered.select(col("device"))
+      .agg(countDistinct(col("device")).as("distinct_devices"))
+    val medStats = filtered
+      .select(when(!col("is_location_padding"), col("pace_gap")).as("pg"))
+      .agg(median.as("median_pace_gap_sec"))
+    val rowStats = baseStats
+      .crossJoin(courseStats).crossJoin(devStats).crossJoin(medStats)
     val agg0 = rowStats.crossJoin(
       roundFlagCounts(roundFlagRollup(silver, perCourse = false), Nil))
     agg0.select(
@@ -817,24 +829,47 @@ object GoldModels {
     * overview (global_course_summary.sql:14-99). */
   def globalCourseSummary(silver: DataFrame, exactPercentiles: Boolean = false): DataFrame = {
     val median =
-      if (exactPercentiles)
-        expr("percentile(CASE WHEN NOT is_location_padding THEN pace_gap END, 0.5)")
-      else
-        expr("percentile_approx(CASE WHEN NOT is_location_padding THEN pace_gap END, 0.5, 10000)")
-    val rowStats = silver.filter(col("course_id").isNotNull)
+      if (exactPercentiles) expr("percentile(pg, 0.5)")
+      else expr("percentile_approx(pg, 0.5, 10000)")
+    // Decomposed like globalTimePatterns: countDistinct(device) forces
+    // an Expand and the percentile forces a sort-based
+    // ObjectHashAggregate — in ONE agg every other buffer rides through
+    // both penalties (~7× at sf0.1, worse at scale). Split into a
+    // codegen HashAggregate for the plain counters, a two-level
+    // distinct aggregate over a two-column slice, and a percentile over
+    // a two-column slice; the three join back on their shared
+    // course_id hash partitioning (no extra shuffle).
+    val filtered = silver.filter(col("course_id").isNotNull)
+    val baseStats = filtered
       .groupBy(col("course_id"))
       .agg(
         count(lit(1)).as("total_rows"),
         sum(when(col("is_location_padding"), 1).otherwise(0)).as("padding_rows"),
         sum(when(!col("is_location_padding"), 1).otherwise(0)).as("non_padding_rows"),
-        countDistinct(col("device")).as("distinct_devices"),
         sum(when(col("is_timestamp_missing"), 1).otherwise(0)).as("ts_missing_rows"),
         sum(when(col("is_timestamp_missing") && !col("is_location_padding"), 1).otherwise(0))
           .as("ts_missing_non_padding_rows"),
         sum(when(!col("is_location_padding") && col("is_problem"), 1).otherwise(0))
           .as("problem_rows"),
-        avg(when(!col("is_location_padding"), col("pace_gap"))).as("avg_pace_gap_sec"),
-        median.as("median_pace_gap_sec"))
+        avg(when(!col("is_location_padding"), col("pace_gap"))).as("avg_pace_gap_sec"))
+    val devStats = filtered
+      .select(col("course_id"), col("device"))
+      .groupBy(col("course_id"))
+      .agg(countDistinct(col("device")).as("distinct_devices"))
+    val medStats = filtered
+      .select(col("course_id"),
+        when(!col("is_location_padding"), col("pace_gap")).as("pg"))
+      .groupBy(col("course_id"))
+      .agg(median.as("median_pace_gap_sec"))
+    val rowStats = baseStats
+      .join(devStats, Seq("course_id"))
+      .join(medStats, Seq("course_id"))
+      .select(
+        col("course_id"), col("total_rows"), col("padding_rows"),
+        col("non_padding_rows"), col("distinct_devices"),
+        col("ts_missing_rows"), col("ts_missing_non_padding_rows"),
+        col("problem_rows"), col("avg_pace_gap_sec"),
+        col("median_pace_gap_sec"))
     val roundStats = roundFlagCounts(
       roundFlagRollup(silver, perCourse = true), Seq("course_id"))
       .withColumnRenamed("course_id", "r_course_id")

@@ -630,13 +630,14 @@ object GoldRunnerSql {
            GROUP BY device""",
 
       "global_overview" ->
-        s"""WITH rowStats AS (
+        s"""WITH baseStats AS (
+             -- decomposed (see globalOverview in GoldModels): distincts
+             -- and the percentile each run in their own aggregate over a
+             -- one-column slice; single-row frames cross-join for free
              SELECT
                COUNT(1) AS total_rows,
                SUM(CASE WHEN is_location_padding THEN 1 ELSE 0 END) AS padding_rows,
                SUM(CASE WHEN NOT is_location_padding THEN 1 ELSE 0 END) AS non_padding_rows,
-               COUNT(DISTINCT course_id) AS courses,
-               COUNT(DISTINCT device) AS distinct_devices,
                SUM(CASE WHEN is_timestamp_missing THEN 1 ELSE 0 END) AS ts_missing_rows,
                SUM(CASE WHEN is_timestamp_missing AND NOT is_location_padding THEN 1 ELSE 0 END)
                  AS ts_missing_non_padding_rows,
@@ -644,10 +645,21 @@ object GoldRunnerSql {
                  AS problem_rows,
                MIN(fix_timestamp) AS first_fix_ts,
                MAX(fix_timestamp) AS last_fix_ts,
-               AVG(CASE WHEN NOT is_location_padding THEN pace_gap END) AS avg_pace_gap_sec,
-               ${median("CASE WHEN NOT is_location_padding THEN pace_gap END")}
-                 AS median_pace_gap_sec
+               AVG(CASE WHEN NOT is_location_padding THEN pace_gap END) AS avg_pace_gap_sec
              FROM gsql_silver WHERE course_id IS NOT NULL),
+           courseStats AS (
+             SELECT COUNT(DISTINCT course_id) AS courses
+             FROM gsql_silver WHERE course_id IS NOT NULL),
+           devStats AS (
+             SELECT COUNT(DISTINCT device) AS distinct_devices
+             FROM gsql_silver WHERE course_id IS NOT NULL),
+           medStats AS (
+             SELECT ${median("pg")} AS median_pace_gap_sec
+             FROM (SELECT CASE WHEN NOT is_location_padding THEN pace_gap END AS pg
+                   FROM gsql_silver WHERE course_id IS NOT NULL)),
+           rowStats AS (
+             SELECT * FROM baseStats
+             CROSS JOIN courseStats CROSS JOIN devStats CROSS JOIN medStats),
            flags AS (
              SELECT round_id, $flagRollup
              FROM gsql_silver
@@ -677,22 +689,43 @@ object GoldRunnerSql {
            FROM rowStats CROSS JOIN counts""",
 
       "global_course_summary" ->
-        s"""WITH rowStats AS (
+        s"""WITH baseStats AS (
+             -- decomposed like global_time_patterns: the COUNT(DISTINCT)
+             -- (Expand) and the percentile (sort-based ObjectHashAgg)
+             -- each run over a two-column slice instead of dragging
+             -- every counter buffer through both; the three aggs join
+             -- back on their shared course_id hash partitioning
              SELECT course_id,
                COUNT(1) AS total_rows,
                SUM(CASE WHEN is_location_padding THEN 1 ELSE 0 END) AS padding_rows,
                SUM(CASE WHEN NOT is_location_padding THEN 1 ELSE 0 END) AS non_padding_rows,
-               COUNT(DISTINCT device) AS distinct_devices,
                SUM(CASE WHEN is_timestamp_missing THEN 1 ELSE 0 END) AS ts_missing_rows,
                SUM(CASE WHEN is_timestamp_missing AND NOT is_location_padding THEN 1 ELSE 0 END)
                  AS ts_missing_non_padding_rows,
                SUM(CASE WHEN NOT is_location_padding AND is_problem THEN 1 ELSE 0 END)
                  AS problem_rows,
-               AVG(CASE WHEN NOT is_location_padding THEN pace_gap END) AS avg_pace_gap_sec,
-               ${median("CASE WHEN NOT is_location_padding THEN pace_gap END")}
-                 AS median_pace_gap_sec
+               AVG(CASE WHEN NOT is_location_padding THEN pace_gap END) AS avg_pace_gap_sec
              FROM gsql_silver WHERE course_id IS NOT NULL
              GROUP BY course_id),
+           devStats AS (
+             SELECT course_id, COUNT(DISTINCT device) AS distinct_devices
+             FROM (SELECT course_id, device FROM gsql_silver
+                   WHERE course_id IS NOT NULL)
+             GROUP BY course_id),
+           medStats AS (
+             SELECT course_id, ${median("pg")} AS median_pace_gap_sec
+             FROM (SELECT course_id,
+                     CASE WHEN NOT is_location_padding THEN pace_gap END AS pg
+                   FROM gsql_silver WHERE course_id IS NOT NULL)
+             GROUP BY course_id),
+           rowStats AS (
+             SELECT b.course_id, b.total_rows, b.padding_rows,
+               b.non_padding_rows, d.distinct_devices, b.ts_missing_rows,
+               b.ts_missing_non_padding_rows, b.problem_rows,
+               b.avg_pace_gap_sec, m.median_pace_gap_sec
+             FROM baseStats b
+             JOIN devStats d USING (course_id)
+             JOIN medStats m USING (course_id)),
            flags AS (
              SELECT course_id, round_id, $flagRollup
              FROM gsql_silver

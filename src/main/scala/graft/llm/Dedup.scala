@@ -409,6 +409,47 @@ object Dedup {
       .filter(col("hamming") <= maxDistance)
   }
 
+  /** Policy front door for near-dup detection — the third verse of the
+    * corpus-sized auto-switch pattern (IVF `trainIvfCentroids` >1M →
+    * distributed Lloyd; `semanticDedupPairsAuto` k ∝ n): pick the
+    * algorithm from the corpus size so no caller ships the structurally
+    * super-linear path at the wrong scale.
+    *
+    *  - '''small corpus''' (≤ `simhashMaxRows`): SimHash-128 — EXACT for
+    *    Hamming ≤ 7 by pigeonhole, no seed sensitivity, but candidate
+    *    pairs grow ∝ n²/65536 across uniformly small buckets (measured
+    *    ×100 slope 2.0 in SCALE.md) — fine to ~10⁶, poison at 10⁸.
+    *  - '''large corpus''': MinHash-LSH banding + exact-Jaccard verify —
+    *    probabilistic recall (≥0.95 pinned in LlmSpec) with bucket-join
+    *    candidates that stay near-linear (measured slope 1.21).
+    *
+    * The corpus size probe is a LIMIT-bounded count: it reads at most
+    * `simhashMaxRows + 1` rows, never the whole 100 TB table, and is
+    * skipped entirely when the caller already knows the count.
+    * Returns (method, pairs(id_a, id_b)) — the unified contract both
+    * branches share. */
+  def nearDupsAuto(
+      df: DataFrame, idCol: String, textCol: String,
+      simhashMaxRows: Long = 1000000L,
+      simhashN: Int = 1, maxDistance: Int = 7,
+      minhashN: Int = 2, bands: Int = 8, rowsPerBand: Int = 8,
+      jaccardThreshold: Double = 0.7,
+      knownCount: Option[Long] = None): (String, DataFrame) = {
+    val cap = math.min(simhashMaxRows, Int.MaxValue.toLong - 1)
+    val n = knownCount.getOrElse(
+      df.select(lit(1)).limit((cap + 1).toInt).count())
+    if (n <= simhashMaxRows)
+      ("simhash128",
+        simHash128NearDups(df, idCol, textCol, simhashN, maxDistance)
+          .select(col("id_a"), col("id_b")))
+    else
+      ("minhash_lsh",
+        verifyJaccard(
+          minHashCandidates(df, idCol, textCol, minhashN, bands, rowsPerBand),
+          df, idCol, textCol, minhashN, jaccardThreshold)
+          .select(col("id_a"), col("id_b")))
+  }
+
   // ------------------------------------------------- winnowing overlap
 
   /** Containment/partial-overlap candidate pairs via winnowing

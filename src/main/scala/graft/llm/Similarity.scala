@@ -189,7 +189,13 @@ object Similarity {
       df: DataFrame, vecCol: String, k: Int,
       sampleSize: Int = 10000, iters: Int = 8, seed: Long = 42L,
       autoDistributeOver: Long = 1000000L): Array[Array[Double]] = {
-    val total = df.count()
+    // LIMIT-bounded probe: the switch only needs to know whether the
+    // corpus EXCEEDS the threshold, so cap the count there instead of
+    // scanning all 100 TB of footers (and when under the cap, the
+    // bounded count IS the exact total the sample fraction needs).
+    val cap = math.min(autoDistributeOver, Int.MaxValue.toLong - 1)
+    val total = df.select(org.apache.spark.sql.functions.lit(1))
+      .limit((cap + 1).toInt).count()
     if (total > autoDistributeOver)
       return trainIvfCentroidsDistributed(
         // synthetic deterministic id: the distributed init orders by a

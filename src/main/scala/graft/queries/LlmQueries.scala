@@ -260,6 +260,38 @@ object LlmQueries {
                WHERE bit_count(xor(a.skey1, b.skey1)) +
                      bit_count(xor(a.skey2, b.skey2)) <= 7""")),
 
+    // Near-dup AUTO-POLICY (Dedup.nearDupsAuto): corpus size picks the
+    // algorithm — SimHash-128 (exact, but pairs ∝ n²/65536) under the
+    // threshold, MinHash-LSH (slope ~1.2) above it — so no caller ships
+    // the quadratic path at 10⁸ docs. At this scale the policy must pick
+    // simhash128, whose pair set is deterministic from the materialized
+    // keys; the same call with a tiny threshold must pick minhash_lsh
+    // (the branch itself is exercised end-to-end in LlmSpec and at ×100
+    // in SCALE.md, where auto beats raw simhash128's slope).
+    QueryDef(
+      "l_neardup_auto",
+      (s, d) => {
+        val docs = docsWithNearDups(s, d).select(col("doc_id").as("id"), col("text"))
+        materialize(
+          Dedup.withSimHash128(docs, "text", n = 1)
+            .select(col("id"), col("skey1"), col("skey2")),
+          "neardup_auto_keys")
+        val (method, pairs) = Dedup.nearDupsAuto(docs, "id", "text")
+        val (bigMethod, _) =
+          Dedup.nearDupsAuto(docs, "id", "text", simhashMaxRows = 10)
+        pairs
+          .withColumn("method", lit(method))
+          .withColumn("big_corpus_picks_minhash", lit(bigMethod == "minhash_lsh"))
+      },
+      Some(s"""WITH k AS (SELECT id, skey1, skey2
+                 FROM read_parquet('$OracleScratch/neardup_auto_keys/*.parquet'))
+               SELECT a.id AS id_a, b.id AS id_b,
+               'simhash128' AS method,
+               TRUE AS big_corpus_picks_minhash
+               FROM k a JOIN k b ON a.id < b.id
+               WHERE bit_count(xor(a.skey1, b.skey1)) +
+                     bit_count(xor(a.skey2, b.skey2)) <= 7""")),
+
     // Embedding-cosine duplicate pairs over injected identical vectors —
     // the LSH SCALE PATH, unbounded over the whole table: E2LSH bucket
     // candidates (identical vectors always collide), exact cosine ≥ 0.999

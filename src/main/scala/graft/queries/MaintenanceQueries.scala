@@ -746,6 +746,165 @@ object MaintenanceQueries {
                FROM orders
                WHERE NOT (o_orderpriority = '1-URGENT'
                  OR (o_orderpriority = '2-HIGH' AND o_orderkey % 2 = 0))
-               GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // M20 — the object-store-safe commit protocol (ManifestLog over
+    // CommitStore) under injected faults: a writer crash BEFORE the
+    // manifest PUT must commit nothing, a crash AFTER the PUT but
+    // before the pointer CAS must leave a dead branch readers never see
+    // as current, an AMBIGUOUS PUT (landed, reported failed — the S3
+    // retry hazard) must not double-commit, and N lockless concurrent
+    // writers must mint N distinct dense versions with no lost update.
+    // The oracle pins the final table state (URGENT doubled by the one
+    // refresh that was allowed to succeed) plus TRUE for each protocol
+    // invariant the query verified in-process.
+    QueryDef(
+      "m20_commit_protocol",
+      (s, d) => {
+        val it = graft.tables.IncrementalTable
+        val base = scratch("m20")
+        val store = new graft.tables.FaultyCommitStore(graft.tables.LocalCommitStore)
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        it.commitFull(orders, base, Seq("o_orderpriority"), store = store)
+        val urgentDoubled = orders.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+            col("o_orderpriority"))
+
+        // 1. crash before the manifest PUT: nothing commits
+        store.armCrashBeforePut(_.contains("_manifests"))
+        val crashed1 = try {
+          it.refreshPartitions(urgentDoubled, base, Seq("o_orderpriority"), store = store)
+          false
+        } catch { case _: store.InjectedCrash => true }
+        val noCommitAfterCrash = it.versions(base, store) == Seq(1) &&
+          it.currentVersion(base, store).contains(1)
+
+        // 2. crash immediately after the PUT: the conditional PUT is the
+        //    single commit point — the version is complete and current
+        store.armCrashAfterPut(_.contains("_manifests"))
+        val crashed2 = try {
+          it.refreshPartitions(urgentDoubled, base, Seq("o_orderpriority"), store = store)
+          false
+        } catch { case _: store.InjectedCrash => true }
+        val durable = it.versions(base, store) == Seq(1, 2) &&
+          it.currentVersion(base, store).contains(2)
+
+        // 3. ambiguous PUT: the retry recognizes its own commit
+        store.armAmbiguousPut(_.contains("_manifests"))
+        val v3 = it.refreshPartitions(
+          urgentDoubled, base, Seq("o_orderpriority"), store = store)
+        val published = v3 == 3 && it.currentVersion(base, store).contains(3)
+
+        // 4. lockless concurrent writers on a metadata-only log: dense
+        //    unique versions, no lost update
+        val logPath = scratch("m20_log")
+        val n = 6
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+        (1 to n).foreach { i =>
+          pool.execute { () =>
+            new graft.tables.ManifestLog(store, logPath).commit {
+              case None            => s"$i"
+              case Some((_, prev)) => s"$prev,$i"
+            }
+            ()
+          }
+        }
+        pool.shutdown()
+        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+        val occLog = new graft.tables.ManifestLog(store, logPath)
+        val occOk = occLog.versions == (1 to n).toSeq &&
+          occLog.manifest(n).exists(
+            _.split(",").map(_.trim.toInt).toSet == (1 to n).toSet)
+
+        it.read(s, base, store = store)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("crash_before_put_commits_nothing",
+            lit(crashed1 && noCommitAfterCrash))
+          .withColumn("crash_after_put_commit_durable", lit(crashed2 && durable))
+          .withColumn("ambiguous_put_single_commit", lit(published))
+          .withColumn("concurrent_mint_no_lost_update", lit(occOk))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN o_totalprice * 2 ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS total,
+               TRUE AS crash_before_put_commits_nothing,
+               TRUE AS crash_after_put_commit_durable,
+               TRUE AS ambiguous_put_single_commit,
+               TRUE AS concurrent_mint_no_lost_update
+               FROM orders
+               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // M21 — stats-driven broadcast decisions (StatsIndex table stats):
+    // every dim join in the corpus is hand-broadcast()-hinted, which is
+    // right until a "dim" outgrows executor memory at 100×. Here the
+    // decision comes from MAINTAINED table stats instead: the small dim
+    // (nation, provably tiny) broadcasts with no hand hint; the big dim
+    // scanned under a 1 KB threshold degrades to a shuffle join. Both
+    // plan shapes are asserted in-process with Spark's own auto-broadcast
+    // disabled, so the stats layer alone makes the call; the oracle pins
+    // the join RESULTS plus TRUE for each asserted plan shape, and the
+    // recorded row counts / NDV against DuckDB's exact values.
+    QueryDef(
+      "m21_stats_broadcast",
+      (s, d) => {
+        val si = graft.tables.StatsIndex
+        val dimSmall = scratch("m21_dim_small")
+        val dimBig = scratch("m21_dim_big")
+        t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+          .write.parquet(dimSmall)
+        t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .write.parquet(dimBig)
+        val stSmall = si.buildTableStats(s, dimSmall, Seq("n_nationkey"))
+        val stBig = si.buildTableStats(s, dimBig, Seq("o_orderkey"))
+        val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val cust = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+          val small = si.readDimWithStats(s, dimSmall,
+            broadcastThresholdBytes = 10L << 20, hintWithoutStats = false)
+          val joinedSmall = cust.join(small,
+            cust("c_nationkey") === small("n_nationkey"))
+          val smallBroadcasts = joinedSmall.queryExecution.executedPlan
+            .toString.contains("BroadcastHashJoin")
+          val big = si.readDimWithStats(s, dimBig,
+            broadcastThresholdBytes = 1024, hintWithoutStats = false)
+          val joinedBig = cust.join(big, cust("c_custkey") === big("o_custkey"))
+          val bigShuffles = joinedBig.queryExecution.executedPlan
+            .toString.contains("SortMergeJoin")
+          val perNation = joinedSmall.groupBy(col("n_name"))
+            .agg(count(lit(1)).as("customers"))
+          val bigAgg = joinedBig.agg(count(lit(1)).as("joined_orders"),
+            dsum(col("o_totalprice")).as("joined_total"))
+          // NDV is an HLL sketch → pinned as a tolerance BOOLEAN (the
+          // a22 pattern), never as a raw value an exact oracle would
+          // hash-mismatch
+          val ndvOk =
+            math.abs(stSmall.ndv("n_nationkey") - stSmall.rows) <=
+              math.max(2L, stSmall.rows / 20)
+          perNation.crossJoin(bigAgg)
+            .withColumn("small_dim_rows", lit(stSmall.rows))
+            .withColumn("small_dim_ndv_within_tol", lit(ndvOk))
+            .withColumn("small_dim_broadcasts_from_stats", lit(smallBroadcasts))
+            .withColumn("big_dim_degrades_to_shuffle", lit(bigShuffles))
+            .withColumn("big_dim_rows", lit(stBig.rows))
+            .orderBy(col("n_name"))
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      },
+      Some(s"""SELECT n_name, COUNT(*) AS customers,
+               (SELECT COUNT(*) FROM orders o JOIN customer c2 ON o.o_custkey = c2.c_custkey)
+                 AS joined_orders,
+               (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                FROM orders o JOIN customer c2 ON o.o_custkey = c2.c_custkey)
+                 AS joined_total,
+               (SELECT COUNT(*) FROM nation) AS small_dim_rows,
+               TRUE AS small_dim_ndv_within_tol,
+               TRUE AS small_dim_broadcasts_from_stats,
+               TRUE AS big_dim_degrades_to_shuffle,
+               (SELECT COUNT(*) FROM orders) AS big_dim_rows
+               FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+               GROUP BY n_name ORDER BY n_name"""))
   )
 }

@@ -18,8 +18,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * {{{
   *   <path>/data/<hive partition dirs>/<commit>-part-*.parquet  (immutable)
-  *   <path>/_manifests/m00000001      (schema line + live-file list)
-  *   <path>/_commits  <path>/_latest  <path>/_lock
+  *   <path>/_manifests/m00000001      (schema line + live-file list,
+  *                                     putIfAbsent-minted, immutable)
+  *   <path>/_latest (CAS pointer)     <path>/_lock (local serializer)
   * }}}
   *
   * Each manifest names the complete live-file set of its version, so
@@ -32,16 +33,30 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   - [[diff]] is the row-level CDC read, same contract as
   *     VersionedTable.diff.
   *
-  * Commit protocol: the heavy data write lands in a writer-unique
-  * staging dir OUTSIDE the lock; under the table's OCC lock (shared
-  * with vacuum) the staged files are renamed into `data/`, the new
-  * manifest is written, the version is appended to the commit log, and
-  * the pointer flips — all metadata writes are write-temp + atomic
-  * rename, so readers always resolve a complete manifest. Staged files
-  * are invisible until a manifest names them, which only happens under
-  * the lock; concurrent refreshes therefore serialize at metadata speed
-  * and compose (last writer wins per partition, both commits preserved
-  * in history).
+  * Commit protocol ([[ManifestLog]] over [[CommitStore]] — the
+  * object-store-safe design): the heavy data write lands in a
+  * writer-unique staging dir OUTSIDE the lock; the manifest then mints
+  * its version as ONE putIfAbsent of an immutable object, and that
+  * conditional PUT is the single commit point (current = newest minted
+  * version; rollback writes a CAS pin that the next commit
+  * supersedes). No atomic rename, no O_EXCL, no mutable shared log
+  * file is required of the metadata store, so the identical protocol
+  * runs on S3/GCS/Azure conditional PUTs (the reference's own
+  * deployment substrate is S3A/MinIO). The
+  * local `_lock` merely SERIALIZES local writers so their carried-file
+  * computations don't race; correctness does not depend on it — a
+  * lockless writer that loses the mint race gets ManifestLog.CommitLost
+  * and retries with re-read state (the Delta/Iceberg commit loop),
+  * proven against a hostile store in CommitProtocolSpec. Staged files
+  * are invisible until a manifest names them; concurrent refreshes
+  * serialize at metadata speed and compose (last writer wins per
+  * partition, both commits preserved in history).
+  *
+  * On an object store the DATA files also need no renames: executors
+  * write uniquely-named objects directly under `data/` (what Spark's
+  * cloud committers do) and the manifest simply names them; the local
+  * backend's staging-dir rename in [[adopt]] is an optimization, not a
+  * protocol requirement.
   *
   * Scale notes: manifest size is O(live files), kept in one text object
   * per version (Iceberg shards this into manifest lists; at 10⁵ files a
@@ -51,35 +66,31 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object IncrementalTable {
 
   private def dataDir(path: String): Path = Paths.get(path, "data")
-  private def manifestsDir(path: String): Path = Paths.get(path, "_manifests")
-  private def pointer(path: String): Path = Paths.get(path, "_latest")
-  private def commitLog(path: String): Path = Paths.get(path, "_commits")
-  private def fmt(v: Int): String = f"m$v%08d"
 
-  private def writeAtomic(target: Path, content: String): Unit = {
-    val tmp = target.resolveSibling(target.getFileName.toString + ".__tmp__")
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, target,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** Metadata goes through the object-store-safe [[ManifestLog]]
+    * protocol (putIfAbsent-minted immutable manifest objects + a
+    * CAS-updated pointer — no atomic rename, no O_EXCL, no mutable
+    * shared log file). `store` defaults to the local filesystem; an
+    * object-store deployment swaps in its conditional-PUT
+    * implementation and the protocol carries over unchanged. */
+  private def log(path: String, store: CommitStore): ManifestLog =
+    new ManifestLog(store, path)
 
-  /** All committed versions, ascending (from the commit log). */
-  def versions(path: String): Seq[Int] =
-    if (!Files.exists(commitLog(path))) Nil
-    else new String(Files.readAllBytes(commitLog(path)), StandardCharsets.UTF_8)
-      .split("\n").filter(_.nonEmpty).map(_.trim.toInt).toSeq.sorted
+  /** All committed versions, ascending (the manifest-object listing). */
+  def versions(path: String, store: CommitStore = LocalCommitStore): Seq[Int] =
+    log(path, store).versions
 
   /** The committed version the pointer names, if the table exists. */
-  def currentVersion(path: String): Option[Int] =
-    if (!Files.exists(pointer(path))) None
-    else Some(new String(
-      Files.readAllBytes(pointer(path)), StandardCharsets.UTF_8).trim.toInt)
+  def currentVersion(
+      path: String, store: CommitStore = LocalCommitStore): Option[Int] =
+    log(path, store).currentVersion
 
   /** (schema, relative file paths) of a committed version's manifest. */
-  private def manifest(path: String, v: Int): (StructType, Seq[String]) = {
-    val lines = new String(
-      Files.readAllBytes(manifestsDir(path).resolve(fmt(v))),
-      StandardCharsets.UTF_8).split("\n").toSeq
+  private def manifest(
+      path: String, v: Int, store: CommitStore): (StructType, Seq[String]) = {
+    val lines = log(path, store).manifest(v).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $v has no manifest at $path")).split("\n").toSeq
     val schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
     (schema, lines.tail.filter(_.nonEmpty))
   }
@@ -113,16 +124,21 @@ object IncrementalTable {
     }
   }
 
+  /** One conditional-PUT mint via [[ManifestLog]] — the commit point.
+    * `basedOn` carries the version the new file list was derived from:
+    * Some(base) routes through the OCC check (stale base → CommitLost),
+    * None is the overwrite form whose payload derives from nothing.
+    * Under the local lock a CommitLost never fires; lockless (object
+    * store) the caller re-reads and retries — the Delta/Iceberg commit
+    * loop. */
   private def commitManifest(
-      path: String, schema: StructType, files: Seq[String]): Int = {
-    val committed = versions(path)
-    val next = committed.lastOption.getOrElse(0) + 1
-    Files.createDirectories(manifestsDir(path))
-    writeAtomic(manifestsDir(path).resolve(fmt(next)),
-      (schema.json +: files.sorted).mkString("\n"))
-    writeAtomic(commitLog(path), (committed :+ next).mkString("\n"))
-    writeAtomic(pointer(path), next.toString)
-    next
+      path: String, schema: StructType, files: Seq[String],
+      store: CommitStore, basedOn: Option[Option[Int]] = None): Int = {
+    val payload = (schema.json +: files.sorted).mkString("\n")
+    basedOn match {
+      case Some(base) => log(path, store).commitAt(base, payload)
+      case None       => log(path, store).commitOnce(payload)
+    }
   }
 
   /** Full commit: the new version's live set is exactly `df`'s files
@@ -130,12 +146,13 @@ object IncrementalTable {
     * via time travel until vacuumed). */
   def commitFull(
       df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
-      lockTimeoutMs: Long = 30000, staleLockMs: Long = 600000): Int = {
+      lockTimeoutMs: Long = 30000, staleLockMs: Long = 600000,
+      store: CommitStore = LocalCommitStore): Int = {
     Files.createDirectories(Paths.get(path))
     val (staging, rels) = stage(df, path, partitionCols)
     try {
       VersionedTable.withLock(path, lockTimeoutMs, staleLockMs) {
-        commitManifest(path, df.schema, adopt(staging, rels, path))
+        commitManifest(path, df.schema, adopt(staging, rels, path), store)
       }
     } finally FsUtil.deleteRec(staging)
   }
@@ -148,7 +165,8 @@ object IncrementalTable {
     * the replaced files stay on disk for older manifests. */
   def refreshPartitions(
       df: DataFrame, path: String, partitionCols: Seq[String],
-      lockTimeoutMs: Long = 30000, staleLockMs: Long = 600000): Int = {
+      lockTimeoutMs: Long = 30000, staleLockMs: Long = 600000,
+      store: CommitStore = LocalCommitStore): Int = {
     require(partitionCols.nonEmpty, "partition refresh needs partition columns")
     Files.createDirectories(Paths.get(path))
     val (staging, rels) = stage(df, path, partitionCols)
@@ -157,10 +175,11 @@ object IncrementalTable {
       val changed = rels.map(r => Option(r.getParent).map(_.toString).getOrElse(""))
         .toSet
       VersionedTable.withLock(path, lockTimeoutMs, staleLockMs) {
-        val carried = currentVersion(path) match {
+        val base = currentVersion(path, store)
+        val carried = base match {
           case None => Nil
           case Some(v) =>
-            val (prevSchema, prevFiles) = manifest(path, v)
+            val (prevSchema, prevFiles) = manifest(path, v, store)
             require(prevSchema.fieldNames.sorted.sameElements(
                 df.schema.fieldNames.sorted),
               s"refresh schema ${df.schema.fieldNames.mkString(",")} does not " +
@@ -171,7 +190,8 @@ object IncrementalTable {
               changed.contains(dir)
             }
         }
-        commitManifest(path, df.schema, carried ++ adopt(staging, rels, path))
+        commitManifest(path, df.schema,
+          carried ++ adopt(staging, rels, path), store, basedOn = Some(base))
       }
     } finally FsUtil.deleteRec(staging)
   }
@@ -191,15 +211,16 @@ object IncrementalTable {
   def deleteWhere(
       spark: SparkSession, path: String, partitionCols: Seq[String],
       predicate: org.apache.spark.sql.Column,
-      lockTimeoutMs: Long = 30000, staleLockMs: Long = 600000): Int = {
+      lockTimeoutMs: Long = 30000, staleLockMs: Long = 600000,
+      store: CommitStore = LocalCommitStore): Int = {
     require(partitionCols.nonEmpty, "deleteWhere works on partitioned tables")
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     def dirOf(f: String): String =
       Option(Paths.get(f).getParent).map(_.toString).getOrElse("")
-    val v0 = currentVersion(path).getOrElse(
+    val v0 = currentVersion(path, store).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $path"))
-    val (_, files0) = manifest(path, v0)
-    val cur = read(spark, path, Some(v0))
+    val (_, files0) = manifest(path, v0, store)
+    val cur = read(spark, path, Some(v0), store)
     // affected partition VALUES — bounded by partition count, the same
     // driver-side scale the manifest itself lives at
     val affected = cur.filter(predicate)
@@ -223,8 +244,8 @@ object IncrementalTable {
     val (staging, rels) = stage(keepRows, path, partitionCols)
     try {
       VersionedTable.withLock(path, lockTimeoutMs, staleLockMs) {
-        val vNow = currentVersion(path).getOrElse(v0)
-        val (schemaNow, filesNow) = manifest(path, vNow)
+        val vNow = currentVersion(path, store).getOrElse(v0)
+        val (schemaNow, filesNow) = manifest(path, vNow, store)
         // OCC guard (same shape as compact's): the rewrite was derived
         // from v0, so each affected dir's live file set must still be
         // exactly v0's — otherwise a concurrent commit to that dir would
@@ -239,7 +260,8 @@ object IncrementalTable {
             s"deleteWhere read v$v0 but partitions ${raced.mkString(", ")} " +
               s"changed by a concurrent commit (now v$vNow); retry the delete")
         val carried = filesNow.filterNot(f => affectedDirs.contains(dirOf(f)))
-        commitManifest(path, schemaNow, carried ++ adopt(staging, rels, path))
+        commitManifest(path, schemaNow,
+          carried ++ adopt(staging, rels, path), store, basedOn = Some(Some(vNow)))
       }
     } finally FsUtil.deleteRec(staging)
   }
@@ -264,13 +286,14 @@ object IncrementalTable {
   def compact(
       spark: SparkSession, path: String, partitionCols: Seq[String],
       maxFilesPerPartition: Int = 1,
-      lockTimeoutMs: Long = 30000, staleLockMs: Long = 600000): (Int, Int) = {
+      lockTimeoutMs: Long = 30000, staleLockMs: Long = 600000,
+      store: CommitStore = LocalCommitStore): (Int, Int) = {
     require(partitionCols.nonEmpty, "compaction works on partitioned tables")
     def dirOf(f: String): String =
       Option(Paths.get(f).getParent).map(_.toString).getOrElse("")
-    val v0 = currentVersion(path).getOrElse(
+    val v0 = currentVersion(path, store).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $path"))
-    val (schema0, files0) = manifest(path, v0)
+    val (schema0, files0) = manifest(path, v0, store)
     val frag = files0.groupBy(dirOf)
       .filter(_._2.size > maxFilesPerPartition)
     if (frag.isEmpty) return (files0.size, files0.size)
@@ -286,8 +309,8 @@ object IncrementalTable {
     val (staging, rels) = stage(df, path, partitionCols)
     try {
       VersionedTable.withLock(path, lockTimeoutMs, staleLockMs) {
-        val vNow = currentVersion(path).getOrElse(v0)
-        val (schemaNow, filesNow) = manifest(path, vNow)
+        val vNow = currentVersion(path, store).getOrElse(v0)
+        val (schemaNow, filesNow) = manifest(path, vNow, store)
         val nowByDir = filesNow.groupBy(dirOf)
         val safe = frag.keySet.filter(d =>
           nowByDir.get(d).map(_.toSet) == frag.get(d).map(_.toSet))
@@ -296,7 +319,8 @@ object IncrementalTable {
           val keep = filesNow.filterNot(f => safe.contains(dirOf(f)))
           val adopted = adopt(staging,
             rels.filter(r => safe.contains(dirOf(r.toString))), path)
-          commitManifest(path, schemaNow, keep ++ adopted)
+          commitManifest(path, schemaNow, keep ++ adopted, store,
+            basedOn = Some(Some(vNow)))
           (filesNow.size, keep.size + adopted.size)
         }
       }
@@ -308,12 +332,13 @@ object IncrementalTable {
     * (basePath) and every column is cast to the manifest's recorded
     * schema, so reads are schema-stable across versions — including an
     * empty version, which reads as an empty frame of the right schema. */
-  def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
-    val v = version.orElse(currentVersion(path)).getOrElse(
+  def read(spark: SparkSession, path: String, version: Option[Int] = None,
+      store: CommitStore = LocalCommitStore): DataFrame = {
+    val v = version.orElse(currentVersion(path, store)).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $path"))
-    require(versions(path).contains(v),
-      s"version $v not in committed set ${versions(path)} at $path")
-    val (schema, files) = manifest(path, v)
+    require(versions(path, store).contains(v),
+      s"version $v not in committed set ${versions(path, store)} at $path")
+    val (schema, files) = manifest(path, v, store)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
@@ -324,27 +349,27 @@ object IncrementalTable {
     }
   }
 
-  /** Metadata-only rollback: point the table at an earlier version. */
-  def rollback(path: String, version: Int): Unit = {
-    require(versions(path).contains(version),
-      s"version $version not committed at $path")
-    writeAtomic(pointer(path), version.toString)
-  }
+  /** Metadata-only rollback: CAS the pointer at an earlier version. */
+  def rollback(path: String, version: Int,
+      store: CommitStore = LocalCommitStore): Unit =
+    log(path, store).setPointer(version)
 
   /** The (added, removed) data-file groups between two versions — the
     * manifest set-difference that IS the incremental commit. */
-  def fileChanges(path: String, fromV: Int, toV: Int): (Seq[String], Seq[String]) = {
-    val from = manifest(path, fromV)._2.toSet
-    val to = manifest(path, toV)._2.toSet
+  def fileChanges(path: String, fromV: Int, toV: Int,
+      store: CommitStore = LocalCommitStore): (Seq[String], Seq[String]) = {
+    val from = manifest(path, fromV, store)._2.toSet
+    val to = manifest(path, toV, store)._2.toSet
     ((to -- from).toSeq.sorted, (from -- to).toSeq.sorted)
   }
 
   /** Row-level change feed between two versions (same contract as
     * VersionedTable.diff): inserts = rows only in `to`, deletes = rows
     * only in `from`; an update is its delete+insert pair. */
-  def diff(spark: SparkSession, path: String, fromV: Int, toV: Int): DataFrame = {
-    val before = read(spark, path, Some(fromV))
-    val after = read(spark, path, Some(toV))
+  def diff(spark: SparkSession, path: String, fromV: Int, toV: Int,
+      store: CommitStore = LocalCommitStore): DataFrame = {
+    val before = read(spark, path, Some(fromV), store)
+    val after = read(spark, path, Some(toV), store)
     after.exceptAll(before).withColumn("__change", lit("insert"))
       .unionByName(before.exceptAll(after).withColumn("__change", lit("delete")))
   }
@@ -357,23 +382,22 @@ object IncrementalTable {
     * versions or to a commit that died mid-adopt (its version was never
     * logged, so its files are unreachable debris). */
   def vacuum(path: String, keep: Int = 2,
-      lockTimeoutMs: Long = 30000, staleLockMs: Long = 600000): Unit = {
-    if (!Files.exists(manifestsDir(path))) return
+      lockTimeoutMs: Long = 30000, staleLockMs: Long = 600000,
+      store: CommitStore = LocalCommitStore): Unit = {
     VersionedTable.withLock(path, lockTimeoutMs, staleLockMs) {
-      val committed = versions(path)
+      val committed = versions(path, store)
       if (committed.nonEmpty) {
         val keepSet = committed.takeRight(math.max(keep, 1)).toSet ++
-          currentVersion(path)
-        val live = keepSet.toSeq.sorted.flatMap(v => manifest(path, v)._2).toSet
+          currentVersion(path, store)
+        val live = keepSet.toSeq.sorted
+          .flatMap(v => manifest(path, v, store)._2).toSet
         FsUtil.parquetFiles(dataDir(path)).foreach { f =>
           if (!live.contains(dataDir(path).relativize(f).toString))
             Files.delete(f)
         }
-        committed.filterNot(keepSet.contains).foreach { v =>
-          Files.deleteIfExists(manifestsDir(path).resolve(fmt(v))); ()
-        }
-        writeAtomic(commitLog(path),
-          committed.filter(keepSet.contains).mkString("\n"))
+        // the newest manifest always survives (keepSet ⊇ last), so
+        // version numbers never reuse after a vacuum
+        log(path, store).dropVersions(committed.filterNot(keepSet.contains))
       }
     }
   }

@@ -59,6 +59,84 @@ object StatsIndex {
       .collect().map(_.getString(0)).toSeq
   }
 
+  // ------------------------------------------------- table-level stats
+
+  /** Table-level statistics: row count, total data bytes, per-column
+    * approximate NDV — the planner-facing half of the stats index
+    * (Iceberg's snapshot summary + puffin NDV sketches, Delta's
+    * collected stats). */
+  final case class TableStats(rows: Long, bytes: Long, ndv: Map[String, Long])
+
+  private def tableStatsPath(path: String) = s"$path/_stats_table/stats.json"
+
+  /** One distributed pass: rows + approx NDV per requested column
+    * (HLL++, the codegen sketch — never an Expand), plus the summed
+    * on-disk data size from the file listing. Written as a one-object
+    * JSON manifest under `_stats_table/` (underscore dirs are invisible
+    * to parquet scans of `path`). */
+  def buildTableStats(
+      spark: SparkSession, path: String, ndvCols: Seq[String]): TableStats = {
+    val df = spark.read.parquet(path)
+    val aggs = count(lit(1L)).as("__rows") +:
+      ndvCols.map(c => approx_count_distinct(col(c)).as(s"__ndv_$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val rows = row.getLong(0)
+    val ndv = ndvCols.zipWithIndex.map { case (c, i) => c -> row.getLong(i + 1) }.toMap
+    val bytes = FsUtil.parquetFiles(java.nio.file.Paths.get(path))
+      .map(f => java.nio.file.Files.size(f)).sum
+    val json =
+      s"""{"rows":$rows,"bytes":$bytes,"ndv":{${
+        ndv.toSeq.sortBy(_._1).map { case (c, n) => s""""$c":$n""" }.mkString(",")
+      }}}"""
+    val target = java.nio.file.Paths.get(tableStatsPath(path))
+    java.nio.file.Files.createDirectories(target.getParent)
+    java.nio.file.Files.write(target,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    TableStats(rows, bytes, ndv)
+  }
+
+  /** Read back the stats manifest, if one was built. */
+  def tableStats(path: String): Option[TableStats] = {
+    val p = java.nio.file.Paths.get(tableStatsPath(path))
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      def long(key: String): Long =
+        s""""$key":(\\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+      val ndv = """"([A-Za-z0-9_]+)":(\d+)""".r.findAllMatchIn(s)
+        .filter(m => m.group(1) != "rows" && m.group(1) != "bytes")
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+      Some(TableStats(long("rows"), long("bytes"), ndv))
+    }
+  }
+
+  /** Stats-driven dimension scan — replaces the blind `broadcast()`
+    * hand-hint on every dim join: the hint is right until the "dim"
+    * outgrows memory at 100×, at which point a forced broadcast OOMs
+    * the executors. Decision ladder:
+    *
+    *   - stats exist and bytes ≤ threshold → broadcast (safe, proven
+    *     small);
+    *   - stats exist and bytes > threshold → plain scan (planner picks
+    *     SMJ/shuffle — the correct degradation for a grown dim);
+    *   - no stats → fall back to the caller's historical hint
+    *     (`hintWithoutStats`, default broadcast, today's behavior).
+    *
+    * The returned frame is still a plain parquet relation either way —
+    * pushdown, pruning, codegen all unaffected. */
+  def readDimWithStats(
+      spark: SparkSession, path: String,
+      broadcastThresholdBytes: Long = 10L << 20,
+      hintWithoutStats: Boolean = true): DataFrame = {
+    val df = spark.read.parquet(path)
+    tableStats(path) match {
+      case Some(st) if st.bytes <= broadcastThresholdBytes => broadcast(df)
+      case Some(_)                                         => df
+      case None => if (hintWithoutStats) broadcast(df) else df
+    }
+  }
+
   /** Range scan `lo <= col <= hi` reading only stats-selected files.
     * Returns (dataframe, filesRead, filesTotal) so callers — and the
     * gate's spec — can assert the skip actually happened. The predicate

@@ -107,8 +107,15 @@ object VersionedTable {
         else {
           val committed = versions(path)
           val next = committed.lastOption.getOrElse(0) + 1
-          Files.move(staging, versionsDir(path).resolve(fmt(next)),
-            StandardCopyOption.ATOMIC_MOVE)
+          val target = versionsDir(path).resolve(fmt(next))
+          // a writer that crashed between its snapshot rename and its
+          // log append leaves a version-named dir the log never names;
+          // it would wedge this rename forever. The log is the source
+          // of truth and we hold the lock, so an unlogged target is
+          // provably debris — reclaim it and proceed.
+          if (Files.exists(target) && !committed.contains(next))
+            FsUtil.deleteRec(target)
+          Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
           writeAtomic(commitLog(path), (committed :+ next).mkString("\n"))
           writeAtomic(pointer(path), next.toString)
           Right(next)

@@ -41,7 +41,7 @@ object ScaleStress {
     "gm_coverage_audit", "l_simhash_near_dups", "l_simhash128_near_dups",
     "l_minhash_near_dups", "l_substring_runs", "l_winnow_overlap",
     "a14_mega_rollup", "gm_dim_round", "j10_salted_skew_join",
-    "w7_sessionize", "l_seq_packing")
+    "w7_sessionize", "l_seq_packing", "l_neardup_auto")
 
   /** Hot boilerplate phrase planted into ~30% of documents. */
   val HotPhrase =
@@ -199,6 +199,146 @@ object ScaleStress {
 
   final case class Row1(name: String, t1: Double, tN: Double, slope: Double)
 
+  /** Streaming at scale: replay the ×N events table as date-bucketed,
+    * TIME-ORDERED micro-batches through (a) the native session-window
+    * stream and (b) the versioned-table refresh sink (IncrementalTable
+    * manifest commits), recording per-batch latency and state-store
+    * growth from the progress API. Answers the two questions a
+    * 1000-executor deploy asks of the streaming path: does session
+    * state stay bounded by the watermark (not by stream length), and
+    * does per-batch commit latency stay flat as the manifest grows?
+    * Slicing is by whole DATES so every micro-batch carries complete
+    * date partitions — the refresh sink's documented contract. */
+  def streamingStress(
+      spark: SparkSession, stressDir: String, batches: Int = 20): String = {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    import graft.streaming.{ContinuousRefresh, StreamingTelemetry}
+
+    val base = Paths.get("/tmp/graft_stress_streaming")
+    graft.tables.FsUtil.deleteRec(base)
+    val land = base.resolve("land")
+    Files.createDirectories(land)
+
+    val ev = graft.core.Tables.load(spark, stressDir, "events")
+    val fixes = ev.select(
+      col("user_id").cast("string").as("roundId"),
+      lit("c1").as("courseId"),
+      col("ts").as("fixTimestamp"),
+      col("event_id").cast("int").as("locationIndex"),
+      lit(1).as("holeNumber"),
+      col("value").as("pace"),
+      lit(false).as("isCache"))
+    val bounds = fixes.agg(
+      min(to_date(col("fixTimestamp"))).as("d0"),
+      max(to_date(col("fixTimestamp"))).as("d1"),
+      max(col("fixTimestamp")).as("tmax"),
+      count(lit(1)).as("n")).collect()(0)
+    val d0 = bounds.getDate(0)
+    val days = java.time.temporal.ChronoUnit.DAYS.between(
+      d0.toLocalDate, bounds.getDate(1).toLocalDate) + 1
+    val maxTsMs = bounds.getTimestamp(2).getTime
+    val nEvents = bounds.getLong(3)
+
+    // one json file per time slice, mtime-ordered → maxFilesPerTrigger=1
+    // replays them as an ordered stream of micro-batches
+    fixes
+      .withColumn("__b", expr(
+        s"width_bucket(datediff(to_date(fixTimestamp), DATE '$d0'), 0, $days, $batches)"))
+      .repartition(batches, col("__b"))
+      .write.mode("overwrite").partitionBy("__b")
+      .option("timestampFormat", StreamingTelemetry.FixTimestampFormat)
+      .json(base.resolve("slices").toString)
+    val t0 = System.currentTimeMillis()
+    (1 to batches).foreach { b =>
+      val dir = base.resolve("slices").resolve(s"__b=$b")
+      if (Files.isDirectory(dir)) {
+        Files.list(dir).iterator().asScala
+          .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+          .zipWithIndex.foreach { case (p, i) =>
+            val tgt = land.resolve(f"b$b%04d-$i%03d.json")
+            Files.move(p, tgt)
+            Files.setLastModifiedTime(tgt, FileTime.fromMillis(t0 + b * 1000L)); ()
+          }
+      }
+    }
+    // two flush slices drag the watermark past every real session end so
+    // AvailableNow drains the session state (st_sessionize's trick)
+    val sp = spark; import sp.implicits._
+    (1 to 2).foreach { f =>
+      val tmp = base.resolve(s"flush$f")
+      Seq((s"__flush${f}__", "c1",
+          new java.sql.Timestamp(maxTsMs + f * 86400000L), 0, 1, 0.0, false))
+        .toDF("roundId", "courseId", "fixTimestamp", "locationIndex",
+          "holeNumber", "pace", "isCache")
+        .coalesce(1).write.mode("overwrite")
+        .option("timestampFormat", StreamingTelemetry.FixTimestampFormat)
+        .json(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.toString.endsWith(".json")).get
+      val tgt = land.resolve(s"zflush$f.json")
+      Files.move(part, tgt)
+      Files.setLastModifiedTime(tgt,
+        FileTime.fromMillis(t0 + (batches + f) * 1000L)); ()
+    }
+
+    def latencies(ps: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])
+        : Seq[Double] =
+      ps.map(p => Option(p.durationMs.get("triggerExecution"))
+        .map(_.toLong / 1000.0).getOrElse(0.0))
+    def num(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    // (a) native session windows with merging session state
+    val q1 = StreamingTelemetry.sessionizedPace(
+        StreamingTelemetry.readFixStream(spark, land.toString, Some(1)),
+        watermark = "10 minutes", gap = "30 minutes")
+      .writeStream.format("parquet")
+      .option("path", base.resolve("sess_sink").toString)
+      .option("checkpointLocation", base.resolve("sess_ckpt").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q1.awaitTermination()
+    val p1 = q1.recentProgress.toSeq
+    val sessLat = latencies(p1)
+    val stateRows = p1.flatMap(_.stateOperators.headOption.map(_.numRowsTotal))
+    val stateMem = p1.flatMap(_.stateOperators.headOption.map(_.memoryUsedBytes))
+    val sessions = spark.read.parquet(base.resolve("sess_sink").toString)
+      .filter(!col("roundId").startsWith("__flush")).count()
+
+    // (b) versioned-table refresh sink: one manifest commit per batch
+    val tablePath = base.resolve("vtable").toString
+    val q2 = ContinuousRefresh.startVersioned(
+      StreamingTelemetry.readFixStream(spark, land.toString, Some(1))
+        .withColumn("fix_date", to_date(col("fixTimestamp"))),
+      tablePath, Seq("fix_date"),
+      base.resolve("vt_ckpt").toString,
+      Some(Trigger.AvailableNow()))
+    q2.awaitTermination()
+    val p2 = q2.recentProgress.toSeq
+    val refLat = latencies(p2)
+    val versions = graft.tables.IncrementalTable.versions(tablePath)
+    val live = graft.tables.IncrementalTable.read(spark, tablePath)
+    val liveFiles = live.inputFiles.length
+    val liveRows = live.filter(!col("roundId").startsWith("__flush")).count()
+
+    val report =
+      s"""{"events":$nEvents,"batches":$batches,
+         |"sessionize":{"triggers":${p1.size},
+         |"latency_sec":[${sessLat.map(num).mkString(",")}],
+         |"state_rows":[${stateRows.mkString(",")}],
+         |"state_mem_max_bytes":${if (stateMem.isEmpty) 0 else stateMem.max},
+         |"state_rows_max":${if (stateRows.isEmpty) 0L else stateRows.max},
+         |"sessions_out":$sessions},
+         |"versioned_refresh":{"triggers":${p2.size},
+         |"latency_sec":[${refLat.map(num).mkString(",")}],
+         |"versions":${versions.size},"live_files":$liveFiles,
+         |"rows":$liveRows}}""".stripMargin.replace("\n", "")
+    Files.writeString(Paths.get("scale_report_streaming.json"), report)
+    report
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(100)
     val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
@@ -227,6 +367,13 @@ object ScaleStress {
     println(s"[stress] replicating $sfDir x$factor (skew=$skew) -> $outDir")
     val tRep = time(replicate(spark, sfDir, outDir, factor, skew))
     println(f"[stress] replication done in $tRep%.1f s")
+
+    if (args.contains("--streaming")) {
+      println("[stress] streaming stress over " + outDir)
+      println(streamingStress(spark, outDir))
+      spark.stop()
+      return
+    }
 
     // session warm-up, then 1x baselines (median of 3 — these are fast)
     spark.range(0, 1000000).selectExpr("sum(id * 2)")

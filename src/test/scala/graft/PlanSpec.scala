@@ -97,6 +97,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), s"Expand in:\n$p")
   }
 
+  test("no gold model drags a distinct Expand through a percentile aggregate") {
+    // countDistinct (Expand) + percentile (sort-based ObjectHashAgg) in
+    // ONE aggregate makes every other buffer pay both penalties — the
+    // gm_global_course_summary regression r4 measured at ~2.9×. The cure
+    // is the three-agg decomposition (globalTimePatterns /
+    // globalCourseSummary / globalOverview); this pins it across every
+    // gold model: no aggregate that computes a percentile may sit on an
+    // Expand.
+    import org.apache.spark.sql.execution.ExpandExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Corpus.defs.map(_.name) if q.startsWith("gm_")) {
+        val plan = Corpus.queries(q)(spark, sfDir).queryExecution.executedPlan
+        val offenders = plan.collect {
+          case a: BaseAggregateExec
+              if a.aggregateExpressions.mkString(",").toLowerCase.contains("percentile") &&
+                a.collect { case e: ExpandExec => e }.nonEmpty => a
+        }
+        assert(offenders.isEmpty,
+          s"$q mixes a distinct Expand into a percentile aggregate:\n${offenders.headOption}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bucketed tables join without an exchange (co-located join scale path)") {
     import spark.implicits._
     val facts = (1L to 2000L).map(i => (i, i % 7, i * 2.0)).toDF("k", "grp", "v")
@@ -120,6 +145,51 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       spark.sql("DROP TABLE IF EXISTS b_facts")
       spark.sql("DROP TABLE IF EXISTS b_dims")
+    }
+  }
+
+  test("stats-driven dim scan: broadcasts under threshold, SMJ above, hint fallback without stats") {
+    import graft.tables.StatsIndex
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_plan_stats")
+    graft.tables.FsUtil.deleteRec(base)
+    val dimPath = base.resolve("dim").toString
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .select("n_nationkey", "n_name").write.parquet(dimPath)
+    val fact = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey", "c_nationkey")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // no stats yet → the historical hand-hint fallback broadcasts
+      val fb = fact.join(
+        StatsIndex.readDimWithStats(spark, dimPath, hintWithoutStats = true),
+        fact("c_nationkey") === col("n_nationkey"))
+      assert(fb.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+
+      val st = StatsIndex.buildTableStats(spark, dimPath, Seq("n_nationkey"))
+      // rows are exact; NDV is an HLL sketch — pin to its error bound
+      assert(st.rows === 25)
+      assert(math.abs(st.ndv("n_nationkey") - 25L) <= 2,
+        s"ndv ${st.ndv("n_nationkey")} outside sketch tolerance")
+
+      // stats say tiny → broadcast with NO hand hint anywhere
+      val under = fact.join(
+        StatsIndex.readDimWithStats(spark, dimPath,
+          broadcastThresholdBytes = 10L << 20, hintWithoutStats = false),
+        fact("c_nationkey") === col("n_nationkey"))
+      assert(under.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+
+      // stats say too big for the (tiny) threshold → degrade to SMJ
+      // instead of force-broadcasting a grown dim into executor OOM
+      val over = fact.join(
+        StatsIndex.readDimWithStats(spark, dimPath,
+          broadcastThresholdBytes = 1L, hintWithoutStats = false),
+        fact("c_nationkey") === col("n_nationkey"))
+      assert(over.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      graft.tables.FsUtil.deleteRec(base)
     }
   }
 

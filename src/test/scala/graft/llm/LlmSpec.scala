@@ -63,6 +63,32 @@ class LlmSpec extends SparkSpec {
     assert(injected.subsetOf(approx))
   }
 
+  test("nearDupsAuto: threshold picks the algorithm; both branches find injected dups") {
+    // small corpus → simhash128 branch, exact vs the in-corpus reference
+    val (m1, p1) = Dedup.nearDupsAuto(nearDupDocs, "doc_id", "text")
+    assert(m1 === "simhash128")
+    val autoPairs = p1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refPairs = Dedup.simHash128NearDups(nearDupDocs, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoPairs === refPairs)
+
+    // forcing a tiny threshold flips to the minhash branch, which must
+    // still find every injected (id, id+20000) near-dup end-to-end;
+    // knownCount skips the probe so the policy is testable without data
+    val (m2, p2) = Dedup.nearDupsAuto(nearDupDocs, "doc_id", "text",
+      simhashMaxRows = 10)
+    assert(m2 === "minhash_lsh")
+    val mhPairs = p2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val injected = docs.select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id, id + 20000)).toSet
+    assert(injected.subsetOf(mhPairs))
+
+    // knownCount bypasses the bounded probe entirely
+    val (m3, _) = Dedup.nearDupsAuto(nearDupDocs, "doc_id", "text",
+      knownCount = Some(50000000L))
+    assert(m3 === "minhash_lsh")
+  }
+
   test("simhash: identical text → distance 0; near-dup → small; finds injected pairs") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
