@@ -840,29 +840,42 @@ object GoldModels {
     // a two-column slice; the three join back on their shared
     // course_id hash partitioning (no extra shuffle).
     val filtered = silver.filter(col("course_id").isNotNull)
-    val baseStats = filtered
+    // Two-level rewrite folds the distinct-device count into the SAME
+    // scan as the counters: partial-aggregate by (course_id, device)
+    // (all codegen, map-side combined), then roll up by course_id where
+    // distinct_devices is just the non-null group count. One scan, two
+    // narrow shuffles, no Expand anywhere. avg decomposes to Σ/n of the
+    // partials — identical arithmetic to Average's internal buffer.
+    val perDevice = filtered
+      .groupBy(col("course_id"), col("device"))
+      .agg(
+        count(lit(1)).as("rows_"),
+        sum(when(col("is_location_padding"), 1).otherwise(0)).as("pad_"),
+        sum(when(!col("is_location_padding"), 1).otherwise(0)).as("npad_"),
+        sum(when(col("is_timestamp_missing"), 1).otherwise(0)).as("tsm_"),
+        sum(when(col("is_timestamp_missing") && !col("is_location_padding"), 1).otherwise(0))
+          .as("tsmn_"),
+        sum(when(!col("is_location_padding") && col("is_problem"), 1).otherwise(0))
+          .as("prob_"),
+        sum(when(!col("is_location_padding"), col("pace_gap"))).as("pg_sum_"),
+        count(when(!col("is_location_padding"), col("pace_gap"))).as("pg_n_"))
+    val baseStats = perDevice
       .groupBy(col("course_id"))
       .agg(
-        count(lit(1)).as("total_rows"),
-        sum(when(col("is_location_padding"), 1).otherwise(0)).as("padding_rows"),
-        sum(when(!col("is_location_padding"), 1).otherwise(0)).as("non_padding_rows"),
-        sum(when(col("is_timestamp_missing"), 1).otherwise(0)).as("ts_missing_rows"),
-        sum(when(col("is_timestamp_missing") && !col("is_location_padding"), 1).otherwise(0))
-          .as("ts_missing_non_padding_rows"),
-        sum(when(!col("is_location_padding") && col("is_problem"), 1).otherwise(0))
-          .as("problem_rows"),
-        avg(when(!col("is_location_padding"), col("pace_gap"))).as("avg_pace_gap_sec"))
-    val devStats = filtered
-      .select(col("course_id"), col("device"))
-      .groupBy(col("course_id"))
-      .agg(countDistinct(col("device")).as("distinct_devices"))
+        sum(col("rows_")).as("total_rows"),
+        sum(col("pad_")).as("padding_rows"),
+        sum(col("npad_")).as("non_padding_rows"),
+        count(when(col("device").isNotNull, 1)).as("distinct_devices"),
+        sum(col("tsm_")).as("ts_missing_rows"),
+        sum(col("tsmn_")).as("ts_missing_non_padding_rows"),
+        sum(col("prob_")).as("problem_rows"),
+        (sum(col("pg_sum_")) / sum(col("pg_n_"))).as("avg_pace_gap_sec"))
     val medStats = filtered
       .select(col("course_id"),
         when(!col("is_location_padding"), col("pace_gap")).as("pg"))
       .groupBy(col("course_id"))
       .agg(median.as("median_pace_gap_sec"))
     val rowStats = baseStats
-      .join(devStats, Seq("course_id"))
       .join(medStats, Seq("course_id"))
       .select(
         col("course_id"), col("total_rows"), col("padding_rows"),

@@ -689,29 +689,36 @@ object GoldRunnerSql {
            FROM rowStats CROSS JOIN counts""",
 
       "global_course_summary" ->
-        s"""WITH baseStats AS (
-             -- decomposed like global_time_patterns: the COUNT(DISTINCT)
-             -- (Expand) and the percentile (sort-based ObjectHashAgg)
-             -- each run over a two-column slice instead of dragging
-             -- every counter buffer through both; the three aggs join
-             -- back on their shared course_id hash partitioning
-             SELECT course_id,
-               COUNT(1) AS total_rows,
-               SUM(CASE WHEN is_location_padding THEN 1 ELSE 0 END) AS padding_rows,
-               SUM(CASE WHEN NOT is_location_padding THEN 1 ELSE 0 END) AS non_padding_rows,
-               SUM(CASE WHEN is_timestamp_missing THEN 1 ELSE 0 END) AS ts_missing_rows,
+        s"""WITH perDevice AS (
+             -- two-level rewrite (mirrors GoldModels.globalCourseSummary):
+             -- partial counters by (course_id, device) in one codegen
+             -- scan; the rollup's non-null group count IS the distinct
+             -- device count — no Expand; the percentile runs over its
+             -- own two-column slice and joins back on course_id
+             SELECT course_id, device,
+               COUNT(1) AS rows_,
+               SUM(CASE WHEN is_location_padding THEN 1 ELSE 0 END) AS pad_,
+               SUM(CASE WHEN NOT is_location_padding THEN 1 ELSE 0 END) AS npad_,
+               SUM(CASE WHEN is_timestamp_missing THEN 1 ELSE 0 END) AS tsm_,
                SUM(CASE WHEN is_timestamp_missing AND NOT is_location_padding THEN 1 ELSE 0 END)
-                 AS ts_missing_non_padding_rows,
+                 AS tsmn_,
                SUM(CASE WHEN NOT is_location_padding AND is_problem THEN 1 ELSE 0 END)
-                 AS problem_rows,
-               AVG(CASE WHEN NOT is_location_padding THEN pace_gap END) AS avg_pace_gap_sec
+                 AS prob_,
+               SUM(CASE WHEN NOT is_location_padding THEN pace_gap END) AS pg_sum_,
+               COUNT(CASE WHEN NOT is_location_padding THEN pace_gap END) AS pg_n_
              FROM gsql_silver WHERE course_id IS NOT NULL
-             GROUP BY course_id),
-           devStats AS (
-             SELECT course_id, COUNT(DISTINCT device) AS distinct_devices
-             FROM (SELECT course_id, device FROM gsql_silver
-                   WHERE course_id IS NOT NULL)
-             GROUP BY course_id),
+             GROUP BY course_id, device),
+           baseStats AS (
+             SELECT course_id,
+               SUM(rows_) AS total_rows,
+               SUM(pad_) AS padding_rows,
+               SUM(npad_) AS non_padding_rows,
+               COUNT(CASE WHEN device IS NOT NULL THEN 1 END) AS distinct_devices,
+               SUM(tsm_) AS ts_missing_rows,
+               SUM(tsmn_) AS ts_missing_non_padding_rows,
+               SUM(prob_) AS problem_rows,
+               SUM(pg_sum_) / SUM(pg_n_) AS avg_pace_gap_sec
+             FROM perDevice GROUP BY course_id),
            medStats AS (
              SELECT course_id, ${median("pg")} AS median_pace_gap_sec
              FROM (SELECT course_id,
@@ -720,11 +727,10 @@ object GoldRunnerSql {
              GROUP BY course_id),
            rowStats AS (
              SELECT b.course_id, b.total_rows, b.padding_rows,
-               b.non_padding_rows, d.distinct_devices, b.ts_missing_rows,
+               b.non_padding_rows, b.distinct_devices, b.ts_missing_rows,
                b.ts_missing_non_padding_rows, b.problem_rows,
                b.avg_pace_gap_sec, m.median_pace_gap_sec
              FROM baseStats b
-             JOIN devStats d USING (course_id)
              JOIN medStats m USING (course_id)),
            flags AS (
              SELECT course_id, round_id, $flagRollup
