@@ -210,7 +210,13 @@ object Dedup {
     val a = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
     val b = banded.select(col("band_idx").as("bi2"), col("band_hash").as("bh2"),
       col("id").as("id_b"))
-    a.join(b,
+    // merge-hint: the banded side sits behind the mapPartitions
+    // signature barrier, so Catalyst's size estimate is fiction — at
+    // ×100 it broadcast 16M banded rows AND kept the probe side at the
+    // input's (few) partitions, pinning two tasks for 40+ min. The
+    // shuffle join both avoids the broadcast and re-spreads the pair
+    // fan-out across spark.sql.shuffle.partitions.
+    a.hint("merge").join(b,
         col("band_idx") === col("bi2") && col("band_hash") === col("bh2") &&
           col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
@@ -229,7 +235,13 @@ object Dedup {
     val shingled = df.select(
       col(idCol).as("sid"),
       graft.functions.F.xxhash64Array(wordShingles(col(textCol), n)).as("sh"))
-    cands.select(col("id_a"), col("id_b"))
+    // merge-hint: when cands flows straight out of the banding join
+    // (no materialization between), Catalyst size-estimates the
+    // band-join output near zero and BROADCASTS the candidate set —
+    // at ×100 that is tens of millions of pairs hashed into every
+    // task (measured: single tasks pinned for 40+ minutes). Candidate
+    // sets are unbounded by construction; never broadcast them.
+    cands.select(col("id_a"), col("id_b")).hint("merge")
       .join(shingled.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(shingled.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard",
@@ -392,6 +404,11 @@ object Dedup {
     }
     val a = blocked.select(col("block_idx"), col("block_val"),
       col("id").as("id_a"), col("skey1").as("a1"), col("skey2").as("a2"))
+      // merge-hint: behind unmaterialized key computation Catalyst's
+      // size estimate is fiction — never broadcast a blocked side (see
+      // minHashCandidates); the shuffle join also re-spreads the block
+      // fan-out across shuffle partitions instead of the input's few
+      .hint("merge")
     val b = blocked.select(col("block_idx").as("qi2"), col("block_val").as("qv2"),
       col("id").as("id_b"), col("skey1").as("b1"), col("skey2").as("b2"))
     val noEarlierMatch = (0 to 6).map { j =>
@@ -415,10 +432,12 @@ object Dedup {
     * algorithm from the corpus size so no caller ships the structurally
     * super-linear path at the wrong scale.
     *
-    *  - '''small corpus''' (≤ `simhashMaxRows`): SimHash-128 — EXACT for
-    *    Hamming ≤ 7 by pigeonhole, no seed sensitivity, but candidate
-    *    pairs grow ∝ n²/65536 across uniformly small buckets (measured
-    *    ×100 slope 2.0 in SCALE.md) — fine to ~10⁶, poison at 10⁸.
+    *  - '''small corpus''' (≤ `simhashMaxRows`, default 100k): SimHash-128
+    *    — EXACT for Hamming ≤ 7 by pigeonhole, no seed sensitivity, but
+    *    candidate pairs grow ∝ n²/65536 across uniformly small buckets
+    *    (measured ×100 slope 2.0 in SCALE.md): at 100k docs that is
+    *    ~150M block comparisons — the knee; at 10⁶ it is already 100×
+    *    worse, which the ×100 stress measured as two 40-minute tasks.
     *  - '''large corpus''': MinHash-LSH banding + exact-Jaccard verify —
     *    probabilistic recall (≥0.95 pinned in LlmSpec) with bucket-join
     *    candidates that stay near-linear (measured slope 1.21).
@@ -430,7 +449,7 @@ object Dedup {
     * branches share. */
   def nearDupsAuto(
       df: DataFrame, idCol: String, textCol: String,
-      simhashMaxRows: Long = 1000000L,
+      simhashMaxRows: Long = 100000L,
       simhashN: Int = 1, maxDistance: Int = 7,
       minhashN: Int = 2, bands: Int = 8, rowsPerBand: Int = 8,
       jaccardThreshold: Double = 0.7,

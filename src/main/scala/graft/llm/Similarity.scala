@@ -162,7 +162,10 @@ object Similarity {
       cands: DataFrame, df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    cands.select(col("id_a"), col("id_b"))
+    // merge-hint: candidate sets are unbounded by construction and
+    // Catalyst size-estimates an unmaterialized bucket-join output near
+    // zero — never let it broadcast them (see Dedup.verifyJaccard)
+    cands.select(col("id_a"), col("id_b")).hint("merge")
       .join(v.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(v.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("cosine", cosine(col("v_a"), col("v_b")))

@@ -226,7 +226,8 @@ object ScaleStress {
       col("user_id").cast("string").as("roundId"),
       lit("c1").as("courseId"),
       col("ts").as("fixTimestamp"),
-      col("event_id").cast("int").as("locationIndex"),
+      // replica-strided event ids exceed Int range — fold, don't cast
+      pmod(col("event_id"), lit(1000000000L)).cast("int").as("locationIndex"),
       lit(1).as("holeNumber"),
       col("value").as("pace"),
       lit(false).as("isCache"))
