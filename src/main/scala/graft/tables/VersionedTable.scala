@@ -36,6 +36,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * suits dimension/gold tables rewritten per run — exactly where the
   * reference rewrites whole tables (dimensions.py:366-398). `vacuum`
   * bounds storage to the last N snapshots.
+  *
+  * Deployment substrate: this implementation leans on LOCAL-FS
+  * primitives (atomic dir rename, O_EXCL lock) and is the
+  * local/HDFS-mode format. On an object store (S3/MinIO — the
+  * reference's own substrate), use [[IncrementalTable.commitFull]]
+  * instead: it has identical whole-snapshot commit semantics (every
+  * commit's live set is exactly the new frame) but its metadata rides
+  * the rename-free [[ManifestLog]] conditional-PUT protocol, proven
+  * against a hostile store in CommitProtocolSpec.
   */
 object VersionedTable {
 
