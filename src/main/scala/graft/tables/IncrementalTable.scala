@@ -381,9 +381,18 @@ object IncrementalTable {
     * lock, and unreferenced files under `data/` belong to dropped
     * versions or to a commit that died mid-adopt (its version was never
     * logged, so its files are unreachable debris). */
+  /** `unreferencedGraceMs` protects the LOCKLESS (object-store) path:
+    * a writer there adopts data files BEFORE minting its manifest, so
+    * a concurrent vacuum would otherwise sweep the in-flight files and
+    * the writer would mint a manifest naming deleted data. Locally the
+    * shared lock already serializes this (adopt and vacuum both run
+    * under it) and tests may pass 0; lockless deployments must keep
+    * the grace above the longest possible commit, exactly Delta's
+    * retention-vs-in-flight-writer rule. */
   def vacuum(path: String, keep: Int = 2,
       lockTimeoutMs: Long = 30000, staleLockMs: Long = 600000,
-      store: CommitStore = LocalCommitStore): Unit = {
+      store: CommitStore = LocalCommitStore,
+      unreferencedGraceMs: Long = 0L): Unit = {
     VersionedTable.withLock(path, lockTimeoutMs, staleLockMs) {
       val committed = versions(path, store)
       if (committed.nonEmpty) {
@@ -391,8 +400,12 @@ object IncrementalTable {
           currentVersion(path, store)
         val live = keepSet.toSeq.sorted
           .flatMap(v => manifest(path, v, store)._2).toSet
+        val now = System.currentTimeMillis()
         FsUtil.parquetFiles(dataDir(path)).foreach { f =>
-          if (!live.contains(dataDir(path).relativize(f).toString))
+          val quiet =
+            try now - Files.getLastModifiedTime(f).toMillis >= unreferencedGraceMs
+            catch { case _: Exception => false } // vanished — racing writer
+          if (quiet && !live.contains(dataDir(path).relativize(f).toString))
             Files.delete(f)
         }
         // the newest manifest always survives (keepSet ⊇ last), so

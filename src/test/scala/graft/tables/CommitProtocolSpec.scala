@@ -184,6 +184,81 @@ class CommitProtocolSpec extends SparkSpec {
       === Set((1L, "a3"), (2L, "DURABLE")))
   }
 
+  // ---- randomized multi-writer fault storm -----------------------------
+
+  test("fault storm: random crashes + ambiguity under concurrency keep every invariant") {
+    // 8 writers × 12 attempts each, with a one-shot fault armed on
+    // roughly every third attempt (crash-before / crash-after /
+    // ambiguous, deterministic seed; an armed fault may fire on ANY
+    // writer's put — more hostile, not less). Invariants at the end:
+    // versions dense from 1, every manifest complete and parseable,
+    // current = newest, every id whose commit() RETURNED SUCCESS is in
+    // the final chain exactly once (no lost update, no double-commit);
+    // crash-after victims may appear in the chain without reporting
+    // success — durable-but-unacknowledged, the documented semantics.
+    val path = freshPath("storm")
+    val store = new FaultyCommitStore(LocalCommitStore)
+    val rnd = new java.util.Random(42)
+    val writers = 8
+    val perWriter = 12
+    val committedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val pool = Executors.newFixedThreadPool(writers)
+    val start = new CountDownLatch(1)
+    (1 to writers).foreach { w =>
+      pool.execute { () =>
+        start.await()
+        val log = new ManifestLog(store, path)
+        (1 to perWriter).foreach { i =>
+          val id = s"w$w-$i"
+          // arm a random one-shot fault on manifest puts ~1/3 of the time
+          rnd.synchronized {
+            rnd.nextInt(3) match {
+              case 0 => rnd.nextInt(3) match {
+                case 0 => store.armCrashBeforePut(_.contains("_manifests"))
+                case 1 => store.armCrashAfterPut(_.contains("_manifests"))
+                case _ => store.armAmbiguousPut(_.contains("_manifests"))
+              }
+              case _ => ()
+            }
+          }
+          try {
+            log.commit {
+              case None            => id
+              case Some((_, prev)) => s"$prev,$id"
+            }
+            committedIds.add(id); ()
+          } catch {
+            case _: store.InjectedCrash => () // writer died this attempt
+            case _: java.util.ConcurrentModificationException => ()
+          }
+        }
+      }
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+
+    val log = new ManifestLog(store, path)
+    val vs = log.versions
+    // dense version chain, no gaps, no duplicates
+    assert(vs === (1 to vs.size).toSeq)
+    // every manifest object is complete and parseable
+    vs.foreach(v => assert(log.manifest(v).exists(_.nonEmpty)))
+    // the pointerless current is the newest committed version
+    assert(log.currentVersion === vs.lastOption)
+    // crash-after-put commits are DURABLE even though the writer saw an
+    // exception, so the final chain must contain AT LEAST every id whose
+    // commit() returned success, each exactly once across the chain tip
+    val tip = log.manifest(vs.last).get.split(",").map(_.trim).toSet
+    import scala.jdk.CollectionConverters._
+    committedIds.asScala.foreach { id =>
+      assert(tip.contains(id), s"$id reported success but is missing — lost update")
+    }
+    // and nothing appears twice in the tip (no double-commit)
+    val all = log.manifest(vs.last).get.split(",").map(_.trim).toSeq
+    assert(all.distinct.size === all.size, "duplicate id in chain — double commit")
+  }
+
   // ---- rollback pin semantics ------------------------------------------
 
   test("rollback pins an older version; the next commit supersedes the pin") {
