@@ -905,6 +905,36 @@ object MaintenanceQueries {
                TRUE AS big_dim_degrades_to_shuffle,
                (SELECT COUNT(*) FROM orders) AS big_dim_rows
                FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-               GROUP BY n_name ORDER BY n_name"""))
+               GROUP BY n_name ORDER BY n_name""")),
+
+    // M22 — point-lookup data skipping via the per-file MEMBERSHIP
+    // sketch (the Bloom-filter-index half of skipping; min/max ranges
+    // answer range predicates, membership answers `col = v`). Lineitem
+    // lands range-clustered on l_orderkey, the sketch indexes the
+    // column, and a point lookup must read FEWER files than the table
+    // holds while returning exactly the oracle's rows — the sketch is a
+    // superset guarantee, never a correctness dependency.
+    QueryDef(
+      "m22_member_skipping",
+      (s, d) => {
+        val base = scratch("m22")
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"))
+        li.repartitionByRange(16, col("l_orderkey"))
+          .write.mode("overwrite").parquet(base)
+        graft.tables.StatsIndex.buildMemberIndex(s, base, Seq("l_orderkey"))
+        val probeKey = li.agg(min(col("l_orderkey"))).collect()(0).getLong(0)
+        val (scan, read, totalF) =
+          graft.tables.StatsIndex.scanPoint(s, base, "l_orderkey", probeKey)
+        scan.agg(
+            count(lit(1)).as("n"),
+            dsum(col("l_extendedprice")).as("total"))
+          .withColumn("files_skipped", lit(read < totalF))
+      },
+      Some(s"""SELECT COUNT(*) AS n,
+               ${dsumSql("l_extendedprice")} AS total,
+               TRUE AS files_skipped
+               FROM lineitem
+               WHERE l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem)"""))
   )
 }

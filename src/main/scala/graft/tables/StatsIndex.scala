@@ -137,6 +137,57 @@ object StatsIndex {
     }
   }
 
+  // --------------------------------------------- point-lookup skipping
+
+  /** Per-file MEMBERSHIP sketch — the Bloom-filter-index half of data
+    * skipping (Delta's bloom filter indexes, Iceberg puffin): min/max
+    * ranges prune RANGE predicates but are useless for point lookups on
+    * a column the files aren't clustered by; a membership sketch prunes
+    * `col = v` to the files that actually contain v's hash bucket.
+    *
+    * One distributed pass per column: `collect_set(xxhash64(col) mod
+    * buckets)` per file — a one-hash Bloom bitmap stored sparse. At the
+    * default 8192 buckets a file holding k distinct values yields a
+    * false-file rate of ~k/8192 per probed file (k ≪ buckets when files
+    * are clustered or partitioned); the sketch is a SUPERSET guarantee,
+    * so correctness never depends on it — the predicate re-applies on
+    * the pruned scan. Manifest lands beside the range stats under
+    * `_stats_member/` (underscore dirs are invisible to scans). */
+  def buildMemberIndex(
+      spark: SparkSession, path: String, cols: Seq[String],
+      buckets: Int = 8192): Long = {
+    require(cols.nonEmpty, "membership index needs at least one column")
+    val df = spark.read.parquet(path)
+    val aggs = cols.map { c =>
+      collect_set(pmod(xxhash64(col(c)), lit(buckets.toLong))).as(s"mem_$c")
+    }
+    val stats = df
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("buckets", lit(buckets))
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/_stats_member")
+    spark.read.parquet(s"$path/_stats_member").count()
+  }
+
+  /** Point scan `col = v` reading only files whose membership sketch
+    * holds v's bucket. Returns (dataframe, filesRead, filesTotal); the
+    * equality predicate is re-applied, so the file cut is pure pruning. */
+  def scanPoint(
+      spark: SparkSession, path: String, c: String, v: Any): (DataFrame, Long, Long) = {
+    val stats = spark.read.parquet(s"$path/_stats_member")
+    val total = stats.count()
+    val files = stats
+      .filter(array_contains(col(s"mem_$c"),
+        pmod(xxhash64(lit(v)), col("buckets").cast("long"))))
+      .select(col("file"))
+      .collect().map(_.getString(0)).toSeq
+    val df =
+      if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.option("basePath", path).parquet(files: _*)
+        .filter(col(c) === lit(v))
+    (df, files.size.toLong, total)
+  }
+
   /** Range scan `lo <= col <= hi` reading only stats-selected files.
     * Returns (dataframe, filesRead, filesTotal) so callers — and the
     * gate's spec — can assert the skip actually happened. The predicate

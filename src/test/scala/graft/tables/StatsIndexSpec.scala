@@ -59,6 +59,22 @@ class StatsIndexSpec extends SparkSpec {
     assert(read === 0 && df.count() === 0)
   }
 
+  test("membership sketch: point lookup reads fewer files, loses no rows") {
+    val base = freshTable()
+    val files = StatsIndex.buildMemberIndex(spark, base, Seq("id"))
+    assert(files === 4)
+    // id=7 lives in exactly one range-clustered file
+    val (df, read, total) = StatsIndex.scanPoint(spark, base, "id", 7L)
+    assert(total === 4)
+    assert(read < total, s"no files skipped ($read/$total)")
+    assert(df.select("id", "v").as[(Long, Long)].collect().toSeq === Seq((7L, 14L)))
+    // a value NOT in the table: correct empty result either way
+    val (miss, _, _) = StatsIndex.scanPoint(spark, base, "id", 999999L)
+    assert(miss.count() === 0)
+    // sketch invisible to plain scans
+    assert(spark.read.parquet(base).count() === 4000)
+  }
+
   test("stats are a superset guarantee: stale stats still return correct rows") {
     val base = freshTable()
     StatsIndex.build(spark, base, Seq("id"))
