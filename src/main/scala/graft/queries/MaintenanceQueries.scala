@@ -935,6 +935,48 @@ object MaintenanceQueries {
                ${dsumSql("l_extendedprice")} AS total,
                TRUE AS files_skipped
                FROM lineitem
-               WHERE l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem)"""))
+               WHERE l_orderkey = (SELECT MIN(l_orderkey) FROM lineitem)""")),
+
+    // M23 — DESCRIBE HISTORY over the incremental table: every commit's
+    // audit row (version, operation, timestamp, live-file count) parsed
+    // from the immutable manifest headers — no side bookkeeping to
+    // corrupt or vacuum. The gate drives one commit of each operation
+    // kind and pins the exact (version, operation) chain plus
+    // non-decreasing wall-clock timestamps.
+    QueryDef(
+      "m23_table_history",
+      (s, d) => {
+        val it = graft.tables.IncrementalTable
+        val base = scratch("m23")
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        it.commitFull(orders.repartition(6), base, Seq("o_orderpriority"))
+        it.refreshPartitions(
+          orders.filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+              col("o_orderpriority")),
+          base, Seq("o_orderpriority"))
+        it.deleteWhere(s, base, Seq("o_orderpriority"),
+          col("o_orderpriority") === "5-LOW")
+        it.compact(s, base, Seq("o_orderpriority"))
+        val h = it.history(base)
+        val tsMono = h.nonEmpty && h.forall(_._2 > 0) &&
+          h.sliding(2).forall {
+            case Seq(a, b) => a._2 <= b._2
+            case _         => true
+          }
+        import s.implicits._
+        h.map(r => (r._1, r._3, r._4 > 0))
+          .toDF("version", "operation", "has_files")
+          .withColumn("ts_monotone", lit(tsMono))
+          .orderBy(col("version"))
+      },
+      Some("""SELECT * FROM (VALUES
+                (1, 'overwrite', TRUE, TRUE),
+                (2, 'refresh', TRUE, TRUE),
+                (3, 'delete', TRUE, TRUE),
+                (4, 'compact', TRUE, TRUE))
+              AS t(version, operation, has_files, ts_monotone)
+              ORDER BY version"""))
   )
 }

@@ -133,13 +133,23 @@ object IncrementalTable {
     * loop. */
   private def commitManifest(
       path: String, schema: StructType, files: Seq[String],
-      store: CommitStore, basedOn: Option[Option[Int]] = None): Int = {
+      store: CommitStore, basedOn: Option[Option[Int]] = None,
+      op: String = "commit"): Int = {
     val payload = (schema.json +: files.sorted).mkString("\n")
     basedOn match {
-      case Some(base) => log(path, store).commitAt(base, payload)
-      case None       => log(path, store).commitOnce(payload)
+      case Some(base) => log(path, store).commitAt(base, payload, op)
+      case None       => log(path, store).commitOnce(payload, op)
     }
   }
+
+  /** DESCRIBE HISTORY: one audit row per committed version — (version,
+    * commit timestamp, operation, live file count), parsed straight
+    * from the immutable manifest headers. */
+  def history(path: String, store: CommitStore = LocalCommitStore)
+      : Seq[(Int, Long, String, Int)] =
+    log(path, store).history.map(ci =>
+      // payload = schema line + file lines → files = lines - 1
+      (ci.version, ci.timestampMs, ci.operation, math.max(0, ci.payloadLines - 1)))
 
   /** Full commit: the new version's live set is exactly `df`'s files
     * (every previous file is logically removed, though still readable
@@ -152,7 +162,8 @@ object IncrementalTable {
     val (staging, rels) = stage(df, path, partitionCols)
     try {
       VersionedTable.withLock(path, lockTimeoutMs, staleLockMs) {
-        commitManifest(path, df.schema, adopt(staging, rels, path), store)
+        commitManifest(path, df.schema, adopt(staging, rels, path), store,
+          op = "overwrite")
       }
     } finally FsUtil.deleteRec(staging)
   }
@@ -191,7 +202,8 @@ object IncrementalTable {
             }
         }
         commitManifest(path, df.schema,
-          carried ++ adopt(staging, rels, path), store, basedOn = Some(base))
+          carried ++ adopt(staging, rels, path), store, basedOn = Some(base),
+          op = "refresh")
       }
     } finally FsUtil.deleteRec(staging)
   }
@@ -261,7 +273,8 @@ object IncrementalTable {
               s"changed by a concurrent commit (now v$vNow); retry the delete")
         val carried = filesNow.filterNot(f => affectedDirs.contains(dirOf(f)))
         commitManifest(path, schemaNow,
-          carried ++ adopt(staging, rels, path), store, basedOn = Some(Some(vNow)))
+          carried ++ adopt(staging, rels, path), store, basedOn = Some(Some(vNow)),
+          op = "delete")
       }
     } finally FsUtil.deleteRec(staging)
   }
@@ -320,7 +333,7 @@ object IncrementalTable {
           val adopted = adopt(staging,
             rels.filter(r => safe.contains(dirOf(r.toString))), path)
           commitManifest(path, schemaNow, keep ++ adopted, store,
-            basedOn = Some(Some(vNow)))
+            basedOn = Some(Some(vNow)), op = "compact")
           (filesNow.size, keep.size + adopted.size)
         }
       }

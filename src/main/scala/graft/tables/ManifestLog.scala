@@ -110,9 +110,12 @@ final class ManifestLog(store: CommitStore, table: String) {
     * finding our own writer token in the winning object. A thrown
     * store exception is a crash and propagates — but if the PUT
     * landed, the commit is already complete and durable. */
-  private def mintNext(vs: Seq[Int], payload: String): Int = {
+  private def mintNext(vs: Seq[Int], payload: String, op: String): Int = {
     val next = vs.lastOption.getOrElse(0) + 1
-    val content = header(writerToken) + "\n" + payload
+    // ts/op ride AFTER the writer token so the ambiguous-retry
+    // startsWith check stays prefix-stable across retries
+    val content =
+      s"${header(writerToken)} ts=${System.currentTimeMillis()} op=$op\n" + payload
     val won = store.putIfAbsent(mkey(next), content) ||
       store.get(mkey(next)).exists(_.startsWith(header(writerToken)))
     if (won) next else throw CommitLost(next)
@@ -123,17 +126,39 @@ final class ManifestLog(store: CommitStore, table: String) {
     * writers whose payload does not derive from prior state (and for
     * callers already serialized by an external lock); state-merging
     * lockless writers use [[commitAt]] or [[commit]]. */
-  def commitOnce(payload: String): Int = mintNext(versions, payload)
+  def commitOnce(payload: String, op: String = "commit"): Int =
+    mintNext(versions, payload, op)
 
   /** OCC commit: mint only if the current version still equals
     * `expectedCurrent` (the version the payload was derived from;
     * None = expect an empty table). Throws [[CommitLost]] when stale or
     * beaten to the mint — the caller re-reads and retries. */
-  def commitAt(expectedCurrent: Option[Int], payload: String): Int = {
+  def commitAt(expectedCurrent: Option[Int], payload: String,
+      op: String = "commit"): Int = {
     val vs = versions
     if (currentOf(vs) != expectedCurrent)
       throw CommitLost(vs.lastOption.getOrElse(0))
-    mintNext(vs, payload)
+    mintNext(vs, payload, op)
+  }
+
+  /** One committed version's audit record (DESCRIBE HISTORY's row). */
+  final case class CommitInfo(
+      version: Int, timestampMs: Long, operation: String, payloadLines: Int)
+
+  /** The table's commit history, ascending — parsed from the immutable
+    * manifest headers, so it needs no extra bookkeeping objects and
+    * survives everything the manifests survive. Pre-header manifests
+    * (none in practice) report ts=0, op=unknown. */
+  def history: Seq[CommitInfo] = versions.map { v =>
+    val raw = store.get(mkey(v)).getOrElse("")
+    val head = raw.linesIterator.nextOption().getOrElse("")
+    def field(k: String): Option[String] =
+      s"$k=(\\S+)".r.findFirstMatchIn(head).map(_.group(1))
+    CommitInfo(
+      v,
+      field("ts").flatMap(_.toLongOption).getOrElse(0L),
+      field("op").getOrElse("unknown"),
+      stripHeader(raw).linesIterator.count(_.nonEmpty))
   }
 
   /** The optimistic commit loop (what Delta/Iceberg writers run): read
@@ -143,12 +168,13 @@ final class ManifestLog(store: CommitStore, table: String) {
     * table. No lost updates: a payload derived from version v can only
     * mint at the snapshot whose max it was read from — if anyone
     * committed in between, the target is taken and the loop re-reads. */
-  def commit(render: Option[(Int, String)] => String, maxRetries: Int = 50): Int = {
+  def commit(render: Option[(Int, String)] => String, maxRetries: Int = 50,
+      op: String = "commit"): Int = {
     var attempt = 0
     while (attempt < maxRetries) {
       val vs = versions
       val cur = currentOf(vs).flatMap(v => manifest(v).map(v -> _))
-      try return mintNext(vs, render(cur))
+      try return mintNext(vs, render(cur), op)
       catch { case _: CommitLost => attempt += 1 }
     }
     throw new java.util.ConcurrentModificationException(
