@@ -977,6 +977,49 @@ object MaintenanceQueries {
                 (3, 'delete', TRUE, TRUE),
                 (4, 'compact', TRUE, TRUE))
               AS t(version, operation, has_files, ts_monotone)
-              ORDER BY version"""))
+              ORDER BY version""")),
+
+    // M24 — RESTORE as a commit (Delta RESTORE): reverting to v1 mints
+    // a NEW version whose content is exactly v1's — history stays
+    // linear and audited, the bad version remains time-travelable, and
+    // the revert cannot be superseded the way a rollback pin can. Pins:
+    // the restored CURRENT equals the oracle's original table, the
+    // version chain grew (restore is v3), the reverted-over v2 still
+    // time-travels, and the restore is pure metadata (no new data
+    // files: v3's file set == v1's).
+    QueryDef(
+      "m24_restore_commit",
+      (s, d) => {
+        val it = graft.tables.IncrementalTable
+        val base = scratch("m24")
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        it.commitFull(orders, base, Seq("o_orderpriority"))
+        it.refreshPartitions(
+          orders.filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey"), (col("o_totalprice") * 1000).as("o_totalprice"),
+              col("o_orderpriority")),
+          base, Seq("o_orderpriority"))
+        val v3 = it.restore(base, 1)
+        val (added, removed) = it.fileChanges(base, 1, v3)
+        val pureMetadata = added.isEmpty && removed.isEmpty
+        val v2StillTravels = it.read(s, base, Some(2))
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .agg(max(col("o_totalprice"))).collect()(0).getDouble(0) >
+          orders.agg(max(col("o_totalprice"))).collect()(0).getDouble(0)
+        it.read(s, base)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("restore_is_v3", lit(v3 == 3))
+          .withColumn("pure_metadata", lit(pureMetadata))
+          .withColumn("bad_version_still_travels", lit(v2StillTravels))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+               ${dsumSql("o_totalprice")} AS total,
+               TRUE AS restore_is_v3, TRUE AS pure_metadata,
+               TRUE AS bad_version_still_travels
+               FROM orders GROUP BY o_orderpriority
+               ORDER BY o_orderpriority"""))
   )
 }

@@ -362,10 +362,29 @@ object IncrementalTable {
     }
   }
 
-  /** Metadata-only rollback: CAS the pointer at an earlier version. */
+  /** Metadata-only rollback: CAS the pointer at an earlier version.
+    * The pin expires as soon as anyone commits — for a durable revert
+    * use [[restore]], which wins races the way commits do. */
   def rollback(path: String, version: Int,
       store: CommitStore = LocalCommitStore): Unit =
     log(path, store).setPointer(version)
+
+  /** RESTORE as a commit (Delta RESTORE semantics): mint a NEW version
+    * whose live-file set is exactly `version`'s — history stays linear
+    * (the bad versions remain time-travelable until vacuum), the revert
+    * is itself an audited commit that concurrent writers serialize
+    * against, and unlike [[rollback]]'s pin it cannot be silently
+    * superseded. Pure metadata: no data moves. Returns the new version. */
+  def restore(path: String, version: Int,
+      lockTimeoutMs: Long = 30000, staleLockMs: Long = 600000,
+      store: CommitStore = LocalCommitStore): Int = {
+    val (schema, files) = manifest(path, version, store)
+    VersionedTable.withLock(path, lockTimeoutMs, staleLockMs) {
+      val base = currentVersion(path, store)
+      commitManifest(path, schema, files, store,
+        basedOn = Some(base), op = s"restore")
+    }
+  }
 
   /** The (added, removed) data-file groups between two versions — the
     * manifest set-difference that IS the incremental commit. */
