@@ -142,6 +142,50 @@ object Kernels {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** Double hashes for the bloom kernels: h1 is the builtin xxhash64
+    * (seed 42), h2 an independent second seed; probe i uses
+    * h1 + i·h2 (Kirsch–Mitzenmacher double hashing). */
+  def bloomH1(s: UTF8String): Long = XXH64.hashUTF8String(s, 42L)
+  def bloomH2(s: UTF8String): Long = XXH64.hashUTF8String(s, 777L)
+
+  /** Driver-side bitmap build: set the k probe bits for one token. */
+  def bloomSet(bits: Array[Long], numBits: Int, k: Int, s: UTF8String): Unit = {
+    val h1 = bloomH1(s); val h2 = bloomH2(s)
+    var i = 0
+    while (i < k) {
+      val bit = java.lang.Math.floorMod(h1 + i * h2, numBits.toLong).toInt
+      bits(bit >>> 6) |= (1L << (bit & 63))
+      i += 1
+    }
+  }
+
+  /** Count of array elements whose k probe bits are ALL set — the
+    * might-contain count. Monotone over the true membership count
+    * (false positives only ADD), which is what makes it a sound
+    * pre-filter: bloom count ≥ exact count always. Null elements don't
+    * count. One pass, zero allocation. */
+  def bloomCountIn(arr: ArrayData, bits: Array[Long], numBits: Int, k: Int): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h1 = bloomH1(s); val h2 = bloomH2(s)
+        var hit = true
+        var j = 0
+        while (hit && j < k) {
+          val bit = java.lang.Math.floorMod(h1 + j * h2, numBits.toLong).toInt
+          hit = (bits(bit >>> 6) & (1L << (bit & 63))) != 0
+          j += 1
+        }
+        if (hit) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
     * every k-byte gram (XXH64, seed 42), slide a window of w gram
     * hashes, keep each window's minimum (rightmost on ties), dedupe

@@ -149,6 +149,38 @@ case class CountTokensIn(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** Count of tokens whose k double-hashed probe bits are all set in a
+  * fixed Bloom bitmap — the might-contain count. The bitmap is built
+  * once (driver side, from e.g. a benchmark's n-gram set) and shipped
+  * to every task as one reference object; evaluation is a per-row
+  * codegen loop with NO explode, NO join, NO shuffle — the scale form
+  * of "how many of this document's n-grams appear in the eval set".
+  * Monotone over the true count (FPs only add), so thresholding it is
+  * a sound pre-filter for the exact path. */
+case class BloomCountIn(child: Expression, bits: Array[Long], numBits: Int, k: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "bloom_count_in"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_count_in requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.bloomCountIn(input.asInstanceOf[ArrayData], bits, numBits, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Kernels.bloomCountIn($a, $bitsRef, $numBits, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** max token frequency / total tokens over an array<string> — the
   * repetition signal of open-corpus quality filters. */
 case class MaxTokenFreqRatio(child: Expression) extends UnaryExpression {
@@ -473,6 +505,8 @@ object F {
   def simhash64(tokens: Column): Column = c(SimHash64Expr(e(tokens)))
   def countTokensIn(tokens: Column, words: Seq[String]): Column =
     c(CountTokensIn(e(tokens), words))
+  def bloomCountIn(tokens: Column, bits: Array[Long], numBits: Int, k: Int): Column =
+    c(BloomCountIn(e(tokens), bits, numBits, k))
   def wordNgrams(tokens: Column, n: Int): Column = c(WordNgrams(e(tokens), n))
   def xxhash64Array(strings: Column): Column = c(XxHash64Array(e(strings)))
   def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =

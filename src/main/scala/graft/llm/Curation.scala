@@ -95,6 +95,54 @@ object Curation {
     train.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Bloom bitmap of the eval set's distinct n-grams, built on the
+    * driver — the eval/benchmark set is SMALL by definition (that is
+    * the whole reason decontamination is tractable); at the default
+    * 2²² bits (512 KB) a 100k-gram benchmark fills < 5% of the bitmap
+    * and the per-gram false-positive rate with k=3 probes is ≪ 1%. */
+  def evalBloom(
+      eval: DataFrame, textCol: String, n: Int,
+      numBits: Int = 1 << 22, k: Int = 3): Array[Long] = {
+    val grams = eval
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
+      .distinct().collect().map(_.getString(0))
+    val bits = new Array[Long]((numBits + 63) / 64)
+    grams.foreach(g => graft.functions.Kernels.bloomSet(
+      bits, numBits, k, org.apache.spark.unsafe.types.UTF8String.fromString(g)))
+    bits
+  }
+
+  /** The 100 TB form of [[decontaminate]]: identical OUTPUT, different
+    * plan. The exact path explodes every train document into one row
+    * per n-gram (a 50–500× row blow-up feeding a join and a re-group
+    * shuffle); here a per-row codegen Bloom probe
+    * ([[graft.functions.BloomCountIn]]) computes a superset
+    * contamination estimate in ONE projection — no explode, no join,
+    * no shuffle — and only the suspects (bloom estimate ≥ threshold; a
+    * strict superset of the truly contaminated, since FPs only ADD)
+    * pay the exact verification. On a clean-ish corpus the exact stage
+    * processes a sliver of the data; correctness never depends on the
+    * bitmap. */
+  def decontaminateBloom(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxContamination: Double = 0.2,
+      numBits: Int = 1 << 22, k: Int = 3): DataFrame = {
+    val bits = evalBloom(eval, textCol, n, numBits, k)
+    val grams = Dedup.wordShingles(col(textCol), n)
+    val suspects = train
+      .withColumn("__grams", grams)
+      .withColumn("__bloom_shared",
+        graft.functions.F.bloomCountIn(col("__grams"), bits, numBits, k))
+      .filter(size(col("__grams")) > 0 &&
+        col("__bloom_shared").cast(DoubleType) /
+          size(col("__grams")).cast(DoubleType) >= maxContamination)
+      .drop("__grams", "__bloom_shared")
+    val flagged = contamination(suspects, eval, idCol, textCol, n)
+      .filter(col("contamination") >= maxContamination)
+      .select(col("doc_id").as(idCol))
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------------------------
   // Domain mixing
   // ---------------------------------------------------------------------

