@@ -352,6 +352,14 @@ object IncrementalTable {
     require(versions(path, store).contains(v),
       s"version $v not in committed set ${versions(path, store)} at $path")
     val (schema, files) = manifest(path, v, store)
+    readFiles(spark, path, schema, files)
+  }
+
+  /** Schema-aligned scan of an explicit live-file subset — the shared
+    * read path of [[read]] (a whole manifest) and [[diff]] (only the
+    * files a version pair disagrees on). */
+  private def readFiles(spark: SparkSession, path: String,
+      schema: StructType, files: Seq[String]): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
@@ -360,7 +368,6 @@ object IncrementalTable {
         spark.read.option("basePath", dataDir(path).toString).parquet(abs: _*),
         schema)
     }
-  }
 
   /** Metadata-only rollback: CAS the pointer at an earlier version.
     * The pin expires as soon as anyone commits — for a durable revert
@@ -397,11 +404,24 @@ object IncrementalTable {
 
   /** Row-level change feed between two versions (same contract as
     * VersionedTable.diff): inserts = rows only in `to`, deletes = rows
-    * only in `from`; an update is its delete+insert pair. */
+    * only in `from`; an update is its delete+insert pair.
+    *
+    * Scans ONLY the files the two manifests disagree on: a file carried
+    * by reference contributes the identical row multiset to both sides
+    * of the multiset difference, so it cancels exactly and never needs
+    * reading. After a one-partition refresh of a 100 TB table the diff
+    * reads one partition's worth of data, not 200 TB — the property
+    * that makes [[IncrementalView]] maintenance O(changed data). Both
+    * subsets align to the TO version's schema so the feed is
+    * union-compatible across a schema evolution. */
   def diff(spark: SparkSession, path: String, fromV: Int, toV: Int,
       store: CommitStore = LocalCommitStore): DataFrame = {
-    val before = read(spark, path, Some(fromV), store)
-    val after = read(spark, path, Some(toV), store)
+    val (_, fromFiles) = manifest(path, fromV, store)
+    val (toSchema, toFiles) = manifest(path, toV, store)
+    val removed = fromFiles.toSet -- toFiles.toSet
+    val added = toFiles.toSet -- fromFiles.toSet
+    val before = readFiles(spark, path, toSchema, removed.toSeq.sorted)
+    val after = readFiles(spark, path, toSchema, added.toSeq.sorted)
     after.exceptAll(before).withColumn("__change", lit("insert"))
       .unionByName(before.exceptAll(after).withColumn("__change", lit("delete")))
   }
