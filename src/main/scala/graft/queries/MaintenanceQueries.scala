@@ -1020,6 +1020,110 @@ object MaintenanceQueries {
                TRUE AS restore_is_v3, TRUE AS pure_metadata,
                TRUE AS bad_version_still_travels
                FROM orders GROUP BY o_orderpriority
-               ORDER BY o_orderpriority"""))
+               ORDER BY o_orderpriority""")),
+
+    // M25 — incremental view maintenance: a keyed SUM/COUNT rollup over
+    // the incremental table advanced by SIGNED diff merging (insert = +1,
+    // delete = -1) instead of recomputation — the dbt-gold-models the
+    // reference rebuilds wholesale every run (gold/dimensions.py:366-398),
+    // maintained at O(changed partitions). The gate drives a refresh AND
+    // a delete through [[IncrementalView.maintain]], then pins (a) the
+    // maintained state against a from-scratch recompute of the current
+    // snapshot (multiset equality, exact decimal) and (b) the view
+    // content against the DuckDB oracle's direct statement of the final
+    // state.
+    QueryDef(
+      "m25_incremental_view",
+      (s, d) => {
+        val it = graft.tables.IncrementalTable
+        val iv = graft.tables.IncrementalView
+        val base = scratch("m25_t")
+        val view = scratch("m25_v")
+        val keys = Seq("o_orderpriority")
+        val measures = Seq("o_totalprice")
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        it.commitFull(orders, base, keys)
+        iv.build(s, base, view, keys, measures)
+        // v2: one-partition refresh with doubled prices; v3: cross-
+        // partition delete — both must flow through maintain() as deltas.
+        it.refreshPartitions(
+          orders.filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+              col("o_orderpriority")),
+          base, keys)
+        it.deleteWhere(s, base, keys, col("o_orderkey") % 7 === 0)
+        val reflects = iv.maintain(s, base, view, keys, measures)
+        val maintained = iv.read(s, view, keys, measures)
+        // Exact-decimal comparison against a full recompute of the
+        // current snapshot: the IVM contract is bit-equality, not
+        // tolerance.
+        val recomputed = it.read(s, base)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            sum(col("o_totalprice").cast(DecimalType(28, 4)))
+              .cast(DoubleType).as("o_totalprice_sum"),
+            count(lit(1)).as("__rows"))
+        val matches =
+          maintained.exceptAll(recomputed).isEmpty &&
+            recomputed.exceptAll(maintained).isEmpty
+        maintained
+          .withColumn("view_matches_recompute",
+            lit(matches && reflects == it.currentVersion(base).get))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+               CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN o_totalprice * 2 ELSE o_totalprice END
+                 AS DECIMAL(28,4))) AS DOUBLE) AS o_totalprice_sum,
+               COUNT(*) AS __rows,
+               TRUE AS view_matches_recompute
+               FROM orders WHERE o_orderkey % 7 <> 0
+               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // M26 — bucketed co-located fact-fact join: both sides land
+    // metastore-bucketed on the join key with the SAME bucket count
+    // (Iceberg's bucket(N, col) transform, Spark-native form), so the
+    // join AND the follow-up same-key aggregation plan with ZERO
+    // Exchange — the write-once/join-many layout that at 100 TB removes
+    // both fact shuffles from every run of the daily pipeline. Broadcast
+    // is disabled for the probe so the exchange-free SortMergeJoin is
+    // what the plan boolean actually certifies.
+    QueryDef(
+      "m26_bucketed_join",
+      (s, d) => {
+        val bt = graft.tables.BucketedTable
+        val pO = scratch("m26_orders")
+        val pC = scratch("m26_cust")
+        bt.write(
+          t(s, d, "orders").select(col("o_custkey"), col("o_totalprice")),
+          "m26_orders_b", pO, buckets = 8, bucketCols = Seq("o_custkey"),
+          sortCols = Seq("o_custkey"))
+        bt.write(
+          t(s, d, "customer").select(col("c_custkey"), col("c_acctbal")),
+          "m26_cust_b", pC, buckets = 8, bucketCols = Seq("c_custkey"),
+          sortCols = Seq("c_custkey"))
+        val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val o = bt.table(s, "m26_orders_b")
+          val c = bt.table(s, "m26_cust_b")
+          val agg = c.join(o, c("c_custkey") === o("o_custkey"))
+            .groupBy(col("c_custkey"))
+            .agg(count(lit(1)).as("n_orders"),
+              dsum(col("o_totalprice")).as("total"),
+              max(col("c_acctbal")).as("acctbal"))
+          val exchangeFree =
+            !agg.queryExecution.executedPlan.toString.contains("Exchange")
+          agg.withColumn("exchange_free", lit(exchangeFree))
+            .orderBy(col("c_custkey"))
+        } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      },
+      Some(s"""SELECT c_custkey, COUNT(*) AS n_orders,
+               ${dsumSql("o_totalprice")} AS total,
+               MAX(c_acctbal) AS acctbal,
+               TRUE AS exchange_free
+               FROM customer JOIN orders ON c_custkey = o_custkey
+               GROUP BY c_custkey ORDER BY c_custkey"""))
   )
 }

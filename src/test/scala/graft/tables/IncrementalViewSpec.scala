@@ -1,0 +1,95 @@
+package graft.tables
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Incremental view maintenance: the maintained rollup must stay
+  * bit-identical to a from-scratch recompute of the current snapshot
+  * across refreshes and deletes, honour the zero-vs-NULL trap, drop
+  * emptied groups, and no-op when already current. */
+class IncrementalViewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshPath(name: String): String = {
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_iv_spec", name)
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    p.toString
+  }
+
+  private def rows(rs: (Long, String, java.lang.Double)*) =
+    rs.toDF("id", "grp", "m")
+
+  private def recompute(tablePath: String) =
+    IncrementalTable.read(spark, tablePath)
+      .groupBy($"grp")
+      .agg(
+        sum(when($"m".isNotNull,
+          $"m".cast(org.apache.spark.sql.types.DecimalType(28, 4))))
+          .cast("double").as("m_sum"),
+        count(lit(1)).as("__rows"))
+
+  private def assertMatches(tablePath: String, viewPath: String): Unit = {
+    val maintained =
+      IncrementalView.read(spark, viewPath, Seq("grp"), Seq("m"))
+    val expected = recompute(tablePath)
+    assert(maintained.exceptAll(expected).isEmpty &&
+      expected.exceptAll(maintained).isEmpty,
+      s"view diverged:\nview=${maintained.collect().toSeq}\n" +
+        s"recompute=${expected.collect().toSeq}")
+  }
+
+  test("maintain tracks refresh + delete commits exactly") {
+    val t = freshPath("t1"); val v = freshPath("v1")
+    IncrementalTable.commitFull(
+      rows((1L, "a", 1.5), (2L, "a", 2.5), (3L, "b", 10.0), (4L, "b", null)),
+      t, Seq("grp"))
+    val v0 = IncrementalView.build(spark, t, v, Seq("grp"), Seq("m"))
+    assert(v0 === 1)
+    assertMatches(t, v)
+
+    // one-partition refresh rewrites group a
+    IncrementalTable.refreshPartitions(
+      rows((1L, "a", 100.0), (5L, "a", null)), t, Seq("grp"))
+    // cross-partition delete
+    IncrementalTable.deleteWhere(spark, t, Seq("grp"), $"id" === 3L)
+    val reflects = IncrementalView.maintain(spark, t, v, Seq("grp"), Seq("m"))
+    assert(reflects === IncrementalTable.currentVersion(t).get)
+    assertMatches(t, v)
+  }
+
+  test("all-null group sums to NULL, emptied group leaves the view") {
+    val t = freshPath("t2"); val v = freshPath("v2")
+    IncrementalTable.commitFull(
+      rows((1L, "a", 1.0), (2L, "a", null), (3L, "b", 5.0)), t, Seq("grp"))
+    IncrementalView.build(spark, t, v, Seq("grp"), Seq("m"))
+
+    // delete a's only non-null contribution: sum must become NULL (not 0)
+    IncrementalTable.deleteWhere(spark, t, Seq("grp"), $"id" === 1L)
+    // delete b entirely: the group must vanish from the view
+    IncrementalTable.deleteWhere(spark, t, Seq("grp"), $"grp" === "b")
+    IncrementalView.maintain(spark, t, v, Seq("grp"), Seq("m"))
+
+    val out = IncrementalView.read(spark, v, Seq("grp"), Seq("m"))
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getLong(2)))
+    assert(out.toSeq === Seq(("a", None, 1L)))
+    assertMatches(t, v)
+  }
+
+  test("maintain is a no-op when the view is already current") {
+    val t = freshPath("t3"); val v = freshPath("v3")
+    IncrementalTable.commitFull(rows((1L, "a", 1.0)), t, Seq("grp"))
+    IncrementalView.build(spark, t, v, Seq("grp"), Seq("m"))
+    val viewV = IncrementalTable.currentVersion(v).get
+    val reflects = IncrementalView.maintain(spark, t, v, Seq("grp"), Seq("m"))
+    assert(reflects === 1)
+    // no new commit was minted on the view table
+    assert(IncrementalTable.currentVersion(v).get === viewV)
+  }
+}
