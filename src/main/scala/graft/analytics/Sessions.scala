@@ -3,6 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 /** Gap-based sessionization — the batch form of the session windows the
   * streaming surface builds with flatMapGroupsWithState, and the round/
@@ -18,6 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Sessions {
 
+  /** Epoch micros of a timestamp of EITHER flavor: `unix_micros` is
+    * `DATATYPE_MISMATCH` on TIMESTAMP_NTZ, so cast first — a no-op on
+    * TimestampType, and for NTZ it interprets the wall-clock in the
+    * session TZ (pinned UTC everywhere), so gap arithmetic is identical
+    * whichever physical type the source delivered. */
+  private def micros(c: Column): Column = unix_micros(c.cast(TimestampType))
+
   /** Assign each event a per-entity `session_id` (0-based, in time
     * order): a new session starts when the gap to the previous event
     * exceeds `gapSec`. `tieCol` breaks equal-timestamp ties so the
@@ -31,8 +39,8 @@ object Sessions {
     // truncates to whole seconds, which would merge events 1800.9s apart
     // under gapSec=1800 — "splits iff gap > gapSec" must hold for
     // sub-second timestamps too.
-    val gapMicros = unix_micros(col(tsCol)) -
-      unix_micros(lag(col(tsCol), 1).over(w))
+    val gapMicros = micros(col(tsCol)) -
+      micros(lag(col(tsCol), 1).over(w))
     df.withColumn("__new_session",
         when(gapMicros.isNull || gapMicros > gapSec * 1000000L, 1L).otherwise(0L))
       .withColumn("session_id",
@@ -54,7 +62,7 @@ object Sessions {
         max(col(tsCol)).as("session_end"),
         // whole seconds of the TRUE (microsecond) duration — not a
         // difference of per-timestamp second truncations
-        floor((unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol))))
+        floor((micros(max(col(tsCol))) - micros(min(col(tsCol))))
             / 1000000L).cast("long")
           .as("duration_sec"))
 

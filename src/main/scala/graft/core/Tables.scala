@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loader for the driver-generated synthetic tables (TESTDATA.md).
   *
@@ -17,14 +17,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** The testdata parquet stores timestamps as TIMESTAMP(NANOS), which the
-    * Spark parquet reader rejects outright. We read them as raw nanos
-    * (legacy.parquet.nanosAsLong) and rebuild TimestampType with exact
-    * integer division — the generator never uses sub-microsecond precision,
-    * so `ns div 1000` is lossless. Floating-point division would corrupt
-    * the value (epoch-nanos exceed a double's 2^53 integer range).
+  /** Declared timestamp columns, normalized to session-TZ `TimestampType`
+    * WHATEVER the parquet physical type. The generator has shipped three
+    * physical encodings across rounds — TIMESTAMP(NANOS) (read as raw
+    * longs via legacy.parquet.nanosAsLong), TIMESTAMP_MICROS without TZ
+    * (read as TIMESTAMP_NTZ), and TIMESTAMP_MICROS UTC-adjusted (read as
+    * TIMESTAMP directly) — and every downstream operator assumes plain
+    * `TimestampType`. Pinning the normalization HERE means a physical-type
+    * change in the data can never again break three operators in three
+    * different files (the round-5 NTZ regression).
+    *
+    * Losslessness: nanos-long → `ns div 1000` is exact integer division
+    * (the generator never uses sub-microsecond precision; FLOATING-POINT
+    * division would corrupt, epoch-nanos exceed a double's 2^53 range);
+    * NTZ → TimestampType interprets the wall-clock in the session TZ,
+    * which every entrypoint pins to UTC, so the instant is the identity.
     */
-  private val nanosTimestampCols: Map[String, Seq[String]] = Map(
+  private val timestampCols: Map[String, Seq[String]] = Map(
     "events" -> Seq("ts"),
     "orders" -> Seq("o_orderdate"),
     "lineitem" -> Seq("l_shipdate"))
@@ -32,10 +41,15 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    nanosTimestampCols.getOrElse(name, Nil).foldLeft(df) { (acc, c) =>
-      if (acc.schema.fieldNames.contains(c) && acc.schema(c).dataType == LongType)
-        acc.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
-      else acc
+    timestampCols.getOrElse(name, Nil).foldLeft(df) { (acc, c) =>
+      if (!acc.schema.fieldNames.contains(c)) acc
+      else acc.schema(c).dataType match {
+        case LongType =>
+          acc.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+        case TimestampNTZType =>
+          acc.withColumn(c, col(c).cast(TimestampType))
+        case _ => acc // already TimestampType (UTC-adjusted micros)
+      }
     }
   }
 

@@ -33,33 +33,57 @@ object StreamingQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.load(s, d, n)
 
+  /** Recursive delete that CLOSES the walk stream (Files.walk holds a
+    * directory handle until closed; leaking one per gate adds up over a
+    * 186-gate run). */
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    val walk = Files.walk(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    } finally walk.close()
+  }
+
   private def scratch(name: String): String = {
     val p = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_q", name)
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    if (Files.exists(p)) deleteTree(p)
     Files.createDirectories(p)
     p.toString
   }
 
   /** Land `df` as exactly one JSON file named `name` with a pinned
     * mtime — the file source orders batches by modification time, so
-    * pinned mtimes make the batch sequence deterministic. */
-  private def landJson(df: DataFrame, landDir: String, name: String,
+    * pinned mtimes make the batch sequence deterministic.
+    *
+    * Timestamps are normalized to session-TZ `TimestampType` BEFORE
+    * serialization: the wire format ends in a zone offset (`XXX`) that
+    * TIMESTAMP_NTZ cannot supply, so landing an NTZ column directly
+    * would emit strings the TIMESTAMP read schema silently nulls —
+    * exactly the round-5 st_join 0-row failure. Session TZ is pinned
+    * UTC, so the cast is the wall-clock identity. */
+  private def landJson(df0: DataFrame, landDir: String, name: String,
       mtimeMs: Long): Unit = {
+    val df = df0.select(df0.schema.fields.map { f =>
+      if (f.dataType == TimestampNTZType)
+        col(f.name).cast(TimestampType).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
     val tmp = Paths.get(landDir).resolve(s".tmp-$name")
     df.coalesce(1).write.mode("overwrite")
       .option("timestampFormat", StreamingTelemetry.FixTimestampFormat)
       .json(tmp.toString)
-    import scala.jdk.CollectionConverters._
-    val part = Files.list(tmp).iterator().asScala
-      .find(_.toString.endsWith(".json"))
-      .getOrElse(throw new IllegalStateException(s"no json part in $tmp"))
+    val listing = Files.list(tmp)
+    val part =
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala
+          .find(_.toString.endsWith(".json"))
+          .getOrElse(throw new IllegalStateException(s"no json part in $tmp"))
+      } finally listing.close()
     val target = Paths.get(landDir).resolve(name)
     Files.move(part, target)
     Files.setLastModifiedTime(target, FileTime.fromMillis(mtimeMs))
-    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    deleteTree(tmp)
   }
 
   /** events → the streaming Fix shape. */

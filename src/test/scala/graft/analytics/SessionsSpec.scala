@@ -36,6 +36,28 @@ class SessionsSpec extends SparkSpec {
     assert(out(2).getAs[Long]("session_id") === 0L)
   }
 
+  test("sessionize is NTZ-proof: TIMESTAMP_NTZ input segments identically") {
+    // The round-5 testdata regeneration delivered TIMESTAMP_NTZ columns
+    // and raw unix_micros is DATATYPE_MISMATCH on NTZ — sessionization
+    // must work (and agree) on BOTH timestamp flavors, loader or no
+    // loader.
+    val events = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (1L, 11L, ts("2024-01-01 10:30:00")),
+      (1L, 12L, ts("2024-01-01 11:00:01")),
+      (2L, 20L, ts("2024-01-01 09:00:00"))
+    ).toDF("user_id", "event_id", "ts")
+    val ntz = events.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val tz = Sessions.sessionize(events, "user_id", "ts", "event_id", 1800L)
+      .select("user_id", "session_id", "n_events", "duration_sec")
+      .orderBy("user_id", "session_id").collect().toSeq
+    val out = Sessions.sessionize(ntz, "user_id", "ts", "event_id", 1800L)
+      .select("user_id", "session_id", "n_events", "duration_sec")
+      .orderBy("user_id", "session_id").collect().toSeq
+    assert(out === tz)
+    assert(out.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 1L, 1L))
+  }
+
   test("session ids are 0-based, dense, and per-entity independent") {
     val events = Seq(
       (1L, 1L, ts("2024-01-01 08:00:00")),
