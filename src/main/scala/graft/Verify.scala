@@ -34,15 +34,32 @@ object Verify {
     // Optional comma-separated subset for local iteration; the driver
     // leaves it unset and gets every query.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    selected.foreach { case (name, fn) =>
       try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Corpus-integrity assertion (round 5: crashed gates silently VANISHED
+    // from the report). On a full run, overwrite the corpus_complete gate
+    // with the counts this harness actually observed — any crash makes
+    // that gate hash-mismatch its (n, n, 0) oracle instead of shrinking
+    // the report — and print declared-vs-reported for the round log.
+    val declared = SparkEntry.queries.size
+    val written = selected.size - failed.size
+    if (only.isEmpty) {
+      import spark.implicits._
+      Seq((declared.toLong, written.toLong, failed.size.toLong))
+        .toDF("declared", "written", "failed")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/corpus_complete")
+    }
+    println(s"""{"declared":$declared,"reported":$written,"failed":[${
+      failed.map("\"" + _ + "\"").mkString(",")}]}""")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -6,21 +6,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * re-expressed over the synthetic testdata, keyed by operator id.
   */
 object Corpus {
-  def defs: Seq[QueryDef] =
-    ScanQueries.defs ++
-      ProjQueries.defs ++
-      AggQueries.defs ++
-      WindowQueries.defs ++
-      JoinQueries.defs ++
-      SortSetQueries.defs ++
-      FunctionQueries.defs ++
-      GoldQueries.defs ++
-      GoldQueries2.defs ++
-      GoldQueries3.defs ++
-      MaintenanceQueries.defs ++
-      DashQueries.defs ++
-      LlmQueries.defs ++
-      StreamingQueries.defs
+  def defs: Seq[QueryDef] = {
+    val base =
+      ScanQueries.defs ++
+        ProjQueries.defs ++
+        AggQueries.defs ++
+        WindowQueries.defs ++
+        JoinQueries.defs ++
+        SortSetQueries.defs ++
+        FunctionQueries.defs ++
+        GoldQueries.defs ++
+        GoldQueries2.defs ++
+        GoldQueries3.defs ++
+        MaintenanceQueries.defs ++
+        DashQueries.defs ++
+        LlmQueries.defs ++
+        StreamingQueries.defs
+    base :+ corpusComplete(base.size + 1)
+  }
+
+  /** Corpus-integrity gate: in round 5, two gates crashed out of the
+    * harness and VANISHED from the correctness report (184 reported vs
+    * 186 declared) — absence reads as "nothing wrong". This gate makes
+    * declared−reported ≠ 0 a LOUD hash mismatch: the oracle pins
+    * (declared, written, failed) = (n, n, 0), and graft.Verify
+    * OVERWRITES this gate's parquet after the run loop with the counts
+    * it actually observed, so any crashed gate turns this row red
+    * instead of silently shrinking the report. */
+  private def corpusComplete(n: Int): QueryDef = QueryDef(
+    "corpus_complete",
+    (s, _) => {
+      import s.implicits._
+      Seq((n.toLong, n.toLong, 0L)).toDF("declared", "written", "failed")
+    },
+    Some(s"""SELECT CAST($n AS BIGINT) AS declared,
+             CAST($n AS BIGINT) AS written,
+             CAST(0 AS BIGINT) AS failed"""))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(q => q.name -> q.run).toMap
