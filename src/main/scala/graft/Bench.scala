@@ -12,9 +12,12 @@ import org.apache.spark.sql.SparkSession
   * uniform ~10× inflation of every query, including trivial projections):
   *   - each query runs SPARK_GRAFT_REPEATS times (default 3) and the
   *     MEDIAN is reported — a single co-tenant burst can't inflate it;
-  *   - a fixed trivial sentinel query is re-timed at start / middle / end
-  *     and reported, so a contended record is self-diagnosing (sentinel
-  *     drift ≈ machine noise, not plan regressions).
+  *   - repeats are INTERLEAVED (the corpus is traversed once per repeat)
+  *     so a contention window can't own all of one query's samples;
+  *   - a fixed trivial sentinel query is re-timed once per traversal
+  *     (plus once at the end) and reported, so a contended record is
+  *     self-diagnosing (sentinel drift ≈ machine noise, not plan
+  *     regressions).
   *
   * The printed line carries per-query timings for a HEADLINE subset only:
   * the driver keeps just the tail of our stdout, and a map of all ~120
@@ -44,6 +47,17 @@ object Bench {
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+
+  /** One timed run of one query through the noop sink. */
+  private def timeOne(spark: SparkSession, sfDir: String,
+      name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    val t0 = System.nanoTime()
+    try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,26 +94,30 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    val sentinelStart = sentinel()
     // optional args = subset of query names (local profiling)
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     val ordered = selected.toSeq.sortBy(_._1)
-    var sentinelMid = 0.0
-    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
-      if (idx == ordered.size / 2) sentinelMid = sentinel()
-      val times = (1 to repeats).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    // INTERLEAVED repeats: traverse the whole corpus once per repeat
+    // (round-major), so a machine-contention burst can touch at most ONE
+    // sample of each query instead of owning all three samples of the
+    // queries that happened to run inside the burst — round 5's official
+    // record turned a reproducible 3.6 s query into a recorded 61.8 s
+    // median exactly that way. One sentinel per traversal (plus a final
+    // one) brackets each round for the contention diagnosis.
+    val samples = Array.fill(ordered.size)(Vector.empty[Double])
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 to repeats) {
+      sentinels += sentinel()
+      ordered.zipWithIndex.foreach { case ((name, fn), i) =>
+        samples(i) :+= timeOne(spark, sfDir, name, fn)
       }
-      (name, median(times), times)
     }
-    val sentinelEnd = sentinel()
+    sentinels += sentinel()
+    val results = ordered.zipWithIndex.map { case ((name, _), i) =>
+      (name, median(samples(i)), samples(i))
+    }
     def fmtMap(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
@@ -111,7 +129,7 @@ object Bench {
     val batchTotal = batchR.map(_._2).sum
     val streamTotal = streamR.map(_._2).sum
     val hs = results.collect { case (k, m, _) if headline.contains(k) => (k, m) }
-    val sent = s"[${num(sentinelStart)},${num(sentinelMid)},${num(sentinelEnd)}]"
+    val sent = sentinels.map(num).mkString("[", ",", "]")
     // Full map incl. every repeat for local iteration (not part of the
     // driver contract).
     try java.nio.file.Files.writeString(
