@@ -123,13 +123,18 @@ object Curation {
     * pay the exact verification. On a clean-ish corpus the exact stage
     * processes a sliver of the data; correctness never depends on the
     * bitmap. */
-  def decontaminateBloom(
-      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, maxContamination: Double = 0.2,
+  /** The Bloom pre-filter stage of [[decontaminateBloom]], exposed so
+    * the scale harness can measure the suspect fraction directly: rows
+    * whose bitmap-estimated contamination reaches the threshold — a
+    * strict SUPERSET of the truly contaminated (false positives only
+    * ADD shared-gram counts). One codegen projection over the train
+    * scan; no explode, no join, no shuffle. */
+  def bloomSuspects(
+      train: DataFrame, bits: Array[Long], textCol: String,
+      n: Int, maxContamination: Double,
       numBits: Int = 1 << 22, k: Int = 3): DataFrame = {
-    val bits = evalBloom(eval, textCol, n, numBits, k)
     val grams = Dedup.wordShingles(col(textCol), n)
-    val suspects = train
+    train
       .withColumn("__grams", grams)
       .withColumn("__bloom_shared",
         graft.functions.F.bloomCountIn(col("__grams"), bits, numBits, k))
@@ -137,6 +142,15 @@ object Curation {
         col("__bloom_shared").cast(DoubleType) /
           size(col("__grams")).cast(DoubleType) >= maxContamination)
       .drop("__grams", "__bloom_shared")
+  }
+
+  def decontaminateBloom(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, maxContamination: Double = 0.2,
+      numBits: Int = 1 << 22, k: Int = 3): DataFrame = {
+    val bits = evalBloom(eval, textCol, n, numBits, k)
+    val suspects =
+      bloomSuspects(train, bits, textCol, n, maxContamination, numBits, k)
     val flagged = contamination(suspects, eval, idCol, textCol, n)
       .filter(col("contamination") >= maxContamination)
       .select(col("doc_id").as(idCol))

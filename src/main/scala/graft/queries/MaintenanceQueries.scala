@@ -24,10 +24,7 @@ object MaintenanceQueries {
 
   private def scratch(name: String): String = {
     val p = Paths.get(sys.props("java.io.tmpdir"), "graft_maint_q", name)
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    graft.tables.FsUtil.deleteRec(p)
     Files.createDirectories(p.getParent)
     p.toString
   }

@@ -27,16 +27,12 @@ object ScanQueries {
     val p = Paths.get(sys.props("java.io.tmpdir"), "graft_scan", name)
     delete(p); Files.createDirectories(p); p
   }
-  private def delete(p: Path): Unit = if (Files.exists(p)) {
-    import scala.jdk.CollectionConverters._
-    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-  }
+  private def delete(p: Path): Unit = graft.tables.FsUtil.deleteRec(p)
   /** Move Spark part-files from a write dir into a flat dir under a stable
     * name — lets two differently-schemed writes coexist as one landing. */
   private def adoptParts(from: Path, to: Path, name: String, ext: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val parts = Files.list(from).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+    val parts = graft.tables.FsUtil.listDir(from)
+      .filter(_.getFileName.toString.startsWith("part-")).sortBy(_.toString)
     parts.zipWithIndex.foreach { case (f, i) =>
       Files.move(f, to.resolve(s"$name$i.$ext"))
     }

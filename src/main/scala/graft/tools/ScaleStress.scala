@@ -255,8 +255,8 @@ object ScaleStress {
     (1 to batches).foreach { b =>
       val dir = base.resolve("slices").resolve(s"__b=$b")
       if (Files.isDirectory(dir)) {
-        Files.list(dir).iterator().asScala
-          .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+        graft.tables.FsUtil.listDir(dir)
+          .filter(_.toString.endsWith(".json")).sortBy(_.toString)
           .zipWithIndex.foreach { case (p, i) =>
             val tgt = land.resolve(f"b$b%04d-$i%03d.json")
             Files.move(p, tgt)
@@ -276,7 +276,7 @@ object ScaleStress {
         .coalesce(1).write.mode("overwrite")
         .option("timestampFormat", StreamingTelemetry.FixTimestampFormat)
         .json(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
+      val part = graft.tables.FsUtil.listDir(tmp)
         .find(_.toString.endsWith(".json")).get
       val tgt = land.resolve(s"zflush$f.json")
       Files.move(part, tgt)

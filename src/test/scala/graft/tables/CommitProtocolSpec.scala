@@ -22,10 +22,7 @@ class CommitProtocolSpec extends SparkSpec {
 
   private def freshPath(name: String): String = {
     val p = Paths.get(sys.props("java.io.tmpdir"), "graft_cp_spec", name)
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    FsUtil.deleteRec(p)
     p.toString
   }
 

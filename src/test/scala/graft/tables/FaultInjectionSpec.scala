@@ -26,8 +26,11 @@ class FaultInjectionSpec extends SparkSpec {
   private def freshPath(name: String): String = {
     val p = Paths.get(sys.props("java.io.tmpdir"), "graft_fi_spec", name)
     if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val walk = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      } finally walk.close()
     }
     p.toString
   }
@@ -203,5 +206,153 @@ class FaultInjectionSpec extends SparkSpec {
     // and the table accepts new commits
     assert(IncrementalTable.refreshPartitions(
       df((1L, "a4", "p1")), path, Seq("part"), store = store) === 4)
+  }
+
+  // ---- vacuum vs the rollback pin --------------------------------------
+
+  test("IT: vacuum never reclaims the rollback-pinned version — pinned reads survive") {
+    val path = freshPath("it_vac_pin")
+    (1 to 4).foreach(i =>
+      IncrementalTable.commitFull(sdf((i.toLong, s"v$i")), path))
+    IncrementalTable.rollback(path, 2)
+    assert(IncrementalTable.currentVersion(path) === Some(2))
+
+    // keep=1 would keep only {4} by recency; the live pin must ALSO
+    // protect 2 (dropVersions protects currentVersion, which resolves
+    // through the pin) — a vacuum that reclaimed the pinned version
+    // would break every reader mid-rollback
+    IncrementalTable.vacuum(path, keep = 1)
+    assert(IncrementalTable.versions(path).contains(2))
+    assert(IncrementalTable.read(spark, path)
+      .select("v").as[String].collect().toSeq === Seq("v2"))
+    // the un-pinned non-newest versions are reclaimed
+    assert(IncrementalTable.versions(path) === Seq(2, 4))
+  }
+
+  test("IT: time-travel read of a vacuumed version fails cleanly, never partially") {
+    val path = freshPath("it_vac_tt")
+    (1 to 3).foreach(i =>
+      IncrementalTable.commitFull(sdf((i.toLong, s"v$i")), path))
+    IncrementalTable.vacuum(path, keep = 1)
+    assert(IncrementalTable.versions(path) === Seq(3))
+    // a vacuumed version is GONE from the committed set: the read is
+    // refused up front (clean IllegalArgumentException), not answered
+    // from whatever files happen to remain
+    intercept[IllegalArgumentException] {
+      IncrementalTable.read(spark, path, Some(1))
+    }
+    assert(IncrementalTable.read(spark, path)
+      .select("v").as[String].collect().toSeq === Seq("v3"))
+  }
+
+  // ---- lockless readers vs a live commit+vacuum storm ------------------
+
+  test("ML: manifest readers racing commits and dropVersions always see a complete payload") {
+    // ManifestLog-level storm (no Spark in the loop, so hundreds of
+    // interleavings run in seconds): one writer commits versions whose
+    // payload encodes its own version (versions are dense at the top, so
+    // render(cur) knows it will mint cur+1); one vacuum loop drops
+    // everything but the newest two; three reader threads resolve
+    // current → fetch its manifest. Lockless-deployment invariant: a
+    // reader either gets the COMPLETE payload of the version it
+    // resolved, or a clean miss (the version aged out between resolve
+    // and fetch) — never a torn or mismatched payload.
+    val path = freshPath("ml_storm")
+    Files.createDirectories(Paths.get(path))
+    val log = new ManifestLog(LocalCommitStore, path)
+    val commits = 200
+    val anomalies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val cleanMisses = new java.util.concurrent.atomic.AtomicInteger()
+    val goodReads = new java.util.concurrent.atomic.AtomicInteger()
+    val dropped = new java.util.concurrent.atomic.AtomicInteger()
+    val writerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    val writer = new Thread(() => {
+      (1 to commits).foreach { _ =>
+        log.commit(cur => s"payload v${cur.map(_._1).getOrElse(0) + 1}")
+      }
+      writerDone.set(true)
+    })
+    val vacuumer = new Thread(() => {
+      while (!writerDone.get()) {
+        val vs = log.versions
+        if (vs.size > 2) {
+          val drop = vs.dropRight(2)
+          log.dropVersions(drop)
+          dropped.addAndGet(drop.size)
+        }
+      }
+    })
+    val readers = (1 to 3).map(_ => new Thread(() => {
+      while (!writerDone.get()) {
+        log.currentVersion.foreach { v =>
+          log.manifest(v) match {
+            case Some(p) =>
+              if (p.trim != s"payload v$v")
+                anomalies.add(s"v$v read '${p.trim}'")
+              else goodReads.incrementAndGet()
+            case None => cleanMisses.incrementAndGet() // aged out mid-read
+          }
+        }
+      }
+    }))
+    val threads = Seq(writer, vacuumer) ++ readers
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(anomalies.isEmpty,
+      s"torn/mismatched reads: ${anomalies.toArray.mkString("; ")}")
+    assert(goodReads.get() > 0, "storm produced no successful reads")
+    assert(dropped.get() > 0, "vacuum loop never engaged — storm vacuous")
+    // the log itself converged: newest version is the last commit
+    assert(log.currentVersion === Some(commits))
+  }
+
+  test("IT: Spark readers under a live commit+vacuum storm see only complete snapshots") {
+    // The same invariant through the FULL read path (manifest → parquet
+    // scan): a lockless reader either collects a complete committed
+    // snapshot — all rows carry one version tag and the full row count —
+    // or fails cleanly when its resolved version's files are vacuumed
+    // mid-scan. A mixed-tag or short result would mean torn reads.
+    val path = freshPath("it_storm")
+    val rowsPerVersion = 8
+    val commits = 6
+    val anomalies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val cleanMisses = new java.util.concurrent.atomic.AtomicInteger()
+    val goodReads = new java.util.concurrent.atomic.AtomicInteger()
+    val writerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    IncrementalTable.commitFull(
+      (1 to rowsPerVersion).map(k => (k.toLong, "v1")).toDF("k", "v"), path)
+    val writer = new Thread(() => {
+      (2 to commits).foreach { i =>
+        IncrementalTable.commitFull(
+          (1 to rowsPerVersion).map(k => (k.toLong, s"v$i")).toDF("k", "v"),
+          path)
+        IncrementalTable.vacuum(path, keep = 2)
+      }
+      writerDone.set(true)
+    })
+    val readers = (1 to 2).map(_ => new Thread(() => {
+      while (!writerDone.get()) {
+        try {
+          val tags = IncrementalTable.read(spark, path)
+            .select("v").as[String].collect().toSeq
+          if (tags.distinct.size != 1 || tags.size != rowsPerVersion)
+            anomalies.add(s"torn snapshot: ${tags.distinct.mkString(",")} (${tags.size} rows)")
+          else goodReads.incrementAndGet()
+        } catch {
+          // resolved version vacuumed mid-scan → clean failure, allowed
+          case _: Exception => cleanMisses.incrementAndGet()
+        }
+      }
+    }))
+    val threads = writer +: readers
+    threads.foreach(_.start())
+    threads.foreach(_.join(300000))
+    assert(anomalies.isEmpty,
+      s"torn snapshots: ${anomalies.toArray.mkString("; ")}")
+    assert(goodReads.get() > 0, "storm produced no successful reads")
+    assert(IncrementalTable.read(spark, path)
+      .select("v").as[String].collect().toSet === Set(s"v$commits"))
   }
 }

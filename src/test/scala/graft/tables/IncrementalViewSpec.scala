@@ -17,8 +17,11 @@ class IncrementalViewSpec extends SparkSpec {
   private def freshPath(name: String): String = {
     val p = Paths.get(sys.props("java.io.tmpdir"), "graft_iv_spec", name)
     if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val walk = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      } finally walk.close()
     }
     p.toString
   }

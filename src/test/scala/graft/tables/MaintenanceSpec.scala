@@ -73,12 +73,7 @@ class MaintenanceSpec extends SparkSpec {
       else ParquetTable.refreshPartitions(batch, path, Seq("course_id"))
     }
     ParquetTable.compact(spark, path, Seq("course_id"), clusterBy = Seq("k"))
-    import scala.jdk.CollectionConverters._
-    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
-      .iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") &&
-        java.nio.file.Files.isRegularFile(p))
-      .toSeq
+    val files = FsUtil.parquetFiles(java.nio.file.Paths.get(path))
     assert(files.nonEmpty)
     files.foreach { f =>
       val ks = spark.read.parquet(f.toString).select("k")

@@ -22,10 +22,7 @@ class ScaleStressSpec extends SparkSpec {
     val dir = Paths.get(sys.props("java.io.tmpdir"), "graft_stress_ci").toString
     // fresh replica per run: the replicate marker makes reuse silent
     // otherwise, and a stale dir could mask generator changes
-    if (Files.exists(Paths.get(dir))) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    graft.tables.FsUtil.deleteRec(Paths.get(dir))
     ScaleStress.replicate(spark, sfDir, dir, factor, skew = true)
     dir
   }
