@@ -1021,9 +1021,9 @@ object MaintenanceQueries {
 
     // M25 — incremental view maintenance: a keyed SUM/COUNT rollup over
     // the incremental table advanced by SIGNED diff merging (insert = +1,
-    // delete = -1) instead of recomputation — the dbt-gold-models the
-    // reference rebuilds wholesale every run (gold/dimensions.py:366-398),
-    // maintained at O(changed partitions). The gate drives a refresh AND
+    // delete = -1) instead of recomputation — the reference's gold dbt
+    // models, which `materialized: table` rebuilds wholesale every run
+    // (gold/dbt_project.yml), maintained here at O(changed partitions). The gate drives a refresh AND
     // a delete through [[IncrementalView.maintain]], then pins (a) the
     // maintained state against a from-scratch recompute of the current
     // snapshot (multiset equality, exact decimal) and (b) the view
@@ -1112,7 +1112,15 @@ object MaintenanceQueries {
               max(col("c_acctbal")).as("acctbal"))
           val exchangeFree =
             !agg.queryExecution.executedPlan.toString.contains("Exchange")
-          agg.withColumn("exchange_free", lit(exchangeFree))
+          // Execute the certified plan NOW, while the threshold is still
+          // forced: localCheckpoint materializes the exchange-free
+          // sort-merge join before the finally block restores
+          // autoBroadcastJoinThreshold, so the rows the harness hashes
+          // are produced by the plan the boolean certifies — without it
+          // the deferred execution would re-plan a BroadcastHashJoin
+          // under the restored session conf.
+          agg.localCheckpoint()
+            .withColumn("exchange_free", lit(exchangeFree))
             .orderBy(col("c_custkey"))
         } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       },
