@@ -69,6 +69,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Interleaved repeats traverse ~190 distinct plans per round; the
+      // default 100-entry generated-class cache thrashes and every
+      // traversal pays full recompilation of every stage (~30-40%
+      // uniform inflation measured at sf0.1). Size the cache to the
+      // corpus so repeat runs measure execution, not Janino.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

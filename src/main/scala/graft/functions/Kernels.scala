@@ -186,6 +186,105 @@ object Kernels {
     c
   }
 
+  /** 64-bit hash of the n-token gram starting at `i` in `tokH` — an
+    * XXH64 chain over the tokens' individual hashes: the hash-space twin
+    * of [[ngrams]]' space-joined string, never materializing the gram.
+    * Identical token sequences hash identically on every side that uses
+    * this kernel, which is the only property the Bloom paths need. */
+  private def gramHashAt(tokH: Array[Long], i: Int, n: Int): Long = {
+    var h = -7046029254386353131L // 2^64 / golden ratio
+    var j = 0
+    while (j < n) {
+      h = XXH64.hashLong(tokH(i + j) ^ h, 42L)
+      j += 1
+    }
+    h
+  }
+
+  /** DISTINCT word-n-gram hashes (ascending) over a token array — the
+    * allocation-light twin of [[ngrams]]: one long per gram instead of a
+    * concatenated UTF8String, distinctness via sort instead of a hash
+    * set of strings. Two DIFFERENT grams alias at ~m²/2⁶⁴ odds per doc
+    * (the same accepted risk as jaccardPairs' shingle hashing); equal
+    * grams always collide, so Bloom probes built on these hashes can
+    * never miss a true overlap. Fewer than n tokens → empty. */
+  def ngramHashes(arr: ArrayData, n: Int): ArrayData = {
+    val numToks = arr.numElements()
+    if (numToks < n)
+      return org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array.emptyLongArray)
+    val tokH = new Array[Long](numToks)
+    var i = 0
+    while (i < numToks) {
+      tokH(i) =
+        if (arr.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      i += 1
+    }
+    val g = numToks - n + 1
+    val hs = new Array[Long](g)
+    i = 0
+    while (i < g) { hs(i) = gramHashAt(tokH, i, n); i += 1 }
+    java.util.Arrays.sort(hs)
+    var uniq = 1
+    i = 1
+    while (i < g) { if (hs(i) != hs(i - 1)) uniq += 1; i += 1 }
+    val out =
+      if (uniq == g) hs
+      else {
+        val o = new Array[Long](uniq)
+        o(0) = hs(0)
+        var w = 1
+        i = 1
+        while (i < g) {
+          if (hs(i) != hs(i - 1)) { o(w) = hs(i); w += 1 }
+          i += 1
+        }
+        o
+      }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** Double hashes over a PRE-HASHED gram (the long-keyed twins of
+    * [[bloomH1]]/[[bloomH2]]). */
+  def bloomH1L(h: Long): Long = XXH64.hashLong(h, 42L)
+  def bloomH2L(h: Long): Long = XXH64.hashLong(h, 777L)
+
+  /** Driver-side bitmap build over a gram HASH. */
+  def bloomSetLong(bits: Array[Long], numBits: Int, k: Int, h: Long): Unit = {
+    val h1 = bloomH1L(h); val h2 = bloomH2L(h)
+    var i = 0
+    while (i < k) {
+      val bit = java.lang.Math.floorMod(h1 + i * h2, numBits.toLong).toInt
+      bits(bit >>> 6) |= (1L << (bit & 63))
+      i += 1
+    }
+  }
+
+  /** [[bloomCountIn]] over array<long> gram hashes: count of elements
+    * whose k probe bits are all set. Same monotone-superset guarantee,
+    * no string hashing in the loop. */
+  def bloomCountInLongs(hashes: ArrayData, bits: Array[Long], numBits: Int,
+      k: Int): Int = {
+    val n = hashes.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      val h1 = bloomH1L(h); val h2 = bloomH2L(h)
+      var hit = true
+      var j = 0
+      while (hit && j < k) {
+        val bit = java.lang.Math.floorMod(h1 + j * h2, numBits.toLong).toInt
+        hit = (bits(bit >>> 6) & (1L << (bit & 63))) != 0
+        j += 1
+      }
+      if (hit) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
     * every k-byte gram (XXH64, seed 42), slide a window of w gram
     * hashes, keep each window's minimum (rightmost on ties), dedupe

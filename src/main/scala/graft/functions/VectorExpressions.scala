@@ -350,6 +350,58 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct word-n-gram HASHES over a token array — the Bloom paths'
+  * allocation-light twin of [[WordNgrams]]: one 64-bit chain hash per
+  * gram, sort-distinct, no gram strings materialized. See
+  * Kernels.ngramHashes for the (accepted, jaccardPairs-precedented)
+  * cross-gram collision odds. */
+case class WordNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "ngram width must be >= 1")
+  override def prettyName: String = "word_ngram_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngram_hashes requires array<string>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.ngramHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Kernels.ngramHashes($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[BloomCountIn]] over array<long> pre-hashed grams. */
+case class BloomCountInLongs(child: Expression, bits: Array[Long],
+    numBits: Int, k: Int) extends UnaryExpression {
+  override def prettyName: String = "bloom_count_in_longs"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_count_in_longs requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.bloomCountInLongs(input.asInstanceOf[ArrayData], bits, numBits, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Kernels.bloomCountInLongs($a, $bitsRef, $numBits, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Element-wise xxhash64 (seed 42, identical to the builtin) over an
   * array<string>. */
 case class XxHash64Array(child: Expression) extends UnaryExpression {
@@ -508,6 +560,10 @@ object F {
   def bloomCountIn(tokens: Column, bits: Array[Long], numBits: Int, k: Int): Column =
     c(BloomCountIn(e(tokens), bits, numBits, k))
   def wordNgrams(tokens: Column, n: Int): Column = c(WordNgrams(e(tokens), n))
+  def wordNgramHashes(tokens: Column, n: Int): Column =
+    c(WordNgramHashes(e(tokens), n))
+  def bloomCountInLongs(hashes: Column, bits: Array[Long], numBits: Int,
+      k: Int): Column = c(BloomCountInLongs(e(hashes), bits, numBits, k))
   def xxhash64Array(strings: Column): Column = c(XxHash64Array(e(strings)))
   def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
     c(NearestCentroid(e(v), centroids))

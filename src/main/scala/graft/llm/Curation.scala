@@ -99,18 +99,31 @@ object Curation {
     * driver — the eval/benchmark set is SMALL by definition (that is
     * the whole reason decontamination is tractable); at the default
     * 2²² bits (512 KB) a 100k-gram benchmark fills < 5% of the bitmap
-    * and the per-gram false-positive rate with k=3 probes is ≪ 1%. */
+    * and the per-gram false-positive rate with k=3 probes is ≪ 1%.
+    *
+    * Keyed on 64-bit GRAM HASHES (Kernels.ngramHashes), not gram
+    * strings: the probe side then hashes 8 longs per gram instead of
+    * concatenating and hashing a ~50-byte string — the DecontamScale
+    * ×100 measurement showed the probe stage dominated by exactly that
+    * gram-string materialization. Equal grams always hash equal, so
+    * the probe still can never miss a true overlap. */
   def evalBloom(
       eval: DataFrame, textCol: String, n: Int,
       numBits: Int = 1 << 22, k: Int = 3): Array[Long] = {
     val grams = eval
-      .select(explode(Dedup.wordShingles(col(textCol), n)).as("gram"))
-      .distinct().collect().map(_.getString(0))
+      .select(explode(gramHashes(col(textCol), n)).as("gh"))
+      .distinct().collect().map(_.getLong(0))
     val bits = new Array[Long]((numBits + 63) / 64)
-    grams.foreach(g => graft.functions.Kernels.bloomSet(
-      bits, numBits, k, org.apache.spark.unsafe.types.UTF8String.fromString(g)))
+    grams.foreach(g => graft.functions.Kernels.bloomSetLong(bits, numBits, k, g))
     bits
   }
+
+  /** Distinct word-n-gram hashes of a text column — normalize +
+    * tokenize exactly as [[Dedup.wordShingles]], then the hash-space
+    * kernel instead of gram-string materialization. */
+  private def gramHashes(text: Column, n: Int): Column =
+    graft.functions.F.wordNgramHashes(
+      TextAnalysis.tokens(TextAnalysis.normalize(text)), n)
 
   /** The 100 TB form of [[decontaminate]]: identical OUTPUT, different
     * plan. The exact path explodes every train document into one row
@@ -132,17 +145,15 @@ object Curation {
   def bloomSuspects(
       train: DataFrame, bits: Array[Long], textCol: String,
       n: Int, maxContamination: Double,
-      numBits: Int = 1 << 22, k: Int = 3): DataFrame = {
-    val grams = Dedup.wordShingles(col(textCol), n)
+      numBits: Int = 1 << 22, k: Int = 3): DataFrame =
     train
-      .withColumn("__grams", grams)
+      .withColumn("__gh", gramHashes(col(textCol), n))
       .withColumn("__bloom_shared",
-        graft.functions.F.bloomCountIn(col("__grams"), bits, numBits, k))
-      .filter(size(col("__grams")) > 0 &&
+        graft.functions.F.bloomCountInLongs(col("__gh"), bits, numBits, k))
+      .filter(size(col("__gh")) > 0 &&
         col("__bloom_shared").cast(DoubleType) /
-          size(col("__grams")).cast(DoubleType) >= maxContamination)
-      .drop("__grams", "__bloom_shared")
-  }
+          size(col("__gh")).cast(DoubleType) >= maxContamination)
+      .drop("__gh", "__bloom_shared")
 
   def decontaminateBloom(
       train: DataFrame, eval: DataFrame, idCol: String, textCol: String,

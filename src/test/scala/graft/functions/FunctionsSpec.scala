@@ -132,6 +132,40 @@ class FunctionsSpec extends SparkSpec {
       .collect()(0).getInt(0) === members.size)
   }
 
+  test("word_ngram_hashes: distinct count matches word_ngrams; hashed bloom probes never miss members") {
+    check(Prop.forAll(tokensGen, Gen.choose(1, 4)) { (toks, n) =>
+      val df = Seq(Tuple1(toks)).toDF("t")
+      val nStrings = df.select(size(F.wordNgrams(col("t"), n)))
+        .collect()(0).getInt(0)
+      val nHashes = df.select(size(F.wordNgramHashes(col("t"), n)))
+        .collect()(0).getInt(0)
+      // hash-distinct == string-distinct (a mismatch would need a 64-bit
+      // chain-hash collision between two different grams of one doc)
+      nHashes == nStrings
+    })
+    // grams planted in a bloomSetLong bitmap always probe positive
+    // through the hashed pipeline (equal grams → equal hashes)
+    val numBits = 1 << 16
+    val k = 3
+    val evalDf = Seq(Tuple1(Seq("alpha", "beta", "gamma", "delta"))).toDF("t")
+    val evalHashes = evalDf.select(explode(F.wordNgramHashes(col("t"), 2)))
+      .collect().map(_.getLong(0))
+    val bits = new Array[Long]((numBits + 63) / 64)
+    evalHashes.foreach(h =>
+      graft.functions.Kernels.bloomSetLong(bits, numBits, k, h))
+    // same token stream on the probe side: every gram must hit
+    val hits = evalDf
+      .select(F.bloomCountInLongs(F.wordNgramHashes(col("t"), 2), bits, numBits, k))
+      .collect()(0).getInt(0)
+    assert(hits === evalHashes.length)
+    // disjoint tokens: hit count stays far below gram count (FPs only)
+    val other = Seq(Tuple1(Seq("zeta", "eta", "theta", "iota"))).toDF("t")
+    val miss = other
+      .select(F.bloomCountInLongs(F.wordNgramHashes(col("t"), 2), bits, numBits, k))
+      .collect()(0).getInt(0)
+    assert(miss <= 1)
+  }
+
   test("simhash64 kernel matches the SQL aggregate/zip_with formulation") {
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.oneOf("alpha", "beta", "gamma", "the"))) { toks =>
       val df = Seq(Tuple1(toks)).toDF("t")

@@ -62,6 +62,34 @@ class CurationSpec extends SparkSpec {
     assert(keptIds.nonEmpty)
   }
 
+  test("hashed Bloom prefilter: suspects cover every truly contaminated doc; bloom == exact output") {
+    val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+      .unionByName(evalDocs.select((col("doc_id") + 50000).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars")))
+    val thresh = 0.2
+    // the suspect set (bloom estimate ≥ thresh, hashed-gram kernels) is
+    // a SUPERSET of the truly-flagged set — the property the whole
+    // prefilter design rides on
+    val bits = Curation.evalBloom(evalDocs, "text", 3)
+    val suspects = Curation.bloomSuspects(train, bits, "text", 3, thresh)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val trulyFlagged = Curation.contamination(train, evalDocs, "doc_id", "text", n = 3)
+      .filter(col("contamination") >= thresh)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(trulyFlagged.nonEmpty)
+    assert(trulyFlagged.subsetOf(suspects),
+      s"missed suspects: ${(trulyFlagged -- suspects).take(5)}")
+    // end to end, the bloom plan returns EXACTLY the exact plan's rows
+    val viaBloom = Curation.decontaminateBloom(
+      train, evalDocs, "doc_id", "text", n = 3, maxContamination = thresh)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaExact = Curation.decontaminate(
+      train, evalDocs, "doc_id", "text", n = 3, maxContamination = thresh)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom === viaExact)
+  }
+
   test("mixingWeights: scarcest domain caps the total, rates stay ≤ 1") {
     val df = Seq.tabulate(100)(i =>
       (i.toLong, if (i < 60) "web" else if (i < 90) "books" else "code"))
