@@ -243,6 +243,41 @@ object StreamingQueries {
                            AND f.ts + INTERVAL 5 MINUTE
               GROUP BY f.user_id ORDER BY roundId""")),
 
+    // ST5 — stream-STATIC broadcast dim-enrich join (J2's continuous
+    // form): the fix stream joins a static per-round tier dim; the
+    // static side broadcasts per micro-batch, no streaming state. The
+    // sink rolls up per tier; oracle = the same rollup in batch SQL.
+    QueryDef(
+      "st_enrich",
+      (s, d) => {
+        val base = scratch("st_enrich")
+        val land = s"$base/land"; Files.createDirectories(Paths.get(land))
+        val ev = t(s, d, "events")
+        landJson(asFixes(ev), land, "fixes.json", System.currentTimeMillis())
+        val dim = ev
+          .select(col("user_id").cast(StringType).as("roundId")).distinct()
+          .withColumn("tier", pmod(col("roundId").cast(LongType), lit(3)))
+        val q = StreamingTelemetry.enrichFixes(
+            StreamingTelemetry.readFixStream(s, land), dim, "roundId")
+          .writeStream
+          .format("parquet")
+          .option("path", s"$base/sink")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$base/sink")
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n_fixes"),
+            dsum(col("pace")).as("pace_total"))
+          .orderBy(col("tier"))
+      },
+      Some(s"""SELECT user_id % 3 AS tier,
+               COUNT(*) AS n_fixes,
+               ${dsumSql("value")} AS pace_total
+               FROM events GROUP BY tier ORDER BY tier""")),
+
     // ST4 — streaming ingestion into the VERSIONED table
     // (ContinuousRefresh.startVersioned): two landed files process as
     // two micro-batches (maxFilesPerTrigger=1), each committing an

@@ -103,6 +103,18 @@ object StreamingTelemetry {
         col("sw.end").as("session_end"),
         col("fixes"), col("avg_pace"))
 
+  /** Stream-STATIC dimension enrichment: each micro-batch of the fix
+    * stream joins the (small, slowly-changing) dim by equality — the
+    * continuous form of the J2 dim-enrich join. The static side is
+    * explicitly broadcast: stream-static joins re-plan per micro-batch,
+    * and a shuffle of the unbounded stream side against a dim that fits
+    * in memory would be the wrong plan every time. No watermark is
+    * needed — no streaming state accrues; the dim is re-read per batch,
+    * which is exactly how slowly-changing enrichment stays fresh. */
+  def enrichFixes(fixes: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    fixes.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key))
+
   /** Streaming read of a landed alert feed (roundId, alertTimestamp,
     * alertId) — the second stream for the interval join below. */
   def readAlertStream(spark: SparkSession, dir: String): DataFrame =

@@ -365,7 +365,9 @@ class FunctionsSpec extends SparkSpec {
       F.wordNgrams(array(ids, lit("b"), lit("c")), 2).as("g"),
       F.countTokensIn(array(ids), Seq("1", "2")).as("n"),
       F.cleanLines(concat(ids, lit(" w\nq")), 2).as("cl"),
-      F.quantI8Stats(array(idf, lit(2.0f))).as("qs"))
+      F.quantI8Stats(array(idf, lit(2.0f))).as("qs"),
+      F.bloomCountInLongs(F.wordNgramHashes(array(ids, lit("b"), lit("c")), 2),
+        new Array[Long](16), 1024, 3).as("bh"))
     val code = org.apache.spark.sql.execution.debug.codegenString(
       df.queryExecution.executedPlan)
     assert(code.contains("graft.functions.Kernels.cosine"), "cosine not in codegen")
@@ -374,6 +376,9 @@ class FunctionsSpec extends SparkSpec {
     assert(code.contains("graft.functions.Kernels.countIn"), "countIn not in codegen")
     assert(code.contains("graft.functions.Kernels.cleanLines"), "cleanLines not in codegen")
     assert(code.contains("graft.functions.Kernels.quantI8Stats"), "quantI8Stats not in codegen")
+    assert(code.contains("graft.functions.Kernels.ngramHashes"), "ngramHashes not in codegen")
+    assert(code.contains("graft.functions.Kernels.bloomCountInLongs"),
+      "bloomCountInLongs not in codegen")
     assert(df.collect().length == 4)
   }
 }
