@@ -278,6 +278,69 @@ object StreamingQueries {
                ${dsumSql("value")} AS pace_total
                FROM events GROUP BY tier ORDER BY tier""")),
 
+    // ST6 — streaming CDC apply (M16's continuous form): a two-batch
+    // Debezium-shaped change feed (upserts+inserts, then deletes) folds
+    // into a PARTITIONED versioned table via foreachBatch →
+    // Cdc.applyChanges, partition-pruned per batch. Final state must
+    // match the batch CDC oracle (m16's), and the stream must have
+    // committed one version per micro-batch on top of the seed.
+    QueryDef(
+      "st_cdc",
+      (s, d) => {
+        val base = scratch("st_cdc")
+        val land = s"$base/land"; Files.createDirectories(Paths.get(land))
+        val table = s"$base/table"
+        val pgrp = when(col("s_suppkey") % 2 === 0, "even").otherwise("odd")
+        val sup = t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+          .withColumn("pgrp", pgrp)
+        graft.tables.IncrementalTable.commitFull(sup, table, Seq("pgrp"))
+        val upserts = sup.filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey"), col("s_name"),
+            (col("s_acctbal") + 1000.0).as("s_acctbal"), col("pgrp"),
+            lit("upsert").as("op"), lit(1L).as("seq"))
+        val inserts = sup.filter(col("s_suppkey") % 5 === 0)
+          .select((col("s_suppkey") + 10000L).as("s_suppkey"),
+            concat(lit("cdc_"), col("s_name")).as("s_name"),
+            lit(0.0).as("s_acctbal"), col("pgrp"),
+            lit("upsert").as("op"), lit(1L).as("seq"))
+        val deletes = sup.filter(col("s_suppkey") % 3 === 0)
+          .select(col("s_suppkey"),
+            lit(null).cast(StringType).as("s_name"),
+            lit(null).cast(DoubleType).as("s_acctbal"), col("pgrp"),
+            lit("delete").as("op"), lit(2L).as("seq"))
+        val t0 = System.currentTimeMillis()
+        landJson(upserts.unionByName(inserts), land, "b1.json", t0)
+        landJson(deletes, land, "b2.json", t0 + 60000)
+        val stream = s.readStream
+          .schema("s_suppkey LONG, s_name STRING, s_acctbal DOUBLE, " +
+            "pgrp STRING, op STRING, seq LONG")
+          .option("maxFilesPerTrigger", "1")
+          .json(land)
+        val q = graft.streaming.ContinuousRefresh.startCdc(
+          stream, table, keys = Seq("s_suppkey"), seqCol = "seq",
+          opCol = "op", checkpointDir = s"$base/ckpt",
+          partitionCols = Seq("pgrp"),
+          trigger = Some(Trigger.AvailableNow()))
+        q.awaitTermination()
+        val it = graft.tables.IncrementalTable
+        it.read(s, table)
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+          .withColumn("versions_committed", lit(it.versions(table).size >= 3))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT * FROM (
+                SELECT s_suppkey, s_name,
+                       CASE WHEN s_suppkey % 2 = 0 THEN s_acctbal + 1000.0e0
+                            ELSE s_acctbal END AS s_acctbal,
+                       TRUE AS versions_committed
+                FROM supplier WHERE s_suppkey % 3 <> 0
+                UNION ALL
+                SELECT s_suppkey + 10000, 'cdc_' || s_name, 0.0e0,
+                       TRUE AS versions_committed
+                FROM supplier WHERE s_suppkey % 5 = 0
+              ) ORDER BY s_suppkey""")),
+
     // ST4 — streaming ingestion into the VERSIONED table
     // (ContinuousRefresh.startVersioned): two landed files process as
     // two micro-batches (maxFilesPerTrigger=1), each committing an

@@ -1,9 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.tables.{IncrementalTable, ParquetTable}
+import graft.tables.{Cdc, IncrementalTable, ParquetTable}
 
 /** The streaming → lakehouse hop: land each micro-batch through the SAME
   * idempotent maintenance op the batch backfill uses
@@ -55,5 +56,95 @@ object ContinuousRefresh {
       }
     trigger.foreach(w.trigger)
     w.start()
+  }
+
+  /** CDC ingestion as a stream (M16's continuous form): each micro-batch
+    * of a Debezium-shaped change feed (key cols + data cols + `op` =
+    * upsert|delete + monotone `seq`) folds into the VERSIONED table
+    * through [[graft.tables.Cdc.applyChanges]] — last-write-wins within
+    * the batch, row-level deletes honored, every batch an audited
+    * manifest commit.
+    *
+    * Scale shape: with `partitionCols` set, a batch reads and rewrites
+    * ONLY the hive partitions its own rows name — O(changed partitions)
+    * per commit, like the batch refresh. The feed must carry the
+    * partition columns (in any real CDC topic they are derivable from
+    * the key), and a key's partition value must be stable — a key that
+    * MOVES partitions needs the unpartitioned form, which folds against
+    * the whole snapshot. A batch whose deletes empty an entire
+    * partition commits that removal through `deleteWhere` first
+    * (refreshPartitions can only replace partitions present in its
+    * input).
+    *
+    * Exactly-once: a checkpoint replay re-applies the same changes to
+    * the already-advanced snapshot; upserts rewrite identical rows and
+    * deletes find nothing, so the replayed commit's row-level diff is
+    * empty — content-idempotent, history-visible, same as
+    * [[startVersioned]]. */
+  def startCdc(
+      changes: DataFrame, path: String, keys: Seq[String],
+      seqCol: String, opCol: String, checkpointDir: String,
+      partitionCols: Seq[String] = Nil,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty)
+          applyCdcBatch(batch.toDF(), path, keys, seqCol, opCol, partitionCols)
+      }
+    trigger.foreach(w.trigger)
+    w.start()
+  }
+
+  /** One micro-batch of [[startCdc]] — exposed for direct spec coverage
+    * of the bootstrap, partition-pruning and emptied-partition
+    * interleavings. */
+  def applyCdcBatch(
+      batch: DataFrame, path: String, keys: Seq[String],
+      seqCol: String, opCol: String, partitionCols: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val dataCols =
+      batch.columns.filterNot(c => c == seqCol || c == opCol).toSeq
+    def emptyTarget = batch.select(dataCols.map(col): _*).limit(0)
+    val bootstrap = IncrementalTable.versions(path).isEmpty
+    if (partitionCols.isEmpty) {
+      val target =
+        if (bootstrap) emptyTarget else IncrementalTable.read(spark, path)
+      IncrementalTable.commitFull(
+        Cdc.applyChanges(target, batch, keys, seqCol, opCol), path): Unit
+    } else {
+      require(partitionCols.forall(batch.columns.contains),
+        s"CDC feed must carry partition columns ${partitionCols.mkString(",")}")
+      if (bootstrap) {
+        IncrementalTable.commitFull(
+          Cdc.applyChanges(emptyTarget, batch, keys, seqCol, opCol),
+          path, partitionCols): Unit
+      } else {
+        // prune the target to the batch's own partitions — the whole
+        // point: a batch touching one day reads one day
+        val parts = batch.select(partitionCols.map(col): _*).distinct()
+        val slice = IncrementalTable.read(spark, path)
+          .join(broadcast(parts), partitionCols, "left_semi")
+        val applied =
+          Cdc.applyChanges(slice, batch, keys, seqCol, opCol).cache()
+        try {
+          // partitions the batch named but left ROWLESS must be removed
+          // explicitly; refreshPartitions only replaces present ones
+          val emptied = parts.exceptAll(
+              applied.select(partitionCols.map(col): _*).distinct())
+            .collect() // bounded: partitions touched by ONE batch
+          if (emptied.nonEmpty) {
+            val pred = emptied.map(r =>
+              partitionCols.zipWithIndex.map { case (c, i) =>
+                col(c) <=> lit(r.get(i))
+              }.reduce(_ && _)).reduce(_ || _)
+            IncrementalTable.deleteWhere(spark, path, partitionCols, pred): Unit
+          }
+          if (!applied.isEmpty)
+            IncrementalTable.refreshPartitions(applied, path, partitionCols): Unit
+        } finally { applied.unpersist(); () }
+      }
+    }
   }
 }
