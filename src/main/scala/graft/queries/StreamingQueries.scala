@@ -278,6 +278,70 @@ object StreamingQueries {
                ${dsumSql("value")} AS pace_total
                FROM events GROUP BY tier ORDER BY tier""")),
 
+    // ST7 — stream-stream LEFT OUTER interval join: same two feeds as
+    // st_join, but unmatched fixes must surface with NULL alert columns
+    // — and a streaming outer join may emit a null row only once the
+    // watermark PROVES no matching alert can still arrive, so each
+    // stream lands a far-future flush file (read one-per-batch) to drag
+    // the watermark past every real interval before AvailableNow
+    // terminates. Oracle = the batch LEFT JOIN.
+    QueryDef(
+      "st_join_outer",
+      (s, d) => {
+        val base = scratch("st_join_outer")
+        val landF = s"$base/fixes"; Files.createDirectories(Paths.get(landF))
+        val landA = s"$base/alerts"; Files.createDirectories(Paths.get(landA))
+        val ev = t(s, d, "events")
+        val t0 = System.currentTimeMillis()
+        val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+        import s.implicits._
+        landJson(asFixes(ev), landF, "fixes.json", t0)
+        landJson(
+          Seq(("__flushF__", "c1", new java.sql.Timestamp(maxTs + 86400000L),
+              0, 1, 0.0, false))
+            .toDF("roundId", "courseId", "fixTimestamp", "locationIndex",
+              "holeNumber", "pace", "isCache"),
+          landF, "flushF.json", t0 + 60000)
+        landJson(ev.filter(col("value") > 250.0)
+            .select(col("user_id").cast(StringType).as("alertRoundId"),
+              col("ts").as("alertTimestamp"),
+              col("event_id").cast(IntegerType).as("alertId")),
+          landA, "alerts.json", t0)
+        landJson(
+          Seq(("__flushA__", new java.sql.Timestamp(maxTs + 86400000L), -1))
+            .toDF("alertRoundId", "alertTimestamp", "alertId"),
+          landA, "flushA.json", t0 + 60000)
+        val q = StreamingTelemetry.alertJoinedFixes(
+            StreamingTelemetry.readFixStream(s, landF, maxFilesPerTrigger = Some(1)),
+            StreamingTelemetry.readAlertStream(s, landA),
+            tolerance = "5 minutes", watermark = "10 minutes",
+            joinType = "left_outer")
+          .writeStream
+          .format("parquet")
+          .option("path", s"$base/sink")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$base/sink")
+          .filter(!col("roundId").startsWith("__flush"))
+          .groupBy(col("roundId"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("alertId")).as("n_matched"),
+            sum(col("alertId").cast(LongType)).as("sum_alert_id"))
+          .orderBy(col("roundId"))
+      },
+      Some("""SELECT CAST(f.user_id AS VARCHAR) AS roundId,
+              COUNT(*) AS n_rows,
+              COUNT(a.event_id) AS n_matched,
+              CAST(SUM(a.event_id) AS BIGINT) AS sum_alert_id
+              FROM events f LEFT JOIN events a
+              ON f.user_id = a.user_id AND a.value > 250
+              AND a.ts BETWEEN f.ts - INTERVAL 5 MINUTE
+                           AND f.ts + INTERVAL 5 MINUTE
+              GROUP BY f.user_id ORDER BY roundId""")),
+
     // ST6 — streaming CDC apply (M16's continuous form): a two-batch
     // Debezium-shaped change feed (upserts+inserts, then deletes) folds
     // into a PARTITIONED versioned table via foreachBatch →

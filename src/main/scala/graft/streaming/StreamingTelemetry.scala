@@ -131,17 +131,26 @@ object StreamingTelemetry {
     * side's buffered state is evicted once the other side's watermark
     * passes the interval — state is O(rate × (watermark + tolerance)),
     * never unbounded. Inner joins emit eagerly on match (no flush
-    * batches needed); only state CLEANUP waits for the watermark. */
+    * batches needed); only state CLEANUP waits for the watermark.
+    *
+    * `joinType = "left_outer"` adds the unmatched-fix rows with NULL
+    * alert columns — those emit only when the watermark passes the
+    * fix's join interval (the engine must PROVE no matching alert can
+    * still arrive before it may emit the null), so a terminating run
+    * needs late flush batches to drag the watermark past the last real
+    * fix, exactly like the session gate. */
   def alertJoinedFixes(
       fixes: DataFrame, alerts: DataFrame,
       tolerance: String = "5 minutes",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val f = fixes.withWatermark("fixTimestamp", watermark)
     val a = alerts.withWatermark("alertTimestamp", watermark)
     f.join(a,
       col("roundId") === col("alertRoundId") &&
         col("alertTimestamp") >= col("fixTimestamp") - expr(s"INTERVAL $tolerance") &&
-        col("alertTimestamp") <= col("fixTimestamp") + expr(s"INTERVAL $tolerance"))
+        col("alertTimestamp") <= col("fixTimestamp") + expr(s"INTERVAL $tolerance"),
+      joinType)
   }
 
   /** fact_rounds as a stateful stream: accumulate per-round counters in
