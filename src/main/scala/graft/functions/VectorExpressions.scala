@@ -584,4 +584,9 @@ object F {
     * [[TopKStructs]]. */
   def topKStructs(s: Column, k: Int): Column =
     c(TopKStructs(e(s), k).toAggregateExpression())
+  /** Misra–Gries heavy-hitters sketch over a string column: mergeable,
+    * map-side-combined, ≤ capacity rows per partition cross the wire —
+    * see [[HeavyHitters]]. */
+  def heavyHitters(token: Column, capacity: Int): Column =
+    c(HeavyHitters(e(token), capacity).toAggregateExpression())
 }

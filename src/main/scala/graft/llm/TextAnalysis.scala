@@ -167,6 +167,42 @@ object TextAnalysis {
         (col("cnt").cast(DoubleType) / col("total")).as("frac"))
   }
 
+  /** EXACT corpus heavy hitters at sketch-bounded cost. The naive plan
+    * (`GROUP BY token` over the exploded stream, then HAVING) shuffles
+    * one row per distinct token per partition — on a web corpus the
+    * vocabulary tail is billions of keys and that shuffle IS the job.
+    * Here a Misra–Gries aggregate ([[graft.functions.HeavyHitters]],
+    * mergeable, map-side combined, ≤ `capacity` rows per partition ever
+    * cross the wire) produces a candidate set that PROVABLY contains
+    * every token with true frequency > total/(capacity+1); only those
+    * ≤ capacity candidates are exactly recounted (broadcast semi-join —
+    * the second scan shuffles ~capacity rows), and the true filter
+    * `cnt · ratio > total` is applied to exact counts. Output: exactly
+    * the tokens occurring in more than 1/ratio of the token stream,
+    * with exact counts — deterministic, sketch-assisted, never
+    * sketch-valued. Requires ratio < capacity + 1 (else the guarantee
+    * cannot cover the filter). */
+  def heavyHitterTokens(
+      df: DataFrame, textCol: String, ratio: Long = 200L,
+      capacity: Int = 512): DataFrame = {
+    require(ratio > 0 && ratio < capacity + 1,
+      s"MG(capacity=$capacity) only guarantees hitters above total/${capacity + 1}; " +
+        s"ratio=$ratio filters below that floor")
+    val toks = df.select(explode(tokens(normalize(col(textCol)))).as("token"))
+    val candidates = toks
+      .agg(graft.functions.F.heavyHitters(col("token"), capacity).as("hh"))
+      .select(explode(col("hh")).as("c"))
+      .select(col("c.token").as("token"))
+    val exact = toks.join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    exact.crossJoin(broadcast(total))
+      .filter(col("cnt") * ratio > col("total"))
+      .select(col("token"), col("cnt"))
+      .orderBy(desc("cnt"), asc("token"))
+  }
+
   /** RE2-compatible URL pattern (scheme + host, optional path) — works
     * identically under Java regex and DuckDB's RE2. */
   val UrlPattern = "https?://[A-Za-z0-9.-]+(/[^ \\t\\n]*)?"

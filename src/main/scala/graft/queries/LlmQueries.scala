@@ -475,6 +475,28 @@ object LlmQueries {
               SELECT token, cnt, CAST(cnt AS DOUBLE) / total AS frac
               FROM c, t ORDER BY cnt DESC, token ASC LIMIT 50""")),
 
+    // Corpus heavy hitters — EXACT output at sketch-bounded cost: a
+    // Misra–Gries aggregate (mergeable, ≤512 rows per partition cross
+    // the wire — never a full-vocabulary shuffle) yields a candidate
+    // set guaranteed to contain every token above total/513; the ≤512
+    // candidates are exactly recounted (broadcast semi-join) and the
+    // true threshold cnt·200 > total applied to exact counts. The
+    // oracle recomputes the same answer the exhaustive way.
+    QueryDef(
+      "l_heavy_hitters",
+      (s, d) =>
+        TextAnalysis.heavyHitterTokens(
+          t(s, d, "documents"), "text", ratio = 200L, capacity = 512),
+      Some("""WITH tk AS (
+                SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+                FROM documents
+              ),
+              c AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token),
+              t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+              SELECT token, cnt FROM c, t
+              WHERE cnt * 200 > total
+              ORDER BY cnt DESC, token ASC""")),
+
     // Language-ID heuristic: argmax of per-language function-word stream
     // ratios (deterministic tie-break en > de > fr > es).
     QueryDef(

@@ -354,6 +354,41 @@ class FunctionsSpec extends SparkSpec {
     assert(p.contains("partial_top_k_structs"), s"no partial phase:\n$p")
   }
 
+  test("heavy_hitters: MG guarantee holds under partition merges; estimates undercount boundedly") {
+    // skewed stream: "hot" ≈ 1/3, "warm" ≈ 1/15, a 500-token tail
+    val rows = (1 to 3000).map { i =>
+      if (i % 3 == 0) "hot" else if (i % 10 == 0) "warm" else s"t${i % 500}"
+    }
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    val cap = 16
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("token").repartition(parts)
+      val cands = df.agg(F.heavyHitters(col("token"), cap).as("hh"))
+        .select(explode(col("hh")).as("c"))
+        .select(col("c.token"), col("c.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(cands.size <= cap)
+      // every token with true freq > n/(cap+1) SURVIVES, however the
+      // stream was partitioned — the prefilter guarantee
+      truth.filter(_._2 > n / (cap + 1)).keys.foreach(t =>
+        assert(cands.contains(t), s"$t missing at $parts partitions"))
+      // estimates never overcount, and undercount by ≤ n/(cap+1)
+      cands.foreach { case (t, est) =>
+        assert(est <= truth(t), s"$t overcounted")
+        assert(est >= truth(t) - n / (cap + 1), s"$t undercounted past bound")
+      }
+    }
+    // the end-to-end operator returns EXACT counts above the threshold
+    val docs = Seq.fill(50)("the quick the lazy the dog") ++ Seq.fill(10)("lazy dog runs")
+    val out = graft.llm.TextAnalysis.heavyHitterTokens(
+        docs.toDF("text"), "text", ratio = 5L, capacity = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // stream: the=150, quick=50, lazy=60, dog=60, runs=10; total=330
+    // threshold cnt*5 > 330 → cnt > 66 → only "the"
+    assert(out === Map("the" -> 150L))
+  }
+
   test("kernels are inlined into whole-stage codegen (no fallback)") {
     // inputs must depend on a column — literal-only args constant-fold
     // before codegen and the kernels would never appear in the plan
