@@ -354,6 +354,15 @@ class FunctionsSpec extends SparkSpec {
     assert(p.contains("partial_top_k_structs"), s"no partial phase:\n$p")
   }
 
+  test("heavy_hitters plans as a partial ObjectHashAggregate (map-side combine)") {
+    import spark.implicits._
+    val p = (1 to 100).map(i => s"t${i % 5}").toDF("token")
+      .agg(F.heavyHitters(col("token"), 8).as("hh"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), s"plan:\n$p")
+    assert(p.contains("partial_heavy_hitters"), s"no partial phase:\n$p")
+  }
+
   test("heavy_hitters: MG guarantee holds under partition merges; estimates undercount boundedly") {
     // skewed stream: "hot" ≈ 1/3, "warm" ≈ 1/15, a 500-token tail
     val rows = (1 to 3000).map { i =>
