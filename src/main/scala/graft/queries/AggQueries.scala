@@ -559,6 +559,37 @@ object AggQueries {
                TRUE AS within_tolerance,
                COUNT(*) AS n
                FROM lineitem GROUP BY l_returnflag
-               ORDER BY l_returnflag"""))
+               ORDER BY l_returnflag""")),
+
+    // A24 — PERSISTABLE distinct-count sketches (Datasketches HLL):
+    // per-day hll_sketch_agg of user_id, then hll_union_agg across days
+    // — the incremental-stats pattern for 100 TB: each partition's
+    // sketch is a few KB landed once in a stats table; "distinct users
+    // over any date range" becomes a union of sketches instead of a
+    // re-scan, and a new day MERGEs without touching history. The gate
+    // pins the exact count (oracle-reproducible) plus a tolerance flag
+    // for the union-of-sketches estimate (HLL lgConfigK=12 → ~2.3%
+    // three-sigma error; 5% bound leaves margin without masking a
+    // broken union, which would be off by whole days).
+    QueryDef(
+      "a24_sketch_union",
+      (s, d) => {
+        val ev = t(s, d, "events").withColumn("day", to_date(col("ts")))
+        val daily = ev.groupBy(col("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val est = daily
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"),
+          countDistinct(col("day")).as("n_days"))
+        exact.crossJoin(broadcast(est))
+          .select(col("exact_users"), col("n_days"),
+            (abs(col("est") - col("exact_users")).cast(DoubleType) <=
+              col("exact_users").cast(DoubleType) * lit(0.05))
+              .as("union_within_5pct"))
+      },
+      Some("""SELECT COUNT(DISTINCT user_id) AS exact_users,
+               COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+               TRUE AS union_within_5pct
+               FROM events"""))
   )
 }
