@@ -278,6 +278,62 @@ object StreamingQueries {
                ${dsumSql("value")} AS pace_total
                FROM events GROUP BY tier ORDER BY tier""")),
 
+    // ST8 — continuously-maintained gold rollup (M25's streaming form):
+    // two micro-batches land into the base incremental table and each
+    // advances the materialized SUM/COUNT view by signed diff merge
+    // (first batch bootstraps with build). Pins: final view == the
+    // batch rollup (oracle), the view is bit-identical to a
+    // from-scratch recompute, and it advanced across ≥2 versions (i.e.
+    // maintenance actually ran incrementally, not one big build).
+    QueryDef(
+      "st_view",
+      (s, d) => {
+        val base = scratch("st_view")
+        val land = s"$base/land"; Files.createDirectories(Paths.get(land))
+        val table = s"$base/table"; val view = s"$base/view"
+        val ev = t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("value"),
+            when(col("user_id") % 2 === 0, "d1").otherwise("d2").as("pday"),
+            (col("user_id") % 50).as("bucket"))
+        val t0 = System.currentTimeMillis()
+        landJson(ev.filter(col("pday") === "d1"), land, "b1.json", t0)
+        landJson(ev.filter(col("pday") === "d2"), land, "b2.json", t0 + 60000)
+        val stream = s.readStream
+          .schema("event_id LONG, user_id LONG, value DOUBLE, " +
+            "pday STRING, bucket LONG")
+          .option("maxFilesPerTrigger", "1")
+          .json(land)
+        val q = graft.streaming.ContinuousRefresh.startViewMaintenance(
+          stream, table, view, partitionCols = Seq("pday"),
+          keys = Seq("bucket"), measures = Seq("value"),
+          checkpointDir = s"$base/ckpt",
+          trigger = Some(Trigger.AvailableNow()))
+        q.awaitTermination()
+        val iv = graft.tables.IncrementalView
+        val it = graft.tables.IncrementalTable
+        val got = iv.read(s, view, Seq("bucket"), Seq("value"))
+        val recomputed = it.read(s, table)
+          .groupBy(col("bucket"))
+          .agg(sum(col("value").cast(DecimalType(28, 4))).cast(DoubleType)
+              .as("value_sum"),
+            count(lit(1)).as("__rows"))
+        val identical = got.exceptAll(recomputed).isEmpty &&
+          recomputed.exceptAll(got).isEmpty
+        got
+          .select(col("bucket"), col("value_sum"),
+            col("__rows").as("n_rows"))
+          .withColumn("matches_recompute", lit(identical))
+          .withColumn("maintained_incrementally",
+            lit(it.versions(view).size >= 2))
+          .orderBy(col("bucket"))
+      },
+      Some("""SELECT user_id % 50 AS bucket,
+              CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS value_sum,
+              COUNT(*) AS n_rows,
+              TRUE AS matches_recompute,
+              TRUE AS maintained_incrementally
+              FROM events GROUP BY bucket ORDER BY bucket""")),
+
     // ST7 — stream-stream LEFT OUTER interval join: same two feeds as
     // st_join, but unmatched fixes must surface with NULL alert columns
     // — and a streaming outer join may emit a null row only once the

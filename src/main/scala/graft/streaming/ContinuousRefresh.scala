@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.tables.{Cdc, IncrementalTable, ParquetTable}
+import graft.tables.{Cdc, IncrementalTable, IncrementalView, ParquetTable}
 
 /** The streaming → lakehouse hop: land each micro-batch through the SAME
   * idempotent maintenance op the batch backfill uses
@@ -53,6 +53,41 @@ object ContinuousRefresh {
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         if (!batch.isEmpty)
           IncrementalTable.refreshPartitions(batch, path, partitionCols): Unit
+      }
+    trigger.foreach(w.trigger)
+    w.start()
+  }
+
+  /** M25's continuous form — a continuously-maintained gold rollup:
+    * each micro-batch lands into the base incremental table
+    * (partition refresh, an audited version) and then ADVANCES the
+    * materialized SUM/COUNT view to that version through
+    * [[IncrementalView.maintain]] — signed delta merge over
+    * `IncrementalTable.diff`, which scans only the files the two
+    * versions disagree on, so per-batch view cost is O(batch + view
+    * grain), never a base-table rescan. The first batch bootstraps the
+    * view with `build`. Exactness carries over from the batch IVM: the
+    * maintained view is bit-identical to a from-scratch recompute after
+    * every batch (decimal-exact signed merging), which is what lets the
+    * continuous rollup serve dashboards directly. A checkpoint replay
+    * re-lands the same partitions (content-idempotent) and maintain
+    * sees an empty diff — a no-op version advance. */
+  def startViewMaintenance(
+      stream: DataFrame, tablePath: String, viewPath: String,
+      partitionCols: Seq[String], keys: Seq[String], measures: Seq[String],
+      checkpointDir: String, trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          IncrementalTable.refreshPartitions(batch, tablePath, partitionCols): Unit
+          if (IncrementalTable.versions(viewPath).isEmpty)
+            IncrementalView.build(spark, tablePath, viewPath, keys, measures): Unit
+          else
+            IncrementalView.maintain(spark, tablePath, viewPath, keys, measures): Unit
+        }
       }
     trigger.foreach(w.trigger)
     w.start()
