@@ -203,6 +203,36 @@ object Curation {
           .as("expected_rows"))
   }
 
+  /** Temperature-based domain mixing (α-sampling, the multilingual
+    * training standard): sampled share q_s ∝ p_s^α where p_s is the
+    * observed domain share — α < 1 upweights scarce domains without the
+    * hand-tuned targets [[mixingWeights]] needs. One aggregation to
+    * domain grain, pure scalar math after; the returned q column feeds
+    * [[mixingWeights]]/[[sampleToMix]] as the target composition.
+    *
+    * Determinism: α = 0.5 computes through `sqrt` (correctly rounded
+    * per IEEE 754 — `pow(x, 0.5)` is NOT), and the weight normalization
+    * sums DECIMAL-cast weights so partial-aggregation order can't
+    * perturb the result. */
+  def temperatureWeights(
+      df: DataFrame, sourceCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_rows"))
+    val wRaw =
+      if (alpha == 0.5) sqrt(col("n_rows").cast(DoubleType))
+      else pow(col("n_rows").cast(DoubleType), lit(alpha))
+    val weighted = counts.withColumn("__wd", wRaw.cast(DecimalType(28, 10)))
+    val totals = weighted.agg(
+      sum(col("n_rows")).as("n_total"),
+      sum(col("__wd")).as("w_total"))
+    weighted.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_rows"),
+        (col("n_rows").cast(DoubleType) / col("n_total")).as("p"),
+        (col("__wd").cast(DoubleType) / col("w_total").cast(DoubleType))
+          .as("q"))
+  }
+
   /** Apply [[mixingWeights]] as a deterministic sample: keep a row iff
     * its salted hash variate falls under the domain's rate. Hash-based
     * (not `sample()`), so the selection is reproducible and

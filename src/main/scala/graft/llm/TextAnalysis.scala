@@ -203,6 +203,37 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("token"))
   }
 
+  /** Corpus-frequency-based quality signal per document (the exact-
+    * rational stand-in for CCNet-style LM perplexity filtering — a
+    * transcendental log-prob would not hash-match across engines, the
+    * same reason tf-idf here uses raw idf): documents dense in RARE
+    * tokens (corpus count ≤ `rareMax`) are gibberish/OCR-noise
+    * suspects, documents with very high mean token frequency are
+    * boilerplate suspects. Two shuffles at any scale: the vocab census
+    * (token-keyed, map-side combined), then the token→census equi-join
+    * re-grouped to doc grain. All scores are single IEEE divisions of
+    * exact integers — engine-reproducible bit for bit. */
+  def tokenRarity(
+      df: DataFrame, idCol: String, textCol: String,
+      rareMax: Long = 2L): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(tokens(normalize(col(textCol)))).as("token"))
+    val census = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = census.agg(sum(col("cnt")).as("total"))
+    toks.join(census, "token")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("freq_sum"),
+        sum(when(col("cnt") <= rareMax, 1L).otherwise(0L)).as("rare_ct"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        col("n_tokens"),
+        (col("rare_ct").cast(DoubleType) / col("n_tokens")).as("rare_rate"),
+        (col("freq_sum").cast(DoubleType) / (col("n_tokens") * col("total")))
+          .as("mean_freq"))
+  }
+
   /** RE2-compatible URL pattern (scheme + host, optional path) — works
     * identically under Java regex and DuckDB's RE2. */
   val UrlPattern = "https?://[A-Za-z0-9.-]+(/[^ \\t\\n]*)?"

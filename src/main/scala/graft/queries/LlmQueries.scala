@@ -475,6 +475,30 @@ object LlmQueries {
               SELECT token, cnt, CAST(cnt AS DOUBLE) / total AS frac
               FROM c, t ORDER BY cnt DESC, token ASC LIMIT 50""")),
 
+    // Corpus-frequency quality signal (the exact-rational stand-in for
+    // perplexity filtering): per-doc rare-token density + mean token
+    // corpus frequency, every score a single IEEE division of exact
+    // integers so the DuckDB hash compare holds bit for bit.
+    QueryDef(
+      "l_token_rarity",
+      (s, d) =>
+        TextAnalysis.tokenRarity(t(s, d, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""WITH tk AS (
+                SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+                FROM documents
+              ),
+              c AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token),
+              t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+              j AS (SELECT tk.doc_id, c.cnt FROM tk JOIN c USING (token))
+              SELECT doc_id,
+                COUNT(*) AS n_tokens,
+                CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*) AS rare_rate,
+                CAST(SUM(cnt) AS DOUBLE) / (COUNT(*) * t.total) AS mean_freq
+              FROM j, t GROUP BY doc_id, t.total ORDER BY doc_id""")),
+
     // Corpus heavy hitters — EXACT output at sketch-bounded cost: a
     // Misra–Gries aggregate (mergeable, ≤512 rows per partition cross
     // the wire — never a full-vocabulary shuffle) yields a candidate
@@ -1133,6 +1157,27 @@ object LlmQueries {
                      LEAST(1.0e0, m.total_out * c.target_frac / n_rows) AS rate,
                      CAST(FLOOR(m.total_out * c.target_frac) AS BIGINT) AS expected_rows
               FROM c, m ORDER BY c.source""")),
+
+    // Temperature mixing (α-sampling): sampled share q ∝ p^0.5 from the
+    // observed domain shares — α=0.5 rides sqrt (correctly rounded per
+    // IEEE, unlike pow(x, .5)) and the normalizer sums DECIMAL-cast
+    // weights, so the scores hash-match across engines exactly.
+    QueryDef(
+      "l_mix_temperature",
+      (s, d) => Curation.temperatureWeights(t(s, d, "documents"), "source")
+        .orderBy(col("source")),
+      Some("""WITH c AS (
+                SELECT source, COUNT(*) AS n_rows FROM documents GROUP BY source
+              ),
+              w AS (SELECT source, n_rows,
+                      CAST(sqrt(CAST(n_rows AS DOUBLE)) AS DECIMAL(28,10)) AS wd
+                    FROM c),
+              t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total,
+                           SUM(wd) AS w_total FROM w)
+              SELECT source, n_rows,
+                     CAST(n_rows AS DOUBLE) / n_total AS p,
+                     CAST(wd AS DOUBLE) / CAST(w_total AS DOUBLE) AS q
+              FROM w, t ORDER BY source""")),
 
     // Exact shared-token-run detection (Lee et al. substring-dedup
     // semantics): posting-list join on positioned 8-gram hashes, aligned

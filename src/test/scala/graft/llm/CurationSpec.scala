@@ -90,6 +90,20 @@ class CurationSpec extends SparkSpec {
     assert(viaBloom === viaExact)
   }
 
+  test("temperatureWeights: α=0.5 upweights scarce domains and q sums to 1") {
+    val df = (Seq.fill(90)("web") ++ Seq.fill(10)("code")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "source")
+    val w = Curation.temperatureWeights(df, "source")
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val (pWeb, qWeb) = w("web")
+    val (pCode, qCode) = w("code")
+    assert(math.abs(qWeb + qCode - 1.0) < 1e-12)
+    // α < 1 compresses the share gap: scarce up, dominant down
+    assert(qCode > pCode && qWeb < pWeb)
+    // exact: q_code = sqrt(10) / (sqrt(90) + sqrt(10)) = 0.25
+    assert(math.abs(qCode - 0.25) < 1e-9)
+  }
+
   test("mixingWeights: scarcest domain caps the total, rates stay ≤ 1") {
     val df = Seq.tabulate(100)(i =>
       (i.toLong, if (i < 60) "web" else if (i < 90) "books" else "code"))
