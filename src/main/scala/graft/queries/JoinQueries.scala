@@ -367,6 +367,39 @@ object JoinQueries {
               ASOF LEFT JOIN (SELECT user_id, event_id, ts, value FROM events
                               WHERE event_type = 'view') v
               ON c.user_id = v.user_id AND c.ts >= v.ts
-              ORDER BY c.user_id, c.event_id"""))
+              ORDER BY c.user_id, c.event_id""")),
+
+    // J12 — range join as an EQUI-join (core.RangeJoin bin-and-join):
+    // lineitem prices against OVERLAPPING price bands (width 2500,
+    // stride 1000 — each price matches up to 3 bands, so a bin-map
+    // cheat can't produce this answer). The alternative plan for
+    // point-BETWEEN against a non-broadcast interval table is
+    // BroadcastNestedLoop/cartesian; the bin technique shuffles on the
+    // bin key like any hash join (PlanSpec pins no-BNLJ on a
+    // broadcast-suppressed replica).
+    QueryDef(
+      "j12_range_bin_join",
+      (s, d) => {
+        val bands = s.range(0, 30).select(
+          col("id").as("band_id"),
+          (col("id") * 1000.0).as("lo"),
+          (col("id") * 1000.0 + 2500.0).as("hi"))
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        graft.core.RangeJoin.pointInInterval(
+            li, "l_extendedprice", bands, "lo", "hi", binWidth = 1000.0)
+          .groupBy(col("band_id"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_extendedprice")).as("price_total"))
+          .orderBy(col("band_id"))
+      },
+      Some(s"""SELECT b.band_id, COUNT(*) AS n,
+               ${dsumSql("l_extendedprice")} AS price_total
+               FROM (SELECT r AS band_id, r * 1000.0e0 AS lo,
+                            r * 1000.0e0 + 2500.0e0 AS hi
+                     FROM range(30) t(r)) b
+               JOIN lineitem
+                 ON l_extendedprice >= b.lo AND l_extendedprice < b.hi
+               GROUP BY b.band_id ORDER BY b.band_id"""))
   )
 }

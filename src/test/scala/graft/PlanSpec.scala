@@ -34,6 +34,29 @@ class PlanSpec extends SparkSpec {
     assert(plan("j1_broadcast_range_join").contains("Broadcast"))
   }
 
+  test("bin range join plans an EQUI-join even with broadcast suppressed (J12)") {
+    // the whole point of core.RangeJoin: point-BETWEEN against a
+    // non-broadcastable interval table must NOT degenerate to
+    // BroadcastNestedLoop/cartesian — the bin key makes it hash-joinable
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bands = spark.range(0, 30).select(
+        col("id").as("band_id"),
+        (col("id") * 1000.0).as("lo"),
+        (col("id") * 1000.0 + 2500.0).as("hi"))
+      val li = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val p = graft.core.RangeJoin.pointInInterval(
+          li, "l_extendedprice", bands, "lo", "hi", binWidth = 1000.0)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoop"), s"range join fell back to BNLJ:\n$p")
+      assert(!p.contains("CartesianProduct"), s"range join planned a cartesian:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"no shuffled equi-join in range-join plan:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
+
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     val p = plan("topk_order_limit")
     assert(p.contains("TakeOrderedAndProject"), s"top-k plan:\n$p")
