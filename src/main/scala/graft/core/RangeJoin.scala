@@ -51,4 +51,28 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval×interval OVERLAP join (half-open ranges: a overlaps b iff
+    * aLo < bHi AND bLo < aHi), same bin technique — both sides explode
+    * into their bins and equi-join on the bin id. Two overlapping
+    * intervals share every bin their overlap spans, so the pair would
+    * emit once per shared bin; the CANONICAL-BIN guard — keep only the
+    * bin containing max(aLo, bLo), the overlap's start, which both
+    * sides provably cover — emits each pair exactly once WITHOUT a
+    * distinct shuffle. Left columns must be named differently from
+    * right columns. */
+  def intervalOverlap(
+      a: DataFrame, aLoCol: String, aHiCol: String,
+      b: DataFrame, bLoCol: String, bHiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val aBinned = a.withColumn("__bin",
+      explode(sequence(bin(col(aLoCol), binWidth), bin(col(aHiCol), binWidth))))
+    val bBinned = b.withColumn("__bin",
+      explode(sequence(bin(col(bLoCol), binWidth), bin(col(bHiCol), binWidth))))
+    aBinned.join(bBinned, Seq("__bin"))
+      .filter(col(aLoCol) < col(bHiCol) && col(bLoCol) < col(aHiCol))
+      .filter(col("__bin") === bin(greatest(col(aLoCol), col(bLoCol)), binWidth))
+      .drop("__bin")
+  }
 }

@@ -400,6 +400,47 @@ object JoinQueries {
                      FROM range(30) t(r)) b
                JOIN lineitem
                  ON l_extendedprice >= b.lo AND l_extendedprice < b.hi
-               GROUP BY b.band_id ORDER BY b.band_id"""))
+               GROUP BY b.band_id ORDER BY b.band_id""")),
+
+    // J13 — interval×interval OVERLAP join (RangeJoin.intervalOverlap):
+    // 7-day order windows against 10-day promo windows at 5-day stride,
+    // derived from the data's own min date so both engines build the
+    // same windows. Canonical-bin dedup means each overlapping pair
+    // counts exactly once with NO distinct shuffle; the oracle is the
+    // plain quadratic overlap predicate.
+    QueryDef(
+      "j13_interval_overlap_join",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"),
+            unix_date(col("o_orderdate").cast(DateType)).cast(LongType)
+              .as("a_lo"))
+          .withColumn("a_hi", col("a_lo") + 7L)
+        val d0 = o.agg(min(col("a_lo"))).collect()(0).getLong(0)
+        val wins = s.range(0, 40).select(
+          col("id").as("win_id"),
+          (lit(d0) + col("id") * 5L).as("b_lo"),
+          (lit(d0) + col("id") * 5L + 10L).as("b_hi"))
+        graft.core.RangeJoin.intervalOverlap(
+            o, "a_lo", "a_hi", wins, "b_lo", "b_hi", binWidth = 10.0)
+          .groupBy(col("win_id"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("key_sum"))
+          .orderBy(col("win_id"))
+      },
+      Some("""WITH o AS (
+                SELECT o_orderkey,
+                       CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS a_lo
+                FROM orders
+              ),
+              m AS (SELECT MIN(a_lo) AS d0 FROM o),
+              w AS (SELECT r AS win_id, m.d0 + r * 5 AS b_lo,
+                           m.d0 + r * 5 + 10 AS b_hi
+                    FROM range(40) t(r), m),
+              a AS (SELECT o_orderkey, a_lo, a_lo + 7 AS a_hi FROM o)
+              SELECT w.win_id, COUNT(*) AS n_orders,
+                     CAST(SUM(a.o_orderkey) AS BIGINT) AS key_sum
+              FROM a JOIN w ON a.a_lo < w.b_hi AND w.b_lo < a.a_hi
+              GROUP BY w.win_id ORDER BY w.win_id"""))
   )
 }
