@@ -48,6 +48,39 @@ object Curation {
     df.withColumn(bucketCol, expr)
   }
 
+  /** Deterministic global shuffle into `nShards` balanced shards — the
+    * training-order randomization step (every epoch-shuffle pipeline
+    * needs one before packing/writing shards). Each row gets
+    * `shard` = md5-bucket of its id and `pos` = its rank inside the
+    * shard ordered by the full md5 key, so (shard, pos) is a
+    * reproducible pseudorandom permutation of the corpus: stable under
+    * re-runs, repartitioning, and engine changes (md5, unlike
+    * xxhash64, hashes to the same bytes everywhere).
+    *
+    * Scale shape: assignment is row-local codegen (no shuffle); the
+    * rank is a window partitioned BY SHARD, so the one shuffle is
+    * hash-distribution on `shard` and each shard sorts locally. At
+    * 100 TB you pick `nShards` ≥ cluster parallelism (e.g. 10k shards
+    * of ~10 GB) so no partition ever holds more than one shard's rows
+    * — this never degenerates into the single-partition global
+    * row_number that a naive "shuffle then number everything" plan
+    * produces. */
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(col(idCol).cast(StringType))
+    // First 8 hex chars → [0, 2^32): non-negative, so % == pmod and the
+    // DuckDB oracle's plain % matches.
+    val h = conv(substring(key, 1, 8), 16, 10).cast(LongType)
+    df.select(col(idCol), key.as("shuffle_key"),
+        (h % nShards).cast(IntegerType).as("shard"))
+      .withColumn("pos",
+        (row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("shuffle_key"), col(idCol))) - 1).cast(LongType))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   // ---------------------------------------------------------------------
   // Cross-corpus decontamination
   // ---------------------------------------------------------------------

@@ -234,6 +234,48 @@ object TextAnalysis {
           .as("mean_freq"))
   }
 
+  /** Markov bigram-transition fluency score per document — the exact-
+    * rational stand-in for bigram-LM perplexity filtering (CCNet trains
+    * a KenLM and drops high-perplexity docs; a log-prob would not
+    * hash-match across engines, so this scores with the transition
+    * probabilities themselves). For each consecutive token pair the
+    * corpus-estimated transition probability is p(w2|w1) =
+    * C(w1,w2) / C(w1·); a document's `fluency` is the mean p over its
+    * bigrams. Natural text re-uses frequent transitions (high mean),
+    * shuffled/gibberish text lands on rare ones (low mean) — same
+    * decision boundary as perplexity, monotonically flipped.
+    *
+    * Scale shape: three keyed shuffles, none avoidable — the bigram
+    * census (map-side combined), the prefix census derived FROM the
+    * bigram census (vocab-sized, never re-scans the corpus), and the
+    * doc-bigram → probability equi-join re-grouped to doc grain. Every
+    * probability is a single IEEE division of exact integers and the
+    * final mean decimal-accumulates, so the score reproduces bit for
+    * bit in any engine. */
+  def bigramFluency(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(normalize(col(textCol)))
+    val bigrams = df
+      .select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col(idCol), explode(
+        zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+    val c2 = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(substring_index(col("bigram"), " ", 1).as("prefix"))
+      .agg(sum(col("c2")).as("c1"))
+    val p = c2
+      .join(c1, substring_index(col("bigram"), " ", 1) === col("prefix"))
+      .select(col("bigram"), (col("c2").cast(DoubleType) / col("c1")).as("p"))
+    bigrams.join(p, "bigram")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(col("p").cast(DecimalType(18, 12))).cast(DoubleType) /
+          count(lit(1))).as("fluency"))
+  }
+
   /** RE2-compatible URL pattern (scheme + host, optional path) — works
     * identically under Java regex and DuckDB's RE2. */
   val UrlPattern = "https?://[A-Za-z0-9.-]+(/[^ \\t\\n]*)?"

@@ -499,6 +499,39 @@ object LlmQueries {
                 CAST(SUM(cnt) AS DOUBLE) / (COUNT(*) * t.total) AS mean_freq
               FROM j, t GROUP BY doc_id, t.total ORDER BY doc_id""")),
 
+    // Markov bigram-transition fluency (the exact-rational stand-in for
+    // KenLM perplexity filtering): mean corpus transition probability
+    // over each doc's consecutive token pairs. Natural text scores high,
+    // shuffled/gibberish text low — perplexity's decision boundary
+    // without the cross-engine transcendental.
+    QueryDef(
+      "l_bigram_lm_score",
+      (s, d) =>
+        TextAnalysis.bigramFluency(t(s, d, "documents"), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""WITH tk AS (
+                SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+                FROM documents
+              ),
+              bg AS (
+                SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+                FROM tk WHERE len(toks) >= 2
+              ),
+              c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram),
+              c1 AS (SELECT split_part(bigram, ' ', 1) AS prefix,
+                            CAST(SUM(c2) AS BIGINT) AS c1
+                     FROM c2 GROUP BY 1),
+              p AS (SELECT bigram, CAST(c2 AS DOUBLE) / c1 AS p
+                    FROM c2 JOIN c1 ON split_part(c2.bigram, ' ', 1) = c1.prefix)
+              SELECT bg.doc_id,
+                COUNT(*) AS n_bigrams,
+                CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS fluency
+              FROM bg JOIN p USING (bigram)
+              GROUP BY bg.doc_id ORDER BY bg.doc_id""")),
+
     // Corpus heavy hitters — EXACT output at sketch-bounded cost: a
     // Misra–Gries aggregate (mergeable, ≤512 rows per partition cross
     // the wire — never a full-vocabulary shuffle) yields a candidate
@@ -1060,6 +1093,29 @@ object LlmQueries {
                           ELSE 'test' END AS split,
                      COUNT(*) AS n_docs
               FROM b GROUP BY 1 ORDER BY 1""")),
+
+    // Deterministic epoch-shuffle into balanced shards: md5-bucketed
+    // shard + in-shard rank = a reproducible pseudorandom permutation of
+    // the corpus (the step before packing/writing training shards). The
+    // rank window is partitioned BY SHARD — one keyed shuffle, each
+    // shard sorts locally, never a single-partition global row_number.
+    QueryDef(
+      "l_shard_shuffle",
+      (s, d) =>
+        Curation.shardShuffle(t(s, d, "documents"), "doc_id", nShards = 8)
+          .orderBy(col("shard"), col("pos")),
+      Some("""WITH k AS (
+                SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key FROM documents
+              ),
+              s AS (
+                SELECT doc_id, key,
+                  CAST(CAST(('0x' || substr(key, 1, 8)) AS BIGINT) % 8 AS INT) AS shard
+                FROM k
+              )
+              SELECT doc_id, shard,
+                CAST(ROW_NUMBER() OVER (
+                  PARTITION BY shard ORDER BY key ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+              FROM s ORDER BY shard, pos""")),
 
     // Test-set decontamination scan: train docs sharing distinct word
     // trigrams with the eval slice (doc_id % 10 = 0). The eval copies

@@ -1129,6 +1129,60 @@ object MaintenanceQueries {
                MAX(c_acctbal) AS acctbal,
                TRUE AS exchange_free
                FROM customer JOIN orders ON c_custkey = o_custkey
-               GROUP BY c_custkey ORDER BY c_custkey"""))
+               GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // M27 — SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`):
+    // the clone's first commit is PURE METADATA naming the source's
+    // files by absolute path (`zero_copy` pins that not one data file
+    // exists under the clone's root after cloning — at 100 TB the
+    // clone costs one manifest write). The clone then diverges with a
+    // DELETE WHERE: 1-URGENT vanishes wholesale (its foreign files
+    // drop from the manifest), half of 2-HIGH rewrites into clone-LOCAL
+    // files, and every other partition keeps reading the source's
+    // objects — `divergence_local` pins exactly that file-level split
+    // via the manifest diff. The source and the clone's v1 must still
+    // read the full untouched table afterwards (isolation + time
+    // travel across the clone boundary).
+    QueryDef(
+      "m27_shallow_clone",
+      (s, d) => {
+        val it = graft.tables.IncrementalTable
+        val src = scratch("m27_src")
+        val dst = scratch("m27_dst")
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        it.commitFull(orders, src, Seq("o_orderpriority"))
+        it.shallowClone(src, dst)
+        val zeroCopy = graft.tables.FsUtil
+          .parquetFiles(Paths.get(dst, "data")).isEmpty
+        val doomed = col("o_orderpriority") === "1-URGENT" ||
+          (col("o_orderpriority") === "2-HIGH" && col("o_orderkey") % 2 === 0)
+        it.deleteWhere(s, dst, Seq("o_orderpriority"), doomed)
+        // the divergence commit adds only clone-LOCAL (relative) files
+        // and removes only SOURCE (absolute) files
+        val (added, removed) = it.fileChanges(dst, 1, 2)
+        val divergenceLocal = added.nonEmpty && removed.nonEmpty &&
+          added.forall(f => !Paths.get(f).isAbsolute) &&
+          removed.forall(f => Paths.get(f).isAbsolute)
+        val nAll = orders.count()
+        val cloneV1Full = it.read(s, dst, Some(1)).count() == nAll
+        val srcIntact = it.read(s, src).count() == nAll
+        it.read(s, dst)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("zero_copy", lit(zeroCopy))
+          .withColumn("divergence_local", lit(divergenceLocal))
+          .withColumn("clone_v1_full", lit(cloneV1Full))
+          .withColumn("src_intact", lit(srcIntact))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+               ${dsumSql("o_totalprice")} AS total,
+               TRUE AS zero_copy, TRUE AS divergence_local,
+               TRUE AS clone_v1_full, TRUE AS src_intact
+               FROM orders
+               WHERE NOT (o_orderpriority = '1-URGENT'
+                 OR (o_orderpriority = '2-HIGH' AND o_orderkey % 2 = 0))
+               GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

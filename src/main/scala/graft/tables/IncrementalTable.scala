@@ -67,6 +67,44 @@ object IncrementalTable {
 
   private def dataDir(path: String): Path = Paths.get(path, "data")
 
+  /** Manifest entries are dataDir-relative for files this table OWNS; a
+    * [[shallowClone]] commits the source's live files as ABSOLUTE paths
+    * instead — zero data movement, the clone's metadata simply names
+    * another table's immutable objects (Delta CLONE's representation).
+    * Every code path below distinguishes the two by absoluteness. */
+  private def isForeign(f: String): Boolean = Paths.get(f).isAbsolute
+
+  /** The hive-partition directory key of a manifest entry — the thing
+    * refresh/delete/compact group carried files by. For owned (relative)
+    * entries this is just the parent dir ("p=1/sub=2"). For foreign
+    * (absolute) entries the key is the name=value suffix, so a cloned
+    * file and a locally rewritten file of the SAME partition collide on
+    * the same key and the carry/replace logic composes across a clone
+    * boundary. */
+  private def hiveDirOf(f: String): String = {
+    val p = Paths.get(f)
+    if (!p.isAbsolute)
+      Option(p.getParent).map(_.toString).getOrElse("")
+    else {
+      val segs = (0 until p.getNameCount).map(p.getName(_).toString)
+      val firstHive = segs.indexWhere(_.contains("="))
+      if (firstHive < 0) ""
+      else segs.slice(firstHive, segs.size - 1).mkString("/")
+    }
+  }
+
+  /** basePath for a foreign entry's read group: the prefix before the
+    * first name=value segment (the source table's data root), so hive
+    * partition columns parse out of the dir names exactly as they do
+    * for owned files. */
+  private def foreignBase(f: String): String = {
+    val p = Paths.get(f)
+    val segs = (0 until p.getNameCount).map(p.getName(_).toString)
+    val firstHive = segs.indexWhere(_.contains("="))
+    val cut = if (firstHive < 0) segs.size - 1 else firstHive
+    p.getRoot.toString + segs.take(cut).mkString("/")
+  }
+
   /** Metadata goes through the object-store-safe [[ManifestLog]]
     * protocol (putIfAbsent-minted immutable manifest objects + a
     * CAS-updated pointer — no atomic rename, no O_EXCL, no mutable
@@ -196,10 +234,7 @@ object IncrementalTable {
               s"refresh schema ${df.schema.fieldNames.mkString(",")} does not " +
                 s"match table schema ${prevSchema.fieldNames.mkString(",")} — " +
                 "align with ParquetTable.alignToSchema first")
-            prevFiles.filterNot { f =>
-              val dir = Option(Paths.get(f).getParent).map(_.toString).getOrElse("")
-              changed.contains(dir)
-            }
+            prevFiles.filterNot(f => changed.contains(hiveDirOf(f)))
         }
         commitManifest(path, df.schema,
           carried ++ adopt(staging, rels, path), store, basedOn = Some(base),
@@ -227,8 +262,7 @@ object IncrementalTable {
       store: CommitStore = LocalCommitStore): Int = {
     require(partitionCols.nonEmpty, "deleteWhere works on partitioned tables")
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
-    def dirOf(f: String): String =
-      Option(Paths.get(f).getParent).map(_.toString).getOrElse("")
+    def dirOf(f: String): String = hiveDirOf(f)
     val v0 = currentVersion(path, store).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $path"))
     val (_, files0) = manifest(path, v0, store)
@@ -302,8 +336,7 @@ object IncrementalTable {
       lockTimeoutMs: Long = 30000, staleLockMs: Long = 600000,
       store: CommitStore = LocalCommitStore): (Int, Int) = {
     require(partitionCols.nonEmpty, "compaction works on partitioned tables")
-    def dirOf(f: String): String =
-      Option(Paths.get(f).getParent).map(_.toString).getOrElse("")
+    def dirOf(f: String): String = hiveDirOf(f)
     val v0 = currentVersion(path, store).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $path"))
     val (schema0, files0) = manifest(path, v0, store)
@@ -312,12 +345,11 @@ object IncrementalTable {
     if (frag.isEmpty) return (files0.size, files0.size)
 
     // heavy rewrite outside the lock: read ONLY the fragmented
-    // partitions, one task per partition so each dir lands as one file
-    val abs = frag.values.flatten
-      .map(f => dataDir(path).resolve(f).toString).toSeq
-    val df = ParquetTable.alignToSchema(
-        spark.read.option("basePath", dataDir(path).toString).parquet(abs: _*),
-        schema0)
+    // partitions (readFiles groups owned vs cloned-foreign entries by
+    // their data roots), one task per partition so each dir lands as
+    // one file — compacting a shallow clone MATERIALIZES the compacted
+    // partitions locally, Delta CLONE's exact behavior on rewrite
+    val df = readFiles(spark, path, schema0, frag.values.flatten.toSeq)
       .repartition(partitionCols.map(col): _*)
     val (staging, rels) = stage(df, path, partitionCols)
     try {
@@ -363,10 +395,23 @@ object IncrementalTable {
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
-      val abs = files.map(f => dataDir(path).resolve(f).toString)
-      ParquetTable.alignToSchema(
-        spark.read.option("basePath", dataDir(path).toString).parquet(abs: _*),
-        schema)
+      // Owned (relative) entries read under this table's data root;
+      // foreign (shallow-cloned) entries group by THEIR data root so
+      // partition columns still parse from the hive dir names. Each
+      // group aligns to the manifest schema before the union, so a
+      // mixed manifest (clone + local rewrites) reads seamlessly.
+      val (foreign, local) = files.partition(isForeign)
+      val groups = Seq.newBuilder[DataFrame]
+      if (local.nonEmpty) {
+        val abs = local.map(f => dataDir(path).resolve(f).toString)
+        groups += spark.read
+          .option("basePath", dataDir(path).toString).parquet(abs: _*)
+      }
+      foreign.groupBy(foreignBase).toSeq.sortBy(_._1).foreach { case (base, fs) =>
+        groups += spark.read.option("basePath", base).parquet(fs.sorted: _*)
+      }
+      groups.result().map(ParquetTable.alignToSchema(_, schema))
+        .reduce(_.unionByName(_))
     }
 
   /** Metadata-only rollback: CAS the pointer at an earlier version.
@@ -390,6 +435,44 @@ object IncrementalTable {
       val base = currentVersion(path, store)
       commitManifest(path, schema, files, store,
         basedOn = Some(base), op = s"restore")
+    }
+  }
+
+  /** SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE src [VERSION
+    * AS OF v]`): mint a new table at `dstPath` whose first manifest
+    * names the SOURCE's live data files by absolute path — a pure
+    * metadata commit, zero bytes of data copied or moved, whatever the
+    * table size. The clone then lives its own life: reads (including
+    * time travel over its own history), partition refreshes, DELETE
+    * WHERE, and compaction all work, writing NEW files under the
+    * clone's own data root while untouched partitions keep reading the
+    * source's immutable objects; the source never observes any of it.
+    * Compacting a clone materializes the compacted partitions locally
+    * (Delta's behavior on rewrite).
+    *
+    * Retention caveat, same as Delta's: the clone references but does
+    * not own the source files, so a `vacuum` ON THE SOURCE that drops
+    * the cloned version's files breaks the clone — keep the source's
+    * retention above the clone's lifetime, or compact the clone to
+    * materialize it. Returns the clone's first committed version. */
+  def shallowClone(srcPath: String, dstPath: String,
+      version: Option[Int] = None,
+      lockTimeoutMs: Long = 30000, staleLockMs: Long = 600000,
+      store: CommitStore = LocalCommitStore): Int = {
+    val v = version.orElse(currentVersion(srcPath, store)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $srcPath"))
+    require(versions(srcPath, store).contains(v),
+      s"version $v not in committed set at $srcPath")
+    val (schema, files) = manifest(srcPath, v, store)
+    // clone-of-a-clone: already-foreign entries carry through verbatim
+    val entries = files.map { f =>
+      if (isForeign(f)) f
+      else dataDir(srcPath).resolve(f).toAbsolutePath.normalize.toString
+    }
+    Files.createDirectories(Paths.get(dstPath))
+    VersionedTable.withLock(dstPath, lockTimeoutMs, staleLockMs) {
+      commitManifest(dstPath, schema, entries, store,
+        basedOn = Some(currentVersion(dstPath, store)), op = s"clone@v$v")
     }
   }
 

@@ -225,4 +225,26 @@ class CurationSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(ids3.subsetOf(ids1 ++ (300L until 600L)))
   }
+
+  test("shardShuffle: permutation, balance, determinism, shard-local ranks") {
+    val n = 1000L
+    val df = (0L until n).map(i => Tuple1(i)).toDF("id")
+    val out = Curation.shardShuffle(df, "id", nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every row exactly once, (shard, pos) unique and dense per shard
+    assert(out.map(_._1).toSet === (0L until n).toSet)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+    // md5 uniformity: no shard more than 2x the mean
+    val sizes = out.groupBy(_._2).view.mapValues(_.size)
+    assert(sizes.size === 8 && sizes.values.max < 2 * n / 8)
+    // deterministic re-run
+    val again = Curation.shardShuffle(df, "id", 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // actually shuffled: shard-0 order is not id order
+    val s0 = out.filter(_._2 == 0).sortBy(_._3).map(_._1).toSeq
+    assert(s0 !== s0.sorted)
+  }
 }

@@ -701,4 +701,29 @@ class LlmSpec extends SparkSpec {
     assert(injected.subsetOf(pairs),
       s"missing ${injected.diff(pairs).size} of ${injected.size} injected dups")
   }
+
+  test("bigramFluency separates phrase-reusing docs from unique word orders") {
+    // fluent docs all walk the same token chain (transitions dominate
+    // the census); gibberish docs permute the SAME vocabulary uniquely,
+    // so every one of their transitions is census-rare
+    val chain = "alpha beta gamma delta epsilon zeta"
+    val fluent = (0L until 30L).map(i => (i, chain))
+    val gibberish = Seq(
+      (100L, "zeta gamma alpha epsilon beta delta"),
+      (101L, "delta alpha zeta beta epsilon gamma"),
+      (102L, "beta epsilon delta zeta gamma alpha"))
+    val corpus = (fluent ++ gibberish).toDF("doc_id", "text")
+    val byId = TextAnalysis.bigramFluency(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val f = byId.filter(_._1 < 100).values
+    val g = byId.filter(_._1 >= 100).values
+    assert(f.sum / f.size > 5 * (g.sum / g.size),
+      s"fluent mean ${f.sum / f.size} vs gibberish ${g.sum / g.size}")
+    // scores are probabilities in (0, 1]; identical docs score identically
+    assert(byId.values.forall(p => p > 0.0 && p <= 1.0))
+    assert(byId.filter(_._1 < 100).values.toSet.size === 1)
+    // a doc with < 2 tokens contributes no row
+    val tiny = Seq((1L, "word"), (2L, "two words")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramFluency(tiny, "doc_id", "text").count() === 1L)
+  }
 }
