@@ -213,6 +213,14 @@ object Similarity {
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     require(sample.nonEmpty, "empty training sample")
+    lloydOnSample(sample, k, iters, seed)
+  }
+
+  /** In-driver Lloyd over an already-bounded sample (shared by the IVF
+    * coarse quantizer and the per-subspace PQ codebooks). */
+  private def lloydOnSample(
+      sample: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
     val dim = sample.head.length
     val rnd = new java.util.Random(seed)
     val kEff = math.min(k, sample.length)
@@ -320,6 +328,90 @@ object Similarity {
       .orderBy(asc("dist"), asc("id"))
       .limit(k)
       .select(col("id"), col("dist"))
+  }
+
+  // ------------------------------------ product quantization (IVF-PQ's PQ)
+
+  /** Train product-quantization codebooks: the vector splits into `m`
+    * contiguous subvectors and each subspace gets its own `k`-entry
+    * codebook from bounded-sample Lloyd (seed offset per subspace). A
+    * vector then compresses to `m` small codes — 64-dim float32 →
+    * 8 bytes at m=8, a 32× memory cut, which is what makes
+    * billion-vector ANN fit executor memory at all (Jégou et al., PQ
+    * for nearest neighbor search). Returns codebooks[m][k][dim/m]. */
+  def trainPqCodebooks(
+      df: DataFrame, vecCol: String, m: Int = 8, k: Int = 16,
+      sampleSize: Int = 10000, iters: Int = 8,
+      seed: Long = 42L): Array[Array[Array[Double]]] = {
+    val sample = df.select(col(vecCol))
+      .limit(sampleSize).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty PQ training sample")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    require(sample.length >= k,
+      s"PQ training needs >= k=$k sample vectors, got ${sample.length}")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      lloydOnSample(sample.map(_.slice(s * sub, (s + 1) * sub)), k, iters,
+        seed + s)
+    }
+  }
+
+  /** Encode every vector into its `m` PQ codes — one shuffle-free
+    * codegen projection (m NearestCentroid kernels over array slices).
+    * At scale this pass writes the compressed representation once;
+    * every subsequent query scans codes, not raw vectors. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val sub = codebooks(0)(0).length
+    val codeCols = codebooks.indices.map { s =>
+      F.nearestCentroid(
+        slice(col(vecCol), s * sub + 1, sub), codebooks(s))
+    }
+    df.select(col(idCol).as("id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance top-N candidates: the query builds an m×k
+    * lookup table of exact subspace distances ON THE DRIVER (m·k
+    * doubles — tiny), broadcast as a literal; each row's approximate
+    * distance is then m array lookups summed by a codegen'd
+    * `aggregate` — no per-row vector arithmetic at all. Top-N is
+    * orderBy+limit → TakeOrderedAndProject (k-row heap merge, never a
+    * global sort). Feed the result to an exact re-rank over the raw
+    * vectors of just N rows — the standard PQ → re-rank pipeline. */
+  def pqTopNCandidates(
+      df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]], query: Array[Float],
+      topN: Int): DataFrame = {
+    val m = codebooks.length
+    val k = codebooks(0).length
+    require(codebooks.forall(_.length == k),
+      "PQ codebooks must be uniform-k for LUT indexing")
+    val sub = codebooks(0)(0).length
+    val lut: Seq[Double] = for {
+      s <- 0 until m
+      c <- 0 until k
+    } yield {
+      var acc = 0.0
+      var i = 0
+      while (i < sub) {
+        val d = query(s * sub + i).toDouble - codebooks(s)(c)(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+    val lutCol = typedlit(lut)
+    pqEncode(df, idCol, vecCol, codebooks)
+      .withColumn("adc_dist",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + element_at(
+            lutCol, (s * k + element_at(col("codes"), s + 1) + 1)
+              .cast(IntegerType))))
+      .orderBy(asc("adc_dist"), asc("id"))
+      .limit(topN)
+      .select(col("id"), col("adc_dist"))
   }
 
   // ------------------------------------ distributed k-means (Lloyd)

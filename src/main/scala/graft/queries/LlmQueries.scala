@@ -460,6 +460,50 @@ object LlmQueries {
                v.vec_id ASC NULLS LAST
                LIMIT 10""")),
 
+    // Product-quantization ANN (PQ + exact re-rank): vectors compress to
+    // m=8 codes (32× memory cut — the representation that fits 10⁹
+    // vectors in executor memory), the query scores rows by m LUT
+    // lookups (codegen aggregate, no per-row vector math), and the
+    // exact re-rank touches only the materialized top-50 candidates.
+    // The injected identical copy of the query must surface first; the
+    // oracle recomputes the exact euclidean top-k over the candidates.
+    QueryDef(
+      "l_pq_topk",
+      (s, d) => {
+        val vecs = vecsWithDups(s, d)
+        val query = t(s, d, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+        val base = vecs.filter(col("vec_id") =!= 0)
+        val books = Similarity.trainPqCodebooks(base, "embedding", m = 8, k = 64)
+        val cands = materialize(
+          Similarity.pqTopNCandidates(
+            base, "vec_id", "embedding", books, query, topN = 100)
+            .select(col("id")),
+          "pq_topk_cands")
+        val queryCol = typedlit(query.map(_.toDouble).toSeq)
+        cands
+          .join(base.select(col("vec_id").as("id"), col("embedding").as("v")), "id")
+          .withColumn("dist", graft.functions.F.euclidean(col("v"), queryCol))
+          .orderBy(asc("dist"), asc("id"))
+          .limit(10)
+          .select(col("id"))
+      },
+      Some(s"""WITH v AS (
+                 SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings
+                 UNION ALL
+                 SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+                 FROM embeddings
+               ),
+               q AS (SELECT e FROM v WHERE vec_id = 0),
+               c AS (SELECT id FROM read_parquet('$OracleScratch/pq_topk_cands/*.parquet'))
+               SELECT v.vec_id AS id
+               FROM c JOIN v ON v.vec_id = c.id, q
+               ORDER BY SQRT(list_sum(list_transform(range(1, len(v.e) + 1),
+                 i -> (v.e[i] - q.e[i]) * (v.e[i] - q.e[i])))) ASC NULLS LAST,
+               v.vec_id ASC NULLS LAST
+               LIMIT 10""")),
+
     // Corpus vocabulary (tokenizer prep): top-50 normalized tokens with
     // counts and corpus fraction; deterministic lexicographic tie-break.
     QueryDef(

@@ -702,6 +702,44 @@ class LlmSpec extends SparkSpec {
       s"missing ${injected.diff(pairs).size} of ${injected.size} injected dups")
   }
 
+  test("PQ: encode is total, ADC+rerank finds the injected dup, recall high") {
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+    val withDup = vecs.unionByName(vecs.filter(col("vec_id") === 0).select(
+      (col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label")))
+    val base = withDup.filter(col("vec_id") =!= 0)
+    val query = vecs.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    val books = Similarity.trainPqCodebooks(base, "embedding", m = 8, k = 64)
+    assert(books.length === 8 && books.forall(_.length === 64))
+    // every vector encodes to m in-range codes
+    val codes = Similarity.pqEncode(base, "vec_id", "embedding", books)
+      .collect().map(r => r.getSeq[Int](1))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 64)))
+    // candidates: plan is TakeOrderedAndProject (never a global sort)
+    val cands = Similarity.pqTopNCandidates(
+      base, "vec_id", "embedding", books, query, topN = 100)
+    assert(cands.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    val candIds = cands.collect().map(_.getLong(0)).toSet
+    // the identical copy of the query must be among the candidates and
+    // rank first after exact re-rank
+    assert(candIds.contains(10000L))
+    val queryCol = typedlit(query.map(_.toDouble).toSeq)
+    val reranked = base.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .filter(col("id").isin(candIds.toSeq: _*))
+      .withColumn("dist", graft.functions.F.euclidean(col("v"), queryCol))
+      .orderBy(asc("dist"), asc("id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(reranked.head === 10000L)
+    // recall@10 vs brute force over the raw vectors
+    val exact = base.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("dist", graft.functions.F.euclidean(col("v"), queryCol))
+      .orderBy(asc("dist"), asc("id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.count(reranked.toSet.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"PQ recall@10 = $recall")
+  }
+
   test("bigramFluency separates phrase-reusing docs from unique word orders") {
     // fluent docs all walk the same token chain (transitions dominate
     // the census); gibberish docs permute the SAME vocabulary uniquely,
