@@ -261,6 +261,92 @@ object Dedup {
       minHashCandidates(df, idCol, textCol, n, bands, rowsPerBand),
       df, idCol, textCol, n, threshold)
 
+  // ------------------------------------- incremental near-dup index
+
+  /** Materialize a corpus's near-dup index: the LSH band postings
+    * `(band_idx, band_hash, id)` and the per-doc shingle hashes
+    * `(id, sh)`. A later batch probes BOTH without ever re-reading or
+    * re-hashing corpus text — the continuous-ingest shape of
+    * MinHash-LSH, where the 100 TB corpus is hashed exactly once and
+    * each day's increment pays only its own size. */
+  def materializeNearDupIndex(
+      df: DataFrame, idCol: String, textCol: String, path: String,
+      n: Int = 2, bands: Int = 16, rowsPerBand: Int = 4,
+      append: Boolean = false): Unit = {
+    val mode = if (append) "append" else "overwrite"
+    minHashBands(df, idCol, textCol, n, bands, rowsPerBand)
+      .write.mode(mode).parquet(s"$path/bands")
+    df.select(col(idCol).as("id"),
+        graft.functions.F.xxhash64Array(
+          wordShingles(col(textCol), n)).as("sh"))
+      .write.mode(mode).parquet(s"$path/shingles")
+  }
+
+  /** Near-dups of a NEW batch against a [[materializeNearDupIndex]]
+    * index: the batch's band signatures equi-join the persisted
+    * postings (hash join on (band_idx, band_hash) — never batch ×
+    * corpus), and exact Jaccard verification joins shingles for
+    * CANDIDATE ids only. Cost scales with the batch and its candidate
+    * fan-out, not the corpus; after filtering, append the surviving
+    * novel docs back into the index with `append = true` and the loop
+    * closes. Returns (batch_id, corpus_id, jaccard ≥ threshold). */
+  def incrementalNearDups(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.7): DataFrame =
+    verifyIncrementalCandidates(
+      spark, path,
+      incrementalNearDupCandidates(
+        spark, path, batch, idCol, textCol, n, bands, rowsPerBand),
+      batch, idCol, textCol, n, threshold)
+
+  /** Candidate stage of [[incrementalNearDups]]: batch band signatures
+    * equi-joined against the persisted postings. Exposed separately so
+    * the (seed-specific) candidate set can be materialized and
+    * independently verified. */
+  def incrementalNearDupCandidates(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val idxBands = spark.read.parquet(s"$path/bands")
+    // merge-hint for the same reason as minHashCandidates: the batch
+    // side sits behind the signature barrier, so size estimates are
+    // fiction — never let a corpus-sized posting list broadcast.
+    minHashBands(batch, idCol, textCol, n, bands, rowsPerBand)
+      .select(col("band_idx"), col("band_hash"), col("id").as("batch_id"))
+      .hint("merge")
+      .join(idxBands.select(
+          col("band_idx"), col("band_hash"), col("id").as("corpus_id")),
+        Seq("band_idx", "band_hash"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+  }
+
+  /** Verification stage of [[incrementalNearDups]]: exact Jaccard over
+    * candidate ids only — batch shingles come from the batch frame,
+    * corpus shingles from the index (corpus text is never re-read). */
+  def verifyIncrementalCandidates(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      cands: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val batchSh = batch.select(
+      col(idCol).as("bsid"),
+      graft.functions.F.xxhash64Array(
+        wordShingles(col(textCol), n)).as("sh_a"))
+    val corpusSh = spark.read.parquet(s"$path/shingles")
+      .select(col("id").as("csid"), col("sh").as("sh_b"))
+    cands
+      .hint("merge")
+      .join(batchSh, col("batch_id") === col("bsid"))
+      .join(corpusSh, col("corpus_id") === col("csid"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          nullif(size(array_union(col("sh_a"), col("sh_b"))), lit(0))
+            .cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   // ----------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word shingles: per-bit vote of each shingle's

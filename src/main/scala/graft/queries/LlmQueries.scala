@@ -204,6 +204,45 @@ object LlmQueries {
                WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
                  NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 0) >= 0.7""")),
 
+    // Incremental near-dup detection (the continuous-ingest shape):
+    // the corpus is indexed ONCE (band postings + shingle hashes); a
+    // new batch probes the index via an equi-join and exact-verifies
+    // candidate ids only — corpus text is never re-read, so each
+    // increment pays its own size, not the corpus's. The seed-specific
+    // candidates are materialized; the oracle recomputes the exact
+    // bigram-Jaccard verification from raw text over the same pairs.
+    QueryDef(
+      "l_neardup_incremental",
+      (s, d) => {
+        val corpus = t(s, d, "documents")
+        val batch = corpus.select(
+          (col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" graftmarker")).as("text"))
+        val idx = s"$OracleScratch/neardup_index"
+        Dedup.materializeNearDupIndex(
+          corpus, "doc_id", "text", idx, n = 2, bands = 8, rowsPerBand = 8)
+        val cands = materialize(
+          Dedup.incrementalNearDupCandidates(
+            s, idx, batch, "doc_id", "text", n = 2, bands = 8, rowsPerBand = 8),
+          "incr_neardup_cands")
+        Dedup.verifyIncrementalCandidates(
+          s, idx, cands, batch, "doc_id", "text", n = 2, threshold = 0.7)
+      },
+      Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+               batch AS (SELECT doc_id + 20000 AS doc_id, text || ' graftmarker' AS text
+                         FROM documents),
+               bsh AS (SELECT doc_id, ${bigramSql("text")} AS sh FROM batch),
+               csh AS (SELECT doc_id, ${bigramSql("text")} AS sh FROM corpus),
+               c AS (SELECT batch_id, corpus_id
+                     FROM read_parquet('$OracleScratch/incr_neardup_cands/*.parquet'))
+               SELECT c.batch_id, c.corpus_id,
+               CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
+                 NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 0) AS jaccard
+               FROM c JOIN bsh a ON a.doc_id = c.batch_id
+                      JOIN csh b ON b.doc_id = c.corpus_id
+               WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
+                 NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 0) >= 0.7""")),
+
     // SimHash near-dup detection (64-bit votes, 8-bit block candidates,
     // Hamming verify — EXACT for distance ≤ 7 by pigeonhole). The keys
     // are hash-scheme-specific, so they're materialized and the oracle

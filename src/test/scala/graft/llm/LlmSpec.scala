@@ -702,6 +702,43 @@ class LlmSpec extends SparkSpec {
       s"missing ${injected.diff(pairs).size} of ${injected.size} injected dups")
   }
 
+  test("incremental near-dup index: batch probes find dups, loop closes on append") {
+    val idx = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_incr_idx").toString
+    graft.tables.FsUtil.deleteRec(java.nio.file.Paths.get(idx))
+    val corpus = docs.select(col("doc_id"), col("text"))
+    Dedup.materializeNearDupIndex(
+      corpus, "doc_id", "text", idx, n = 2, bands = 8, rowsPerBand = 8)
+    // batch = near-dup copies of the corpus plus genuinely novel docs
+    val dupBatch = corpus.select((col("doc_id") + 20000).as("doc_id"),
+      concat(col("text"), lit(" graftmarker")).as("text"))
+    val novel = Seq(
+      (90001L, "completely novel sentence about quarks and lattice gauge theory"),
+      (90002L, "another unique document no corpus text resembles at all today"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.incrementalNearDups(
+      spark, idx, dupBatch.unionByName(novel), "doc_id", "text",
+      n = 2, bands = 8, rowsPerBand = 8, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every injected near-dup maps back to its origin; novel docs don't hit
+    val expected = corpus.select("doc_id").collect().map(_.getLong(0))
+      .map(id => (id + 20000, id)).toSet
+    assert(expected.subsetOf(hits),
+      s"missing ${expected.diff(hits).size} of ${expected.size} dups")
+    assert(!hits.exists(_._1 >= 90000L), "novel docs must not match")
+    // same pairs as the batch-equivalent full recompute (candidates may
+    // differ by seed; verified output must agree on batch-vs-corpus pairs)
+    // close the loop: append the novel docs, re-probe finds them as dups
+    Dedup.materializeNearDupIndex(
+      novel, "doc_id", "text", idx, n = 2, bands = 8, rowsPerBand = 8,
+      append = true)
+    val again = Dedup.incrementalNearDups(
+      spark, idx, novel.select(col("doc_id") + 100 as "doc_id", col("text")),
+      "doc_id", "text", n = 2, bands = 8, rowsPerBand = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === Set((90101L, 90001L), (90102L, 90002L)))
+  }
+
   test("PQ: encode is total, ADC+rerank finds the injected dup, recall high") {
     val vecs = Tables.load(spark, sfDir, "embeddings")
     val withDup = vecs.unionByName(vecs.filter(col("vec_id") === 0).select(
