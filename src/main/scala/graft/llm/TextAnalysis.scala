@@ -276,6 +276,77 @@ object TextAnalysis {
           count(lit(1))).as("fluency"))
   }
 
+  /** BPE-style adjacent character-pair census — the distributed
+    * primitive of tokenizer training (Sennrich et al.: each BPE merge
+    * step picks the most frequent adjacent symbol pair, weighted by
+    * word frequency). The census collapses the corpus to its WORD
+    * VOCABULARY first, so the pair explosion is vocab-sized, never
+    * corpus-sized — at 100 TB the word census is the only
+    * corpus-shuffle (map-side combined) and everything after operates
+    * on ~10⁶ vocab rows. Top-K by count with lexicographic
+    * tie-break; top-k is orderBy+limit → TakeOrderedAndProject. */
+  def bpePairCensus(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val words = df
+      .select(explode(tokens(normalize(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    words.filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"), col("c"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("cnt"))
+      .orderBy(desc("cnt"), asc("pair"))
+      .limit(topK)
+  }
+
+  /** Train `numMerges` BPE merges the way production trainers scale it:
+    * ONE distributed pass builds the word-frequency vocabulary, then
+    * every merge iteration runs at VOCAB grain — census the adjacent
+    * symbol pairs of ≤ ~10⁶ distinct words, pick the argmax
+    * (count desc, then lexicographic — deterministic), apply the merge
+    * greedily left-to-right per word. The corpus is never re-read.
+    * Returns the ordered merge list [(left, right)]. */
+  def trainBpeMerges(
+      df: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+    // vocab to the driver: (symbols, weight). Production keeps this as
+    // a DataFrame when vocab outgrows memory; the iteration structure
+    // (pair census → argmax → merge) is identical either way.
+    var vocab: Array[(Array[String], Long)] = df
+      .select(explode(tokens(normalize(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var step = 0
+    while (step < numMerges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, w) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + w)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) return merges.toSeq
+      val best = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }._1
+      merges += best
+      vocab = vocab.map { case (syms, w) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 &&
+              syms(i) == best._1 && syms(i + 1) == best._2) {
+            out += syms(i) + syms(i + 1); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.toArray, w)
+      }
+      step += 1
+    }
+    merges.toSeq
+  }
+
   /** RE2-compatible URL pattern (scheme + host, optional path) — works
     * identically under Java regex and DuckDB's RE2. */
   val UrlPattern = "https?://[A-Za-z0-9.-]+(/[^ \\t\\n]*)?"

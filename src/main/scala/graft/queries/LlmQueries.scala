@@ -615,6 +615,28 @@ object LlmQueries {
               FROM bg JOIN p USING (bigram)
               GROUP BY bg.doc_id ORDER BY bg.doc_id""")),
 
+    // BPE pair census (tokenizer-training primitive): most frequent
+    // adjacent character pairs weighted by word frequency — the corpus
+    // collapses to its word vocabulary first, so the pair explosion is
+    // vocab-sized, never corpus-sized.
+    QueryDef(
+      "l_bpe_pair_census",
+      (s, d) =>
+        TextAnalysis.bpePairCensus(t(s, d, "documents"), "text", topK = 20),
+      Some("""WITH tk AS (
+                SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+                FROM documents
+              ),
+              wc AS (SELECT w, COUNT(*) AS c FROM tk GROUP BY w),
+              pairs AS (
+                SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                  i -> substr(w, i, 2))) AS pair, c
+                FROM wc WHERE len(w) >= 2
+              )
+              SELECT pair, CAST(SUM(c) AS BIGINT) AS cnt
+              FROM pairs GROUP BY pair
+              ORDER BY cnt DESC, pair ASC LIMIT 20""")),
+
     // Corpus heavy hitters — EXACT output at sketch-bounded cost: a
     // Misra–Gries aggregate (mergeable, ≤512 rows per partition cross
     // the wire — never a full-vocabulary shuffle) yields a candidate

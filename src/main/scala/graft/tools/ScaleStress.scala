@@ -41,7 +41,11 @@ object ScaleStress {
     "gm_coverage_audit", "l_simhash_near_dups", "l_simhash128_near_dups",
     "l_minhash_near_dups", "l_substring_runs", "l_winnow_overlap",
     "a14_mega_rollup", "gm_dim_round", "j10_salted_skew_join",
-    "w7_sessionize", "l_seq_packing", "l_neardup_auto")
+    "w7_sessionize", "l_seq_packing", "l_neardup_auto",
+    // hot-boilerplate stress hits these directly: the planted phrase
+    // makes its bigrams mega-hot census keys (fluency) and inflates
+    // LSH candidate fan-out (incremental probe)
+    "l_bigram_lm_score", "l_neardup_incremental", "l_shard_shuffle")
 
   /** Hot boilerplate phrase planted into ~30% of documents. */
   val HotPhrase =

@@ -777,6 +777,26 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.7, s"PQ recall@10 = $recall")
   }
 
+  test("BPE: pair census matches hand count; merges reconstruct a known corpus") {
+    // weighted census: "aaab" x3, "ab" x2 → pairs aa: 2*3=6, ab: 3+2=5
+    val tiny = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
+    val census = TextAnalysis.bpePairCensus(tiny, "text", topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(census.toSeq === Seq("aa" -> 6L, "ab" -> 5L))
+    // plan: top-k is a TakeOrderedAndProject, not a global sort
+    assert(TextAnalysis.bpePairCensus(docs, "text", 20)
+      .queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    // merge training: first merge is the census argmax (a,a); greedy
+    // left-to-right turns "aaab" into [aa, a, b], so round 2 counts
+    // (a,b) = 3 + 2 = 5 over (aa,a) = 3 and merges (a,b)
+    val merges = TextAnalysis.trainBpeMerges(tiny, "text", numMerges = 2)
+    assert(merges === Seq(("a", "a"), ("a", "b")))
+    // deterministic on the real corpus; merges are distinct pairs
+    val m1 = TextAnalysis.trainBpeMerges(docs, "text", 8)
+    val m2 = TextAnalysis.trainBpeMerges(docs, "text", 8)
+    assert(m1 === m2 && m1.distinct.size === 8)
+  }
+
   test("bigramFluency separates phrase-reusing docs from unique word orders") {
     // fluent docs all walk the same token chain (transitions dominate
     // the census); gibberish docs permute the SAME vocabulary uniquely,
