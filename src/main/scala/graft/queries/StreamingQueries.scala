@@ -504,6 +504,78 @@ object StreamingQueries {
                ${dsumSql("value")} AS value_total,
                TRUE AS multi_version,
                TRUE AS v1_single_partition
-               FROM events GROUP BY pday ORDER BY pday"""))
+               FROM events GROUP BY pday ORDER BY pday""")),
+
+    // ST9 — streaming near-dup probe against the PERSISTED corpus index
+    // (the continuous-ingest dedup loop run as a stream): incoming docs
+    // MinHash-band inside the micro-batch (the signature mapPartitions
+    // and banding posexplode are stateless, so they stream unchanged)
+    // and stream-static equi-join the band postings; candidate pairs
+    // land in the sink. Verification (exact Jaccard over candidate ids
+    // only) runs batch-side on the sink — mirroring the batch operator's
+    // candidate/verify split — and the oracle recomputes it from raw
+    // text over the same sink files. Corpus text is never re-read by
+    // the stream.
+    QueryDef(
+      "st_neardup",
+      (s, d) => {
+        val base = scratch("st_neardup")
+        val land = s"$base/land"; Files.createDirectories(Paths.get(land))
+        val sink = "/tmp/graft_oracle/st_neardup_cands"
+        graft.tables.FsUtil.deleteRec(Paths.get(sink))
+        val corpus = t(s, d, "documents")
+        val idx = s"$base/index"
+        graft.llm.Dedup.materializeNearDupIndex(
+          corpus, "doc_id", "text", idx, n = 2, bands = 8, rowsPerBand = 8)
+        val batch = corpus.select(
+          (col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" graftmarker")).as("text"))
+        landJson(batch, land, "docs.json", System.currentTimeMillis())
+        val stream = s.readStream
+          .schema("doc_id LONG, text STRING")
+          .json(land)
+        val postings = s.read.parquet(s"$idx/bands")
+          .select(col("band_idx"), col("band_hash"), col("id").as("corpus_id"))
+        val cands = graft.llm.Dedup
+          .minHashBands(stream, "doc_id", "text", n = 2, bands = 8, rowsPerBand = 8)
+          .select(col("band_idx"), col("band_hash"), col("id").as("batch_id"))
+          .join(postings, Seq("band_idx", "band_hash"))
+          .select(col("batch_id"), col("corpus_id"))
+        val q = cands.writeStream
+          .format("parquet")
+          .option("path", sink)
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        graft.llm.Dedup.verifyIncrementalCandidates(
+          s, idx, s.read.parquet(sink).distinct(), batch,
+          "doc_id", "text", n = 2, threshold = 0.7)
+      },
+      Some("""WITH corpus AS (SELECT doc_id, text FROM documents),
+              batch AS (SELECT doc_id + 20000 AS doc_id, text || ' graftmarker' AS text
+                        FROM documents),
+              bsh AS (SELECT doc_id,
+                list_distinct(list_transform(
+                  generate_series(1, len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) - 1),
+                  i -> string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i] || ' ' ||
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i+1])) AS sh
+                FROM batch),
+              csh AS (SELECT doc_id,
+                list_distinct(list_transform(
+                  generate_series(1, len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) - 1),
+                  i -> string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i] || ' ' ||
+                       string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i+1])) AS sh
+                FROM corpus),
+              c AS (SELECT DISTINCT batch_id, corpus_id
+                    FROM read_parquet('/tmp/graft_oracle/st_neardup_cands/*.parquet'))
+              SELECT c.batch_id, c.corpus_id,
+              CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
+                NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 0) AS jaccard
+              FROM c JOIN bsh a ON a.doc_id = c.batch_id
+                     JOIN csh b ON b.doc_id = c.corpus_id
+              WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
+                NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 0) >= 0.7"""))
   )
 }
