@@ -45,6 +45,34 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query, the
+    * `k` most-cosine-similar corpus vectors whose LABEL differs — the
+    * informative negatives that actually move an embedding model (easy
+    * random negatives quickly contribute ~zero gradient). Same shape as
+    * [[bruteForceTopK]]: the bounded query set broadcasts, the corpus
+    * streams once, and the per-query top-k window partitions on
+    * query_id so no executor ever holds more than one query's
+    * candidates. At ANN scale, feed LSH/IVF/PQ candidates in as
+    * `corpus` instead of the full table — the mining logic is
+    * identical. */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("qlabel"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("clabel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc_nulls_last("cosine"), asc_nulls_last("neighbor_id"))
+    broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id") &&
+        !(col("qlabel") <=> col("clabel")))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Deterministic random-unit projection directions (E2LSH), seeded. */
   private def projectionDirs(numTables: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new java.util.Random(seed)

@@ -393,6 +393,40 @@ object LlmQueries {
                 FROM pairs
               ) WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // Hard-negative mining (contrastive-training data prep): per query,
+    // the top-3 most-similar vectors with a DIFFERENT label — the
+    // negatives that still carry gradient. Rank-only output keeps the
+    // compare float-safe.
+    QueryDef(
+      "l_hard_negatives",
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+        Similarity.hardNegatives(
+            vecs.filter(col("vec_id") < 10), vecs,
+            "vec_id", "embedding", "label", k = 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH v AS (
+                SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+              ),
+              pairs AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i])) /
+                  (SQRT(list_sum(list_transform(q.e, x -> x * x))) *
+                   SQRT(list_sum(list_transform(c.e, x -> x * x)))) AS cosine
+                FROM v q JOIN v c
+                  ON q.vec_id <> c.vec_id AND q.label IS DISTINCT FROM c.label
+                WHERE q.vec_id < 10
+              )
+              SELECT query_id, rank, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC NULLS LAST, neighbor_id ASC NULLS LAST) AS rank
+                FROM pairs
+              ) WHERE rank <= 3 ORDER BY query_id, rank""")),
+
     // Approximate similarity join via random-projection LSH buckets —
     // the ANN scale path. Candidates materialized; the oracle recomputes
     // the exact euclidean ≤ 0.1 verification over them (index-order

@@ -777,6 +777,28 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.7, s"PQ recall@10 = $recall")
   }
 
+  test("hardNegatives: labels always differ, ranks follow cosine, self excluded") {
+    val labels = vecs.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Similarity.hardNegatives(
+      vecs.filter(col("vec_id") < 5), vecs, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length === 15)
+    out.foreach { case (q, _, n) =>
+      assert(n !== q, "self must be excluded")
+      assert(labels(n) !== labels(q), s"negative $n shares label with query $q")
+    }
+    // rank 1 is the best different-label cosine (verified brute force)
+    val q0 = vecs.filter(col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val qCol = typedlit(q0.map(_.toDouble).toSeq)
+    val best = vecs.filter(col("vec_id") =!= 0 && col("label") =!= labels(0L))
+      .withColumn("cos", graft.functions.F.cosineSim(col("embedding"), qCol))
+      .orderBy(desc("cos"), asc("vec_id"))
+      .limit(1).collect()(0).getLong(0)
+    assert(out.filter(_._1 == 0L).minBy(_._2)._3 === best)
+  }
+
   test("BPE: pair census matches hand count; merges reconstruct a known corpus") {
     // weighted census: "aaab" x3, "ab" x2 → pairs aa: 2*3=6, ab: 3+2=5
     val tiny = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
