@@ -81,6 +81,42 @@ object Curation {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Deterministic stand-in weight table for [[linearTextScore]] —
+    * integer thousandths in [-500, 499]. A TRAINED model (fastText-style
+    * quality classifier) drops in as the same array; this formula only
+    * exists so tests and the cross-engine oracle can rebuild the table
+    * without shipping a model file. */
+  def standInWeightsMilli(d: Int): Array[Long] =
+    Array.tabulate(d)(i => (i.toLong * 2654435761L) % 1000L - 500L)
+
+  /** Linear text-classifier INFERENCE at corpus scale (the fastText-
+    * shaped quality filter every production pipeline runs over 100 TB):
+    * each token feature-hashes into a broadcast weight table (md5
+    * bucket — engine-portable, same reason as [[hashBucket]]) and the
+    * document scores as the mean token weight. Entirely row-local
+    * codegen — ZERO shuffles at any corpus size; the weight table rides
+    * along as a literal array (a few KB), exactly how a broadcast model
+    * behaves on a cluster. Weights are integer thousandths, so the
+    * accumulation is exact integer arithmetic and the single IEEE
+    * division at the end reproduces bit-for-bit in any engine. Returns
+    * NULL for token-less documents. */
+  def linearTextScore(text: Column, weightsMilli: Array[Long]): Column = {
+    val d = weightsMilli.length
+    val wLit = typedlit(weightsMilli.toSeq)
+    val toks = TextAnalysis.tokens(TextAnalysis.normalize(text))
+    val milliSum = aggregate(
+      transform(toks, t => element_at(wLit,
+        (pmod(conv(substring(md5(t), 1, 4), 16, 10).cast(LongType),
+          lit(d.toLong)) + 1).cast(IntegerType))),
+      lit(0L), (acc, x) => acc + x)
+    // guard on the normalized TEXT, not size(toks): splitting "" yields
+    // [""] (size 1), so a token-less doc would otherwise score the hash
+    // bucket of the empty string
+    when(length(TextAnalysis.normalize(text)) > 0,
+      milliSum.cast(DoubleType) / (size(toks) * lit(1000.0)))
+      .otherwise(lit(null).cast(DoubleType))
+  }
+
   // ---------------------------------------------------------------------
   // Cross-corpus decontamination
   // ---------------------------------------------------------------------

@@ -721,6 +721,36 @@ object LlmQueries {
                 FROM scored
               ) GROUP BY detected ORDER BY detected""")),
 
+    // Linear classifier inference (fastText-shaped quality filter):
+    // feature-hashed token weights from a broadcast table, mean-scored
+    // per doc — zero shuffles, pure codegen. The stand-in weight table
+    // is a deterministic formula both engines rebuild.
+    QueryDef(
+      "l_classifier_score",
+      (s, d) => {
+        val w = Curation.standInWeightsMilli(256)
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            Curation.linearTextScore(col("text"), w).as("score"))
+          .withColumn("keep", col("score") > 0.0)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+                FROM documents
+              ),
+              w AS (
+                SELECT doc_id,
+                  ((CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) % 256)
+                    * 2654435761) % 1000 - 500 AS wm
+                FROM tk
+              )
+              SELECT doc_id,
+                CAST(SUM(wm) AS DOUBLE) / (COUNT(*) * 1000.0e0) AS score,
+                (CAST(SUM(wm) AS DOUBLE) / (COUNT(*) * 1000.0e0)) > 0.0e0 AS keep
+              FROM w GROUP BY doc_id ORDER BY doc_id""")),
+
     // Quality scoring: length / stopword / punctuation / word-length
     // composite, 0-100.
     QueryDef(

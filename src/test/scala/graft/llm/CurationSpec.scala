@@ -226,6 +226,27 @@ class CurationSpec extends SparkSpec {
     assert(ids3.subsetOf(ids1 ++ (300L until 600L)))
   }
 
+  test("linearTextScore: exact hand score, null on empty, zero-shuffle plan") {
+    val w = Curation.standInWeightsMilli(256)
+    // hand-compute: score("a b") = (w[h(a)] + w[h(b)]) / 2000
+    def idx(t: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+      Integer.parseInt(hex, 16) % 256
+    }
+    val expected = (w(idx("a")) + w(idx("b"))).toDouble / 2000.0
+    val df = Seq((1L, "a b"), (2L, "   ")).toDF("doc_id", "text")
+      .select(col("doc_id"), Curation.linearTextScore(col("text"), w).as("s"))
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows(1L) === Some(expected))
+    assert(rows(2L) === None, "token-less doc scores NULL")
+    // inference is row-local: the scoring plan contains no Exchange
+    val plan = docs.select(Curation.linearTextScore(col("text"), w))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"classifier inference shuffled:\n$plan")
+  }
+
   test("shardShuffle: permutation, balance, determinism, shard-local ranks") {
     val n = 1000L
     val df = (0L until n).map(i => Tuple1(i)).toDF("id")
