@@ -442,6 +442,79 @@ object Similarity {
       .select(col("id"), col("adc_dist"))
   }
 
+  /** Materialize an IVF-PQ index: every vector gets its coarse IVF list
+    * (partition column → probes are partition-pruned) AND its PQ codes
+    * (the compressed representation ADC scores against). The raw vector
+    * rides along for the final re-rank of top-N candidates only. This
+    * is the billion-scale layout: a probe reads nprobe directories,
+    * scores CODES (m byte-ish lookups/row), and touches raw vectors for
+    * ~100 rows. */
+  def materializeIvfPq(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], path: String): Unit = {
+    val sub = codebooks(0)(0).length
+    val codeCols = codebooks.indices.map { s =>
+      F.nearestCentroid(slice(col("v"), s * sub + 1, sub), codebooks(s))
+    }
+    withIvfList(df.select(col(idCol).as("id"), col(vecCol).as("v")), "v", centroids)
+      .withColumn("codes", array(codeCols: _*))
+      .write.mode("overwrite").partitionBy("__ivf_list").parquet(path)
+  }
+
+  /** IVF-PQ probe: prune to the `nprobe` nearest lists (PartitionFilters
+    * on `__ivf_list`), ADC-score the PQ codes with the query's LUT, and
+    * exact-re-rank only the `topN` best codes to return `k` ids. The
+    * scan never decodes raw vectors outside the re-rank set. */
+  def ivfPqTopK(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], query: Array[Float],
+      k: Int, nprobe: Int = 8, topN: Int = 100): DataFrame = {
+    val queryCol = typedlit(query.map(_.toDouble).toSeq)
+    ivfPqCandidates(spark, path, centroids, codebooks, query, nprobe, topN)
+      .withColumn("dist", F.euclidean(col("v"), queryCol))
+      .orderBy(asc("dist"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("dist"))
+  }
+
+  /** ADC candidate stage of [[ivfPqTopK]] — the partition-pruned scan +
+    * LUT scoring + top-N, exposed so the candidate set can be
+    * materialized and independently re-ranked/verified. Returns
+    * (id, v, adc_dist). */
+  def ivfPqCandidates(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], query: Array[Float],
+      nprobe: Int, topN: Int): DataFrame = {
+    val m = codebooks.length
+    val kk = codebooks(0).length
+    val sub = codebooks(0)(0).length
+    val probes = probeLists(centroids, query, nprobe)
+    val lut: Seq[Double] = for {
+      s <- 0 until m; c <- 0 until kk
+    } yield {
+      var acc = 0.0; var i = 0
+      while (i < sub) {
+        val d = query(s * sub + i).toDouble - codebooks(s)(c)(i)
+        acc += d * d; i += 1
+      }
+      acc
+    }
+    val lutCol = typedlit(lut)
+    spark.read.parquet(path)
+      .filter(col("__ivf_list").isin(probes: _*))
+      .withColumn("adc_dist",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + element_at(
+            lutCol, (s * kk + element_at(col("codes"), s + 1) + 1)
+              .cast(IntegerType))))
+      .orderBy(asc("adc_dist"), asc("id"))
+      .limit(topN)
+      .select(col("id"), col("v"), col("adc_dist"))
+  }
+
   // ------------------------------------ distributed k-means (Lloyd)
 
   /** One distributed Lloyd iteration: nearest-centroid assignment (a

@@ -577,6 +577,53 @@ object LlmQueries {
                v.vec_id ASC NULLS LAST
                LIMIT 10""")),
 
+    // IVF-PQ composed index — the billion-scale ANN layout: coarse IVF
+    // lists as PARTITION DIRS (the probe is partition-pruned to nprobe
+    // of 16 lists) + PQ codes as the scan representation (ADC LUT
+    // scoring, raw vectors touched only for the top-100 re-rank). The
+    // materialized candidates feed the exact re-rank; the oracle
+    // recomputes it independently.
+    QueryDef(
+      "l_ivfpq_topk",
+      (s, d) => {
+        val vecs = vecsWithDups(s, d)
+        val base = vecs.filter(col("vec_id") =!= 0)
+        val query = t(s, d, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+        val centroids = Similarity.trainIvfCentroids(base, "embedding", k = 16)
+        val books = Similarity.trainPqCodebooks(base, "embedding", m = 8, k = 64)
+        val path = s"$OracleScratch/ivfpq_index"
+        Similarity.materializeIvfPq(
+          base, "vec_id", "embedding", centroids, books, path)
+        val cands = materialize(
+          Similarity.ivfPqCandidates(
+            s, path, centroids, books, query, nprobe = 8, topN = 100)
+            .select(col("id")),
+          "ivfpq_cands")
+        val queryCol = typedlit(query.map(_.toDouble).toSeq)
+        cands
+          .join(base.select(col("vec_id").as("id"), col("embedding").as("v")), "id")
+          .withColumn("dist", graft.functions.F.euclidean(col("v"), queryCol))
+          .orderBy(asc("dist"), asc("id"))
+          .limit(10)
+          .select(col("id"))
+      },
+      Some(s"""WITH v AS (
+                 SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings
+                 UNION ALL
+                 SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+                 FROM embeddings
+               ),
+               q AS (SELECT e FROM v WHERE vec_id = 0),
+               c AS (SELECT id FROM read_parquet('$OracleScratch/ivfpq_cands/*.parquet'))
+               SELECT v.vec_id AS id
+               FROM c JOIN v ON v.vec_id = c.id, q
+               ORDER BY SQRT(list_sum(list_transform(range(1, len(v.e) + 1),
+                 i -> (v.e[i] - q.e[i]) * (v.e[i] - q.e[i])))) ASC NULLS LAST,
+               v.vec_id ASC NULLS LAST
+               LIMIT 10""")),
+
     // Corpus vocabulary (tokenizer prep): top-50 normalized tokens with
     // counts and corpus fraction; deterministic lexicographic tie-break.
     QueryDef(

@@ -819,6 +819,39 @@ class LlmSpec extends SparkSpec {
     assert(m1 === m2 && m1.distinct.size === 8)
   }
 
+  test("IVF-PQ: probe is partition-pruned, dup surfaces first, recall high") {
+    val withDup = vecs.unionByName(vecs.filter(col("vec_id") === 0).select(
+      (col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label")))
+    val base = withDup.filter(col("vec_id") =!= 0)
+    val query = vecs.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    val centroids = Similarity.trainIvfCentroids(base, "embedding", k = 16)
+    val books = Similarity.trainPqCodebooks(base, "embedding", m = 8, k = 64)
+    val path = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_ivfpq_spec").toString
+    graft.tables.FsUtil.deleteRec(java.nio.file.Paths.get(path))
+    Similarity.materializeIvfPq(base, "vec_id", "embedding", centroids, books, path)
+    // partial probe: the scan's partition filters prune to nprobe dirs
+    val cands = Similarity.ivfPqCandidates(
+      spark, path, centroids, books, query, nprobe = 4, topN = 100)
+    val scan = cands.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("__ivf_list"),
+      s"probe must partition-prune:\n$scan")
+    // end-to-end: the injected identical vector ranks first
+    val top = Similarity.ivfPqTopK(
+      spark, path, centroids, books, query, k = 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top.head === 10000L)
+    // recall vs brute force
+    val queryCol = typedlit(query.map(_.toDouble).toSeq)
+    val exact = base.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("dist", graft.functions.F.euclidean(col("v"), queryCol))
+      .orderBy(asc("dist"), asc("id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.count(top.toSet.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"IVF-PQ recall@10 = $recall")
+  }
+
   test("bigramFluency separates phrase-reusing docs from unique word orders") {
     // fluent docs all walk the same token chain (transitions dominate
     // the census); gibberish docs permute the SAME vocabulary uniquely,
