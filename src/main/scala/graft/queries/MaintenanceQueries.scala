@@ -1184,5 +1184,47 @@ object MaintenanceQueries {
                WHERE NOT (o_orderpriority = '1-URGENT'
                  OR (o_orderpriority = '2-HIGH' AND o_orderkey % 2 = 0))
                GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+  ,
+
+    // M28 — PARTITION EVOLUTION (Iceberg's spec-change, on hive layout):
+    // the table commits coarse (priority), then two priorities refresh
+    // at the REFINED layout (priority, year) in one versioned commit —
+    // the prefix-conflict carry displaces exactly the pre-evolution
+    // coarse files of the touched priorities, the widened schema
+    // commits with the manifest, and the CURRENT version legitimately
+    // mixes layouts: reads group files by partition signature, and
+    // pre-evolution rows surface year = NULL (their dirs cannot supply
+    // it) while evolved rows carry the real year. Time travel to v1
+    // still reads the whole coarse table.
+    QueryDef(
+      "m28_partition_evolution",
+      (s, d) => {
+        val it = graft.tables.IncrementalTable
+        val base = scratch("m28")
+        val orders = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"), col("o_orderdate"))
+        it.commitFull(orders.drop("o_orderdate"), base, Seq("o_orderpriority"))
+        val evolved = orders
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .withColumn("o_year", year(col("o_orderdate")).cast(IntegerType))
+          .drop("o_orderdate")
+        it.refreshPartitions(evolved, base, Seq("o_orderpriority", "o_year"))
+        val nAll = orders.count()
+        val v1Intact = it.read(s, base, Some(1)).count() == nAll
+        it.read(s, base)
+          .groupBy(col("o_orderpriority"), col("o_year"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .withColumn("v1_intact", lit(v1Intact))
+          .orderBy(asc("o_orderpriority"), asc_nulls_first("o_year"))
+      },
+      Some(s"""SELECT o_orderpriority,
+               CAST(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN EXTRACT(year FROM o_orderdate) END AS INT) AS o_year,
+               COUNT(*) AS n,
+               ${dsumSql("o_totalprice")} AS total,
+               TRUE AS v1_intact
+               FROM orders GROUP BY 1, 2
+               ORDER BY o_orderpriority ASC, o_year ASC NULLS FIRST"""))
   )
 }

@@ -93,6 +93,55 @@ object IncrementalTable {
     }
   }
 
+  /** Partition-layout SIGNATURE of a manifest entry: the ordered hive
+    * column names in its path ("p" for `p=1/f.parquet`, "p/y" for
+    * `p=1/y=2/f.parquet`, "" for unpartitioned). After a PARTITION
+    * EVOLUTION (a refresh that adds partition columns), one manifest
+    * legitimately holds files of several layouts; reads group by
+    * signature so Spark's partition discovery sees a consistent layout
+    * per group. */
+  private def sigOf(f: String): String = {
+    val d = hiveDirOf(f)
+    if (d.isEmpty) ""
+    else d.split("/").map(_.takeWhile(_ != '=')).mkString("/")
+  }
+
+  /** Two hive dirs CONFLICT when one is a segment-wise prefix of the
+    * other (same dir included) — the carry rule that makes partition
+    * evolution composable: refreshing `p=1/y=1997` under an evolved
+    * layout must drop the pre-evolution coarse `p=1` files (the refresh
+    * contract requires the caller to supply EVERY row of each touched
+    * coarse partition when changing layout), while `p=1/y=1997` vs
+    * `p=1/y=1998` stay independent exactly as before. Unpartitioned
+    * entries ("") conflict only with each other. */
+  private def dirsConflict(a: String, b: String): Boolean = {
+    val x = a.split("/").filter(_.nonEmpty)
+    val y = b.split("/").filter(_.nonEmpty)
+    if (x.isEmpty || y.isEmpty) x.length == y.length
+    else {
+      val n = math.min(x.length, y.length)
+      x.take(n).sameElements(y.take(n))
+    }
+  }
+
+  /** Rewriting operators (DELETE WHERE, compaction) key their
+    * carry/swap logic by exact hive dir, which is only sound when every
+    * live file shares the CURRENT partition layout — mid-evolution
+    * (mixed-layout) manifests must finish the evolution first (refresh
+    * every coarse partition at the new layout). Reads and refreshes
+    * work fine mid-evolution; this guard keeps the rewriters honest
+    * instead of silently duplicating or dropping rows. */
+  private def requireHomogeneousLayout(
+      files: Seq[String], partitionCols: Seq[String], op: String): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    val expected = partitionCols.map(escapePathName).mkString("/")
+    val sigs = files.map(sigOf).distinct
+    require(sigs.forall(_ == expected),
+      s"$op requires a homogeneous partition layout [$expected], but live " +
+        s"files carry layouts [${sigs.mkString(", ")}] — complete the " +
+        "partition evolution (refresh every partition at the new layout) first")
+  }
+
   /** basePath for a foreign entry's read group: the prefix before the
     * first name=value segment (the source table's data root), so hive
     * partition columns parse out of the dir names exactly as they do
@@ -229,12 +278,19 @@ object IncrementalTable {
           case None => Nil
           case Some(v) =>
             val (prevSchema, prevFiles) = manifest(path, v, store)
-            require(prevSchema.fieldNames.sorted.sameElements(
-                df.schema.fieldNames.sorted),
-              s"refresh schema ${df.schema.fieldNames.mkString(",")} does not " +
-                s"match table schema ${prevSchema.fieldNames.mkString(",")} — " +
+            // columns may be ADDED by a refresh (partition evolution
+            // commits the widened schema; pre-evolution files null-fill
+            // the new columns on read), never silently dropped
+            require(prevSchema.fieldNames.toSet.subsetOf(
+                df.schema.fieldNames.toSet),
+              s"refresh schema ${df.schema.fieldNames.mkString(",")} drops " +
+                s"columns of ${prevSchema.fieldNames.mkString(",")} — " +
                 "align with ParquetTable.alignToSchema first")
-            prevFiles.filterNot(f => changed.contains(hiveDirOf(f)))
+            // prefix-conflict carry (not equality): under partition
+            // evolution a refresh of p=1/y=1997 must displace the
+            // pre-evolution coarse p=1 files — see [[dirsConflict]]
+            prevFiles.filterNot(f =>
+              changed.exists(c => dirsConflict(hiveDirOf(f), c)))
         }
         commitManifest(path, df.schema,
           carried ++ adopt(staging, rels, path), store, basedOn = Some(base),
@@ -266,6 +322,7 @@ object IncrementalTable {
     val v0 = currentVersion(path, store).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $path"))
     val (_, files0) = manifest(path, v0, store)
+    requireHomogeneousLayout(files0, partitionCols, "deleteWhere")
     val cur = read(spark, path, Some(v0), store)
     // affected partition VALUES — bounded by partition count, the same
     // driver-side scale the manifest itself lives at
@@ -340,6 +397,7 @@ object IncrementalTable {
     val v0 = currentVersion(path, store).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $path"))
     val (schema0, files0) = manifest(path, v0, store)
+    requireHomogeneousLayout(files0, partitionCols, "compact")
     val frag = files0.groupBy(dirOf)
       .filter(_._2.size > maxFilesPerPartition)
     if (frag.isEmpty) return (files0.size, files0.size)
@@ -402,14 +460,19 @@ object IncrementalTable {
       // mixed manifest (clone + local rewrites) reads seamlessly.
       val (foreign, local) = files.partition(isForeign)
       val groups = Seq.newBuilder[DataFrame]
-      if (local.nonEmpty) {
-        val abs = local.map(f => dataDir(path).resolve(f).toString)
+      // group by partition-layout signature (partition evolution can mix
+      // layouts in one manifest) so discovery sees one layout per read;
+      // alignToSchema null-fills partition columns a pre-evolution file's
+      // dirs cannot supply
+      local.groupBy(sigOf).toSeq.sortBy(_._1).foreach { case (_, fs) =>
+        val abs = fs.sorted.map(f => dataDir(path).resolve(f).toString)
         groups += spark.read
           .option("basePath", dataDir(path).toString).parquet(abs: _*)
       }
-      foreign.groupBy(foreignBase).toSeq.sortBy(_._1).foreach { case (base, fs) =>
-        groups += spark.read.option("basePath", base).parquet(fs.sorted: _*)
-      }
+      foreign.groupBy(f => (foreignBase(f), sigOf(f))).toSeq.sortBy(_._1)
+        .foreach { case ((base, _), fs) =>
+          groups += spark.read.option("basePath", base).parquet(fs.sorted: _*)
+        }
       groups.result().map(ParquetTable.alignToSchema(_, schema))
         .reduce(_.unionByName(_))
     }

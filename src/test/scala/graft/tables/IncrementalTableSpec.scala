@@ -202,4 +202,43 @@ class IncrementalTableSpec extends SparkSpec {
     }
     assert(IncrementalTable.versions(path) === Seq(1))
   }
+
+  test("partition evolution: refined layout displaces coarse files, mixed reads work") {
+    val path = freshPath("evol")
+    IncrementalTable.commitFull(
+      df((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2")), path, Seq("part"))
+    // evolve p1 to (part, sub); p2 keeps the coarse layout
+    val evolved = Seq((1L, "a", "p1", "s1"), (2L, "b2", "p1", "s2"))
+      .toDF("k", "v", "part", "sub")
+    IncrementalTable.refreshPartitions(evolved, path, Seq("part", "sub"))
+    val cur = IncrementalTable.read(spark, path)
+      .select("k", "v", "sub").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    // evolved rows carry sub; the pre-evolution p2 row reads sub = null
+    assert(cur === Set((1L, "a", "s1"), (2L, "b2", "s2"), (3L, "c", null)))
+    // the coarse p1 file is gone from the live set (prefix conflict),
+    // p2's coarse file is carried
+    val (added, removed) = IncrementalTable.fileChanges(path, 1, 2)
+    assert(removed.forall(_.startsWith("part=p1/")) && removed.nonEmpty)
+    assert(added.forall(_.startsWith("part=p1/sub=")) && added.size === 2)
+    // time travel reads the whole pre-evolution table (sub null-fills)
+    assert(IncrementalTable.read(spark, path, Some(1))
+      .select("v").as[String].collect().toSet === Set("a", "b", "c"))
+    // rewriters refuse to run mid-evolution instead of corrupting
+    val e = intercept[IllegalArgumentException] {
+      IncrementalTable.compact(spark, path, Seq("part", "sub"))
+    }
+    assert(e.getMessage.contains("homogeneous"))
+    // completing the evolution (refresh p2 at the new layout) re-arms them
+    IncrementalTable.refreshPartitions(
+      Seq((3L, "c", "p2", "s1")).toDF("k", "v", "part", "sub"),
+      path, Seq("part", "sub"))
+    val (b4, after) = IncrementalTable.compact(spark, path, Seq("part", "sub"))
+    assert(after <= b4)
+    assert(IncrementalTable.deleteWhere(spark, path, Seq("part", "sub"),
+      col("k") === 2L) > 0)
+    assert(IncrementalTable.read(spark, path)
+      .select("k").as[Long].collect().toSet === Set(1L, 3L))
+  }
 }
