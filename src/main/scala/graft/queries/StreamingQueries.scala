@@ -506,6 +506,55 @@ object StreamingQueries {
                TRUE AS v1_single_partition
                FROM events GROUP BY pday ORDER BY pday""")),
 
+    // ST10 — the same watermarked streaming dedup EXECUTED UNDER THE
+    // RocksDB STATE STORE (spark.sql.streaming.stateStore.providerClass)
+    // — the production state backend at scale: the default HDFS-backed
+    // provider keeps every key in executor HEAP (a 100 TB stream's
+    // dedup state OOMs it), RocksDB spills state to local disk with
+    // bounded memory. Same rows out as st_dedup proves the operator is
+    // backend-agnostic; the conf is restored afterwards so no other
+    // gate inherits it.
+    QueryDef(
+      "st_rocksdb",
+      (s, d) => {
+        val base = scratch("st_rocksdb")
+        val land = s"$base/land"; Files.createDirectories(Paths.get(land))
+        val fixes = asFixes(t(s, d, "events"))
+        landJson(fixes.unionByName(fixes), land, "events.json",
+          System.currentTimeMillis())
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val q = StreamingTelemetry.dedupStream(
+              StreamingTelemetry.readFixStream(s, land))
+            .writeStream
+            .format("parquet")
+            .option("path", s"$base/sink")
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+        s.read.parquet(s"$base/sink")
+          .groupBy(col("roundId"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("locationIndex").cast(LongType)).as("sum_idx"),
+            dsum(col("pace")).as("value_total"))
+          .orderBy(col("roundId"))
+      },
+      Some(s"""SELECT CAST(user_id AS VARCHAR) AS roundId,
+               COUNT(*) AS n_events,
+               CAST(SUM(event_id) AS BIGINT) AS sum_idx,
+               ${dsumSql("value")} AS value_total
+               FROM events GROUP BY roundId ORDER BY roundId""")),
+
     // ST9 — streaming near-dup probe against the PERSISTED corpus index
     // (the continuous-ingest dedup loop run as a stream): incoming docs
     // MinHash-band inside the micro-batch (the signature mapPartitions
