@@ -441,6 +441,46 @@ object JoinQueries {
               SELECT w.win_id, COUNT(*) AS n_orders,
                      CAST(SUM(a.o_orderkey) AS BIGINT) AS key_sum
               FROM a JOIN w ON a.a_lo < w.b_hi AND w.b_lo < a.a_hi
-              GROUP BY w.win_id ORDER BY w.win_id"""))
+              GROUP BY w.win_id ORDER BY w.win_id""")),
+
+    // J14 — DYNAMIC PARTITION PRUNING: the fact table is partitioned on
+    // the join key, the dim side carries a selective filter, and the
+    // optimizer injects a runtime pruning subquery into the fact SCAN
+    // (PartitionFilters: dynamicpruning#N) — at 100 TB this is the
+    // difference between scanning two priorities' directories and
+    // scanning the whole fact table, decided at RUNTIME from the dim's
+    // broadcast result, which no static filter can express. The gate
+    // emits whether the executed plan actually planned the pruning
+    // subquery; the oracle pins TRUE.
+    QueryDef(
+      "j14_dynamic_partition_pruning",
+      (s, d) => {
+        import s.implicits._
+        val base = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_join_q", "j14").toString
+        graft.tables.FsUtil.deleteRec(java.nio.file.Paths.get(base))
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .write.partitionBy("o_orderpriority").parquet(s"$base/fact")
+        Seq(("1-URGENT", "hot"), ("2-HIGH", "hot"), ("3-MEDIUM", "cold"),
+            ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold"))
+          .toDF("prio", "tier").write.parquet(s"$base/dim")
+        val fact = s.read.parquet(s"$base/fact")
+        val dim = s.read.parquet(s"$base/dim").filter(col("tier") === "hot")
+        val joined = fact
+          .join(broadcast(dim), col("o_orderpriority") === col("prio"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        val dppPlanned = joined.queryExecution.executedPlan.toString
+          .contains("dynamicpruning")
+        joined
+          .withColumn("dpp_planned", lit(dppPlanned))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+               ${dsumSql("o_totalprice")} AS total,
+               TRUE AS dpp_planned
+               FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+               GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }
