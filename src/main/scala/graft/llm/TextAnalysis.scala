@@ -347,6 +347,76 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** Apply an ordered BPE merge list to one word (tokenizer INFERENCE):
+    * start from characters, repeatedly merge the lowest-rank adjacent
+    * pair (all its occurrences, left to right) until no learned pair
+    * remains — the standard decode-side pairing of [[trainBpeMerges]].
+    * Concatenating the returned pieces always reconstructs the word
+    * exactly (BPE is lossless by construction). */
+  def applyBpeMerges(
+      word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var syms = word.map(_.toString).toArray
+    var done = syms.length < 2
+    while (!done) {
+      var bestIdx = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0 || bestRank == Int.MaxValue) done = true
+      else {
+        val a = syms(bestIdx); val b = syms(bestIdx + 1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += a + b; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
+  /** Encode every document with a trained merge list: per word, the
+    * greedy rank-ordered merge loop of [[applyBpeMerges]]. The merge
+    * table broadcasts in the task closure (a trained tokenizer is
+    * ~50k pairs — KBs); tokenization itself stays codegen, and the
+    * per-word merge loop runs behind a typed mapPartitions boundary —
+    * the one genuinely iterative per-row algorithm Catalyst cannot
+    * express (same justified escape as the MinHash signature barrier).
+    * Output column is Array[Array[String]]: pieces per word, so word
+    * boundaries survive for downstream packing/reconstruction. */
+  def bpeEncode(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)],
+      outCol: String = "bpe_tokens"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    val ranks = merges.zipWithIndex.toMap
+    val worded = df.select(col(idCol),
+      tokens(normalize(col(textCol))).as("__words"))
+    val wIdx = worded.schema.fieldIndex("__words")
+    val outSchema = StructType(
+      worded.schema.fields.patch(wIdx, Nil, 1) :+
+        StructField(outCol, ArrayType(ArrayType(StringType))))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    worded.mapPartitions { rows =>
+      rows.map { r =>
+        val ws = r.getSeq[String](wIdx)
+        val pieces: Seq[Seq[String]] =
+          if (ws == null) null
+          else ws.map(w => applyBpeMerges(w, ranks).toSeq)
+        Row.fromSeq(r.toSeq.patch(wIdx, Nil, 1) :+ pieces)
+      }
+    }(enc)
+  }
+
   /** RE2-compatible URL pattern (scheme + host, optional path) — works
     * identically under Java regex and DuckDB's RE2. */
   val UrlPattern = "https?://[A-Za-z0-9.-]+(/[^ \\t\\n]*)?"

@@ -718,6 +718,42 @@ object LlmQueries {
               FROM pairs GROUP BY pair
               ORDER BY cnt DESC, pair ASC LIMIT 20""")),
 
+    // BPE tokenizer INFERENCE: encode every doc with 30 trained merges
+    // (rank-ordered greedy merge per word behind the justified
+    // mapPartitions barrier). The oracle check is the LOSSLESSNESS
+    // property cross-engine: md5 of the piece-reconstructed text must
+    // equal DuckDB's md5 of the independently normalized text — if the
+    // encoder dropped, duplicated, or reordered one character anywhere
+    // in the corpus, the hash diverges.
+    QueryDef(
+      "l_bpe_encode",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val merges = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 30)
+        TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+          .select(col("doc_id"),
+            size(col("bpe_tokens")).as("n_words"),
+            aggregate(transform(col("bpe_tokens"), a => size(a)),
+              lit(0), (acc, x) => acc + x).as("__n_pieces"),
+            concat_ws(" ",
+              transform(col("bpe_tokens"), a => concat_ws("", a))).as("__rec"))
+          .select(col("doc_id"), col("n_words"),
+            md5(col("__rec")).as("reconstruction_md5"),
+            (col("__n_pieces") >= col("n_words") &&
+              col("__n_pieces") <= length(col("__rec"))).as("pieces_bounded"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH n AS (
+                SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+                FROM documents
+              )
+              SELECT doc_id,
+                CAST(len(string_split(norm, ' ')) AS INT) AS n_words,
+                md5(norm) AS reconstruction_md5,
+                TRUE AS pieces_bounded
+              FROM n ORDER BY doc_id""")),
+
     // Corpus heavy hitters — EXACT output at sketch-bounded cost: a
     // Misra–Gries aggregate (mergeable, ≤512 rows per partition cross
     // the wire — never a full-vocabulary shuffle) yields a candidate

@@ -852,6 +852,34 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF-PQ recall@10 = $recall")
   }
 
+  test("BPE encode: rank-ordered merges, losslessness, trained-on-corpus roundtrip") {
+    // rank order decides: with merges [(l,o),(lo,w)], "low" → ["low"];
+    // reversing ranks leaves (lo,w) unreachable until (l,o) fires first
+    val r1 = Map(("l", "o") -> 0, ("lo", "w") -> 1)
+    assert(TextAnalysis.applyBpeMerges("low", r1).toSeq === Seq("low"))
+    val r2 = Map(("o", "w") -> 0, ("l", "o") -> 1)
+    assert(TextAnalysis.applyBpeMerges("low", r2).toSeq === Seq("l", "ow"))
+    assert(TextAnalysis.applyBpeMerges("slow", r1).toSeq === Seq("s", "low"))
+    assert(TextAnalysis.applyBpeMerges("x", r1).toSeq === Seq("x"))
+    // corpus roundtrip: pieces concat back to every word exactly
+    val merges = TextAnalysis.trainBpeMerges(docs, "text", 20)
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+    // join back to original text for comparison
+    val joined = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(
+        concat_ws(" ", transform(col("bpe_tokens"), a => concat_ws("", a))).as("rec"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+      .filter(col("rec") =!= col("norm"))
+    assert(joined.count() === 0L, "reconstruction must be exact for every doc")
+    // trained merges actually compress: mean pieces per word < chars per word
+    val stats = enc.select(
+      aggregate(transform(col("bpe_tokens"), a => size(a)), lit(0), (a, x) => a + x)
+        .as("p"),
+      size(col("bpe_tokens")).as("w")).agg(sum("p"), sum("w")).collect()(0)
+    assert(stats.getLong(0) > stats.getLong(1), "multi-piece words exist")
+  }
+
   test("bigramFluency separates phrase-reusing docs from unique word orders") {
     // fluent docs all walk the same token chain (transitions dominate
     // the census); gibberish docs permute the SAME vocabulary uniquely,
