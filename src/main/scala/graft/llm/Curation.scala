@@ -396,6 +396,54 @@ object Curation {
       df: DataFrame, textCol: String, blockedDomains: Seq[String]): DataFrame =
     df.filter(!hasBlockedDomain(col(textCol), blockedDomains))
 
+  /** Canonical URL form for URL-level dedup (the step before content
+    * fetch in a crawl pipeline — near-identical URLs fan out crawler
+    * budget and duplicate documents downstream): lowercase scheme and
+    * host, normalize the empty path to "/", drop the fragment, drop
+    * tracking parameters (`utm_*`), and SORT the surviving query
+    * parameters so parameter order stops mattering. Pure codegen
+    * column expression — row-local at any scale; dedup then becomes
+    * one hash-groupBy on the canonical string. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val host = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1))
+    val path = regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.startsWith("utm_")))
+    val q2 = array_join(params, "&")
+    concat(scheme, lit("://"), host,
+      when(path === "", "/").otherwise(path),
+      when(q2 === "", "").otherwise(concat(lit("?"), q2)))
+  }
+
+  /** Code-vs-prose signals for code-corpus curation (row-local
+    * codegen): symbol density (brace/bracket/operator characters per
+    * character), indented-line ratio, and programming-keyword hits in
+    * the token stream. `looks_code` fires on symbol-dense text or on
+    * keyword-bearing indented text — the cheap first-pass router that
+    * decides which pipeline (prose filters vs code filters) a document
+    * enters. */
+  def codeSignals(text: Column): Column = {
+    val n = greatest(length(text), lit(1))
+    val symbolRatio =
+      (length(text) - length(regexp_replace(text, "[{}()\\[\\];=<>]", "")))
+        .cast(DoubleType) / n
+    val lines = split(text, "\n")
+    val indentRatio = size(filter(lines, l => l.rlike("^[ \\t]{2,}")))
+      .cast(DoubleType) / greatest(size(lines), lit(1))
+    val kw = Seq("def", "class", "import", "return", "void", "int",
+      "const", "function", "var", "public")
+    val kwHits = graft.functions.F.countTokensIn(
+      TextAnalysis.tokens(TextAnalysis.normalize(text)), kw)
+    struct(
+      symbolRatio.as("symbol_ratio"),
+      indentRatio.as("indent_ratio"),
+      kwHits.as("keyword_hits"),
+      (symbolRatio > 0.05 || (kwHits >= 2 && indentRatio > 0.3))
+        .as("looks_code"))
+  }
+
   // ---------------------------------------------------------------------
   // Gopher-style quality rules
   // ---------------------------------------------------------------------

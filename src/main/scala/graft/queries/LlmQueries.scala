@@ -834,6 +834,115 @@ object LlmQueries {
                 (CAST(SUM(wm) AS DOUBLE) / (COUNT(*) * 1000.0e0)) > 0.0e0 AS keep
               FROM w GROUP BY doc_id ORDER BY doc_id""")),
 
+    // URL canonicalization dedup (the pre-fetch crawl step): lowercase
+    // scheme/host, drop fragments and utm_* tracking params, sort the
+    // surviving query params — four raw spellings per page collapse to
+    // one canonical form via a hash-groupBy. The crafted variants are
+    // deterministic functions of doc_id that both engines rebuild.
+    QueryDef(
+      "l_url_canonical",
+      (s, d) => {
+        val urls = t(s, d, "documents").select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 2 === 0, lit("HTTPS://"))
+              .otherwise(lit("https://")),
+            when(col("doc_id") % 3 === 0, lit("Example.COM"))
+              .otherwise(lit("example.com")),
+            lit("/p/"), (col("doc_id") % 50).cast(StringType),
+            when(col("doc_id") % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
+              .when(col("doc_id") % 4 === 1, lit("?a=1&b=2"))
+              .otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, lit("#frag"))
+              .otherwise(lit(""))).as("url"))
+        urls
+          .withColumn("canonical", Curation.canonicalizeUrl(col("url")))
+          .groupBy(col("canonical"))
+          .agg(
+            count(lit(1)).as("n_variants"),
+            countDistinct(col("url")).as("n_raw_forms"),
+            min(col("doc_id")).as("canonical_id"))
+          .orderBy(col("canonical"))
+      },
+      Some("""WITH u AS (
+                SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+                  (CASE WHEN doc_id % 3 = 0 THEN 'Example.COM' ELSE 'example.com' END) ||
+                  '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+                  (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+                        WHEN doc_id % 4 = 1 THEN '?a=1&b=2' ELSE '' END) ||
+                  (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+                FROM documents
+              ),
+              q AS (
+                SELECT doc_id, url,
+                  COALESCE(array_to_string(list_sort(list_filter(
+                    string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                    p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&'), '') AS q2
+                FROM u
+              ),
+              c AS (
+                SELECT doc_id, url,
+                  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+                  lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) ||
+                  (CASE WHEN regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) = ''
+                        THEN '/' ELSE regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) END) ||
+                  (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canonical
+                FROM q
+              )
+              SELECT canonical, COUNT(*) AS n_variants,
+                CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+                CAST(MIN(doc_id) AS BIGINT) AS canonical_id
+              FROM c GROUP BY canonical ORDER BY canonical""")),
+
+    // Code-vs-prose routing signals (code-corpus curation's first
+    // pass): symbol density, indented-line ratio, programming-keyword
+    // hits — all row-local codegen. Injected code-bearing docs must
+    // flag; the plain prose corpus must not.
+    QueryDef(
+      "l_code_filter",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val snippet = "import os\ndef main():\n    return compute(x=1);\n" +
+          "  const y = foo(bar);\n    public int z = 2;\n"
+        val code = docs.filter(col("doc_id") % 10 === 0).select(
+          (col("doc_id") + 80000).as("doc_id"),
+          concat(lit(snippet), col("text")).as("text"))
+        docs.select(col("doc_id"), col("text")).unionByName(code)
+          .select(col("doc_id"), Curation.codeSignals(col("text")).as("cs"))
+          .select(col("doc_id"),
+            col("cs.symbol_ratio").as("symbol_ratio"),
+            col("cs.indent_ratio").as("indent_ratio"),
+            col("cs.keyword_hits").as("keyword_hits"),
+            col("cs.looks_code").as("looks_code"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 80000,
+                  'import os' || chr(10) || 'def main():' || chr(10) ||
+                  repeat(' ', 4) || 'return compute(x=1);' || chr(10) ||
+                  repeat(' ', 2) || 'const y = foo(bar);' || chr(10) ||
+                  repeat(' ', 4) || 'public int z = 2;' || chr(10) || text
+                FROM documents WHERE doc_id % 10 = 0
+              ),
+              sig AS (
+                SELECT doc_id,
+                  CAST(length(text) - length(regexp_replace(text, '[{}()\[\];=<>]', '', 'g')) AS DOUBLE)
+                    / GREATEST(length(text), 1) AS symbol_ratio,
+                  CAST(len(list_filter(string_split(text, chr(10)),
+                    l -> regexp_matches(l, '^[ \t]{2,}'))) AS DOUBLE)
+                    / GREATEST(len(string_split(text, chr(10))), 1) AS indent_ratio,
+                  CAST(len(list_filter(
+                    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+                    t -> list_contains(['def','class','import','return','void','int','const','function','var','public'], t))) AS INT) AS keyword_hits
+                FROM corpus
+              )
+              SELECT doc_id, symbol_ratio, indent_ratio, keyword_hits,
+                (symbol_ratio > 0.05e0 OR
+                 (keyword_hits >= 2 AND indent_ratio > 0.3e0)) AS looks_code
+              FROM sig ORDER BY doc_id""")),
+
     // Quality scoring: length / stopword / punctuation / word-length
     // composite, 0-100.
     QueryDef(

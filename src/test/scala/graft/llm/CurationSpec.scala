@@ -247,6 +247,33 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"classifier inference shuffled:\n$plan")
   }
 
+  test("canonicalizeUrl: case, fragments, utm params, param order all normalize") {
+    val urls = Seq(
+      "HTTPS://Example.COM/p/1?b=2&utm_source=x&a=1#frag",
+      "https://example.com/p/1?a=1&b=2",
+      "https://example.com/p/1?utm_campaign=y&a=1&b=2",
+      "http://other.org",
+      "http://other.org/#top").toDF("url")
+    val canon = urls.select(Curation.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(canon.take(3).toSet === Set("https://example.com/p/1?a=1&b=2"))
+    assert(canon(3) === "http://other.org/" && canon(4) === "http://other.org/")
+  }
+
+  test("codeSignals: crafted code flags, prose does not, ratios hand-check") {
+    val code = "def f():\n    return (x = 1);\n    import y\nclass Z:"
+    val prose = "the quick brown fox jumps over the lazy dog again today"
+    val out = Seq((1L, code), (2L, prose)).toDF("id", "text")
+      .select(col("id"), Curation.codeSignals(col("text")).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(out(1L).getBoolean(3) === true, "code must flag")
+    assert(out(2L).getBoolean(3) === false, "prose must not flag")
+    assert(out(2L).getDouble(0) === 0.0 && out(2L).getDouble(1) === 0.0)
+    // code doc: 4 lines, 2 indented with >= 2 spaces
+    assert(out(1L).getDouble(1) === 0.5)
+    assert(out(1L).getInt(2) >= 3) // def, return, import, class
+  }
+
   test("shardShuffle: permutation, balance, determinism, shard-local ranks") {
     val n = 1000L
     val df = (0L until n).map(i => Tuple1(i)).toDF("id")
