@@ -555,6 +555,53 @@ object StreamingQueries {
                ${dsumSql("value")} AS value_total
                FROM events GROUP BY roundId ORDER BY roundId""")),
 
+    // ST11 — CHECKPOINT RECOVERY, end to end: the stream ingests batch
+    // 1 and TERMINATES (AvailableNow stops at the current data); more
+    // data lands; a SECOND query starts from the SAME checkpoint and
+    // must resume exactly where the first stopped — no batch-1 row
+    // reprocessed (the sink would double them), no batch-2 row missed.
+    // This is the property that makes a daily-restart production
+    // stream exactly-once across its whole life, and it is invisible
+    // to single-run gates. Oracle = the batch aggregate over all
+    // events, each exactly once.
+    QueryDef(
+      "st_resume",
+      (s, d) => {
+        val base = scratch("st_resume")
+        val land = s"$base/land"; Files.createDirectories(Paths.get(land))
+        val ev = t(s, d, "events")
+        val t0 = System.currentTimeMillis()
+        def run(): Unit = {
+          val q = StreamingTelemetry.readFixStream(s, land)
+            .writeStream
+            .format("parquet")
+            .option("path", s"$base/sink")
+            .option("checkpointLocation", s"$base/ckpt")
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        landJson(asFixes(ev.filter(col("user_id") % 2 === 0)),
+          land, "b1.json", t0)
+        run() // first life: batch 1 only, then terminates
+        landJson(asFixes(ev.filter(col("user_id") % 2 =!= 0)),
+          land, "b2.json", t0 + 60000)
+        run() // second life: resumes from the checkpoint
+        s.read.parquet(s"$base/sink")
+          .groupBy(col("roundId"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("locationIndex").cast(LongType)).as("sum_idx"),
+            dsum(col("pace")).as("value_total"))
+          .orderBy(col("roundId"))
+      },
+      Some(s"""SELECT CAST(user_id AS VARCHAR) AS roundId,
+               COUNT(*) AS n_events,
+               CAST(SUM(event_id) AS BIGINT) AS sum_idx,
+               ${dsumSql("value")} AS value_total
+               FROM events GROUP BY roundId ORDER BY roundId""")),
+
     // ST9 — streaming near-dup probe against the PERSISTED corpus index
     // (the continuous-ingest dedup loop run as a stream): incoming docs
     // MinHash-band inside the micro-batch (the signature mapPartitions
