@@ -206,4 +206,48 @@ class PropertySpec extends SparkSpec {
       }
     }, minSuccessful = 15)
   }
+
+  test("property: BPE merges are lossless for any word and any merge list") {
+    val wordGen = Gen.nonEmptyListOf(
+      Gen.oneOf(('a' to 'e') ++ Seq('ü', 'é', 'ß'))).map(_.mkString)
+    val mergesGen = Gen.listOf(Gen.zip(
+      Gen.oneOf("a", "b", "c", "ab", "bc", "é"),
+      Gen.oneOf("a", "b", "c", "ab", "bc", "é")))
+    check(Prop.forAll(wordGen, mergesGen) { (word, merges) =>
+      val ranks = merges.distinct.zipWithIndex.toMap
+      val pieces = graft.llm.TextAnalysis.applyBpeMerges(word, ranks)
+      pieces.mkString("") == word && pieces.forall(_.nonEmpty)
+    }, minSuccessful = 60)
+  }
+
+  test("property: shardShuffle is a permutation with dense per-shard ranks") {
+    val idsGen = Gen.nonEmptyListOf(Gen.choose(0L, 10000L)).map(_.distinct)
+    check(Prop.forAll(idsGen) { ids =>
+      val out = graft.llm.Curation.shardShuffle(
+        ids.map(Tuple1(_)).toDF("id"), "id", nShards = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      out.map(_._1).toSet == ids.toSet &&
+        out.groupBy(_._2).values.forall { rows =>
+          rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq
+        }
+    }, minSuccessful = 10)
+  }
+
+  test("property: canonicalizeUrl is idempotent and param-order invariant") {
+    val paramGen = Gen.listOf(Gen.oneOf("a=1", "b=2", "c=3", "utm_x=9"))
+    check(Prop.forAll(paramGen) { params =>
+      def url(ps: Seq[String]) =
+        "https://Example.com/path" +
+          (if (ps.isEmpty) "" else ps.mkString("?", "&", ""))
+      val in = Seq(
+        Tuple1(url(params)), Tuple1(url(params.reverse))).toDF("u")
+      val out = in.select(graft.llm.Curation.canonicalizeUrl(col("u")))
+        .collect().map(_.getString(0))
+      // order-invariant and idempotent
+      val again = Seq(Tuple1(out(0))).toDF("u")
+        .select(graft.llm.Curation.canonicalizeUrl(col("u")))
+        .collect()(0).getString(0)
+      out(0) == out(1) && again == out(0)
+    }, minSuccessful = 10)
+  }
 }
