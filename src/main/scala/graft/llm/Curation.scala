@@ -35,17 +35,25 @@ object Curation {
   def withSplit(
       df: DataFrame, idCol: String,
       splits: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
-      bucketCol: String = "split"): DataFrame = {
+      bucketCol: String = "split"): DataFrame =
+    df.withColumn(bucketCol, splitOf(col(idCol), splits))
+
+  /** The split label of a single id column — [[withSplit]]'s ladder as a
+    * row-local expression, so derived frames (near-dup PAIRS, shard
+    * manifests) can recover each side's split without joining back to
+    * the corpus: the split is a pure function of the id. */
+  def splitOf(
+      id: Column,
+      splits: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): Column = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1: $splits")
-    val b = hashBucket(col(idCol)).cast(DoubleType) / lit(65536.0)
+    val b = hashBucket(id).cast(DoubleType) / lit(65536.0)
     val ladder = splits.toList.scanLeft(("", 0.0)) {
       case ((_, cum), (label, w)) => (label, cum + w)
     }.tail
-    val expr = ladder.init.foldRight(lit(ladder.last._1): Column) {
+    ladder.init.foldRight(lit(ladder.last._1): Column) {
       case ((label, cum), acc) => when(b < cum, label).otherwise(acc)
     }
-    df.withColumn(bucketCol, expr)
   }
 
   /** Deterministic global shuffle into `nShards` balanced shards — the
@@ -489,4 +497,99 @@ object Curation {
     gopherFlags(text, stopwords, minWords, maxWords)
       .collect { case (n, c) if n.startsWith("ok_") => c }
       .reduce(_ && _)
+
+  // ----------------------------------------------- DSIR target affinity
+
+  /** DSIR-style target-affinity scores (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023 — public):
+    * score each document by how much more likely its tokens are under a
+    * TARGET subcorpus's hashed-unigram distribution than under the raw
+    * corpus distribution, the signal DSIR resamples pretraining data on.
+    *
+    * Published form is Σ log p_target(f)/p_raw(f) over hashed n-gram
+    * features. Cross-engine stand-in per this repo's exact-rational
+    * convention: the log is dropped and the per-token likelihood RATIO
+    * is averaged — each ratio is ((c_t+1)·(T_r+B)) / ((c_r+1)·(T_t+B))
+    * with add-one smoothing over the B buckets, i.e. one IEEE division
+    * of two exact integer products, so DuckDB reproduces the double bit
+    * for bit (ln() would diverge in the last ulp between engines). The
+    * per-token decision boundary is unchanged (ratio > 1 ⇔ log > 0).
+    *
+    * Scale shape: ONE pass over the token stream collapses to a
+    * ≤`buckets`-row census via map-side partial aggregation (conditional
+    * count for the target column — no second scan, no self-join); the
+    * census cross-joins its own 1-row total and broadcast-joins back
+    * onto the token stream; the per-doc mean is one shuffle on the doc
+    * id. Nothing corpus-sized touches the driver. Counts are bounded by
+    * the corpus token total, so the integer products stay inside Long
+    * for corpora under ~10^17 tokens; production DSIR runs in log space
+    * and is immune. The token stream is tokenized twice (census +
+    * scoring) — at 100 TB persist the exploded stream or accept the
+    * second scan; both passes are full-codegen scans. */
+  def dsirTargetAffinity(
+      df: DataFrame, idCol: String, textCol: String, targetFilter: Column,
+      buckets: Int = 256): DataFrame = {
+    def tokenStream = df.select(col(idCol), targetFilter.as("__is_target"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))))
+          .as("__tok"))
+      .withColumn("__b", pmod(hashBucket(col("__tok")), lit(buckets)))
+    val census = tokenStream
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("c_r"),
+        count(when(col("__is_target"), lit(1))).as("c_t"))
+    val totals = census.agg(
+      sum(col("c_r")).cast(LongType).as("t_r"),
+      sum(col("c_t")).cast(LongType).as("t_t"))
+    val B = buckets.toLong
+    val ratios = census.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        (((col("c_t") + 1L) * (col("t_r") + B)).cast(DoubleType) /
+          ((col("c_r") + 1L) * (col("t_t") + B)).cast(DoubleType))
+          .as("__ratio"))
+    tokenStream.join(broadcast(ratios), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(col("__ratio").cast(DecimalType(18, 12))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("target_affinity"))
+      .withColumn("keep", col("target_affinity") > 1.0)
+  }
+
+  // ------------------------------------------------ domain rebalancing
+
+  /** Domain-rebalance plan (the published Pile / Gopher / LLaMA mixture
+    * tables): per-domain token counts → the sampling rate and epoch
+    * count that flatten the mixture to an equal per-domain share of a
+    * `1/budgetDenom` token budget. Domains above their share downsample
+    * (`sample_rate < 1`); domains below it repeat for `epochs` passes,
+    * capped at `maxEpochs` (the published guardrail against overfitting
+    * tiny domains).
+    *
+    * Exactness: the per-domain target is integer division of exact
+    * BIGINTs, and rate/epochs are each ONE IEEE division of exact
+    * integers, so the doubles reproduce cross-engine. Scale shape: one
+    * map-side-partial groupBy to |domains| rows, then a broadcast of the
+    * 1-row total — the plan any mixture table needs at 100 TB. */
+  def domainBalance(
+      df: DataFrame, domainCol: String, textCol: String,
+      budgetDenom: Long = 2L, maxEpochs: Double = 4.0): DataFrame = {
+    val perDomain = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast(LongType))
+          .cast(LongType).as("n_tokens"))
+    val totals = perDomain.agg(
+      sum(col("n_tokens")).cast(LongType).as("t_total"),
+      count(lit(1)).as("n_domains"))
+    perDomain.crossJoin(broadcast(totals))
+      .withColumn("target_tokens",
+        expr(s"t_total div ($budgetDenom * n_domains)"))
+      .withColumn("sample_rate",
+        least(lit(1.0), col("target_tokens").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)))
+      .withColumn("epochs",
+        least(lit(maxEpochs), col("target_tokens").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)))
+      .select(col(domainCol), col("n_docs"), col("n_tokens"),
+        col("target_tokens"), col("sample_rate"), col("epochs"))
+  }
 }

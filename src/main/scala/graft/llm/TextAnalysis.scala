@@ -276,6 +276,54 @@ object TextAnalysis {
           count(lit(1))).as("fluency"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data"
+    * — public): rank documents by LM score and split the corpus into
+    * head / middle / tail terciles, the pre-training convention for
+    * keeping the head and sampling the middle.
+    *
+    * Scale design — CCNet's own: the tercile CUTOFFS come from a FIXED
+    * deterministic sample (ids divisible by `sampleMod`, first
+    * `sampleCap` by id), never from a global sort or window over the
+    * corpus. The ≤`sampleCap`-row sample collapses into ONE sorted
+    * array (a bounded collect_list — no WindowExec anywhere in the
+    * plan), the two cutoff values broadcast, and bucket assignment is
+    * a row-local comparison. The corpus-sized work is only
+    * [[bigramFluency]]'s keyed shuffles.
+    *
+    * Determinism: the sample is selected by id, ordered by
+    * (fluency, id) via the struct sort, and the cutoffs are the
+    * ELEMENTS at 1-based ranks ⌈k/3⌉ and ⌈2k/3⌉ — actual sample
+    * values, no interpolation, so any engine recomputes them
+    * bit-for-bit. Buckets compare against the cutoff VALUE (head:
+    * fluency > t2; middle: > t1; tail: rest), so ties bucket
+    * deterministically regardless of row order. */
+  def perplexityBuckets(
+      df: DataFrame, idCol: String, textCol: String,
+      sampleMod: Long = 5L, sampleCap: Int = 1000): DataFrame = {
+    val scored = bigramFluency(df, idCol, textCol)
+    val sample = scored
+      .filter(col(idCol) % sampleMod === 0)
+      .orderBy(col(idCol)).limit(sampleCap)
+      .select(col(idCol).as("__sid"), col("fluency").as("__f"))
+    // ≤ sampleCap rows by the LIMIT above: the collect_list is bounded
+    // by construction, and sort_array on (value, id) structs gives the
+    // (fluency, id) rank order without a WindowExec.
+    val cutoffs = sample
+      .agg(sort_array(collect_list(struct(col("__f"), col("__sid"))))
+        .as("__arr"))
+      .select(
+        expr("element_at(__arr, cast((size(__arr) + 2) div 3 as int)).__f")
+          .as("t1"),
+        expr("element_at(__arr, cast((2 * size(__arr) + 2) div 3 as int)).__f")
+          .as("t2"))
+    scored.crossJoin(broadcast(cutoffs))
+      .select(col(idCol), col("fluency"),
+        when(col("fluency") > col("t2"), "head")
+          .when(col("fluency") > col("t1"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** BPE-style adjacent character-pair census — the distributed
     * primitive of tokenizer training (Sennrich et al.: each BPE merge
     * step picks the most frequent adjacent symbol pair, weighted by

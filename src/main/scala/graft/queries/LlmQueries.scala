@@ -1968,6 +1968,197 @@ object LlmQueries {
                      ok_symbol_ratio, ok_alpha_words, ok_stopwords,
                      (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
                       AND ok_alpha_words AND ok_stopwords) AS keep
-              FROM f ORDER BY doc_id"""))
+              FROM f ORDER BY doc_id""")),
+
+    // DSIR importance weights (Xie et al. 2023): per-doc mean
+    // target/raw likelihood ratio over hashed-unigram buckets, target =
+    // the English subcorpus. Exact-rational ratios (add-one smoothing)
+    // so the doubles hash-match cross-engine; see
+    // Curation.dsirTargetAffinity for the 100 TB shape (one census
+    // pass, broadcast ratio table, one doc-grain shuffle).
+    QueryDef(
+      "l_dsir_weights",
+      (s, d) =>
+        Curation.dsirTargetAffinity(
+          t(s, d, "documents"), "doc_id", "text", col("lang") === "en",
+          buckets = 256)
+          .orderBy(col("doc_id")),
+      Some("""WITH tk AS (
+                SELECT doc_id, lang,
+                  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+                FROM documents
+              ),
+              tb AS (
+                SELECT doc_id, lang,
+                  CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 256 AS b
+                FROM tk
+              ),
+              cen AS (
+                SELECT b, COUNT(*) AS c_r,
+                  COUNT(CASE WHEN lang = 'en' THEN 1 END) AS c_t
+                FROM tb GROUP BY b
+              ),
+              tot AS (
+                SELECT CAST(SUM(c_r) AS BIGINT) AS t_r,
+                       CAST(SUM(c_t) AS BIGINT) AS t_t
+                FROM cen
+              ),
+              r AS (
+                SELECT b,
+                  CAST((c_t + 1) * (t_r + 256) AS DOUBLE) /
+                  CAST((c_r + 1) * (t_t + 256) AS DOUBLE) AS ratio
+                FROM cen, tot
+              )
+              SELECT tb.doc_id,
+                COUNT(*) AS n_tokens,
+                CAST(SUM(CAST(ratio AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+                  AS target_affinity,
+                (CAST(SUM(CAST(ratio AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*))
+                  > 1.0e0 AS keep
+              FROM tb JOIN r USING (b)
+              GROUP BY tb.doc_id ORDER BY tb.doc_id""")),
+
+    // CCNet head/middle/tail perplexity buckets: tercile cutoffs from a
+    // FIXED deterministic sample (CCNet's own scale design — never a
+    // global sort), bucket assignment a broadcast row-local compare.
+    QueryDef(
+      "l_ccnet_buckets",
+      (s, d) =>
+        TextAnalysis.perplexityBuckets(
+          t(s, d, "documents"), "doc_id", "text",
+          sampleMod = 5L, sampleCap = 1000)
+          .orderBy(col("doc_id")),
+      Some("""WITH tk AS (
+                SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+                FROM documents
+              ),
+              bg AS (
+                SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+                FROM tk WHERE len(toks) >= 2
+              ),
+              c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram),
+              c1 AS (SELECT split_part(bigram, ' ', 1) AS prefix,
+                            CAST(SUM(c2) AS BIGINT) AS c1
+                     FROM c2 GROUP BY 1),
+              p AS (SELECT bigram, CAST(c2 AS DOUBLE) / c1 AS p
+                    FROM c2 JOIN c1 ON split_part(c2.bigram, ' ', 1) = c1.prefix),
+              scored AS (
+                SELECT bg.doc_id,
+                  CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS fluency
+                FROM bg JOIN p USING (bigram)
+                GROUP BY bg.doc_id
+              ),
+              samp AS (
+                SELECT doc_id, fluency FROM scored
+                WHERE doc_id % 5 = 0 ORDER BY doc_id LIMIT 1000
+              ),
+              rk AS (
+                SELECT fluency,
+                  ROW_NUMBER() OVER (ORDER BY fluency, doc_id) AS rn,
+                  COUNT(*) OVER () AS k
+                FROM samp
+              ),
+              th AS (
+                SELECT
+                  MIN(CASE WHEN rn = (k + 2) // 3 THEN fluency END) AS t1,
+                  MIN(CASE WHEN rn = (2 * k + 2) // 3 THEN fluency END) AS t2
+                FROM rk
+              )
+              SELECT s.doc_id, s.fluency,
+                CASE WHEN s.fluency > th.t2 THEN 'head'
+                     WHEN s.fluency > th.t1 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+              FROM scored s, th ORDER BY s.doc_id""")),
+
+    // Train/test split-leakage audit: near-dup pairs (MinHash candidates
+    // + exact Jaccard verify) classified by each side's deterministic
+    // split — the eval-contamination check every pretraining pipeline
+    // runs before freezing a test set. The split is a pure function of
+    // the id (Curation.splitOf), so the pair frame never joins back to
+    // the corpus. Candidates are materialized; the oracle re-verifies
+    // the Jaccard from raw text and recomputes the split ladder
+    // independently.
+    QueryDef(
+      "l_split_leakage",
+      (s, d) => {
+        val docs = docsWithNearDups(s, d)
+        val cands = materialize(
+          Dedup.minHashCandidates(docs, "doc_id", "text",
+            n = 2, bands = 8, rowsPerBand = 8),
+          "leak_cands")
+        Dedup.verifyJaccard(cands, docs, "doc_id", "text", n = 2,
+            threshold = 0.7)
+          .select(col("id_a"), col("id_b"),
+            Curation.splitOf(col("id_a")).as("split_a"),
+            Curation.splitOf(col("id_b")).as("split_b"))
+          .groupBy(col("split_a"), col("split_b"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("id_a")).as("n_docs_a"),
+            countDistinct(col("id_b")).as("n_docs_b"))
+          .withColumn("leaky", col("split_a") =!= col("split_b"))
+          .orderBy(col("split_a"), col("split_b"))
+      },
+      Some(s"""WITH docs AS (
+                 SELECT doc_id, text FROM documents
+                 UNION ALL SELECT doc_id + 20000, text || ' graftmarker' FROM documents
+               ),
+               sh AS (SELECT doc_id, ${bigramSql("text")} AS sh FROM docs),
+               c AS (SELECT id_a, id_b
+                     FROM read_parquet('$OracleScratch/leak_cands/*.parquet')),
+               v AS (
+                 SELECT c.id_a, c.id_b
+                 FROM c JOIN sh a ON a.doc_id = c.id_a
+                        JOIN sh b ON b.doc_id = c.id_b
+                 WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
+                   NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 0) >= 0.7
+               ),
+               sp AS (
+                 SELECT id_a, id_b,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 4)) AS INT) / 65536.0e0 < 0.9e0 THEN 'train'
+                        WHEN CAST(('0x' || substr(md5(CAST(id_a AS VARCHAR)), 1, 4)) AS INT) / 65536.0e0 < 0.95e0 THEN 'val'
+                        ELSE 'test' END AS split_a,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 4)) AS INT) / 65536.0e0 < 0.9e0 THEN 'train'
+                        WHEN CAST(('0x' || substr(md5(CAST(id_b AS VARCHAR)), 1, 4)) AS INT) / 65536.0e0 < 0.95e0 THEN 'val'
+                        ELSE 'test' END AS split_b
+                 FROM v
+               )
+               SELECT split_a, split_b, COUNT(*) AS n_pairs,
+                 COUNT(DISTINCT id_a) AS n_docs_a,
+                 COUNT(DISTINCT id_b) AS n_docs_b,
+                 split_a != split_b AS leaky
+               FROM sp GROUP BY split_a, split_b
+               ORDER BY split_a, split_b""")),
+
+    // Domain-rebalance plan (the Pile/Gopher mixture table): per-domain
+    // token counts → sampling rate / epochs toward an equal per-domain
+    // share of a half-corpus budget, epochs capped at 4 (the published
+    // guardrail). One map-side-partial groupBy + a 1-row broadcast.
+    QueryDef(
+      "l_domain_balance",
+      (s, d) =>
+        Curation.domainBalance(
+          t(s, d, "documents"), "source", "text",
+          budgetDenom = 2L, maxEpochs = 4.0)
+          .orderBy(col("source")),
+      Some("""WITH d AS (
+                SELECT source, COUNT(*) AS n_docs,
+                  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+              ),
+              t AS (
+                SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_total,
+                       COUNT(*) AS n_domains
+                FROM d
+              )
+              SELECT source, n_docs, n_tokens,
+                t_total // (2 * n_domains) AS target_tokens,
+                LEAST(1.0e0, CAST(t_total // (2 * n_domains) AS DOUBLE)
+                  / n_tokens) AS sample_rate,
+                LEAST(4.0e0, CAST(t_total // (2 * n_domains) AS DOUBLE)
+                  / n_tokens) AS epochs
+              FROM d, t ORDER BY source"""))
   )
 }

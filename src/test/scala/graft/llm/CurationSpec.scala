@@ -295,4 +295,53 @@ class CurationSpec extends SparkSpec {
     val s0 = out.filter(_._2 == 0).sortBy(_._3).map(_._1).toSeq
     assert(s0 !== s0.sorted)
   }
+
+  test("splitOf is withSplit's column: pair frames recover splits join-free") {
+    val viaDf = Curation.withSplit(docs, "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaCol = docs.select(col("doc_id"),
+        Curation.splitOf(col("doc_id")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaDf === viaCol)
+  }
+
+  test("dsirTargetAffinity: exact smoothed ratios, target vocab kept, rest dropped") {
+    // disjoint vocabularies with hand-verified distinct md5%256 buckets
+    // (apple 56, banana 179, cherry 164 / dog 216, elephant 180, fox 149)
+    val target = (0L until 10L).map(i => (i, "apple banana cherry", "t"))
+    val back = (100L until 110L).map(i => (i, "dog elephant fox", "r"))
+    val corpus = (target ++ back).toDF("doc_id", "text", "lang")
+    val out = Curation.dsirTargetAffinity(
+        corpus, "doc_id", "text", col("lang") === "t", buckets = 256)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.length === 20)
+    // golden model: per-bucket c_t=10,c_r=10 (target vocab) / c_t=0,c_r=10
+    // (background vocab); T_t=30, T_r=60, B=256
+    val ratioA = ((10.0 + 1) * (60 + 256)) / ((10 + 1) * (30 + 256))
+    val ratioB = (1.0 * (60 + 256)) / ((10 + 1) * (30 + 256))
+    out.foreach { case (id, n, aff, keep) =>
+      assert(n === 3)
+      val expected = if (id < 100) ratioA else ratioB
+      assert(math.abs(aff - expected) < 1e-9, s"doc $id: $aff != $expected")
+      assert(keep === (id < 100))
+    }
+  }
+
+  test("domainBalance flattens the mixture: downsample big, cap epochs on tiny") {
+    val mk = (dom: String, n: Int, toks: Int) =>
+      (0 until n).map(i => (s"$dom-$i", dom, Seq.fill(toks)("w").mkString(" ")))
+    val corpus = (mk("x", 100, 10) ++ mk("y", 10, 5) ++ mk("z", 1, 1))
+      .toDF("id", "source", "text")
+    val out = Curation.domainBalance(corpus, "source", "text")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // t_total = 1051, target = 1051 div 6 = 175
+    assert(out("x") === ((100L, 1000L, 175L, 0.175, 0.175)))
+    assert(out("y") === ((10L, 50L, 175L, 1.0, 3.5)))
+    assert(out("z") === ((1L, 1L, 175L, 1.0, 4.0)))
+  }
 }

@@ -904,4 +904,55 @@ class LlmSpec extends SparkSpec {
     val tiny = Seq((1L, "word"), (2L, "two words")).toDF("doc_id", "text")
     assert(TextAnalysis.bigramFluency(tiny, "doc_id", "text").count() === 1L)
   }
+
+  test("perplexityBuckets: sample cutoffs rank fluent docs head, gibberish tail") {
+    // same construction as the fluency test, scaled so the deterministic
+    // id%5 sample sees both populations: ids 0..49 fluent (10 sampled),
+    // 100..129 gibberish permutations of the same vocabulary
+    val chain = "alpha beta gamma delta epsilon zeta"
+    val fluent = (0L until 50L).map(i => (i, chain))
+    val perms = chain.split(" ").permutations.drop(1).take(30).toSeq
+    val gibberish = perms.zipWithIndex.map { case (p, i) =>
+      (100L + i, p.mkString(" "))
+    }
+    val corpus = (fluent ++ gibberish).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexityBuckets(corpus, "doc_id", "text",
+        sampleMod = 5L, sampleCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    // every scored doc got a bucket; buckets are exactly the three labels
+    assert(out.length === 80)
+    assert(out.map(_._3).toSet.subsetOf(Set("head", "middle", "tail")))
+    // golden model: recompute the sample cutoffs by the documented rule
+    // (elements at 1-based ranks ceil(k/3), ceil(2k/3) of the sample
+    // sorted by (fluency, id)) and check every bucket assignment
+    val sample = out.filter(_._1 % 5 == 0).sortBy(r => (r._2, r._1))
+    val k = sample.length
+    val t1 = sample((k + 2) / 3 - 1)._2
+    val t2 = sample((2 * k + 2) / 3 - 1)._2
+    out.foreach { case (id, f, b) =>
+      val expected = if (f > t2) "head" else if (f > t1) "middle" else "tail"
+      assert(b === expected, s"doc $id fluency $f: $b != $expected")
+    }
+    // bucket ORDER is value-consistent: every head doc outscores every
+    // middle doc, every middle doc outscores every tail doc
+    def scores(b: String) = out.filter(_._3 == b).map(_._2)
+    if (scores("head").nonEmpty && scores("middle").nonEmpty)
+      assert(scores("head").min > scores("middle").max)
+    if (scores("middle").nonEmpty && scores("tail").nonEmpty)
+      assert(scores("middle").min > scores("tail").max)
+    // the gibberish population never reaches head (fluent docs dominate
+    // the transition census, so they bound the top tercile)
+    assert(!out.filter(_._1 >= 100).map(_._3).contains("head"))
+    // deterministic re-run
+    val again = TextAnalysis.perplexityBuckets(corpus, "doc_id", "text",
+        sampleMod = 5L, sampleCap = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // cutoffs come from the sample: with a cap of 2 the two sampled
+    // values still split the corpus into ≤3 nonempty buckets
+    val capped = TextAnalysis.perplexityBuckets(corpus, "doc_id", "text",
+        sampleMod = 5L, sampleCap = 2)
+      .select("bucket").distinct().collect().map(_.getString(0)).toSet
+    assert(capped.nonEmpty && capped.subsetOf(Set("head", "middle", "tail")))
+  }
 }
