@@ -2159,6 +2159,97 @@ object LlmQueries {
                   / n_tokens) AS sample_rate,
                 LEAST(4.0e0, CAST(t_total // (2 * n_domains) AS DOUBLE)
                   / n_tokens) AS epochs
-              FROM d, t ORDER BY source"""))
+              FROM d, t ORDER BY source""")),
+
+    // End-to-end curation funnel: the per-stage survivor counts of the
+    // standard pretraining pipeline — exact dedup → language-ID →
+    // Gopher quality rules → train split — computed in ONE pass with a
+    // single shuffle (the fingerprint window); each stage is a boolean
+    // conjunction over per-doc flags, so the funnel costs one scan no
+    // matter how many stages it reports. The funnel is the audit
+    // artifact every dataset release publishes (survivor counts per
+    // filter), and it pins the COMPOSITION of the individually-gated
+    // operators cross-engine.
+    QueryDef(
+      "l_pipeline_funnel",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__fp"))
+        t(s, d, "documents")
+          .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+          .withColumn("__keep_dedup",
+            col("doc_id") === min(col("doc_id")).over(w))
+          .withColumn("__is_en",
+            TextAnalysis.languageId(col("text")) === "en")
+          .withColumn("__ok_quality",
+            Curation.gopherKeep(col("text"), minWords = 30))
+          .withColumn("__is_train",
+            Curation.splitOf(col("doc_id")) === "train")
+          .agg(
+            count(lit(1)).as("raw"),
+            sum(when(col("__keep_dedup"), 1L).otherwise(0L)).as("s1"),
+            sum(when(col("__keep_dedup") && col("__is_en"), 1L)
+              .otherwise(0L)).as("s2"),
+            sum(when(col("__keep_dedup") && col("__is_en") &&
+              col("__ok_quality"), 1L).otherwise(0L)).as("s3"),
+            sum(when(col("__keep_dedup") && col("__is_en") &&
+              col("__ok_quality") && col("__is_train"), 1L)
+              .otherwise(0L)).as("s4"))
+          .select(expr(
+            """stack(5,
+               1, 'raw',         raw,
+               2, 'exact_dedup', s1,
+               3, 'lang_en',     s2,
+               4, 'quality',     s3,
+               5, 'train_split', s4) AS (stage_order, stage, n_docs)"""))
+          .orderBy(col("stage_order"))
+      },
+      Some("""WITH n AS (
+                SELECT doc_id, text, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+                FROM documents
+              ),
+              f AS (
+                SELECT doc_id, text, norm, md5(norm) AS fp,
+                  string_split(norm, ' ') AS toks,
+                  CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_en,
+                  CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_de,
+                  CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['le','la','les','et','est','un','une','pas','avec','pour'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_fr,
+                  CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['el','la','los','y','es','un','una','no','con','para'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_es
+                FROM n
+              ),
+              g AS (
+                SELECT doc_id, fp,
+                  doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS keep_dedup,
+                  (CASE WHEN (s_en + s_de + s_fr + s_es) > 0 THEN
+                     CASE WHEN s_es > GREATEST(s_en, s_de, s_fr) THEN 'es'
+                          WHEN s_fr > GREATEST(s_en, s_de) THEN 'fr'
+                          WHEN s_de > s_en THEN 'de'
+                          ELSE 'en' END
+                   ELSE 'und' END) = 'en' AS is_en,
+                  (len(toks) BETWEEN 30 AND 100000
+                   AND (length(replace(norm, ' ', '')) / CAST(len(toks) AS DOUBLE)) BETWEEN 3.0e0 AND 10.0e0
+                   AND (len(regexp_extract_all(text, '#|\.\.\.|…')) / CAST(len(toks) AS DOUBLE)) < 0.1e0
+                   AND (len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / CAST(len(toks) AS DOUBLE)) > 0.8e0
+                   AND len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','was'], x))) >= 2
+                  ) AS ok_quality,
+                  (CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0e0 < 0.9e0 THEN 'train'
+                        WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) / 65536.0e0 < 0.95e0 THEN 'val'
+                        ELSE 'test' END) = 'train' AS is_train
+                FROM f
+              ),
+              c AS (
+                SELECT COUNT(*) AS raw,
+                  SUM(CASE WHEN keep_dedup THEN 1 ELSE 0 END) AS s1,
+                  SUM(CASE WHEN keep_dedup AND is_en THEN 1 ELSE 0 END) AS s2,
+                  SUM(CASE WHEN keep_dedup AND is_en AND ok_quality THEN 1 ELSE 0 END) AS s3,
+                  SUM(CASE WHEN keep_dedup AND is_en AND ok_quality AND is_train THEN 1 ELSE 0 END) AS s4
+                FROM g
+              )
+              SELECT CAST(1 AS INT) AS stage_order, 'raw' AS stage, CAST(raw AS BIGINT) AS n_docs FROM c
+              UNION ALL SELECT 2, 'exact_dedup', CAST(s1 AS BIGINT) FROM c
+              UNION ALL SELECT 3, 'lang_en', CAST(s2 AS BIGINT) FROM c
+              UNION ALL SELECT 4, 'quality', CAST(s3 AS BIGINT) FROM c
+              UNION ALL SELECT 5, 'train_split', CAST(s4 AS BIGINT) FROM c
+              ORDER BY stage_order"""))
   )
 }
