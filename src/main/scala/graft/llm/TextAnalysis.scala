@@ -289,7 +289,10 @@ object TextAnalysis {
     * array (a bounded collect_list — no WindowExec anywhere in the
     * plan), the two cutoff values broadcast, and bucket assignment is
     * a row-local comparison. The corpus-sized work is only
-    * [[bigramFluency]]'s keyed shuffles.
+    * [[bigramFluency]]'s keyed shuffles — evaluated twice in this
+    * single-expression form (once under the sample branch, once for
+    * the output); a deployment materializes the score table first and
+    * derives both from the parquet, as CCNet itself does.
     *
     * Determinism: the sample is selected by id, ordered by
     * (fluency, id) via the struct sort, and the cutoffs are the

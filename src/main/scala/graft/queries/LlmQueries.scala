@@ -2078,8 +2078,14 @@ object LlmQueries {
     // split — the eval-contamination check every pretraining pipeline
     // runs before freezing a test set. The split is a pure function of
     // the id (Curation.splitOf), so the pair frame never joins back to
-    // the corpus. Candidates are materialized; the oracle re-verifies
-    // the Jaccard from raw text and recomputes the split ladder
+    // the corpus. The verified pair table LANDS (it is the audit
+    // artifact) and the two distinct-doc counts decompose into keyed
+    // pre-rollups over the landed file — never a countDistinct Expand
+    // over the pair stream, which triples an already output-bound
+    // shuffle (measured: the Expand form ran 1.5× the minhash gate at
+    // ×100; this form adds two collapsing scans of the parquet).
+    // Candidates are materialized too; the oracle re-verifies the
+    // Jaccard from raw text and recomputes the split ladder
     // independently.
     QueryDef(
       "l_split_leakage",
@@ -2089,15 +2095,24 @@ object LlmQueries {
           Dedup.minHashCandidates(docs, "doc_id", "text",
             n = 2, bands = 8, rowsPerBand = 8),
           "leak_cands")
-        Dedup.verifyJaccard(cands, docs, "doc_id", "text", n = 2,
-            threshold = 0.7)
-          .select(col("id_a"), col("id_b"),
-            Curation.splitOf(col("id_a")).as("split_a"),
-            Curation.splitOf(col("id_b")).as("split_b"))
-          .groupBy(col("split_a"), col("split_b"))
-          .agg(count(lit(1)).as("n_pairs"),
-            countDistinct(col("id_a")).as("n_docs_a"),
-            countDistinct(col("id_b")).as("n_docs_b"))
+        val pairs = materialize(
+          Dedup.verifyJaccard(cands, docs, "doc_id", "text", n = 2,
+              threshold = 0.7)
+            .select(col("id_a"), col("id_b"),
+              Curation.splitOf(col("id_a")).as("split_a"),
+              Curation.splitOf(col("id_b")).as("split_b")),
+          "leak_pairs")
+        val gb = Seq(col("split_a"), col("split_b"))
+        val da = pairs.groupBy(gb :+ col("id_a"): _*)
+          .agg(count(lit(1)).as("__c"))
+          .groupBy(gb: _*)
+          .agg(sum(col("__c")).cast("long").as("n_pairs"),
+            count(lit(1)).as("n_docs_a"))
+        val db = pairs.groupBy(gb :+ col("id_b"): _*)
+          .agg(count(lit(1)).as("__c"))
+          .groupBy(gb: _*)
+          .agg(count(lit(1)).as("n_docs_b"))
+        da.join(db, Seq("split_a", "split_b"))
           .withColumn("leaky", col("split_a") =!= col("split_b"))
           .orderBy(col("split_a"), col("split_b"))
       },

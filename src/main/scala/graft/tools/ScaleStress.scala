@@ -45,7 +45,13 @@ object ScaleStress {
     // hot-boilerplate stress hits these directly: the planted phrase
     // makes its bigrams mega-hot census keys (fluency) and inflates
     // LSH candidate fan-out (incremental probe)
-    "l_bigram_lm_score", "l_neardup_incremental", "l_shard_shuffle")
+    "l_bigram_lm_score", "l_neardup_incremental", "l_shard_shuffle",
+    // round-6 continuation: the new curation ops — the hot phrase makes
+    // its hashed unigrams mega-hot census buckets (DSIR), stresses the
+    // fluency census under ccnet's sample-cutoff path, and blows up the
+    // leakage audit's LSH candidate fan-out
+    "l_dsir_weights", "l_ccnet_buckets", "l_split_leakage",
+    "l_domain_balance", "l_pipeline_funnel")
 
   /** Hot boilerplate phrase planted into ~30% of documents. */
   val HotPhrase =

@@ -69,6 +69,57 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
   }
 
+  test("dsir ratio table broadcasts and the census combines map-side") {
+    // the ≤256-row ratio table must broadcast back onto the token
+    // stream (a shuffle join there would shuffle the whole corpus), and
+    // the bucket census must partial-aggregate before its exchange
+    val p = plan("l_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), s"ratio join not broadcast:\n$p")
+    assert(p.contains("partial_"), s"census not map-side combined:\n$p")
+  }
+
+  test("funnel shuffles the corpus once: fingerprint window then 1-row agg") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Corpus.queries("l_pipeline_funnel")(spark, sfDir)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // one corpus-sized exchange (hash on the fingerprint for the
+      // dedup window) + the single-partition exchange of the final
+      // 5-number aggregate; any third exchange means a stage re-scans
+      assert(exchanges.size <= 2, s"${exchanges.size} exchanges:\n$plan")
+      assert(exchanges.exists(_.outputPartitioning.toString.contains("__fp")),
+        s"no fingerprint-keyed exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("ccnet cutoffs broadcast — no global sort or window over the corpus") {
+    // the OPERATOR, not the gate: the gate appends the usual
+    // presentation orderBy for the oracle's deterministic row order,
+    // which is a legitimate top-level sort the operator doesn't need
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.llm.TextAnalysis.perplexityBuckets(
+          Tables.load(spark, sfDir, "documents"), "doc_id", "text")
+        .queryExecution.executedPlan
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"WindowExec in ccnet plan:\n$plan")
+      // the only global sorts allowed are TakeOrdered (the bounded
+      // sample pick) — a SortExec with global ordering over the corpus
+      // would be the scale-killer CCNet's sample design avoids
+      val globalSorts = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }
+      assert(globalSorts.isEmpty, s"global sort in ccnet plan:\n$plan")
+      assert(plan.toString.contains("BroadcastNestedLoopJoin") ||
+        plan.toString.contains("BroadcastExchange"),
+        s"cutoffs not broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("semi-join uses a real semi join operator (J6)") {
     val p = plan("j6_eligible_semi_join")
     assert(p.contains("LeftSemi") || p.contains("Semi"), s"plan:\n$p")
