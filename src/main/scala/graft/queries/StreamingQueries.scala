@@ -672,6 +672,108 @@ object StreamingQueries {
               FROM c JOIN bsh a ON a.doc_id = c.batch_id
                      JOIN csh b ON b.doc_id = c.corpus_id
               WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
-                NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 0) >= 0.7"""))
+                NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 0) >= 0.7""")),
+
+    // ST13 — the curation funnel UNDER CONTINUOUS INGEST: the corpus
+    // streams in twice across two micro-batches, so every fingerprint
+    // is a cross-batch duplicate; streaming exact-dedup
+    // (`dropDuplicates` on the fingerprint — state persists across
+    // batches) must admit each fp once, and the language/quality
+    // stages ride row-local on the survivors. Only text-determined
+    // flags flow to the sink (same text ⇒ same fp ⇒ same flags), so
+    // which member of a duplicate class survives cannot change the
+    // counts — the output is deterministic whatever arrival order the
+    // engine picks inside a batch. Fingerprint state has no time
+    // dimension to watermark, so it is corpus-keyed by design — the
+    // RocksDB provider (st_rocksdb) is the 100 TB backend for exactly
+    // this shape. Oracle = the batch funnel over distinct fingerprints.
+    QueryDef(
+      "st_funnel",
+      (s, d) => {
+        val base = scratch("st_funnel")
+        val land = s"$base/land"; Files.createDirectories(Paths.get(land))
+        val docs = t(s, d, "documents")
+        val t0 = System.currentTimeMillis()
+        landJson(docs, land, "b1.json", t0)
+        landJson(docs, land, "b2.json", t0 + 60000)
+        val stream = s.readStream
+          .schema("doc_id LONG, text STRING, lang STRING, " +
+            "source STRING, n_chars LONG")
+          .option("maxFilesPerTrigger", "1")
+          .json(land)
+        val q = stream
+          .select(
+            graft.llm.TextAnalysis.fingerprint(col("text")).as("fp"),
+            (graft.llm.TextAnalysis.languageId(col("text")) === "en")
+              .as("is_en"),
+            graft.llm.Curation.gopherKeep(col("text"), minWords = 30)
+              .as("ok_quality"))
+          .dropDuplicates("fp")
+          .writeStream
+          .format("parquet")
+          .option("path", s"$base/sink")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val streamed = s.read.json(land).count()
+        s.read.parquet(s"$base/sink")
+          .agg(
+            count(lit(1)).as("s1"),
+            sum(when(col("is_en"), 1L).otherwise(0L)).as("s2"),
+            sum(when(col("is_en") && col("ok_quality"), 1L).otherwise(0L))
+              .as("s3"))
+          .select(expr(
+            s"""stack(4,
+               1, 'streamed',    CAST($streamed AS BIGINT),
+               2, 'exact_dedup', s1,
+               3, 'lang_en',     s2,
+               4, 'quality',     s3) AS (stage_order, stage, n_docs)"""))
+          .orderBy(col("stage_order"))
+      },
+      Some("""WITH n AS (
+                SELECT doc_id, text,
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+                FROM documents
+              ),
+              f AS (
+                SELECT md5(norm) AS fp, text, norm,
+                  string_split(norm, ' ') AS toks,
+                  CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_en,
+                  CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_de,
+                  CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['le','la','les','et','est','un','une','pas','avec','pour'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_fr,
+                  CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['el','la','los','y','es','un','una','no','con','para'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_es
+                FROM n
+              ),
+              g AS (
+                SELECT fp,
+                  BOOL_OR((CASE WHEN (s_en + s_de + s_fr + s_es) > 0 THEN
+                     CASE WHEN s_es > GREATEST(s_en, s_de, s_fr) THEN 'es'
+                          WHEN s_fr > GREATEST(s_en, s_de) THEN 'fr'
+                          WHEN s_de > s_en THEN 'de'
+                          ELSE 'en' END
+                   ELSE 'und' END) = 'en') AS is_en,
+                  BOOL_OR(
+                    len(toks) BETWEEN 30 AND 100000
+                    AND (length(replace(norm, ' ', '')) / CAST(len(toks) AS DOUBLE)) BETWEEN 3.0e0 AND 10.0e0
+                    AND (len(regexp_extract_all(text, '#|\.\.\.|…')) / CAST(len(toks) AS DOUBLE)) < 0.1e0
+                    AND (len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / CAST(len(toks) AS DOUBLE)) > 0.8e0
+                    AND len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','was'], x))) >= 2
+                  ) AS ok_quality
+                FROM f GROUP BY fp
+              ),
+              c AS (
+                SELECT (SELECT 2 * COUNT(*) FROM documents) AS s0,
+                  COUNT(*) AS s1,
+                  SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS s2,
+                  SUM(CASE WHEN is_en AND ok_quality THEN 1 ELSE 0 END) AS s3
+                FROM g
+              )
+              SELECT CAST(1 AS INT) AS stage_order, 'streamed' AS stage, CAST(s0 AS BIGINT) AS n_docs FROM c
+              UNION ALL SELECT 2, 'exact_dedup', CAST(s1 AS BIGINT) FROM c
+              UNION ALL SELECT 3, 'lang_en', CAST(s2 AS BIGINT) FROM c
+              UNION ALL SELECT 4, 'quality', CAST(s3 AS BIGINT) FROM c
+              ORDER BY stage_order"""))
   )
 }
