@@ -592,4 +592,34 @@ object Curation {
       .select(col(domainCol), col("n_docs"), col("n_tokens"),
         col("target_tokens"), col("sample_rate"), col("epochs"))
   }
+
+  /** EXECUTE a [[domainBalance]] plan: emit the rebalanced corpus with
+    * an `epoch` column — over-represented domains downsample (keep a
+    * doc iff its salted id-hash lands under the rate), under-represented
+    * domains repeat for ⌊epochs⌋ full passes plus a deterministically
+    * chosen extra-copy subset for the fractional pass. Selection depends
+    * only on the doc id (salt "resample"), so the materialized mixture
+    * is reproducible and append-stable like every sampler here — and an
+    * independent engine recomputes it bit for bit, which is what lets
+    * the gate exact-match the achieved counts instead of asserting a
+    * noise tolerance.
+    *
+    * Scale shape: the plan is a |domains|-row broadcast; keep/copy is
+    * row-local codegen; the only row expansion is `explode(sequence)`
+    * bounded by `maxEpochs`. The corpus scans twice (plan + execute) —
+    * the unavoidable two passes of any plan-then-apply rebalance. */
+  def resampleToBalance(
+      df: DataFrame, idCol: String, domainCol: String, textCol: String,
+      budgetDenom: Long = 2L, maxEpochs: Double = 4.0): DataFrame = {
+    val plan = domainBalance(df, domainCol, textCol, budgetDenom, maxEpochs)
+      .select(col(domainCol), col("epochs"))
+    df.join(broadcast(plan), Seq(domainCol))
+      .withColumn("__copies",
+        floor(col("epochs")).cast(IntegerType) +
+          when(hashUniform(col(idCol), "resample") <=
+            col("epochs") - floor(col("epochs")), 1).otherwise(0))
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(1), col("__copies"))))
+      .drop("__copies", "epochs")
+  }
 }

@@ -2176,6 +2176,68 @@ object LlmQueries {
                   / n_tokens) AS epochs
               FROM d, t ORDER BY source""")),
 
+    // Domain-rebalance EXECUTION: materialize the l_domain_balance plan
+    // — downsample heavy domains by salted id-hash, repeat light ones
+    // for ⌊epochs⌋ passes + a deterministic fractional-pass subset —
+    // and report the achieved per-domain mixture. Selection is a pure
+    // function of the doc id, so the oracle re-derives the SAME corpus
+    // and the achieved counts exact-match (no noise tolerance).
+    QueryDef(
+      "l_domain_resample",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val out = Curation.resampleToBalance(docs, "doc_id", "source", "text")
+        out.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_rows_out"),
+            sum(TextAnalysis.tokenCount(col("text")).cast(LongType))
+              .cast(LongType).as("n_tokens_out"),
+            max(col("epoch")).cast(LongType).as("max_epoch"))
+          .join(broadcast(
+            Curation.domainBalance(docs, "source", "text")
+              .select(col("source"), col("target_tokens"))), Seq("source"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (
+                SELECT source,
+                  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+              ),
+              t AS (
+                SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_total,
+                       COUNT(*) AS n_domains
+                FROM d
+              ),
+              p AS (
+                SELECT source, n_tokens,
+                  t_total // (2 * n_domains) AS target,
+                  LEAST(4.0e0, CAST(t_total // (2 * n_domains) AS DOUBLE)
+                    / n_tokens) AS ep
+                FROM d, t
+              ),
+              docs AS (
+                SELECT doc_id, source,
+                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS tok
+                FROM documents
+              ),
+              j AS (
+                SELECT doc_id, source, tok,
+                  CAST(FLOOR(ep) AS INT) +
+                    CASE WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|resample'), 1, 15)) AS BIGINT) + 1.0) / 1152921504606846976.0
+                              <= ep - FLOOR(ep) THEN 1 ELSE 0 END AS copies
+                FROM docs JOIN p USING (source)
+              ),
+              e AS (
+                SELECT source, tok,
+                  unnest(generate_series(1, copies)) AS epoch
+                FROM j WHERE copies > 0
+              )
+              SELECT e.source, COUNT(*) AS n_rows_out,
+                CAST(SUM(tok) AS BIGINT) AS n_tokens_out,
+                CAST(MAX(epoch) AS BIGINT) AS max_epoch,
+                p.target AS target_tokens
+              FROM e JOIN p ON e.source = p.source
+              GROUP BY e.source, p.target ORDER BY e.source""")),
+
     // End-to-end curation funnel: the per-stage survivor counts of the
     // standard pretraining pipeline — exact dedup → language-ID →
     // Gopher quality rules → train split — computed in ONE pass with a

@@ -344,4 +344,33 @@ class CurationSpec extends SparkSpec {
     assert(out("y") === ((10L, 50L, 175L, 1.0, 3.5)))
     assert(out("z") === ((1L, 1L, 175L, 1.0, 4.0)))
   }
+
+  test("resampleToBalance executes the plan: heavy shrinks, light repeats, cap binds") {
+    val mk = (dom: String, n: Int, toks: Int) =>
+      (0 until n).map(i => (s"$dom-$i".hashCode.toLong & 0xffffffL, dom,
+        Seq.fill(toks)("w").mkString(" ")))
+    val corpus = (mk("x", 100, 10) ++ mk("y", 10, 5) ++ mk("z", 1, 1))
+      .toDF("id", "source", "text")
+    val out = Curation.resampleToBalance(corpus, "id", "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    val byDom = out.groupBy(_._1)
+    // x (epochs 0.175): a strict subset, every survivor exactly once
+    val x = byDom("x")
+    assert(x.length < 50 && x.length > 2, s"x kept ${x.length} of 100")
+    assert(x.forall(_._3 == 1))
+    assert(x.map(_._2).distinct.length === x.length)
+    // y (epochs 3.5): 3 full passes + a fractional subset — between
+    // 30 and 40 rows, ids with a 4th copy are a strict subset
+    val y = byDom("y")
+    assert(y.length >= 30 && y.length <= 40, s"y emitted ${y.length}")
+    assert(y.count(_._3 <= 3) === 30)
+    // z (epochs capped at 4.0): exactly 4 copies of the one doc
+    val z = byDom("z")
+    assert(z.length === 4 && z.map(_._3).sorted.toSeq === Seq(1, 2, 3, 4))
+    // deterministic re-run
+    val again = Curation.resampleToBalance(corpus, "id", "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    assert(out.sortBy(r => (r._1, r._2, r._3)).toSeq ===
+      again.sortBy(r => (r._1, r._2, r._3)).toSeq)
+  }
 }
