@@ -327,6 +327,54 @@ object TextAnalysis {
           .otherwise("tail").as("bucket"))
   }
 
+  /** Collocation mining: the strongest token-pair associations in the
+    * corpus, ranked by LIFT = p(ab) / (p(a)·p(b)) — PMI's argument
+    * without the log (PMI = log lift; the log is monotone, so the
+    * RANKING is identical, and dropping the transcendental keeps the
+    * score a chain of IEEE ops on exact integers that any engine
+    * reproduces bit for bit). The phrase-vocabulary step of tokenizer /
+    * n-gram-merge pipelines (Mikolov et al.'s word2vec phrases use the
+    * same count ratio with a discount).
+    *
+    * Scale shape: one corpus shuffle into the bigram census (map-side
+    * combined), a vocab-grain unigram census derived from token counts,
+    * two vocab-grain equi-joins (census-to-census, never corpus-sized),
+    * and a TakeOrderedAndProject top-k. `minCount` prunes the census
+    * tail BEFORE the joins — rare-pair noise is also why every published
+    * collocation ranker floors the count. */
+  def collocations(
+      df: DataFrame, textCol: String, topK: Int,
+      minCount: Long = 5L): DataFrame = {
+    val toks = tokens(normalize(col(textCol)))
+    val bigrams = df
+      .select(toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(
+        zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+    val unigrams = df.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val c2 = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val totals = unigrams.agg(sum(col("c1")).cast(LongType).as("t_u"))
+      .crossJoin(bigrams.agg(count(lit(1)).as("t_b")))
+    c2
+      .join(unigrams.select(col("tok").as("__a"), col("c1").as("ca")),
+        substring_index(col("bigram"), " ", 1) === col("__a"))
+      .join(unigrams.select(col("tok").as("__b"), col("c1").as("cb")),
+        substring_index(col("bigram"), " ", -1) === col("__b"))
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("c2").as("n_pair"),
+        ((col("c2").cast(DoubleType) / col("t_b").cast(DoubleType)) /
+          ((col("ca").cast(DoubleType) / col("t_u").cast(DoubleType)) *
+            (col("cb").cast(DoubleType) / col("t_u").cast(DoubleType))))
+          .as("lift"))
+      .orderBy(desc("lift"), asc("bigram"))
+      .limit(topK)
+  }
+
   /** BPE-style adjacent character-pair census — the distributed
     * primitive of tokenizer training (Sennrich et al.: each BPE merge
     * step picks the most frequent adjacent symbol pair, weighted by

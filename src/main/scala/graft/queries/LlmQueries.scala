@@ -2176,6 +2176,41 @@ object LlmQueries {
                   / n_tokens) AS epochs
               FROM d, t ORDER BY source""")),
 
+    // Collocation mining: top-30 token pairs by lift (PMI's argument —
+    // same ranking, no cross-engine transcendental), count-floored
+    // before the vocab-grain joins. Phrase-vocabulary prep.
+    QueryDef(
+      "l_collocations",
+      (s, d) =>
+        TextAnalysis.collocations(t(s, d, "documents"), "text",
+          topK = 30, minCount = 5L),
+      Some("""WITH tk AS (
+                SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+                FROM documents
+              ),
+              uni AS (SELECT unnest(toks) AS tok FROM tk),
+              u AS (SELECT tok, COUNT(*) AS c1 FROM uni GROUP BY tok),
+              bg AS (
+                SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1])) AS bigram
+                FROM tk WHERE len(toks) >= 2
+              ),
+              c2 AS (
+                SELECT bigram, COUNT(*) AS c2 FROM bg
+                GROUP BY bigram HAVING COUNT(*) >= 5
+              ),
+              tot AS (
+                SELECT (SELECT CAST(SUM(c1) AS BIGINT) FROM u) AS t_u,
+                       (SELECT COUNT(*) FROM bg) AS t_b
+              )
+              SELECT c2.bigram, c2.c2 AS n_pair,
+                (CAST(c2.c2 AS DOUBLE) / t_b) /
+                ((CAST(a.c1 AS DOUBLE) / t_u) * (CAST(b.c1 AS DOUBLE) / t_u))
+                  AS lift
+              FROM c2 JOIN u a ON split_part(c2.bigram, ' ', 1) = a.tok
+                      JOIN u b ON split_part(c2.bigram, ' ', 2) = b.tok, tot
+              ORDER BY lift DESC NULLS LAST, bigram ASC LIMIT 30""")),
+
     // Domain-rebalance EXECUTION: materialize the l_domain_balance plan
     // — downsample heavy domains by salted id-hash, repeat light ones
     // for ⌊epochs⌋ passes + a deterministic fractional-pass subset —

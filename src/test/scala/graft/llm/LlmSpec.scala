@@ -905,6 +905,30 @@ class LlmSpec extends SparkSpec {
     assert(TextAnalysis.bigramFluency(tiny, "doc_id", "text").count() === 1L)
   }
 
+  test("collocations: exclusive pairs out-lift independent pairs, floor prunes") {
+    // "alpha beta" always co-occur (exclusive pair); "the" pairs with
+    // everything (independent); "rare pair" appears under the floor
+    val rows =
+      (0 until 20).map(i => (i.toLong, "alpha beta")) ++
+      (100 until 120).map(i => (i.toLong, s"the tok$i")) ++
+      Seq((200L, "rare pair"), (201L, "rare pair"))
+    val corpus = rows.toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(corpus, "text", topK = 10,
+        minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // the under-floor pair never surfaces
+    assert(!out.exists(_._1 == "rare pair"))
+    // the exclusive pair ranks first and its lift is the hand value:
+    // c2=20, t_b=42, ca=cb=20, t_u=84 → (20/42)/((20/84)^2)
+    val expected = (20.0 / 42.0) / ((20.0 / 84.0) * (20.0 / 84.0))
+    assert(out.head._1 === "alpha beta")
+    assert(math.abs(out.head._3 - expected) < 1e-9, s"${out.head._3}")
+    // determinism
+    val again = TextAnalysis.collocations(corpus, "text", 10, 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === again.toSeq)
+  }
+
   test("perplexityBuckets: sample cutoffs rank fluent docs head, gibberish tail") {
     // same construction as the fluency test, scaled so the deterministic
     // id%5 sample sees both populations: ids 0..49 fluent (10 sampled),
