@@ -39,7 +39,9 @@ object Bench {
     "l_langid", "m9_topology_holes", "m1_partition_refresh",
     "m4_merge_upsert",
     "l_substring_runs", "l_semantic_dedup", "l_kmeans_step",
-    "j11_asof_join", "w7_sessionize", "a20_topk_agg")
+    "j11_asof_join", "w7_sessionize", "a20_topk_agg",
+    "l_dsir_weights", "l_ccnet_buckets", "l_pipeline_funnel",
+    "l_split_leakage", "l_collocations")
 
   /** Locale-pinned number rendering: a comma-decimal default locale would
     * otherwise print "0,850" and break the driver's JSON parse. */
