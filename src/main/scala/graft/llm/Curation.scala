@@ -528,15 +528,42 @@ object Curation {
     * second scan; both passes are full-codegen scans. */
   def dsirTargetAffinity(
       df: DataFrame, idCol: String, textCol: String, targetFilter: Column,
-      buckets: Int = 256): DataFrame = {
-    def tokenStream = df.select(col(idCol), targetFilter.as("__is_target"),
+      buckets: Int = 256): DataFrame =
+    dsirScoreWithCensus(df, idCol, textCol,
+      dsirCensus(df, textCol, targetFilter, buckets), buckets)
+
+  /** The DSIR hashed-unigram census: ≤`buckets` rows of (bucket,
+    * raw count, target count), ONE pass with a conditional count. The
+    * census is ADDITIVE — counts sum — so an ingest pipeline maintains
+    * it per batch and [[dsirCensusMerge]] folds batch censuses into the
+    * corpus census without ever re-tokenizing history; the additivity
+    * is oracle-gated (`l_dsir_incremental` scores through a merged
+    * split-census and must exact-match the whole-corpus scores). */
+  def dsirCensus(
+      df: DataFrame, textCol: String, targetFilter: Column,
+      buckets: Int = 256): DataFrame =
+    df.select(targetFilter.as("__is_target"),
         explode(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))))
           .as("__tok"))
       .withColumn("__b", pmod(hashBucket(col("__tok")), lit(buckets)))
-    val census = tokenStream
       .groupBy(col("__b"))
       .agg(count(lit(1)).as("c_r"),
         count(when(col("__is_target"), lit(1))).as("c_t"))
+
+  /** Fold any number of [[dsirCensus]] frames into one (counts sum;
+    * buckets absent from a part contribute zero). */
+  def dsirCensusMerge(censuses: Seq[DataFrame]): DataFrame =
+    censuses.reduce(_ unionByName _)
+      .groupBy(col("__b"))
+      .agg(sum(col("c_r")).cast(LongType).as("c_r"),
+        sum(col("c_t")).cast(LongType).as("c_t"))
+
+  /** Score documents against a prebuilt census (see
+    * [[dsirTargetAffinity]] for the semantics and exact-rational
+    * smoothing). */
+  def dsirScoreWithCensus(
+      df: DataFrame, idCol: String, textCol: String, census: DataFrame,
+      buckets: Int = 256): DataFrame = {
     val totals = census.agg(
       sum(col("c_r")).cast(LongType).as("t_r"),
       sum(col("c_t")).cast(LongType).as("t_t"))
@@ -546,7 +573,19 @@ object Curation {
         (((col("c_t") + 1L) * (col("t_r") + B)).cast(DoubleType) /
           ((col("c_r") + 1L) * (col("t_t") + B)).cast(DoubleType))
           .as("__ratio"))
-    tokenStream.join(broadcast(ratios), Seq("__b"))
+    df.select(col(idCol),
+        explode(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))))
+          .as("__tok"))
+      .withColumn("__b", pmod(hashBucket(col("__tok")), lit(buckets)))
+      // LEFT: a bucket the census never saw (scoring NEW docs against a
+      // historical census) takes the add-one default (c_t=c_r=0), the
+      // same smoothing rule as seen buckets — an inner join would
+      // silently drop those tokens from the mean
+      .join(broadcast(ratios), Seq("__b"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__ratio", coalesce(col("__ratio"),
+        (col("t_r") + B).cast(DoubleType) /
+          (col("t_t") + B).cast(DoubleType)))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),

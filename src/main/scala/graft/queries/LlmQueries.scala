@@ -2018,6 +2018,63 @@ object LlmQueries {
               FROM tb JOIN r USING (b)
               GROUP BY tb.doc_id ORDER BY tb.doc_id""")),
 
+    // DSIR under INCREMENTAL census maintenance: the corpus splits into
+    // two batches, each batch builds its own ≤256-row census in one
+    // pass, the censuses MERGE (counts are additive — no history
+    // re-tokenization), and scoring through the merged census must
+    // EXACT-match the whole-corpus scores — the oracle is literally
+    // l_dsir_weights' SQL. This is the 100 TB maintenance shape: a new
+    // batch pays its own tokenization, the corpus census is a 256-row
+    // fold.
+    QueryDef(
+      "l_dsir_incremental",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val target = col("lang") === "en"
+        val merged = Curation.dsirCensusMerge(Seq(
+          Curation.dsirCensus(docs.filter(col("doc_id") % 2 === 0),
+            "text", target, buckets = 256),
+          Curation.dsirCensus(docs.filter(col("doc_id") % 2 =!= 0),
+            "text", target, buckets = 256)))
+        Curation.dsirScoreWithCensus(docs, "doc_id", "text", merged,
+            buckets = 256)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (
+                SELECT doc_id, lang,
+                  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS tok
+                FROM documents
+              ),
+              tb AS (
+                SELECT doc_id, lang,
+                  CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 256 AS b
+                FROM tk
+              ),
+              cen AS (
+                SELECT b, COUNT(*) AS c_r,
+                  COUNT(CASE WHEN lang = 'en' THEN 1 END) AS c_t
+                FROM tb GROUP BY b
+              ),
+              tot AS (
+                SELECT CAST(SUM(c_r) AS BIGINT) AS t_r,
+                       CAST(SUM(c_t) AS BIGINT) AS t_t
+                FROM cen
+              ),
+              r AS (
+                SELECT b,
+                  CAST((c_t + 1) * (t_r + 256) AS DOUBLE) /
+                  CAST((c_r + 1) * (t_t + 256) AS DOUBLE) AS ratio
+                FROM cen, tot
+              )
+              SELECT tb.doc_id,
+                COUNT(*) AS n_tokens,
+                CAST(SUM(CAST(ratio AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+                  AS target_affinity,
+                (CAST(SUM(CAST(ratio AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*))
+                  > 1.0e0 AS keep
+              FROM tb JOIN r USING (b)
+              GROUP BY tb.doc_id ORDER BY tb.doc_id""")),
+
     // CCNet head/middle/tail perplexity buckets: tercile cutoffs from a
     // FIXED deterministic sample (CCNet's own scale design — never a
     // global sort), bucket assignment a broadcast row-local compare.

@@ -345,6 +345,30 @@ class CurationSpec extends SparkSpec {
     assert(out("z") === ((1L, 1L, 175L, 1.0, 4.0)))
   }
 
+  test("dsir census is additive: split-merge equals whole-corpus, unseen buckets smooth") {
+    val target = col("lang") === "en"
+    val full = Curation.dsirCensus(docs, "text", target)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val merged = Curation.dsirCensusMerge(Seq(
+        Curation.dsirCensus(docs.filter(col("doc_id") % 2 === 0), "text", target),
+        Curation.dsirCensus(docs.filter(col("doc_id") % 2 =!= 0), "text", target)))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(full === merged)
+    // scoring NEW text against a historical census: a token whose
+    // bucket the census never saw takes the smoothed default, not a
+    // silent drop — every token still counts
+    val novel = Seq((999L, "zzzunseen zzztokens zzzhere")).toDF("doc_id", "text")
+    val tinyCensus = Curation.dsirCensus(
+      docs.filter(col("doc_id") < 5), "text", target, buckets = 65536)
+    val scored = Curation.dsirScoreWithCensus(
+        novel, "doc_id", "text", tinyCensus, buckets = 65536)
+      .collect()
+    // with an inner join the unseen buckets would vanish and n_tokens
+    // would come up short; the left join + default keeps all 3
+    assert(scored.length === 1 && scored(0).getLong(1) === 3L)
+    assert(!scored(0).isNullAt(2))
+  }
+
   test("resampleToBalance executes the plan: heavy shrinks, light repeats, cap binds") {
     val mk = (dom: String, n: Int, toks: Int) =>
       (0 until n).map(i => (s"$dom-$i".hashCode.toLong & 0xffffffL, dom,
