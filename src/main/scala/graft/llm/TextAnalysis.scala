@@ -312,13 +312,19 @@ object TextAnalysis {
     // ≤ sampleCap rows by the LIMIT above: the collect_list is bounded
     // by construction, and sort_array on (value, id) structs gives the
     // (fluency, id) rank order without a WindowExec.
+    // Empty sample (no scoreable doc matched the id select): cutoffs go
+    // NULL and every comparison below falls through to 'tail' — the
+    // degenerate corpus buckets uniformly instead of crashing on
+    // element_at(arr, 0).
     val cutoffs = sample
       .agg(sort_array(collect_list(struct(col("__f"), col("__sid"))))
         .as("__arr"))
       .select(
-        expr("element_at(__arr, cast((size(__arr) + 2) div 3 as int)).__f")
+        expr("""if(size(__arr) = 0, cast(null as double),
+               element_at(__arr, cast((size(__arr) + 2) div 3 as int)).__f)""")
           .as("t1"),
-        expr("element_at(__arr, cast((2 * size(__arr) + 2) div 3 as int)).__f")
+        expr("""if(size(__arr) = 0, cast(null as double),
+               element_at(__arr, cast((2 * size(__arr) + 2) div 3 as int)).__f)""")
           .as("t2"))
     scored.crossJoin(broadcast(cutoffs))
       .select(col(idCol), col("fluency"),

@@ -250,4 +250,47 @@ class PropertySpec extends SparkSpec {
       out(0) == out(1) && again == out(0)
     }, minSuccessful = 10)
   }
+
+  test("property: resampleToBalance conserves ids, bounds copies, epochs dense") {
+    val corpusGen = Gen.nonEmptyListOf(for {
+      dom <- Gen.oneOf("a", "b", "c")
+      n <- Gen.choose(1, 6)
+    } yield (dom, n))
+    check(Prop.forAll(corpusGen) { rows =>
+      val df = rows.zipWithIndex.map { case ((dom, n), i) =>
+        (i.toLong, dom, Seq.fill(n)("w").mkString(" "))
+      }.toDF("id", "source", "text")
+      val out = graft.llm.Curation
+        .resampleToBalance(df, "id", "source", "text")
+        .collect().map(r => (r.getLong(1), r.getInt(3)))
+      val ids = rows.indices.map(_.toLong).toSet
+      // only input ids appear; copies bounded by the epoch cap; epoch
+      // numbers are dense 1..copies per id
+      out.forall(o => ids.contains(o._1)) &&
+        out.groupBy(_._1).values.forall { rs =>
+          rs.length <= 4 && rs.map(_._2).sorted.toSeq == (1 to rs.length)
+        }
+    }, minSuccessful = 10)
+  }
+
+  test("property: perplexity buckets are value-consistent for any corpus") {
+    val textGen = Gen.nonEmptyListOf(
+      Gen.oneOf("alpha", "beta", "gamma", "delta")).map(_.mkString(" "))
+    check(Prop.forAll(Gen.nonEmptyListOf(textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.llm.TextAnalysis
+        .perplexityBuckets(df, "doc_id", "text")
+        .collect().map(r => (r.getDouble(1), r.getString(2)))
+      def sc(b: String) = out.filter(_._2 == b).map(_._1)
+      // every bucket boundary respects the fluency ordering: head
+      // strictly outscores middle, middle strictly outscores tail
+      (sc("head").isEmpty || sc("middle").isEmpty ||
+        sc("head").min > sc("middle").max) &&
+      (sc("middle").isEmpty || sc("tail").isEmpty ||
+        sc("middle").min > sc("tail").max) &&
+      (sc("head").isEmpty || sc("tail").isEmpty ||
+        sc("head").min > sc("tail").max)
+    }, minSuccessful = 10)
+  }
 }
