@@ -591,5 +591,38 @@ object AggQueries {
                COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
                TRUE AS union_within_5pct
                FROM events"""))
+,
+    // A25 — EXACT global quantiles at bounded memory: the two-pass
+    // sketch-bracket design (graft.analytics.Quantiles). Spark's exact
+    // `percentile` sorts the world into one aggregate buffer; the
+    // approximate sketch has rank error. This gate returns exact
+    // ELEMENTS (k = ⌈p·n⌉-th smallest) whose second pass touches only
+    // the ~0.1% bracketed slice — and the result is deterministic even
+    // though the bracketing sketch is merge-order dependent, because
+    // the sketch only narrows the search. Oracle ranks the whole
+    // column in DuckDB and picks the same elements.
+    QueryDef(
+      "a25_quantile_2pass",
+      (s, d) =>
+        graft.analytics.Quantiles.exactQuantiles2Pass(
+          t(s, d, "lineitem").select(col("l_extendedprice")),
+          "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+          .orderBy(col("p")),
+      Some("""WITH o AS (
+                SELECT l_extendedprice AS v,
+                  ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn
+                FROM lineitem
+              ),
+              nn AS (SELECT COUNT(*) AS n FROM lineitem),
+              ps(p) AS (VALUES (0.25e0), (0.5e0), (0.75e0), (0.9e0), (0.99e0)),
+              kk AS (
+                SELECT p, n,
+                  GREATEST(1, CAST(CEIL(p * n) AS BIGINT)) AS k
+                FROM ps, nn
+              )
+              SELECT kk.p, kk.n AS n_rows, kk.k, o.v AS value,
+                TRUE AS bracketed
+              FROM kk JOIN o ON o.rn = kk.k
+              ORDER BY kk.p"""))
   )
 }
