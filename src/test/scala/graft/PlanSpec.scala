@@ -69,6 +69,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
   }
 
+  test("tfidf broadcasts the vocab-grain df table when bounded") {
+    // the doc-term matrix must NOT shuffle on the Zipf-skewed token key
+    // when the vocabulary fits the broadcast cap (slope 1.88 → 0.32 at
+    // ×10 when this kicked in)
+    val p = plan("l_tfidf_topk")
+    assert(p.contains("BroadcastHashJoin"), s"df join not broadcast:\n$p")
+  }
+
   test("dsir ratio table broadcasts and the census combines map-side") {
     // the ≤256-row ratio table must broadcast back onto the token
     // stream (a shuffle join there would shuffle the whole corpus), and
