@@ -51,7 +51,11 @@ object ScaleStress {
     // fluency census under ccnet's sample-cutoff path, and blows up the
     // leakage audit's LSH candidate fan-out
     "l_dsir_weights", "l_ccnet_buckets", "l_split_leakage",
-    "l_domain_balance", "l_pipeline_funnel")
+    "l_domain_balance", "l_pipeline_funnel",
+    // corpus-close additions: the incremental census (must ride
+    // l_dsir_weights' plan), the bracket-bounded exact quantiles, and
+    // the tfidf vocab-broadcast fix under the hot-token replica
+    "l_dsir_incremental", "a25_quantile_2pass", "l_tfidf_topk")
 
   /** Hot boilerplate phrase planted into ~30% of documents. */
   val HotPhrase =
