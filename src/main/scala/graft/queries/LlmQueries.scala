@@ -834,6 +834,76 @@ object LlmQueries {
                 (CAST(SUM(wm) AS DOUBLE) / (COUNT(*) * 1000.0e0)) > 0.0e0 AS keep
               FROM w GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Classifier threshold sweep — the calibration table every filter
+    // deployment reads before picking its operating point: keep count,
+    // keep rate, and kept-mean score per candidate threshold. ONE pass:
+    // scores compute row-local (zero-shuffle classifier) and all 11
+    // thresholds fold into conditional sums inside a single aggregate —
+    // never a corpus × thresholds cross join. Exact-rational: the score
+    // is the proven classifier double, sums decimal-accumulate, each
+    // rate/mean is one IEEE division.
+    {
+      val thresholds = Seq(-0.5, -0.4, -0.3, -0.2, -0.1, 0.0,
+        0.1, 0.2, 0.3, 0.4, 0.5)
+      val scoreSql =
+        """tk AS (
+             SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS t
+             FROM documents
+           ),
+           w AS (
+             SELECT doc_id,
+               ((CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) % 256)
+                 * 2654435761) % 1000 - 500 AS wm
+             FROM tk
+           ),
+           sc AS (
+             SELECT doc_id,
+               CAST(SUM(wm) AS DOUBLE) / (COUNT(*) * 1000.0e0) AS score
+             FROM w GROUP BY doc_id
+           )"""
+      val armsSql = thresholds.zipWithIndex.map { case (t, i) =>
+        s"""SUM(CASE WHEN score > ${t}e0 THEN 1 ELSE 0 END) AS k_$i,
+            SUM(CASE WHEN score > ${t}e0 THEN CAST(score AS DECIMAL(18,12)) END) AS s_$i"""
+      }.mkString(",\n")
+      val rowsSql = thresholds.zipWithIndex.map { case (t, i) =>
+        s"""SELECT ${t}e0 AS threshold, n AS n_docs,
+            CAST(k_$i AS BIGINT) AS n_keep,
+            CAST(k_$i AS DOUBLE) / n AS keep_rate,
+            CASE WHEN k_$i > 0 THEN CAST(s_$i AS DOUBLE) / k_$i END AS mean_kept
+            FROM c"""
+      }.mkString("\nUNION ALL ")
+      QueryDef(
+        "l_threshold_sweep",
+        (s, d) => {
+          val weights = Curation.standInWeightsMilli(256)
+          val scored = t(s, d, "documents")
+            .select(Curation.linearTextScore(col("text"), weights)
+              .as("score"))
+          val aggCols = thresholds.zipWithIndex.flatMap { case (th, i) =>
+            Seq(
+              sum(when(col("score") > th, 1L).otherwise(0L)).as(s"k_$i"),
+              sum(when(col("score") > th,
+                col("score").cast(DecimalType(18, 12)))).as(s"s_$i"))
+          }
+          val stackRows = thresholds.zipWithIndex.map { case (th, i) =>
+            s"""cast($th as double), n, k_$i,
+                cast(k_$i as double) / cast(n as double),
+                if(k_$i > 0, cast(s_$i as double) / cast(k_$i as double),
+                   cast(null as double))"""
+          }.mkString(",\n")
+          scored.agg(count(lit(1)).as("n"), aggCols: _*)
+            .select(expr(
+              s"""stack(${thresholds.size},
+                 $stackRows) AS (threshold, n_docs, n_keep, keep_rate, mean_kept)"""))
+            .orderBy(col("threshold"))
+        },
+        Some(s"""WITH $scoreSql,
+                 c AS (SELECT COUNT(*) AS n, $armsSql FROM sc)
+                 $rowsSql
+                 ORDER BY threshold"""))
+    },
+
     // URL canonicalization dedup (the pre-fetch crawl step): lowercase
     // scheme/host, drop fragments and utm_* tracking params, sort the
     // surviving query params — four raw spellings per page collapse to
