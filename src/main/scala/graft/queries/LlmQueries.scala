@@ -104,6 +104,44 @@ object LlmQueries {
       Some("""SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
               COUNT(DISTINCT source) AS n_sources FROM documents""")),
 
+    // Duplicate-cluster size histogram — the dataset-card dedup
+    // statistic (how much of the corpus sits in duplicate classes of
+    // each size): fingerprint groupBy to cluster grain, then a
+    // cluster-size groupBy to histogram grain. Two collapsing shuffles,
+    // output bounded by the largest cluster size.
+    QueryDef(
+      "l_dedup_cluster_stats",
+      (s, d) => {
+        val clusters = Dedup.exactDuplicateGroups(
+          docsWithDups(s, d), "doc_id", "text")
+        val total = clusters.agg(sum(col("n_members")).cast(LongType)
+          .as("total_docs"))
+        clusters.groupBy(col("n_members"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .crossJoin(broadcast(total))
+          .select(col("n_members"), col("n_clusters"),
+            (col("n_members") * col("n_clusters")).cast(LongType)
+              .as("n_docs"),
+            ((col("n_members") * col("n_clusters")).cast(DoubleType) /
+              col("total_docs").cast(DoubleType)).as("frac_docs"))
+          .orderBy(col("n_members"))
+      },
+      Some("""WITH docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id + 10000, text FROM documents
+              ),
+              cl AS (
+                SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+                  COUNT(*) AS n_members
+                FROM docs GROUP BY fp
+              ),
+              t AS (SELECT CAST(SUM(n_members) AS BIGINT) AS total_docs FROM cl)
+              SELECT n_members, COUNT(*) AS n_clusters,
+                CAST(n_members * COUNT(*) AS BIGINT) AS n_docs,
+                CAST(n_members * COUNT(*) AS DOUBLE) / t.total_docs AS frac_docs
+              FROM cl, t GROUP BY n_members, t.total_docs
+              ORDER BY n_members""")),
+
     // Word-bigram Jaccard near-dup pairs — the exact all-pairs baseline
     // the MinHash path approximates. Bounded to a fixed 500-doc slice:
     // all-pairs is the small-slice verification tool (Dedup.jaccardPairs
