@@ -160,6 +160,50 @@ object Curation {
           col("n_ngrams").cast(DoubleType)).as("contamination"))
   }
 
+  /** The EVAL-side of the contamination story — [[contamination]] asks
+    * "which train docs should I drop"; this asks the question a model
+    * evaluator asks FIRST: "how much of my eval suite already leaks
+    * into training data". Per eval doc: how many of ITS n-grams appear
+    * anywhere in train (`coverage`), how many distinct train docs share
+    * at least one gram, and whether the doc is fully leaked.
+    *
+    * Scale shape: the EVAL gram stream is small by definition (an eval
+    * suite) and broadcasts; train streams once through the gram join.
+    * The matched stream materializes (localCheckpoint — a 100 TB run
+    * lands it to storage) so the two distinct-collapse rollups read it
+    * instead of re-running the join, and neither uses a countDistinct
+    * Expand. Eval docs with zero matches surface with coverage 0 via
+    * the eval-grain left join — absence of evidence must be a ROW, not
+    * a missing row. */
+  def evalContaminationReport(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = Dedup.wordShingles(col(textCol), n)
+    val evalBase = eval
+      .select(col(idCol).as("eval_id"), sh.as("__grams"))
+      .select(col("eval_id"), size(col("__grams")).as("n_ngrams"),
+        col("__grams"))
+    val evalGrams = evalBase
+      .select(col("eval_id"), explode(col("__grams")).as("gram"))
+    val trainGrams = train
+      .select(col(idCol).as("__tid"), explode(sh).as("gram"))
+    val matched = trainGrams.join(broadcast(evalGrams), "gram")
+      .localCheckpoint()
+    val cov = matched.select("eval_id", "gram").distinct()
+      .groupBy("eval_id").agg(count(lit(1)).as("n_covered"))
+    val td = matched.select("eval_id", "__tid").distinct()
+      .groupBy("eval_id").agg(count(lit(1)).as("n_train_docs"))
+    evalBase.drop("__grams")
+      .join(cov, Seq("eval_id"), "left")
+      .join(td, Seq("eval_id"), "left")
+      .na.fill(0L, Seq("n_covered", "n_train_docs"))
+      .withColumn("coverage",
+        col("n_covered").cast(DoubleType) /
+          nullif(col("n_ngrams"), lit(0)).cast(DoubleType))
+      .withColumn("fully_leaked",
+        col("n_ngrams") > 0 && col("n_covered") === col("n_ngrams"))
+  }
+
   /** [[contamination]] flipped into the cleaning action: train rows with
     * contamination below `maxContamination` (anti-join on the flagged
     * set). */

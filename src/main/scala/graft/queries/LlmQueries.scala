@@ -872,6 +872,56 @@ object LlmQueries {
                 (CAST(SUM(wm) AS DOUBLE) / (COUNT(*) * 1000.0e0)) > 0.0e0 AS keep
               FROM w GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Eval-suite leak report — the flip side of decontamination: per
+    // EVAL doc, how much of it already leaks into training data.
+    // Planted design: half the eval suite (doc_id % 20 == 0) has an
+    // exact copy in train, so those rows must read fully_leaked with
+    // coverage 1.0 while the rest report their natural shared-vocab
+    // partial coverage. Eval docs with no match surface with coverage
+    // 0 — absence of evidence is a row, not a missing row.
+    QueryDef(
+      "l_eval_leak_report",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+        val train = docs.filter(col("doc_id") % 10 =!= 0)
+          .unionByName(docs.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 50000).as("doc_id"), col("text"),
+              col("lang"), col("source"), col("n_chars")))
+        Curation.evalContaminationReport(
+            train, evalDocs, "doc_id", "text", n = 3)
+          .orderBy(col("eval_id"))
+      },
+      Some(s"""WITH ev AS (
+                 SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+               ),
+               tr AS (
+                 SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+                 UNION ALL
+                 SELECT doc_id + 50000, text FROM documents WHERE doc_id % 20 = 0
+               ),
+               eg AS (SELECT doc_id AS eval_id, ${trigramSql("text")} AS grams FROM ev),
+               base AS (SELECT eval_id, len(grams) AS n_ngrams FROM eg),
+               ege AS (SELECT eval_id, unnest(grams) AS gram FROM eg),
+               tge AS (SELECT doc_id AS train_id, unnest(${trigramSql("text")}) AS gram FROM tr),
+               m AS (SELECT ege.eval_id, ege.gram, tge.train_id
+                     FROM ege JOIN tge USING (gram)),
+               cov AS (SELECT eval_id, COUNT(DISTINCT gram) AS n_covered
+                       FROM m GROUP BY eval_id),
+               td AS (SELECT eval_id, COUNT(DISTINCT train_id) AS n_train_docs
+                      FROM m GROUP BY eval_id)
+               SELECT base.eval_id, base.n_ngrams,
+                 CAST(COALESCE(cov.n_covered, 0) AS BIGINT) AS n_covered,
+                 CAST(COALESCE(td.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+                 CAST(COALESCE(cov.n_covered, 0) AS DOUBLE)
+                   / NULLIF(base.n_ngrams, 0) AS coverage,
+                 (base.n_ngrams > 0 AND
+                  COALESCE(cov.n_covered, 0) = base.n_ngrams) AS fully_leaked
+               FROM base
+               LEFT JOIN cov USING (eval_id)
+               LEFT JOIN td USING (eval_id)
+               ORDER BY base.eval_id""")),
+
     // Classifier threshold sweep — the calibration table every filter
     // deployment reads before picking its operating point: keep count,
     // keep rate, and kept-mean score per candidate threshold. ONE pass:
