@@ -674,6 +674,95 @@ object StreamingQueries {
               WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
                 NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 0) >= 0.7""")),
 
+    // ST14 — streaming DECONTAMINATION at ingest: every incoming doc is
+    // scored against the frozen eval suite's trigram set and flagged
+    // for quarantine before it can reach training shards. The eval
+    // gram set is suite-sized by definition, so it ships inside the
+    // codegen membership kernel (countTokensIn's shared hash set) —
+    // the whole operator is row-local and STATELESS: no streaming
+    // state, no watermark, nothing to drain. For eval sets too big
+    // for a literal, the bloom bitmap path (l_decontaminate_bloom) is
+    // the drop-in: bloomCountIn has the same stateless shape. The
+    // planted train copies of eval docs must stream out quarantined
+    // at contamination 1.0; the oracle is the batch trigram-overlap
+    // over the same landed docs.
+    QueryDef(
+      "st_leak",
+      (s, d) => {
+        val base = scratch("st_leak")
+        val land = s"$base/land"; Files.createDirectories(Paths.get(land))
+        val docs = t(s, d, "documents")
+        val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+        val train = docs.filter(col("doc_id") % 10 =!= 0)
+          .unionByName(docs.filter(col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 50000).as("doc_id"), col("text"),
+              col("lang"), col("source"), col("n_chars")))
+        val evalGrams = evalDocs
+          .select(explode(graft.llm.Dedup.wordShingles(col("text"), 3))
+            .as("g"))
+          .distinct().collect().map(_.getString(0)).toSeq.sorted
+        val t0 = System.currentTimeMillis()
+        landJson(train.filter(col("doc_id") % 2 === 0), land, "b1.json", t0)
+        landJson(train.filter(col("doc_id") % 2 =!= 0), land, "b2.json",
+          t0 + 60000)
+        val stream = s.readStream
+          .schema("doc_id LONG, text STRING, lang STRING, " +
+            "source STRING, n_chars LONG")
+          .option("maxFilesPerTrigger", "1")
+          .json(land)
+        val sh = graft.llm.Dedup.wordShingles(col("text"), 3)
+        val q = stream
+          .select(col("doc_id"), size(sh).as("n_ngrams"),
+            graft.functions.F.countTokensIn(sh, evalGrams).as("n_shared"))
+          .withColumn("contamination",
+            col("n_shared").cast(DoubleType) /
+              nullif(col("n_ngrams"), lit(0)).cast(DoubleType))
+          .withColumn("quarantined", col("contamination") >= 0.2)
+          .writeStream
+          .format("parquet")
+          .option("path", s"$base/sink")
+          .option("checkpointLocation", s"$base/ckpt")
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(s"$base/sink").orderBy(col("doc_id"))
+      },
+      Some("""WITH ev AS (
+                 SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+               ),
+               tr AS (
+                 SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+                 UNION ALL
+                 SELECT doc_id + 50000, text FROM documents WHERE doc_id % 20 = 0
+               ),
+               evg AS (
+                 SELECT list(DISTINCT gram) AS g FROM (
+                   SELECT unnest(list_distinct(list_transform(
+                     generate_series(1, len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) - 2),
+                     i -> string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i] || ' ' ||
+                          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i+1] || ' ' ||
+                          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i+2]))) AS gram
+                   FROM ev)
+               ),
+               trg AS (
+                 SELECT doc_id,
+                   list_distinct(list_transform(
+                     generate_series(1, len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) - 2),
+                     i -> string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i] || ' ' ||
+                          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i+1] || ' ' ||
+                          string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i+2])) AS grams
+                 FROM tr
+               )
+               SELECT doc_id,
+                 CAST(len(grams) AS INT) AS n_ngrams,
+                 CAST(len(list_intersect(grams, evg.g)) AS INT) AS n_shared,
+                 CAST(len(list_intersect(grams, evg.g)) AS DOUBLE)
+                   / NULLIF(len(grams), 0) AS contamination,
+                 (CAST(len(list_intersect(grams, evg.g)) AS DOUBLE)
+                   / NULLIF(len(grams), 0)) >= 0.2e0 AS quarantined
+               FROM trg, evg ORDER BY doc_id""")),
+
     // ST13 — the curation funnel UNDER CONTINUOUS INGEST: the corpus
     // streams in twice across two micro-batches, so every fingerprint
     // is a cross-batch duplicate; streaming exact-dedup
