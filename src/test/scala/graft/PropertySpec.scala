@@ -273,6 +273,28 @@ class PropertySpec extends SparkSpec {
     }, minSuccessful = 10)
   }
 
+  test("property: two-pass quantiles equal the sorted element for any data") {
+    val dataGen = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.choose(-100.0, 100.0),
+      Gen.oneOf(0.0, 1.0, -1.0, 42.0))) // duplicate mass mixed in
+    val pGen = Gen.nonEmptyListOf(Gen.oneOf(0.01, 0.1, 0.5, 0.9, 0.999, 1.0))
+    check(Prop.forAll(dataGen, pGen) { (values, ps0) =>
+      val ps = ps0.distinct
+      val df = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val out = graft.analytics.Quantiles
+        .exactQuantiles2Pass(df, "v", ps, accuracy = 500)
+        .collect().map(r => r.getDouble(0) ->
+          (r.getDouble(3), r.getBoolean(4))).toMap
+      val sorted = values.sorted
+      ps.forall { p =>
+        val k = math.max(1L, math.ceil(p * values.size).toLong)
+        val (v, bracketed) = out(p)
+        bracketed && v == sorted((k - 1).toInt)
+      }
+    }, minSuccessful = 10)
+  }
+
   test("property: perplexity buckets are value-consistent for any corpus") {
     val textGen = Gen.nonEmptyListOf(
       Gen.oneOf("alpha", "beta", "gamma", "delta")).map(_.mkString(" "))
