@@ -104,6 +104,61 @@ object LlmQueries {
       Some("""SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
               COUNT(DISTINCT source) AS n_sources FROM documents""")),
 
+    // One-row dataset card: the header block of every dataset release —
+    // corpus size, token total, exact-dedup rate, and language/source
+    // concentration. Concentration is the Gini–Simpson index
+    // 1 − Σ share² instead of entropy: Σ c² is an exact integer, so the
+    // index is ONE IEEE division (Σc² / n²) and hash-verifies
+    // cross-engine where Σ p·log p cannot. Three collapsing aggregates
+    // (lang grain, source grain, fingerprint grain) + 1-row joins.
+    QueryDef(
+      "l_dataset_card",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        def gini(c: String) = docs.groupBy(col(c))
+          .agg(count(lit(1)).as("__c"))
+          .agg(count(lit(1)).as(s"n_${c}s"),
+            sum(col("__c") * col("__c")).cast(LongType).as(s"__ss_$c"))
+        val base = docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast(LongType))
+            .cast(LongType).as("n_tokens"))
+        val fps = docs.agg(countDistinct(
+          TextAnalysis.fingerprint(col("text"))).as("n_distinct_fps"))
+        base.crossJoin(broadcast(fps))
+          .crossJoin(broadcast(gini("lang")))
+          .crossJoin(broadcast(gini("source")))
+          .select(col("n_docs"), col("n_tokens"), col("n_distinct_fps"),
+            (lit(1.0) - col("n_distinct_fps").cast(DoubleType) /
+              col("n_docs").cast(DoubleType)).as("dup_rate"),
+            col("n_langs"),
+            (lit(1.0) - col("__ss_lang").cast(DoubleType) /
+              (col("n_docs") * col("n_docs")).cast(DoubleType))
+              .as("lang_gini"),
+            col("n_sources"))
+      },
+      Some("""WITH b AS (
+                SELECT COUNT(*) AS n_docs,
+                  CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+                  COUNT(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct_fps
+                FROM documents
+              ),
+              lg AS (
+                SELECT COUNT(*) AS n_langs,
+                  CAST(SUM(c * c) AS BIGINT) AS ss
+                FROM (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang)
+              ),
+              sg AS (
+                SELECT COUNT(*) AS n_sources
+                FROM (SELECT source FROM documents GROUP BY source)
+              )
+              SELECT b.n_docs, b.n_tokens, b.n_distinct_fps,
+                1.0e0 - CAST(b.n_distinct_fps AS DOUBLE) / b.n_docs AS dup_rate,
+                lg.n_langs,
+                1.0e0 - CAST(lg.ss AS DOUBLE) / (b.n_docs * b.n_docs) AS lang_gini,
+                sg.n_sources
+              FROM b, lg, sg""")),
+
     // Duplicate-cluster size histogram — the dataset-card dedup
     // statistic (how much of the corpus sits in duplicate classes of
     // each size): fingerprint groupBy to cluster grain, then a
