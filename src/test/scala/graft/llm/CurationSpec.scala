@@ -345,6 +345,29 @@ class CurationSpec extends SparkSpec {
     assert(out("z") === ((1L, 1L, 175L, 1.0, 4.0)))
   }
 
+  test("evalContaminationReport: planted copies fully leak, clean docs get zero ROWS") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy
+      (101L, "alpha beta gamma nine ten eleven twelve thirteen"), // partial
+      (102L, "zzz yyy xxx www vvv uuu ttt sss")) // no overlap
+      .toDF("id", "text")
+    val out = Curation.evalContaminationReport(train, eval, "id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    // exact copy: every trigram covered by exactly one train doc
+    assert(out(100L) === ((6, 6L, 1L, 1.0, true)))
+    // partial: exactly the "alpha beta gamma" trigram is shared
+    val (n101, c101, t101, cov101, leak101) = out(101L)
+    assert(n101 === 6 && c101 === 1L && t101 === 1L && !leak101)
+    assert(math.abs(cov101 - 1.0 / 6.0) < 1e-12)
+    // clean doc: PRESENT with zeros — absence of evidence is a row
+    assert(out(102L) === ((6, 0L, 0L, 0.0, false)))
+  }
+
   test("dsir census is additive: split-merge equals whole-corpus, unseen buckets smooth") {
     val target = col("lang") === "en"
     val full = Curation.dsirCensus(docs, "text", target)
