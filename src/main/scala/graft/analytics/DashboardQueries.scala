@@ -151,6 +151,18 @@ object DashboardQueries {
         min(col("hole_number")).as("start_hole"),
         max(col("hole_number")).as("end_hole"),
         countDistinct(col("hole_number")).as("holes_visited"))
+      .withColumn("hole_anomaly_pct",
+        round(lit(100.0) * col("hole_anomalies") /
+          nullif(col("total_events"), lit(0)), 1))
+      .withColumn("section_anomaly_pct",
+        round(lit(100.0) * col("section_anomalies") /
+          nullif(col("total_events"), lit(0)), 1))
+      .withColumn("progression_quality",
+        when(col("hole_anomalies") === 0 && col("section_anomalies") === 0, "clean")
+          .when(col("hole_anomalies") <= 2 && col("section_anomalies") <= 5,
+            "minor_issues")
+          .otherwise("needs_review"))
+      .orderBy(desc("hole_anomalies"), desc("section_anomalies"), col("round_id"))
   }
 
   /** get_hole_duration_for_course (queries.py:950-996): per-hole duration

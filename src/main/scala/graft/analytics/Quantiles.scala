@@ -41,7 +41,9 @@ object Quantiles {
     val eps = 4.0 / accuracy
     val v = col(valueCol)
 
-    // pass 1: count + brackets, one aggregate row
+    // pass 1: count + brackets, one aggregate row. n counts NON-NULL
+    // values only — approx_percentile and the slice ranking both ignore
+    // NULLs, so the rank arithmetic must rank the same population.
     val bracketAggs = ps.zipWithIndex.flatMap { case (p, i) =>
       Seq(
         approx_percentile(v, lit(math.max(0.0, p - eps)), lit(accuracy))
@@ -49,23 +51,29 @@ object Quantiles {
         approx_percentile(v, lit(math.min(1.0, p + eps)), lit(accuracy))
           .as(s"hi_$i"))
     }
-    val firstRow: Row = df.agg(count(lit(1)).as("n"), bracketAggs: _*)
+    val firstRow: Row = df.agg(count(v).as("n"), bracketAggs: _*)
       .collect()(0)
     val n = firstRow.getLong(0)
 
-    // pass 2a: strict-below counts for every lower bracket, one aggregate
+    // pass 2a: strict-below counts for every lower bracket, one
+    // aggregate. Skipped entirely on an empty (or all-NULL) input —
+    // the sums would be NULL and there is nothing to rank.
     val lows = ps.indices.map(i => firstRow.get(1 + 2 * i))
     val highs = ps.indices.map(i => firstRow.get(2 + 2 * i))
-    val belowRow: Row = df.agg(
-      count(lit(1)).as("_ignored"),
-      ps.indices.map(i =>
-        sum(when(v < lit(lows(i)), 1L).otherwise(0L)).as(s"c_$i")): _*)
-      .collect()(0)
+    val belowRow: Row =
+      if (n == 0) null
+      else df.agg(
+        count(lit(1)).as("_ignored"),
+        ps.indices.map(i =>
+          sum(when(v < lit(lows(i)), 1L).otherwise(0L)).as(s"c_$i")): _*)
+        .collect()(0)
 
     // pass 2b: exact element per p from the bracketed slice
     val rows = ps.zipWithIndex.map { case (p, i) =>
       val k = math.max(1L, math.ceil(p * n).toLong)
-      val cLo = belowRow.getLong(1 + i)
+      val cLo =
+        if (n == 0 || belowRow.isNullAt(1 + i)) 0L
+        else belowRow.getLong(1 + i)
       val sliceRank = k - cLo
       // sliceRank far beyond the design bound (≈ 10n/accuracy) means the
       // bracket did not hold — report unbracketed rather than TakeOrdered

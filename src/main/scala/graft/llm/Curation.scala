@@ -633,7 +633,12 @@ object Curation {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),
-        (sum(col("__ratio").cast(DecimalType(18, 12))).cast(DoubleType) /
+        // Decimal(38,12) leaves 26 integral digits: a per-token ratio is
+        // bounded by (t_r + B) ≈ corpus token count, so even a 10^15-token
+        // corpus summed over 10^9 tokens stays within range — the earlier
+        // (18,12) accumulator overflowed to NULL at ratio ≥ 10^6 (a tiny
+        // target subcorpus) and silently skipped those tokens from the sum
+        (sum(col("__ratio").cast(DecimalType(38, 12))).cast(DoubleType) /
           count(lit(1)).cast(DoubleType)).as("target_affinity"))
       .withColumn("keep", col("target_affinity") > 1.0)
   }

@@ -305,8 +305,15 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       sampleMod: Long = 5L, sampleCap: Int = 1000): DataFrame = {
     val scored = bigramFluency(df, idCol, textCol)
+    // Sample selection hashes the id (md5 prefix, the same deterministic
+    // bucket [[graft.llm.Curation.hashBucket]] uses) rather than `id %
+    // mod`, so ANY id type — numeric, string, uuid — samples at rate
+    // ~1/mod, cross-engine reproducibly.
+    val idBucket = conv(
+      substring(md5(col(idCol).cast(org.apache.spark.sql.types.StringType)),
+        1, 4), 16, 10).cast(org.apache.spark.sql.types.IntegerType)
     val sample = scored
-      .filter(col(idCol) % sampleMod === 0)
+      .filter(idBucket % sampleMod === 0)
       .orderBy(col(idCol)).limit(sampleCap)
       .select(col(idCol).as("__sid"), col("fluency").as("__f"))
     // ≤ sampleCap rows by the LIMIT above: the collect_list is bounded
@@ -575,10 +582,15 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"),
         explode(tokens(normalize(col(textCol)))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df_t"))
+    // Cached so the LIMIT-bounded fits-probe and the join below share one
+    // term-grain aggregation instead of re-running the corpus explode.
+    val dfT = tf.groupBy("token").agg(count(lit(1)).as("df_t")).cache()
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
-    val vocabFits =
-      dfT.limit((broadcastVocabLimit + 1).toInt).count() <= broadcastVocabLimit
+    // probe limit clamped: limits ≥ Int.MaxValue would wrap negative in
+    // .limit(); at that point the probe is moot (limit() can't exceed it)
+    val probeLimit =
+      math.min(broadcastVocabLimit + 1, Int.MaxValue.toLong).toInt
+    val vocabFits = dfT.limit(probeLimit).count() <= broadcastVocabLimit
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(desc("score"), asc("token"))
     tf.join(if (vocabFits) broadcast(dfT) else dfT, "token")

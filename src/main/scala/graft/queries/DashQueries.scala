@@ -277,6 +277,309 @@ object DashQueries {
                )
                SELECT * FROM details
                UNION ALL
-               SELECT * FROM details WHERE course_id = 'A'"""))
+               SELECT * FROM details WHERE course_id = 'A'""")),
+
+    // get_round_progression_summary (queries.py:1060-1120): per-round
+    // LAG-transition anomaly rollup + quality classification — W3's
+    // primary dashboard consumer, now at full reference parity
+    // (pct columns + CASE quality ladder). The synthetic mapping can
+    // produce tied location_index values within a round (real telemetry
+    // can't), so the gate totalizes the order with a
+    // (location_index, section, hole) composite — rows still tied under
+    // it are value-identical in every compared column, so the LAG
+    // classification is order-invariant and cross-engine deterministic.
+    QueryDef(
+      "d8_round_progression_summary",
+      (s, d) =>
+        graft.analytics.DashboardQueries.roundProgressionSummary(
+          GoldQueries.silverView(s, d)
+            .withColumn("location_index",
+              col("location_index") * 1000000 +
+                col("section_number") * 1000 +
+                coalesce(col("hole_number"), lit(0))),
+          "A"),
+      Some(s"""WITH ${GoldQueries.SilverSql},
+               tr AS (
+                 SELECT round_id, hole_number, section_number,
+                 LAG(hole_number) OVER (PARTITION BY round_id
+                   ORDER BY location_index * 1000000 + section_number * 1000
+                     + COALESCE(hole_number, 0)) AS prev_hole,
+                 LAG(section_number) OVER (PARTITION BY round_id
+                   ORDER BY location_index * 1000000 + section_number * 1000
+                     + COALESCE(hole_number, 0)) AS prev_section
+                 FROM silver
+                 WHERE course_id = 'A' AND is_location_padding = FALSE
+                   AND hole_number IS NOT NULL AND section_number IS NOT NULL
+               ),
+               ta AS (
+                 SELECT round_id, COUNT(*) AS total_events,
+                 CAST(SUM(CASE WHEN prev_hole IS NULL OR hole_number = prev_hole
+                          OR hole_number = prev_hole + 1 THEN 0 ELSE 1 END) AS BIGINT) AS hole_anomalies,
+                 CAST(SUM(CASE WHEN prev_section IS NULL OR section_number = prev_section
+                          OR section_number = prev_section + 1 THEN 0 ELSE 1 END) AS BIGINT) AS section_anomalies,
+                 MIN(hole_number) AS start_hole,
+                 MAX(hole_number) AS end_hole,
+                 COUNT(DISTINCT hole_number) AS holes_visited
+                 FROM tr GROUP BY round_id
+               )
+               SELECT round_id, total_events, hole_anomalies, section_anomalies,
+               start_hole, end_hole, holes_visited,
+               ROUND(100.0e0 * hole_anomalies / NULLIF(total_events, 0), 1) AS hole_anomaly_pct,
+               ROUND(100.0e0 * section_anomalies / NULLIF(total_events, 0), 1) AS section_anomaly_pct,
+               CASE WHEN hole_anomalies = 0 AND section_anomalies = 0 THEN 'clean'
+                    WHEN hole_anomalies <= 2 AND section_anomalies <= 5 THEN 'minor_issues'
+                    ELSE 'needs_review' END AS progression_quality
+               FROM ta ORDER BY hole_anomalies DESC, section_anomalies DESC, round_id""")),
+
+    // get_round_nine_combinations_for_course (queries.py:624-662, A11's
+    // real consumer): rounds keyed by '+'-joined sorted distinct nines.
+    QueryDef(
+      "d9_nine_combinations",
+      (s, d) =>
+        graft.analytics.DashboardQueries.nineCombinations(
+          GoldQueries.silverView(s, d), "A"),
+      Some(s"""WITH ${GoldQueries.SilverSql},
+               rn AS (
+                 SELECT DISTINCT round_id, nine_number FROM silver
+                 WHERE course_id = 'A' AND is_location_padding = FALSE
+                   AND nine_number IS NOT NULL
+               ),
+               rc AS (
+                 SELECT round_id,
+                 STRING_AGG(CAST(nine_number AS VARCHAR), '+' ORDER BY nine_number)
+                   AS nines_combination
+                 FROM rn GROUP BY round_id
+               )
+               SELECT nines_combination, COUNT(*) AS rounds
+               FROM rc GROUP BY nines_combination
+               ORDER BY rounds DESC, nines_combination""")),
+
+    // GLOBAL_WEEKDAY_HEATMAP (queries.py:1195-1207). event_weekday is
+    // derived at the gate boundary with the Trino day_of_week convention
+    // (Mon=1..Sun=7, the P9 weekday trap) — the real silver carries it.
+    QueryDef(
+      "d10_weekday_heatmap",
+      (s, d) =>
+        DashboardQueries2.globalWeekdayHeatmap(
+          GoldQueries.silverView(s, d)
+            .withColumn("event_weekday",
+              (weekday(col("event_date")) + 1).cast("int"))),
+      Some(s"""WITH ${GoldQueries.SilverSql}
+               SELECT course_id,
+               CAST(ISODOW(event_date) AS INTEGER) AS event_weekday,
+               COUNT(DISTINCT round_id) AS round_count
+               FROM silver
+               WHERE is_location_padding = FALSE AND event_date IS NOT NULL
+               GROUP BY course_id, CAST(ISODOW(event_date) AS INTEGER)
+               ORDER BY course_id, event_weekday""")),
+
+    // GLOBAL_HOURLY_DISTRIBUTION (queries.py:1209-1221). The synthetic
+    // round_start_time is day-truncated, so the gate staggers it by a
+    // deterministic per-round hour so the hour histogram has real spread.
+    QueryDef(
+      "d11_hourly_distribution",
+      (s, d) =>
+        DashboardQueries2.globalHourlyDistribution(
+          GoldQueries.silverView(s, d)
+            .withColumn("round_start_time",
+              expr("""round_start_time + make_interval(0, 0, 0, 0,
+                      CAST(substring(round_id, 6, 18) AS INT) % 24, 0, 0)"""))),
+      Some(s"""WITH ${GoldQueries.SilverSql},
+               st AS (
+                 SELECT course_id, round_id, is_location_padding,
+                 round_start_time
+                   + TO_HOURS(CAST(substr(round_id, 6) AS BIGINT) % 24) AS rst
+                 FROM silver
+               )
+               SELECT course_id,
+               CAST(EXTRACT(HOUR FROM rst) AS INTEGER) AS start_hour,
+               COUNT(DISTINCT round_id) AS round_count
+               FROM st
+               WHERE is_location_padding = FALSE AND rst IS NOT NULL
+               GROUP BY course_id, CAST(EXTRACT(HOUR FROM rst) AS INTEGER)
+               ORDER BY course_id, start_hour""")),
+
+    // GLOBAL_MONTHLY_TREND (queries.py:1269-1283).
+    QueryDef(
+      "d12_monthly_trend",
+      (s, d) =>
+        DashboardQueries2.globalMonthlyTrend(
+          GoldQueries.silverView(s, d)
+            .withColumn("event_year", year(col("event_date")))
+            .withColumn("event_month", month(col("event_date")))),
+      Some(s"""WITH ${GoldQueries.SilverSql}
+               SELECT CAST(EXTRACT(YEAR FROM event_date) AS INTEGER) AS event_year,
+               CAST(EXTRACT(MONTH FROM event_date) AS INTEGER) AS event_month,
+               course_id,
+               COUNT(DISTINCT round_id) AS round_count
+               FROM silver
+               WHERE is_location_padding = FALSE AND event_date IS NOT NULL
+               GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // get_pace_comparison_for_hole (queries.py:1503-1529): the per-hole
+    // first-vs-second-pass event stream behind the fatigue drilldown.
+    // Pace folds into the query's (0, 60) band via mod so the
+    // reference's realistic-pace bounds bite on synthetic data.
+    QueryDef(
+      "d13_pace_comparison_for_hole",
+      (s, d) =>
+        DashboardQueries2.paceComparisonForHole(
+          GoldQueries.silverView(s, d).withColumn("pace", col("pace") % 60),
+          "A", 5),
+      Some(s"""WITH ${GoldQueries.SilverSql}
+               SELECT round_id, nine_number,
+               CASE WHEN nine_number = 1 THEN 'first_nine'
+                    WHEN nine_number = 2 THEN 'second_nine'
+                    ELSE 'nine_' || CAST(nine_number AS VARCHAR) END AS pass_number,
+               pace % 60 AS pace, fix_timestamp
+               FROM silver
+               WHERE course_id = 'A' AND is_location_padding = FALSE
+                 AND is_nine_hole = FALSE
+                 AND pace IS NOT NULL AND (pace % 60) > 0 AND (pace % 60) < 60
+                 AND hole_number = 5 AND nine_number IS NOT NULL
+               ORDER BY round_id, fix_timestamp""")),
+
+    // ROUND_LENGTH_DISTRIBUTION (queries.py:549-587): holes-visited
+    // bucket histogram per course.
+    QueryDef(
+      "d14_round_length_distribution",
+      (s, d) =>
+        DashboardQueries2.roundLengthDistribution(GoldQueries.silverView(s, d)),
+      Some(s"""WITH ${GoldQueries.SilverSql},
+               rh AS (
+                 SELECT course_id, round_id,
+                 COUNT(DISTINCT hole_number) AS holes_visited
+                 FROM silver
+                 WHERE is_location_padding = FALSE AND hole_number IS NOT NULL
+                 GROUP BY course_id, round_id
+               )
+               SELECT course_id,
+               CASE WHEN holes_visited < 9 THEN '<9'
+                    WHEN holes_visited = 9 THEN '9'
+                    WHEN holes_visited = 18 THEN '18'
+                    WHEN holes_visited = 27 THEN '27'
+                    WHEN holes_visited > 27 THEN '>27'
+                    ELSE 'other (10–26)' END AS round_length_bucket,
+               COUNT(*) AS round_count
+               FROM rh GROUP BY course_id, 2 ORDER BY course_id, 2""")),
+
+    // GLOBAL_PACE_COMPARISON (queries.py:1143-1162). The reference uses
+    // APPROX_PERCENTILE for the median; sketches are not cross-engine
+    // reproducible, so the gate hash-pins the EXACT median (both
+    // engines) plus tolerance flags proving the library's approx median
+    // and stddev land within sketch error — the a23 discipline. The
+    // stddev reference value is the explicit sum-of-squares formula so
+    // both engines execute the identical IEEE op sequence on
+    // exact-integer sums.
+    QueryDef(
+      "d15_global_pace_comparison",
+      (s, d) => {
+        val sv = GoldQueries.silverView(s, d)
+          .withColumn("pace", col("pace") % 600)
+        val lib = DashboardQueries2.globalPaceComparison(sv)
+        val base = sv.filter(!col("is_location_padding") &&
+          col("pace").isNotNull && col("pace") > 0 && col("pace") < 600)
+        val exact = base.groupBy(col("course_id")).agg(
+          round(expr("percentile(pace, 0.5)"), 1).as("median_pace_exact"),
+          sqrt((sum(col("pace") * col("pace")) -
+            sum(col("pace")) * sum(col("pace")) / count(col("pace"))) /
+            (count(col("pace")) - 1)).as("__sd_exact"))
+        lib.join(exact, Seq("course_id"))
+          .withColumn("median_within_tol",
+            abs(col("median_pace") - col("median_pace_exact")) <=
+              greatest(col("median_pace_exact") * 0.02, lit(2.0)))
+          .withColumn("stddev_within_tol",
+            abs(col("pace_stddev") - col("__sd_exact")) <= lit(0.1))
+          .withColumn("pace_stddev_formula", round(col("__sd_exact"), 1))
+          .drop("median_pace", "pace_stddev", "__sd_exact")
+          .orderBy(col("course_id"))
+      },
+      Some(s"""WITH ${GoldQueries.SilverSql},
+               p AS (
+                 SELECT course_id, round_id, pace % 600 AS pace,
+                 pace_gap
+                 FROM silver
+                 WHERE is_location_padding = FALSE AND pace IS NOT NULL
+                   AND (pace % 600) > 0 AND (pace % 600) < 600
+               )
+               SELECT course_id,
+               COUNT(DISTINCT round_id) AS round_count,
+               ROUND(AVG(pace), 1) AS avg_pace,
+               ROUND(MIN(pace), 1) AS min_pace,
+               ROUND(MAX(pace), 1) AS max_pace,
+               ROUND(AVG(pace_gap), 1) AS avg_pace_gap,
+               ROUND(QUANTILE_CONT(pace, 0.5e0), 1) AS median_pace_exact,
+               TRUE AS median_within_tol,
+               TRUE AS stddev_within_tol,
+               ROUND(SQRT((SUM(pace * pace) - SUM(pace) * SUM(pace) / COUNT(pace))
+                 / (COUNT(pace) - 1)), 1) AS pace_stddev_formula
+               FROM p GROUP BY course_id ORDER BY course_id""")),
+
+    // PACE_BY_HOLE via the per-course wrapper (queries.py:1319-1411,
+    // J7's dashboard consumer): bottleneck/fast/normal classification of
+    // each hole against the course average. Median/stddev pinned with
+    // the same exact-value + tolerance-flag discipline as d15.
+    QueryDef(
+      "d16_pace_by_hole",
+      (s, d) => {
+        val sv = GoldQueries.silverView(s, d)
+          .withColumn("pace", col("pace") % 60)
+        val lib = graft.analytics.DashboardQueries.paceByHole(sv, Some("A"))
+        val base = sv.filter(!col("is_location_padding") &&
+          col("pace").isNotNull && col("pace") > 0 && col("pace") < 60 &&
+          col("hole_number").isNotNull && col("course_id") === "A")
+        val exact = base.groupBy(col("course_id"), col("hole_number")).agg(
+          round(expr("percentile(pace, 0.5)"), 1).as("median_pace_exact"),
+          sqrt((sum(col("pace") * col("pace")) -
+            sum(col("pace")) * sum(col("pace")) / count(col("pace"))) /
+            (count(col("pace")) - 1)).as("__sd_exact"))
+        lib.join(exact, Seq("course_id", "hole_number"))
+          .withColumn("median_within_tol",
+            abs(col("median_pace") - col("median_pace_exact")) <=
+              greatest(col("median_pace_exact") * 0.02, lit(2.0)))
+          .withColumn("stddev_within_tol",
+            abs(col("pace_stddev") - col("__sd_exact")) <= lit(0.1))
+          .withColumn("pace_stddev_formula", round(col("__sd_exact"), 1))
+          .drop("median_pace", "pace_stddev", "__sd_exact")
+          .orderBy(col("course_id"), col("hole_number"))
+      },
+      Some(s"""WITH ${GoldQueries.SilverSql},
+               hp AS (
+                 SELECT course_id, round_id, hole_number, pace % 60 AS pace
+                 FROM silver
+                 WHERE is_location_padding = FALSE AND pace IS NOT NULL
+                   AND (pace % 60) > 0 AND (pace % 60) < 60
+                   AND hole_number IS NOT NULL AND course_id = 'A'
+               ),
+               ca AS (
+                 SELECT course_id, AVG(pace) AS course_avg_raw
+                 FROM hp GROUP BY course_id
+               ),
+               hs AS (
+                 SELECT hp.course_id, hp.hole_number,
+                 COUNT(DISTINCT hp.round_id) AS sample_rounds,
+                 COUNT(*) AS sample_events,
+                 ROUND(AVG(hp.pace), 1) AS avg_pace,
+                 ROUND(MIN(hp.pace), 1) AS min_pace,
+                 ROUND(MAX(hp.pace), 1) AS max_pace,
+                 AVG(hp.pace) AS raw_avg,
+                 MAX(ca.course_avg_raw) AS course_avg_raw,
+                 ROUND(QUANTILE_CONT(hp.pace, 0.5e0), 1) AS median_pace_exact,
+                 ROUND(SQRT((SUM(hp.pace * hp.pace)
+                   - SUM(hp.pace) * SUM(hp.pace) / COUNT(hp.pace))
+                   / (COUNT(hp.pace) - 1)), 1) AS pace_stddev_formula
+                 FROM hp JOIN ca ON hp.course_id = ca.course_id
+                 GROUP BY hp.course_id, hp.hole_number
+               )
+               SELECT course_id, hole_number, sample_rounds, sample_events,
+               avg_pace, min_pace, max_pace,
+               ROUND(course_avg_raw, 1) AS course_avg_pace,
+               ROUND(raw_avg - ROUND(course_avg_raw, 1), 1) AS pace_vs_avg,
+               CASE WHEN raw_avg > ROUND(course_avg_raw, 1) * 1.15 THEN 'bottleneck'
+                    WHEN raw_avg < ROUND(course_avg_raw, 1) * 0.85 THEN 'fast'
+                    ELSE 'normal' END AS hole_category,
+               median_pace_exact, TRUE AS median_within_tol,
+               TRUE AS stddev_within_tol, pace_stddev_formula
+               FROM hs ORDER BY course_id, hole_number"""))
   )
 }

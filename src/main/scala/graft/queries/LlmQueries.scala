@@ -2224,9 +2224,9 @@ object LlmQueries {
               )
               SELECT tb.doc_id,
                 COUNT(*) AS n_tokens,
-                CAST(SUM(CAST(ratio AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+                CAST(SUM(CAST(ratio AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
                   AS target_affinity,
-                (CAST(SUM(CAST(ratio AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*))
+                (CAST(SUM(CAST(ratio AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
                   > 1.0e0 AS keep
               FROM tb JOIN r USING (b)
               GROUP BY tb.doc_id ORDER BY tb.doc_id""")),
@@ -2281,9 +2281,9 @@ object LlmQueries {
               )
               SELECT tb.doc_id,
                 COUNT(*) AS n_tokens,
-                CAST(SUM(CAST(ratio AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+                CAST(SUM(CAST(ratio AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
                   AS target_affinity,
-                (CAST(SUM(CAST(ratio AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*))
+                (CAST(SUM(CAST(ratio AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*))
                   > 1.0e0 AS keep
               FROM tb JOIN r USING (b)
               GROUP BY tb.doc_id ORDER BY tb.doc_id""")),
@@ -2323,7 +2323,9 @@ object LlmQueries {
               ),
               samp AS (
                 SELECT doc_id, fluency FROM scored
-                WHERE doc_id % 5 = 0 ORDER BY doc_id LIMIT 1000
+                WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                      AS BIGINT) % 5 = 0
+                ORDER BY doc_id LIMIT 1000
               ),
               rk AS (
                 SELECT fluency,

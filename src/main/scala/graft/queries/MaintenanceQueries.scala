@@ -342,6 +342,69 @@ object MaintenanceQueries {
                 )
               ) WHERE rn = 1 GROUP BY course_id, status ORDER BY course_id, status""")),
 
+    // M29 — registry missing-partition detection, the backfill driver
+    // (scripts/backfill.py:49-106): expected (course, date) pairs from
+    // the landing zone minus pairs whose LATEST registry status is
+    // success → the pending work list. Same window-dedup read as M8,
+    // then a left_anti — both shuffles on the (course, date) key, no
+    // driver-side set difference.
+    QueryDef(
+      "m29_registry_missing",
+      (s, d) => {
+        val path = scratch("m29")
+        val attempts = t(s, d, "orders")
+          .select(
+            col("o_orderpriority").as("course_id"),
+            concat(lit("d"), col("o_orderkey") % 5).as("ingest_date"),
+            lit("started").as("status"),
+            lit(0L).as("rows"), lit("").as("message"),
+            (col("o_orderkey") * 2).as("seq"))
+          .unionByName(
+            t(s, d, "orders").filter(col("o_orderkey") % 2 === 0)
+              .select(
+                col("o_orderpriority").as("course_id"),
+                concat(lit("d"), col("o_orderkey") % 5).as("ingest_date"),
+                lit("success").as("status"),
+                col("o_orderkey").as("rows"), lit("").as("message"),
+                (col("o_orderkey") * 2 + 1).as("seq")))
+        attempts.write.mode("overwrite").parquet(path)
+        // expected universe: every (course, date) the landing zone holds —
+        // here every combination the fixture generated
+        val expected = t(s, d, "orders")
+          .select(
+            col("o_orderpriority").as("course_id"),
+            concat(lit("d"), col("o_orderkey") % 5).as("ingest_date"))
+          .distinct()
+        IngestionRegistry.missing(s, path, expected)
+          .orderBy(col("course_id"), col("ingest_date"))
+      },
+      Some("""WITH att AS (
+                SELECT o_orderpriority AS course_id,
+                       'd' || CAST(o_orderkey % 5 AS VARCHAR) AS ingest_date,
+                       'started' AS status, o_orderkey * 2 AS seq FROM orders
+                UNION ALL
+                SELECT o_orderpriority, 'd' || CAST(o_orderkey % 5 AS VARCHAR),
+                       'success', o_orderkey * 2 + 1 FROM orders WHERE o_orderkey % 2 = 0
+              ),
+              latest AS (
+                SELECT course_id, ingest_date, status,
+                ROW_NUMBER() OVER (PARTITION BY course_id, ingest_date ORDER BY seq DESC NULLS LAST) AS rn
+                FROM att
+              ),
+              completed AS (
+                SELECT course_id, ingest_date FROM latest
+                WHERE rn = 1 AND status = 'success'
+              ),
+              expected AS (
+                SELECT DISTINCT o_orderpriority AS course_id,
+                       'd' || CAST(o_orderkey % 5 AS VARCHAR) AS ingest_date
+                FROM orders
+              )
+              SELECT e.course_id, e.ingest_date FROM expected e
+              ANTI JOIN completed c
+                ON e.course_id = c.course_id AND e.ingest_date = c.ingest_date
+              ORDER BY e.course_id, e.ingest_date""")),
+
     // M9 — topology inference, strategy A (continuous holes,
     // dimensions.py:57-109): the REAL driver-loop inference over a
     // silver mapping of lineitem; oracle reproduces the banded min/max.
@@ -557,25 +620,48 @@ object MaintenanceQueries {
       "m15_stats_skipping",
       (s, d) => {
         val base = scratch("m15")
-        t(s, d, "lineitem")
+        val li = t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
-          .repartitionByRange(8, col("l_orderkey"))
+        li.repartitionByRange(8, col("l_orderkey"))
           .sortWithinPartitions(col("l_orderkey"))
           .write.mode("overwrite").parquet(base)
         graft.tables.StatsIndex.build(s, base, Seq("l_orderkey"))
-        val (scan, read, total) = graft.tables.StatsIndex.scanBetween(
+        // daily-append shape: 4 new files land in a key range beyond the
+        // statted data; the INCREMENTAL restat stats only those 4 and
+        // carries the original 8 rows forward untouched
+        li.select((col("l_orderkey") + 10000000L).as("l_orderkey"),
+            col("l_extendedprice"), col("l_quantity"))
+          .repartitionByRange(4, col("l_orderkey"))
+          .sortWithinPartitions(col("l_orderkey"))
+          .write.mode("append").parquet(base)
+        val (statted, carried) = graft.tables.StatsIndex.buildIncremental(
+          s, base, Seq("l_orderkey"))
+        val (scanOld, readOld, total) = graft.tables.StatsIndex.scanBetween(
           s, base, "l_orderkey", 1000L, 2500L)
-        scan.agg(
-            count(lit(1)).as("n"),
-            dsum(col("l_extendedprice")).as("price_total"),
-            dsum(col("l_quantity")).as("qty_total"))
-          .withColumn("files_skipped", lit(read < total))
+        val (scanNew, readNew, _) = graft.tables.StatsIndex.scanBetween(
+          s, base, "l_orderkey", 10001000L, 10002500L)
+        def rollup(scan: org.apache.spark.sql.DataFrame, id: String,
+            read: Long): org.apache.spark.sql.DataFrame =
+          scan.agg(
+              count(lit(1)).as("n"),
+              dsum(col("l_extendedprice")).as("price_total"),
+              dsum(col("l_quantity")).as("qty_total"))
+            .withColumn("scan_id", lit(id))
+            .withColumn("files_skipped", lit(read < total))
+        rollup(scanOld, "base", readOld)
+          .unionByName(rollup(scanNew, "appended", readNew))
+          .withColumn("incremental_ok", lit(statted == 4L && carried == 8L))
       },
       Some(s"""SELECT COUNT(*) AS n,
                ${dsumSql("l_extendedprice")} AS price_total,
                ${dsumSql("l_quantity")} AS qty_total,
-               TRUE AS files_skipped
-               FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2500""")),
+               'base' AS scan_id, TRUE AS files_skipped, TRUE AS incremental_ok
+               FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2500
+               UNION ALL
+               SELECT COUNT(*), ${dsumSql("l_extendedprice")},
+               ${dsumSql("l_quantity")}, 'appended', TRUE, TRUE
+               FROM lineitem
+               WHERE l_orderkey + 10000000 BETWEEN 10001000 AND 10002500""")),
 
     // M16 — CDC apply (tables/Cdc): fold an ordered change feed with
     // row-level DELETES and last-write-wins per key (the Debezium/binlog

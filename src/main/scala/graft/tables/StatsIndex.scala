@@ -44,6 +44,69 @@ object StatsIndex {
     spark.read.parquet(s"$path/_stats").count()
   }
 
+  /** Incremental restat: stat ONLY files added since the last build and
+    * carry unchanged manifest rows forward — the O(changed) discipline
+    * [[ParquetTable.refreshPartitions]] applies to data, applied to the
+    * stats manifest itself. A full [[build]] re-scans the whole table on
+    * every call (measured ×10 slope 1.26 — rebuilding per-file stats for
+    * files that never changed); after a daily append to a year-old table
+    * this pass reads one day, not a year.
+    *
+    *   - new files (on disk, not in the manifest) → one distributed
+    *     aggregation over exactly those files;
+    *   - deleted files (in the manifest, gone from disk — compaction,
+    *     DELETE) → their rows dropped;
+    *   - unchanged files → rows carried forward verbatim (parquet files
+    *     are immutable once written — a file's min/max cannot drift).
+    *
+    * The carried rows ride through the driver: the manifest is
+    * file-count-sized (thousands of rows), the same driver-side scale
+    * Iceberg's planning reads, and collecting it breaks the
+    * read-then-overwrite cycle on `_stats` without a temp-dir swap.
+    * Falls back to a full [[build]] when no manifest exists or the
+    * column set changed. Returns (newlyStatted, carriedForward). */
+  def buildIncremental(
+      spark: SparkSession, path: String, cols: Seq[String]): (Long, Long) = {
+    require(cols.nonEmpty, "stats index needs at least one column")
+    val statsDir = s"$path/_stats"
+    val expectedCols = "file" +: cols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+    val root = java.nio.file.Paths.get(path)
+    // data files only: underscore-prefixed dirs (_stats, _stats_member,
+    // _stats_table) are manifests, invisible to parquet scans of `path`
+    val onDisk = FsUtil.parquetFiles(root).filterNot { f =>
+      root.relativize(f).iterator().hasNext &&
+        root.relativize(f).toString.split(java.io.File.separatorChar.toString)
+          .exists(_.startsWith("_"))
+    }.map(_.toUri.toString).toSet
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(statsDir)))
+      return (build(spark, path, cols), 0L)
+    val old = spark.read.parquet(statsDir)
+    if (old.columns.sorted.toSeq != expectedCols.sorted)
+      return (build(spark, path, cols), 0L)
+    val oldRows = old.collect()
+    val fileIdx = old.schema.fieldIndex("file")
+    val carried = oldRows.filter(r => onDisk.contains(r.getString(fileIdx)))
+    val known = carried.map(_.getString(fileIdx)).toSet
+    val fresh = (onDisk -- known).toSeq.sorted
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    }
+    val freshStats =
+      if (fresh.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], old.schema)
+      else
+        spark.read.option("basePath", path).parquet(fresh: _*)
+          .groupBy(input_file_name().as("file"))
+          .agg(aggs.head, aggs.tail: _*)
+    val carriedDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(carried.toSeq, 1), old.schema)
+    freshStats.select(expectedCols.map(col): _*)
+      .unionByName(carriedDf.select(expectedCols.map(col): _*))
+      .coalesce(1).write.mode("overwrite").parquet(statsDir)
+    (fresh.size.toLong, carried.length.toLong)
+  }
+
   /** Files whose [min_col, max_col] intersects [lo, hi] (inclusive).
     * Driver-side: the manifest is file-count-sized. Files with a null
     * range (all-null column chunk) are kept — skipping them would drop

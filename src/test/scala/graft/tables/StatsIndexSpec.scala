@@ -75,6 +75,44 @@ class StatsIndexSpec extends SparkSpec {
     assert(spark.read.parquet(base).count() === 4000)
   }
 
+  test("buildIncremental stats only new files, carries the rest, drops deleted") {
+    val base = freshTable()
+    assert(StatsIndex.build(spark, base, Seq("id", "v")) === 4)
+    val before = spark.read.parquet(s"$base/_stats")
+      .orderBy("file").collect().toSeq
+    // append 2 new range-clustered files beyond the statted range
+    spark.range(10000, 12000)
+      .select(col("id"), (col("id") * 2).as("v"))
+      .repartitionByRange(2, col("id"))
+      .sortWithinPartitions("id")
+      .write.mode("append").parquet(base)
+    val (statted, carried) = StatsIndex.buildIncremental(spark, base, Seq("id", "v"))
+    assert(statted === 2 && carried === 4)
+    val after = spark.read.parquet(s"$base/_stats").collect()
+    assert(after.length === 6)
+    // carried rows are byte-identical to the original build's
+    val afterByFile = after.map(r => r.getString(r.fieldIndex("file")) -> r).toMap
+    before.foreach { r =>
+      assert(afterByFile(r.getString(r.fieldIndex("file"))).toSeq === r.toSeq)
+    }
+    // pruning works across carried + fresh rows
+    val (oldScan, oldRead, total) = StatsIndex.scanBetween(spark, base, "id", 100L, 900L)
+    assert(total === 6 && oldRead < total)
+    assert(oldScan.count() === 801)
+    val (newScan, newRead, _) = StatsIndex.scanBetween(spark, base, "id", 10500L, 11000L)
+    assert(newRead < total && newScan.count() === 501)
+    // delete one data file -> its manifest row is dropped on the next pass
+    val victim = java.nio.file.Paths.get(new java.net.URI(
+      before.head.getString(before.head.fieldIndex("file"))))
+    Files.delete(victim)
+    val (statted2, carried2) = StatsIndex.buildIncremental(spark, base, Seq("id", "v"))
+    assert(statted2 === 0 && carried2 === 5)
+    assert(spark.read.parquet(s"$base/_stats").count() === 5)
+    // column-set change falls back to a full rebuild
+    val (statted3, carried3) = StatsIndex.buildIncremental(spark, base, Seq("id"))
+    assert(statted3 === 5 && carried3 === 0)
+  }
+
   test("stats are a superset guarantee: stale stats still return correct rows") {
     val base = freshTable()
     StatsIndex.build(spark, base, Seq("id"))
