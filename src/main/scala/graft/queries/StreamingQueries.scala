@@ -863,6 +863,88 @@ object StreamingQueries {
               UNION ALL SELECT 2, 'exact_dedup', CAST(s1 AS BIGINT) FROM c
               UNION ALL SELECT 3, 'lang_en', CAST(s2 AS BIGINT) FROM c
               UNION ALL SELECT 4, 'quality', CAST(s3 AS BIGINT) FROM c
-              ORDER BY stage_order"""))
+              ORDER BY stage_order""")),
+
+    // ST14 — fact_rounds' CONTINUOUS form: the full gold model (MIN/MAX
+    // sections, distinct holes/nines, CASE round-length ladder — nothing
+    // signed-mergeable) maintained across micro-batches by re-aggregating
+    // ONLY the groups each batch's row-diff touched
+    // (IncrementalView.maintainGrouped). Batch 1 lands the odd
+    // linenumbers (every round appears), batch 2 the even ones (~2/3 of
+    // rounds gain rows → recompute; the rest carry forward untouched —
+    // both maintenance paths exercised). matches_recompute pins the
+    // maintained view bit-identical to the batch model over the landed
+    // table; the DuckDB oracle independently reproduces the rollup from
+    // the same lineitem mapping.
+    QueryDef(
+      "st_fact_rounds",
+      (s, d) => {
+        val base = scratch("st_fact_rounds")
+        val land = s"$base/land"; Files.createDirectories(Paths.get(land))
+        val table = s"$base/table"; val view = s"$base/view"
+        val li = t(s, d, "lineitem").select(
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_shipdate"),
+          when(col("l_linenumber") % 2 === 1, "d1").otherwise("d2").as("pday"))
+        val t0 = System.currentTimeMillis()
+        landJson(li.filter(col("pday") === "d1"), land, "b1.json", t0)
+        landJson(li.filter(col("pday") === "d2"), land, "b2.json", t0 + 60000)
+        val stream = s.readStream
+          .schema("l_orderkey LONG, l_partkey LONG, l_suppkey LONG, " +
+            "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, " +
+            "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, " +
+            "l_shipdate TIMESTAMP, pday STRING")
+          .option("timestampFormat", StreamingTelemetry.FixTimestampFormat)
+          .option("maxFilesPerTrigger", "1")
+          .json(land)
+        val model: DataFrame => DataFrame = rows =>
+          graft.gold.GoldModels.factRounds(
+            GoldQueries.syntheticSilver(rows.drop("pday")))
+        val q = graft.streaming.ContinuousRefresh.startModelMaintenance(
+          stream, table, view, partitionCols = Seq("pday"),
+          keys = Seq("course_id", "round_id"), model = model,
+          checkpointDir = s"$base/ckpt",
+          attachKeys = rows => rows
+            .withColumn("course_id", col("l_returnflag"))
+            .withColumn("round_id", concat(lit("round"), col("l_orderkey"))),
+          trigger = Some(Trigger.AvailableNow()))
+        q.awaitTermination()
+        val it = graft.tables.IncrementalTable
+        val got = it.read(s, view).drop("__src_version")
+        val recomputed = model(it.read(s, table))
+        val identical = got.exceptAll(recomputed).isEmpty &&
+          recomputed.exceptAll(got).isEmpty
+        got.groupBy(col("course_id")).agg(
+            count(lit(1)).as("n_rounds"),
+            sum(col("fix_count")).cast(LongType).as("fixes_total"),
+            sum(col("holes_played")).cast(LongType).as("holes_total"),
+            max(col("max_section_number")).as("sections_max"),
+            sum(when(col("round_length") === "27", 1).otherwise(0))
+              .cast(LongType).as("n_27"),
+            sum(when(col("round_length") === "18", 1).otherwise(0))
+              .cast(LongType).as("n_18"),
+            sum(when(col("round_length") === "9", 1).otherwise(0))
+              .cast(LongType).as("n_9"),
+            sum(when(col("round_length") === "unknown", 1).otherwise(0))
+              .cast(LongType).as("n_unknown"))
+          .withColumn("matches_recompute", lit(identical))
+          .withColumn("maintained_incrementally",
+            lit(it.versions(view).size >= 2))
+          .orderBy(col("course_id"))
+      },
+      Some(s"""WITH ${GoldQueries.SilverSql}, ${GoldQueries.FactRoundsSql}
+               SELECT course_id, COUNT(*) AS n_rounds,
+               CAST(SUM(fix_count) AS BIGINT) AS fixes_total,
+               CAST(SUM(holes_played) AS BIGINT) AS holes_total,
+               MAX(max_section_number) AS sections_max,
+               CAST(SUM(CASE WHEN round_length = '27' THEN 1 ELSE 0 END) AS BIGINT) AS n_27,
+               CAST(SUM(CASE WHEN round_length = '18' THEN 1 ELSE 0 END) AS BIGINT) AS n_18,
+               CAST(SUM(CASE WHEN round_length = '9' THEN 1 ELSE 0 END) AS BIGINT) AS n_9,
+               CAST(SUM(CASE WHEN round_length = 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown,
+               TRUE AS matches_recompute,
+               TRUE AS maintained_incrementally
+               FROM fact_rounds GROUP BY course_id ORDER BY course_id"""))
   )
 }

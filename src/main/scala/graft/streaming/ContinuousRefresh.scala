@@ -93,6 +93,46 @@ object ContinuousRefresh {
     w.start()
   }
 
+  /** A continuously-maintained GOLD MODEL beyond SUM/COUNT — the
+    * streaming form of the full dbt-style rollup (fact_rounds: MIN/MAX
+    * sections, distinct holes/nines, CASE round-length ladder, flag
+    * counts). Each micro-batch lands into the versioned base table and
+    * then advances the materialized model through
+    * [[IncrementalView.maintainGrouped]]: the row diff names the
+    * affected group keys, ONLY those groups re-aggregate from their
+    * current rows, and the rest of the view carries forward — O(changed
+    * groups + view grain) per batch, with output identical to running
+    * the model from scratch (each emitted row IS a model output over
+    * full group state, so non-additive aggregates are exact by
+    * construction, not by merge arithmetic). First batch bootstraps via
+    * buildGrouped. Same complete-partition landing contract and replay
+    * idempotence as [[startViewMaintenance]]. */
+  def startModelMaintenance(
+      stream: DataFrame, tablePath: String, viewPath: String,
+      partitionCols: Seq[String], keys: Seq[String],
+      model: DataFrame => DataFrame,
+      checkpointDir: String,
+      attachKeys: DataFrame => DataFrame = identity,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          IncrementalTable.refreshPartitions(batch, tablePath, partitionCols): Unit
+          if (IncrementalTable.versions(viewPath).isEmpty)
+            IncrementalView.buildGrouped(
+              spark, tablePath, viewPath, keys, model): Unit
+          else
+            IncrementalView.maintainGrouped(
+              spark, tablePath, viewPath, keys, model, attachKeys): Unit
+        }
+      }
+    trigger.foreach(w.trigger)
+    w.start()
+  }
+
   /** CDC ingestion as a stream (M16's continuous form): each micro-batch
     * of a Debezium-shaped change feed (key cols + data cols + `op` =
     * upsert|delete + monotone `seq`) folds into the VERSIONED table

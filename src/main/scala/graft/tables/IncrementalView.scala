@@ -112,6 +112,69 @@ object IncrementalView {
     toV
   }
 
+  // ------------------------------------------- grouped-model maintenance
+
+  /** Materialize an ARBITRARY per-group model (`model` must emit one row
+    * per group and carry `keys` in its output) at the table's current
+    * version. The complement of the signed SUM/COUNT path above: MIN/MAX,
+    * countDistinct, CASE ladders — a full fact_rounds — are not
+    * self-maintainable under deletes, so this family maintains them by
+    * RE-AGGREGATING AFFECTED GROUPS instead of merging signed deltas. */
+  def buildGrouped(
+      spark: SparkSession, tablePath: String, viewPath: String,
+      keys: Seq[String], model: DataFrame => DataFrame,
+      store: CommitStore = LocalCommitStore): Int = {
+    val v = IncrementalTable.currentVersion(tablePath, store).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $tablePath"))
+    val base = IncrementalTable.read(spark, tablePath, Some(v), store)
+    IncrementalTable.commitFull(
+      model(base).withColumn("__src_version", lit(v)), viewPath, store = store)
+    v
+  }
+
+  /** Advance a grouped-model view to the table's current version:
+    * row-diff the two versions (scans only the files the manifests
+    * disagree on), reduce the diff to its DISTINCT GROUP KEYS, recompute
+    * the model over exactly those groups' current rows (a broadcast
+    * semi-join cut of the base — with the table partitioned or bucketed
+    * on a key prefix this is a pruned read), and splice the recomputed
+    * rows over the untouched view rows (broadcast anti-join). Per-batch
+    * cost is O(changed groups' rows + view grain) — never a base rescan
+    * — and the result is identical to a from-scratch model run by
+    * construction, because every emitted row was produced by the model
+    * itself over the group's full current rows (no merge arithmetic to
+    * drift). Groups whose rows were all deleted vanish: they are
+    * affected, and the model emits nothing for them.
+    *
+    * `attachKeys` maps raw base-table rows to rows CARRYING the group
+    * key columns (identity when the table already stores them; a
+    * derivation — e.g. course_id/round_id from raw telemetry fields —
+    * when the model's grain is computed). It must be row-local: each
+    * row's key depends only on that row. */
+  def maintainGrouped(
+      spark: SparkSession, tablePath: String, viewPath: String,
+      keys: Seq[String], model: DataFrame => DataFrame,
+      attachKeys: DataFrame => DataFrame = identity,
+      store: CommitStore = LocalCommitStore): Int = {
+    val cur = IncrementalTable.read(spark, viewPath, None, store)
+    val fromV = cur.agg(max(col("__src_version"))).head.getInt(0)
+    val toV = IncrementalTable.currentVersion(tablePath, store).getOrElse(fromV)
+    if (toV == fromV) return fromV
+    val affected = attachKeys(
+        IncrementalTable.diff(spark, tablePath, fromV, toV, store))
+      .select(keys.map(col): _*).distinct()
+    val base = IncrementalTable.read(spark, tablePath, Some(toV), store)
+    val recomputed =
+      model(attachKeys(base).join(broadcast(affected), keys, "left_semi"))
+    val untouched = cur.drop("__src_version")
+      .join(broadcast(affected), keys, "left_anti")
+    IncrementalTable.commitFull(
+      untouched.unionByName(recomputed)
+        .withColumn("__src_version", lit(toV)),
+      viewPath, store = store)
+    toV
+  }
+
   /** User-facing read: group keys, each measure's sum (NULL when no
     * non-null contributions remain) as DOUBLE, and the row count. */
   def read(spark: SparkSession, viewPath: String,

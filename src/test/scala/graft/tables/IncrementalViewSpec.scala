@@ -85,6 +85,69 @@ class IncrementalViewSpec extends SparkSpec {
     assertMatches(t, v)
   }
 
+  test("maintainGrouped: MIN/MAX stay exact under refresh + delete; groups vanish") {
+    val t = freshPath("t4"); val v = freshPath("v4")
+    def grpModel(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"grp").agg(
+        min($"m").as("m_min"), max($"m").as("m_max"),
+        countDistinct($"id").as("n_ids"))
+    def assertGroupedMatches(): Unit = {
+      val got = IncrementalTable.read(spark, v).drop("__src_version")
+      val expected = grpModel(IncrementalTable.read(spark, t))
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        s"grouped view diverged:\nview=${got.collect().toSeq}\n" +
+          s"recompute=${expected.collect().toSeq}")
+    }
+    IncrementalTable.commitFull(
+      rows((1L, "a", 1.0), (2L, "a", 9.0), (3L, "b", 5.0), (4L, "b", 7.0)),
+      t, Seq("grp"))
+    IncrementalView.buildGrouped(spark, t, v, Seq("grp"), grpModel)
+    assertGroupedMatches()
+
+    // delete group a's MAX contributor: a signed merge cannot recover the
+    // new max (8 is not derivable from state 9) — group re-aggregation can
+    IncrementalTable.refreshPartitions(
+      rows((1L, "a", 1.0), (6L, "a", 8.0)), t, Seq("grp"))
+    IncrementalView.maintainGrouped(spark, t, v, Seq("grp"), grpModel)
+    assertGroupedMatches()
+    val a = IncrementalTable.read(spark, v).filter($"grp" === "a")
+      .select("m_min", "m_max", "n_ids").head
+    assert(a.getDouble(0) === 1.0 && a.getDouble(1) === 8.0 && a.getLong(2) === 2L)
+
+    // untouched group b must carry forward byte-identically, and a group
+    // deleted to zero rows must vanish
+    IncrementalTable.deleteWhere(spark, t, Seq("grp"), $"grp" === "b")
+    IncrementalView.maintainGrouped(spark, t, v, Seq("grp"), grpModel)
+    assertGroupedMatches()
+    assert(IncrementalTable.read(spark, v).select("grp")
+      .collect().map(_.getString(0)).toSeq === Seq("a"))
+  }
+
+  test("maintainGrouped with derived keys attaches them to diff and base") {
+    val t = freshPath("t5"); val v = freshPath("v5")
+    // the table stores raw ids; the model's grain is id % 2 — the key
+    // must be ATTACHED, the maintainGrouped(attachKeys) contract
+    def attach(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("bucket", pmod($"id", lit(2L)))
+    def model(df: org.apache.spark.sql.DataFrame) =
+      attach(df).groupBy($"bucket").agg(max($"m").as("m_max"))
+    IncrementalTable.commitFull(
+      rows((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)), t, Seq("grp"))
+    IncrementalView.buildGrouped(spark, t, v, Seq("bucket"),
+      df => model(df))
+    IncrementalTable.refreshPartitions(rows((5L, "b", 50.0)), t, Seq("grp"))
+    IncrementalView.maintainGrouped(spark, t, v, Seq("bucket"),
+      df => df.groupBy($"bucket").agg(max($"m").as("m_max")),
+      attachKeys = attach)
+    val got = IncrementalTable.read(spark, v).drop("__src_version")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the refresh replaced partition b (dropping id 3, adding id 5), so
+    // bucket 1 re-aggregates over {1, 5} while bucket 0 carries forward
+    val expected = model(IncrementalTable.read(spark, t))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === expected)
+  }
+
   test("maintain is a no-op when the view is already current") {
     val t = freshPath("t3"); val v = freshPath("v3")
     IncrementalTable.commitFull(rows((1L, "a", 1.0)), t, Seq("grp"))
