@@ -358,6 +358,190 @@ object Similarity {
       .select(col("id"), col("dist"))
   }
 
+  // ------------------------------------ graph ANN: NSW inside IVF lists
+
+  /** Deterministic beam search over one in-memory NSW graph: best-first
+    * expansion from `entry`, visited-set pruned, candidate frontier and
+    * bounded result set both ordered by (distance, id) so ties — and
+    * therefore the whole walk — are reproducible across engines and
+    * runs. Returns up to `ef` (nodeIndex, dist) pairs, nearest first. */
+  private def nswBeamSearch(
+      vecs: Array[Array[Double]], adj: Int => Array[Int], ids: Array[Long],
+      q: Array[Double], ef: Int, entry: Int): Array[(Int, Double)] = {
+    def dist(i: Int): Double = {
+      val v = vecs(i); var acc = 0.0; var j = 0
+      val n = math.min(v.length, q.length)
+      while (j < n) { val d = v(j) - q(j); acc += d * d; j += 1 }
+      acc
+    }
+    implicit val byDistId: Ordering[(Double, Int)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering,
+        Ordering.by[Int, Long](i => ids(i)))
+    val visited = new java.util.BitSet(vecs.length)
+    // frontier pops nearest-first; results keeps the ef nearest seen
+    val frontier = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
+      byDistId.reverse)
+    val results = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
+      byDistId)
+    val d0 = dist(entry)
+    visited.set(entry)
+    frontier.enqueue((d0, entry)); results.enqueue((d0, entry))
+    while (frontier.nonEmpty) {
+      val (cd, c) = frontier.dequeue()
+      if (results.size >= ef && byDistId.gt((cd, c), results.head)) {
+        frontier.clear()
+      } else {
+        val nbs = adj(c); var i = 0
+        while (i < nbs.length) {
+          val nb = nbs(i)
+          if (!visited.get(nb)) {
+            visited.set(nb)
+            val d = dist(nb)
+            if (results.size < ef || byDistId.lt((d, nb), results.head)) {
+              frontier.enqueue((d, nb))
+              results.enqueue((d, nb))
+              if (results.size > ef) results.dequeue(): Unit
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    results.dequeueAll.toArray.reverse.map(t => (t._2, t._1))
+  }
+
+  /** Build one list's NSW graph: nodes insert in ascending-id order,
+    * each new node links bidirectionally to its `m` beam-search-nearest
+    * predecessors, and any adjacency over `2m` truncates to the 2m
+    * nearest (the HNSW neighbor-selection cap, which keeps degree — and
+    * thus search cost and index size — bounded). Everything about the
+    * construction is deterministic (insertion order, tie-breaks), so
+    * the index — and every probe against it — is reproducible. */
+  private def buildNswList(
+      ids: Array[Long], vecs: Array[Array[Double]], m: Int,
+      efConstruction: Int): Array[Array[Int]] = {
+    val n = ids.length
+    val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    def dist(a: Int, b: Int): Double = {
+      val va = vecs(a); val vb = vecs(b); var acc = 0.0; var j = 0
+      while (j < va.length) { val d = va(j) - vb(j); acc += d * d; j += 1 }
+      acc
+    }
+    var i = 1
+    while (i < n) {
+      // adjacency accessed lazily: the walk copies only the lists it
+      // actually visits (~ef·degree), not the whole partial graph
+      val found = nswBeamSearch(vecs, j => adj(j).toArray, ids, vecs(i),
+        math.max(efConstruction, m), 0)
+        // the partial graph only holds nodes < i
+        .filter(_._1 < i)
+      val neigh = found.take(m).map(_._1)
+      neigh.foreach { nb =>
+        adj(i) += nb
+        adj(nb) += i
+        if (adj(nb).length > 2 * m) {
+          val trimmed = adj(nb).toArray
+            .map(x => (dist(nb, x), x)).sortBy(t => (t._1, ids(t._2)))
+            .take(2 * m).map(_._2)
+          adj(nb).clear(); adj(nb) ++= trimmed
+        }
+      }
+      i += 1
+    }
+    adj.map(_.toArray)
+  }
+
+  /** Materialize the graph-ANN index: IVF coarse assignment (one codegen
+    * pass), then ONE NSW graph per list built inside its partition —
+    * the Spark-native shape of graph ANN. HNSW's hierarchy buys log-n
+    * entry descent on a single billion-node graph; here the coarse
+    * quantizer IS the upper layer (a probe descends centroids → lists),
+    * and each per-list graph is small enough (`listCap` nodes, tune
+    * k ∝ n/listCap) that flat NSW search inside it is already O(ef·deg).
+    * Layout: parquet partitioned by list id — one directory per graph,
+    * so a probe's pruned read loads exactly the nprobe graphs it walks.
+    * Build is embarrassingly parallel across lists and never shuffles
+    * anything wider than (id, vector, neighbor ids). */
+  def materializeNsw(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], path: String,
+      m: Int = 8, efConstruction: Int = 48, listCap: Int = 500000): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    val assigned = withIvfList(
+      df.select(col(idCol).cast(LongType).as("id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("v")),
+      "v", centroids)
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", ArrayType(DoubleType)),
+      StructField("neighbors", ArrayType(LongType)),
+      StructField("__ivf_list", IntegerType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    assigned
+      .repartition(col("__ivf_list"))
+      .mapPartitions { rows =>
+        // a hash partition may carry several lists — group locally;
+        // each list is fully contained here by the repartition key
+        val byList = rows.map { r =>
+          (r.getInt(2), (r.getLong(0), r.getSeq[Double](1).toArray))
+        }.toArray.groupBy(_._1)
+        byList.iterator.flatMap { case (list, members) =>
+          val sorted = members.map(_._2).sortBy(_._1)
+          require(sorted.length <= listCap,
+            s"IVF list $list holds ${sorted.length} > listCap=$listCap " +
+              "vectors; raise the centroid count (k ~ n/listCap)")
+          val ids = sorted.map(_._1)
+          val vecs = sorted.map(_._2)
+          val adj = buildNswList(ids, vecs, m, efConstruction)
+          ids.indices.iterator.map { i =>
+            Row(ids(i), vecs(i).toSeq,
+              adj(i).map(ids(_)).toSeq.sorted, list)
+          }
+        }
+      }(enc)
+      .write.mode("overwrite").partitionBy("__ivf_list").parquet(path)
+  }
+
+  /** Graph-ANN candidate probe: descend the coarse quantizer to the
+    * `nprobe` nearest lists (driver-side, centroids are tiny), then walk
+    * each list's NSW graph with a deterministic beam search (`ef`
+    * candidates, entry = the list's min-id node). The scan is
+    * partition-pruned to the probed directories; candidates from all
+    * probed lists union for the caller's exact re-rank — ANN follows
+    * the same candidates-then-verify discipline as every other
+    * approximate operator here, so correctness never rests on the
+    * graph. */
+  def nswTopKCandidates(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      centroids: Array[Array[Double]], query: Array[Float],
+      ef: Int = 64, nprobe: Int = 8): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    val probes = probeLists(centroids, query, nprobe)
+    val q = query.map(_.toDouble)
+    val outSchema = StructType(Seq(StructField("id", LongType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    spark.read.parquet(path)
+      .filter(col("__ivf_list").isin(probes: _*))
+      .select(col("id"), col("v"), col("neighbors"), col("__ivf_list"))
+      .mapPartitions { rows =>
+        val byList = rows.map { r =>
+          (r.getInt(3),
+            (r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Long](2)))
+        }.toArray.groupBy(_._1)
+        byList.iterator.flatMap { case (_, members) =>
+          val sorted = members.map(_._2).sortBy(_._1)
+          val ids = sorted.map(_._1)
+          val idx = ids.zipWithIndex.toMap
+          val vecs = sorted.map(_._2)
+          val adj = sorted.map(_._3.iterator.map(idx).toArray)
+          nswBeamSearch(vecs, adj(_), ids, q, ef, 0)
+            .iterator.map { case (i, _) => Row(ids(i)) }
+        }
+      }(enc)
+  }
+
   // ------------------------------------ product quantization (IVF-PQ's PQ)
 
   /** Train product-quantization codebooks: the vector splits into `m`

@@ -626,6 +626,57 @@ object LlmQueries {
                v.vec_id ASC NULLS LAST
                LIMIT 10""")),
 
+    // Graph ANN (NSW inside IVF lists — the recall-frontier option
+    // completing the LSH/IVF/PQ menu): the coarse quantizer plays
+    // HNSW's upper layers (probe descends centroids → lists), one
+    // deterministic navigable-small-world graph per list directory,
+    // beam-search candidates, exact re-rank. Everything about build and
+    // walk is tie-broken on (dist, id), so the candidate set is
+    // reproducible → materialized, and the oracle recomputes the exact
+    // euclidean top-k over it. The injected identical copy of the query
+    // vector must surface first. Recall ≥ 0.95 vs brute force is pinned
+    // separately in SimilaritySpec.
+    QueryDef(
+      "l_hnsw_topk",
+      (s, d) => {
+        val vecs = vecsWithDups(s, d)
+        val query = t(s, d, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+        val corpus = vecs.filter(col("vec_id") =!= 0)
+        val centroids = Similarity.trainIvfCentroids(corpus, "embedding", k = 8)
+        val path = s"$OracleScratch/nsw_index"
+        Similarity.materializeNsw(
+          corpus, "vec_id", "embedding", centroids, path,
+          m = 8, efConstruction = 48)
+        val cands = materialize(
+          Similarity.nswTopKCandidates(s, path, centroids, query,
+            ef = 64, nprobe = 4),
+          "nsw_topk_cands")
+        val queryCol = typedlit(query.map(_.toDouble).toSeq)
+        cands
+          .join(vecs.select(col("vec_id").cast("long").as("id"),
+            col("embedding").as("v")), "id")
+          .withColumn("dist", graft.functions.F.euclidean(col("v"), queryCol))
+          .orderBy(asc("dist"), asc("id"))
+          .limit(10)
+          .select(col("id"))
+      },
+      Some(s"""WITH v AS (
+                 SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings
+                 UNION ALL
+                 SELECT vec_id + 10000, list_transform(embedding, x -> CAST(x AS DOUBLE))
+                 FROM embeddings
+               ),
+               q AS (SELECT e FROM v WHERE vec_id = 0),
+               c AS (SELECT id FROM read_parquet('$OracleScratch/nsw_topk_cands/*.parquet'))
+               SELECT CAST(v.vec_id AS BIGINT) AS id
+               FROM c JOIN v ON v.vec_id = c.id, q
+               ORDER BY SQRT(list_sum(list_transform(range(1, len(v.e) + 1),
+                 i -> (v.e[i] - q.e[i]) * (v.e[i] - q.e[i])))) ASC NULLS LAST,
+               v.vec_id ASC NULLS LAST
+               LIMIT 10""")),
+
     // Product-quantization ANN (PQ + exact re-rank): vectors compress to
     // m=8 codes (32× memory cut — the representation that fits 10⁹
     // vectors in executor memory), the query scores rows by m LUT

@@ -334,6 +334,47 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF nprobe=4/8 recall $recall")
   }
 
+  test("NSW graph ANN: recall@10 >= 0.95 vs brute force, deterministic rebuild") {
+    val centroids = Similarity.trainIvfCentroids(vecs, "embedding", k = 8)
+    val corpus = vecs.filter(col("vec_id") =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("nsw").toString
+    Similarity.materializeNsw(
+      corpus, "vec_id", "embedding", centroids, s"$dir/idx",
+      m = 8, efConstruction = 48)
+    // recall over 10 distinct query vectors, full probe + generous beam
+    val queries = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val hits = queries.toSeq.sortBy(_._1).map { case (qid, q) =>
+      val exact = Similarity.bruteForceTopK(
+          vecs.filter(col("vec_id") === qid), vecs, "vec_id", "embedding", k = 10)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      val cands = Similarity.nswTopKCandidates(
+          spark, s"$dir/idx", centroids, q, ef = 64, nprobe = 8)
+        .collect().map(_.getLong(0)).toSet - qid
+      val approx = vecs.filter(col("vec_id").isin(cands.toSeq: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map { r =>
+          val v = r.getSeq[Float](1)
+          val d = v.zip(q).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+          (d, r.getLong(0))
+        }.sorted.take(10).map(_._2).toSet
+      approx.intersect(exact).size.toDouble / exact.size
+    }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.95, s"NSW mean recall@10 $recall (per-query: $hits)")
+
+    // rebuilding the index yields byte-identical adjacency (determinism)
+    Similarity.materializeNsw(
+      corpus, "vec_id", "embedding", centroids, s"$dir/idx2",
+      m = 8, efConstruction = 48)
+    val a = spark.read.parquet(s"$dir/idx").orderBy("id")
+      .select("id", "neighbors").collect().toSeq
+    val b = spark.read.parquet(s"$dir/idx2").orderBy("id")
+      .select("id", "neighbors").collect().toSeq
+    assert(a === b, "NSW build is not deterministic")
+  }
+
   test("kmeansStep: assignment matches brute force, means are per-list averages") {
     // 2-d toy data with two obvious clusters; fixed initial centroids.
     val pts = Seq(
