@@ -55,7 +55,15 @@ object ScaleStress {
     // corpus-close additions: the incremental census (must ride
     // l_dsir_weights' plan), the bracket-bounded exact quantiles, and
     // the tfidf vocab-broadcast fix under the hot-token replica
-    "l_dsir_incremental", "a25_quantile_2pass", "l_tfidf_topk")
+    "l_dsir_incremental", "a25_quantile_2pass", "l_tfidf_topk",
+    // round-6 post-close gates that shipped without a measured row,
+    // plus round-7 additions: the graph-ANN probe, the incremental
+    // restat (full-vs-incremental contrast is the claim under test),
+    // the eval×train leak stream under the hot boilerplate phrase, and
+    // the dashboard LAG-window rollup
+    "l_threshold_sweep", "l_dedup_cluster_stats", "l_eval_leak_report",
+    "l_dataset_card", "l_hnsw_topk", "m15_stats_skipping", "st_leak",
+    "d8_round_progression_summary", "d16_pace_by_hole")
 
   /** Hot boilerplate phrase planted into ~30% of documents. */
   val HotPhrase =

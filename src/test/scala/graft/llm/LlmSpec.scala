@@ -972,8 +972,9 @@ class LlmSpec extends SparkSpec {
 
   test("perplexityBuckets: sample cutoffs rank fluent docs head, gibberish tail") {
     // same construction as the fluency test, scaled so the deterministic
-    // id%5 sample sees both populations: ids 0..49 fluent (10 sampled),
-    // 100..129 gibberish permutations of the same vocabulary
+    // md5-bucket sample (rate ~1/5, any id type) sees both populations:
+    // ids 0..49 fluent (8 sampled), 100..129 gibberish permutations of
+    // the same vocabulary (5 sampled)
     val chain = "alpha beta gamma delta epsilon zeta"
     val fluent = (0L until 50L).map(i => (i, chain))
     val perms = chain.split(" ").permutations.drop(1).take(30).toSeq
@@ -988,9 +989,17 @@ class LlmSpec extends SparkSpec {
     assert(out.length === 80)
     assert(out.map(_._3).toSet.subsetOf(Set("head", "middle", "tail")))
     // golden model: recompute the sample cutoffs by the documented rule
-    // (elements at 1-based ranks ceil(k/3), ceil(2k/3) of the sample
-    // sorted by (fluency, id)) and check every bucket assignment
-    val sample = out.filter(_._1 % 5 == 0).sortBy(r => (r._2, r._1))
+    // — sample membership is the md5-prefix bucket (Curation.hashBucket's
+    // convention) mod 5, cutoffs the elements at 1-based ranks ceil(k/3),
+    // ceil(2k/3) of the sample sorted by (fluency, id) — and check every
+    // bucket assignment
+    def inSample(id: Long): Boolean = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(2).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 5 == 0
+    }
+    val sample = out.filter(r => inSample(r._1)).sortBy(r => (r._2, r._1))
     val k = sample.length
     val t1 = sample((k + 2) / 3 - 1)._2
     val t2 = sample((2 * k + 2) / 3 - 1)._2
