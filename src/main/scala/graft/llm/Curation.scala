@@ -177,7 +177,7 @@ object Curation {
     * a missing row. */
   def evalContaminationReport(
       train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, hotGramDf: Option[Long] = None): DataFrame = {
     val sh = Dedup.wordShingles(col(textCol), n)
     val evalBase = eval
       .select(col(idCol).as("eval_id"), sh.as("__grams"))
@@ -187,21 +187,107 @@ object Curation {
       .select(col("eval_id"), explode(col("__grams")).as("gram"))
     val trainGrams = train
       .select(col(idCol).as("__tid"), explode(sh).as("gram"))
-    val matched = trainGrams.join(broadcast(evalGrams), "gram")
-      .localCheckpoint()
-    val cov = matched.select("eval_id", "gram").distinct()
-      .groupBy("eval_id").agg(count(lit(1)).as("n_covered"))
-    val td = matched.select("eval_id", "__tid").distinct()
-      .groupBy("eval_id").agg(count(lit(1)).as("n_train_docs"))
-    evalBase.drop("__grams")
-      .join(cov, Seq("eval_id"), "left")
-      .join(td, Seq("eval_id"), "left")
-      .na.fill(0L, Seq("n_covered", "n_train_docs"))
-      .withColumn("coverage",
-        col("n_covered").cast(DoubleType) /
-          nullif(col("n_ngrams"), lit(0)).cast(DoubleType))
-      .withColumn("fully_leaked",
-        col("n_ngrams") > 0 && col("n_covered") === col("n_ngrams"))
+
+    // HOT grams — train doc-frequency above the cap. The ×100 campaign
+    // found the naive gram join QUADRATIC under a boilerplate phrase
+    // shared by eval and train (each hot gram matches hot_train ×
+    // hot_eval pairs; the materialized match stream filled the disk).
+    // Hot grams never need pair enumeration:
+    //   - coverage: a hot gram is covered BY DEFINITION (df > cap ≥ 1
+    //     train docs contain it) — count it row-local;
+    //   - distinct train docs: decompose as |cold ∪ hot| = n_cold +
+    //     n_hot − n_cold∩hot, where hot membership is a row-local
+    //     intersection with the (tiny, broadcast) hot-gram set and
+    //     n_hot groups train docs by their hot-gram MASK (boilerplate
+    //     means most docs share the same few masks).
+    // Every output stays EXACT — the cap only changes the plan.
+    val hotGrams: Array[String] = hotGramDf match {
+      case None => Array.empty
+      case Some(cap) =>
+        val hot = trainGrams.groupBy(col("gram"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap)
+          .select(col("gram")).collect().map(_.getString(0))
+        require(hot.length <= 100000,
+          s"${hot.length} grams exceed hotGramDf=$cap — raise the cap " +
+            "(the hot set broadcasts and must stay small)")
+        hot.sorted
+    }
+
+    if (hotGrams.isEmpty) {
+      val matched = trainGrams.join(broadcast(evalGrams), "gram")
+        .localCheckpoint()
+      val cov = matched.select("eval_id", "gram").distinct()
+        .groupBy("eval_id").agg(count(lit(1)).as("n_covered"))
+      val td = matched.select("eval_id", "__tid").distinct()
+        .groupBy("eval_id").agg(count(lit(1)).as("n_train_docs"))
+      evalBase.drop("__grams")
+        .join(cov, Seq("eval_id"), "left")
+        .join(td, Seq("eval_id"), "left")
+        .na.fill(0L, Seq("n_covered", "n_train_docs"))
+        .withColumn("coverage",
+          col("n_covered").cast(DoubleType) /
+            nullif(col("n_ngrams"), lit(0)).cast(DoubleType))
+        .withColumn("fully_leaked",
+          col("n_ngrams") > 0 && col("n_covered") === col("n_ngrams"))
+    } else {
+      val hotLit = typedlit(hotGrams.toSeq)
+      val isHot = array_contains(hotLit, col("gram"))
+      // cold pair stream: bounded by cap × |eval grams|
+      val coldTrain = trainGrams.filter(!isHot)
+      val coldEval = evalGrams.filter(!isHot)
+      val matched = coldTrain.join(broadcast(coldEval), "gram")
+        .localCheckpoint()
+      // coverage = cold grams matched + hot grams present (always covered)
+      val covCold = matched.select("eval_id", "gram").distinct()
+        .groupBy("eval_id").agg(count(lit(1)).as("__cov_cold"))
+      val evalHot = evalBase.select(col("eval_id"),
+        array_sort(array_intersect(col("__grams"), hotLit)).as("__hot"))
+      val covHot = evalHot.select(col("eval_id"),
+        size(col("__hot")).cast(LongType).as("__cov_hot"))
+      // per-train-doc hot-gram mask → (mask, doc count); boilerplate
+      // collapses most docs onto a handful of masks
+      val masks = trainGrams.filter(isHot)
+        .groupBy(col("__tid"))
+        .agg(array_sort(collect_set(col("gram"))).as("__mask"))
+        .groupBy(col("__mask")).agg(count(lit(1)).as("__mask_docs"))
+      // n_hot(e) = Σ docs of masks overlapping e's hot grams
+      val nHot = evalHot.filter(size(col("__hot")) > 0)
+        .join(broadcast(masks), arrays_overlap(col("__hot"), col("__mask")))
+        .groupBy("eval_id").agg(sum(col("__mask_docs")).as("__n_hot"))
+      // n_cold(e) and the overlap correction n_cold∩hot(e): cold-matched
+      // train docs whose own hot mask intersects e's hot grams
+      val coldPairs = matched.select("eval_id", "__tid").distinct()
+        .localCheckpoint()
+      val nCold = coldPairs
+        .groupBy("eval_id").agg(count(lit(1)).as("__n_cold"))
+      val trainMask = trainGrams.filter(isHot)
+        .groupBy(col("__tid"))
+        .agg(array_sort(collect_set(col("gram"))).as("__tmask"))
+      val nColdHot = coldPairs
+        .join(trainMask, "__tid")
+        .join(broadcast(evalHot), "eval_id")
+        .filter(size(col("__hot")) > 0 &&
+          arrays_overlap(col("__hot"), col("__tmask")))
+        .groupBy("eval_id").agg(count(lit(1)).as("__n_coldhot"))
+      evalBase.drop("__grams")
+        .join(covCold, Seq("eval_id"), "left")
+        .join(covHot, Seq("eval_id"), "left")
+        .join(nCold, Seq("eval_id"), "left")
+        .join(nHot, Seq("eval_id"), "left")
+        .join(nColdHot, Seq("eval_id"), "left")
+        .na.fill(0L, Seq("__cov_cold", "__cov_hot", "__n_cold", "__n_hot",
+          "__n_coldhot"))
+        .withColumn("n_covered", col("__cov_cold") + col("__cov_hot"))
+        .withColumn("n_train_docs",
+          col("__n_cold") + col("__n_hot") - col("__n_coldhot"))
+        .drop("__cov_cold", "__cov_hot", "__n_cold", "__n_hot", "__n_coldhot")
+        .withColumn("coverage",
+          col("n_covered").cast(DoubleType) /
+            nullif(col("n_ngrams"), lit(0)).cast(DoubleType))
+        .withColumn("fully_leaked",
+          col("n_ngrams") > 0 && col("n_covered") === col("n_ngrams"))
+    }
   }
 
   /** [[contamination]] flipped into the cleaning action: train rows with

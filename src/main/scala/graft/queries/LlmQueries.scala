@@ -994,8 +994,16 @@ object LlmQueries {
           .unionByName(docs.filter(col("doc_id") % 20 === 0)
             .select((col("doc_id") + 50000).as("doc_id"), col("text"),
               col("lang"), col("source"), col("n_chars")))
+        // corpus-relative hot-gram cap (~1% of train docs): grams above
+        // it take the pair-free hot path — the output is EXACT either
+        // way (the DuckDB oracle below is the naive formulation), but
+        // without the cap a boilerplate phrase shared by eval and train
+        // makes the match stream quadratic (the ×100 campaign filled
+        // the disk mid-join before this path existed)
+        val nTrain = train.count()
         Curation.evalContaminationReport(
-            train, evalDocs, "doc_id", "text", n = 3)
+            train, evalDocs, "doc_id", "text", n = 3,
+            hotGramDf = Some(math.max(5L, nTrain / 100)))
           .orderBy(col("eval_id"))
       },
       Some(s"""WITH ev AS (

@@ -368,6 +368,39 @@ class CurationSpec extends SparkSpec {
     assert(out(102L) === ((6, 0L, 0L, 0.0, false)))
   }
 
+  test("evalContaminationReport hot-gram cap: exact equality with the naive plan") {
+    // a boilerplate phrase shared by most of train AND several eval
+    // docs — the input shape that makes the naive gram join quadratic
+    // (its hot-gram pair stream filled the disk in the ×100 campaign).
+    // The capped plan must produce BYTE-IDENTICAL output: hot grams are
+    // covered by definition and the distinct-train-doc count decomposes
+    // as |cold ∪ hot| = n_cold + n_hot − n_cold∩hot over hot-gram masks.
+    val boiler = "click here to subscribe to our newsletter today"
+    val train = (1L to 40L).map { i =>
+      val unique = s"unique$i body$i content$i word$i extra$i"
+      (i, if (i <= 30) s"$unique $boiler" else unique)
+    }.toDF("id", "text")
+    val eval = Seq(
+      (100L, s"evalone evaltwo evalthree $boiler"),       // hot + no cold overlap
+      (101L, "unique7 body7 content7 word7 extra7"),      // cold full leak
+      (102L, s"unique9 body9 content9 word9 extra9 $boiler"), // cold + hot
+      (103L, "clean doc with no shared phrases at all zzz"))  // nothing
+      .toDF("id", "text")
+    val naive = Curation.evalContaminationReport(train, eval, "id", "text", n = 3)
+      .orderBy("eval_id").collect().map(_.toSeq)
+    val capped = Curation.evalContaminationReport(train, eval, "id", "text",
+        n = 3, hotGramDf = Some(10L))
+      .orderBy("eval_id").collect().map(_.toSeq)
+    assert(capped.toSeq === naive.toSeq,
+      s"capped plan diverged:\nnaive=${naive.toSeq}\ncapped=${capped.toSeq}")
+    // sanity: the hot path actually engaged (boilerplate trigrams have
+    // train df 30 > 10) and the shape is right: eval 100 is covered
+    // only via hot grams yet counts all 30 boilerplate train docs
+    val by = capped.map(r => r.head -> r).toMap
+    assert(by(100L)(3).asInstanceOf[Long] === 30L) // n_train_docs
+    assert(by(103L)(2).asInstanceOf[Long] === 0L)  // clean: zero coverage
+  }
+
   test("dsir census is additive: split-merge equals whole-corpus, unseen buckets smooth") {
     val target = col("lang") === "en"
     val full = Curation.dsirCensus(docs, "text", target)
