@@ -196,10 +196,13 @@ object DashboardQueries {
     val base = courseId.fold(base0)(c => base0.filter(col("course_id") === c))
     val courseAvg = base.groupBy(col("course_id").as("ca_course_id"))
       .agg(round(avg(col("pace")), 1).as("course_avg_pace"))
-    base
+    // sample_rounds decomposed from the stats agg: countDistinct +
+    // percentile_approx in ONE agg makes the distinct rewrite build a
+    // partial quantile sketch per (course, hole, round) — see
+    // DashboardQueries2.globalPaceComparison for the measured cost.
+    val stats = base
       .groupBy(col("course_id"), col("hole_number"))
       .agg(
-        countDistinct(col("round_id")).as("sample_rounds"),
         count(lit(1)).as("sample_events"),
         round(avg(col("pace")), 1).as("avg_pace"),
         round(expr("percentile_approx(pace, 0.5, 10000)"), 1).as("median_pace"),
@@ -207,6 +210,14 @@ object DashboardQueries {
         round(max(col("pace")), 1).as("max_pace"),
         round(stddev(col("pace")), 1).as("pace_stddev"),
         avg(col("pace")).as("raw_avg_pace"))
+    base
+      .groupBy(col("course_id"), col("hole_number"))
+      .agg(countDistinct(col("round_id")).as("sample_rounds"))
+      .join(stats, Seq("course_id", "hole_number"))
+      .select(col("course_id"), col("hole_number"), col("sample_rounds"),
+        col("sample_events"), col("avg_pace"), col("median_pace"),
+        col("min_pace"), col("max_pace"), col("pace_stddev"),
+        col("raw_avg_pace"))
       .join(broadcast(courseAvg), col("course_id") === col("ca_course_id"))
       .withColumn("pace_vs_avg", round(col("raw_avg_pace") - col("course_avg_pace"), 1))
       .withColumn("hole_category",
@@ -222,38 +233,54 @@ object DashboardQueries {
     val base0 = silver.filter(nonPadding && col("pace").isNotNull &&
       col("pace") > 0 && col("pace") < 60 &&
       col("hole_number").isNotNull && col("section_number").isNotNull)
-    courseId.fold(base0)(c => base0.filter(col("course_id") === c))
+    val base = courseId.fold(base0)(c => base0.filter(col("course_id") === c))
+    // decomposed distinct count — same Expand-vs-sketch hazard as paceByHole
+    val stats = base
       .groupBy(col("course_id"), col("hole_number"), col("section_number"))
       .agg(
-        countDistinct(col("round_id")).as("sample_rounds"),
         round(avg(col("pace")), 1).as("avg_pace"),
         round(expr("percentile_approx(pace, 0.5, 10000)"), 1).as("median_pace"))
+    base
+      .groupBy(col("course_id"), col("hole_number"), col("section_number"))
+      .agg(countDistinct(col("round_id")).as("sample_rounds"))
+      .join(stats, Seq("course_id", "hole_number", "section_number"))
+      .select(col("course_id"), col("hole_number"), col("section_number"),
+        col("sample_rounds"), col("avg_pace"), col("median_pace"))
       .orderBy(col("course_id"), col("hole_number"), col("section_number"))
   }
 
   /** get_nine_loop_pace_comparison (queries.py:1460-1502): the fatigue
     * query — same hole, first vs second pass, 18-hole rounds only. The
     * grain behind the published 207s/247s oracle (PRESENTATION_NOTES). */
-  def nineLoopPaceComparison(silver: DataFrame, courseId: String): DataFrame =
-    silver
+  def nineLoopPaceComparison(silver: DataFrame, courseId: String): DataFrame = {
+    val base = silver
       .filter(col("course_id") === courseId && nonPadding &&
         col("is_nine_hole") === false &&
         col("pace").isNotNull && col("pace") > 0 && col("pace") < 60 &&
         col("hole_number").isNotNull && col("nine_number").isNotNull)
+    // decomposed distinct count — same Expand-vs-sketch hazard as paceByHole
+    val stats = base
       .groupBy(col("hole_number"), col("nine_number"))
       .agg(
-        countDistinct(col("round_id")).as("sample_rounds"),
         count(lit(1)).as("sample_events"),
         round(avg(col("pace")), 1).as("avg_pace"),
         round(expr("percentile_approx(pace, 0.5, 10000)"), 1).as("median_pace"),
         round(min(col("pace")), 1).as("min_pace"),
         round(max(col("pace")), 1).as("max_pace"),
         round(stddev(col("pace")), 1).as("pace_stddev"))
+    base
+      .groupBy(col("hole_number"), col("nine_number"))
+      .agg(countDistinct(col("round_id")).as("sample_rounds"))
+      .join(stats, Seq("hole_number", "nine_number"))
+      .select(col("hole_number"), col("nine_number"), col("sample_rounds"),
+        col("sample_events"), col("avg_pace"), col("median_pace"),
+        col("min_pace"), col("max_pace"), col("pace_stddev"))
       .withColumn("pass_number",
         when(col("nine_number") === 1, "first_nine")
           .when(col("nine_number") === 2, "second_nine")
           .otherwise(concat(lit("nine_"), col("nine_number"))))
       .orderBy(col("hole_number"), col("nine_number"))
+  }
 
   /** get_round_nine_combinations_for_course (queries.py:589-621, A11):
     * which nine-combinations rounds play, keyed by a '+'-joined sorted
