@@ -139,9 +139,11 @@ object Bench {
     val hs = results.collect { case (k, m, _) if headline.contains(k) => (k, m) }
     val sent = sentinels.map(num).mkString("[", ",", "]")
     // Full map incl. every repeat for local iteration (not part of the
-    // driver contract).
+    // driver contract). Subset runs (args given) go to a side file so a
+    // quick profiling run can't clobber the full-corpus artifact.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Paths.get(
+        if (args.isEmpty) "bench_full.json" else "bench_subset.json"),
       s"""{"total":${num(total)},"batch_total":${num(batchTotal)},
          |"streaming_total":${num(streamTotal)},
          |"n_queries":${results.size},"repeats":$repeats,
