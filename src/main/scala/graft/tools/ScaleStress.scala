@@ -63,7 +63,8 @@ object ScaleStress {
     // the dashboard LAG-window rollup
     "l_threshold_sweep", "l_dedup_cluster_stats", "l_eval_leak_report",
     "l_dataset_card", "l_hnsw_topk", "m15_stats_skipping", "st_leak",
-    "d8_round_progression_summary", "d16_pace_by_hole")
+    "d8_round_progression_summary", "d16_pace_by_hole",
+    "d15_global_pace_comparison")
 
   /** Hot boilerplate phrase planted into ~30% of documents. */
   val HotPhrase =
@@ -427,7 +428,11 @@ object ScaleStress {
       f"""{"factor":$factor,"skew":$skew,"sf_dir":"$sfDir","stress_dir":"$outDir",
          |"replicate_sec":$tRep%.1f,"salt_path_planned":$salt,"aqe_skew_split":$aqe,
          |"queries":$json}""".stripMargin.replace("\n", "")
-    Files.writeString(Paths.get("scale_report.json"), report)
+    // subset chunks append to parts.jsonl only — a partial run must not
+    // clobber the full-campaign report
+    Files.writeString(Paths.get(
+      if (subset.isEmpty) "scale_report.json" else "scale_report_subset.json"),
+      report)
     println(report)
     spark.stop()
   }
