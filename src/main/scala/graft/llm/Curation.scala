@@ -796,4 +796,80 @@ object Curation {
       .withColumn("epoch", explode(sequence(lit(1), col("__copies"))))
       .drop("__copies", "epochs")
   }
+
+  /** Epoch plan for a PUBLISHED mixture (the LLaMA/Pile-style table:
+    * weight column + epochs column) under an explicit global token
+    * budget: per domain, the budget share `budget × frac`, the
+    * downsample rate for over-represented domains, and the repeat count
+    * (capped at `maxEpochs`) for under-represented ones.
+    * [[domainBalance]] is the equal-share special case; this takes the
+    * arbitrary target fractions [[mixingWeights]] understands and adds
+    * the repeat dimension mixingWeights lacks (it can only downsample).
+    *
+    * Fractions normalize to sum 1 driver-side (exact rational-free
+    * arithmetic avoided by dividing each by the sum once — the same
+    * doubles both engines then see as literals). rate/epochs are ONE
+    * IEEE division of exact integers each, so the plan reproduces
+    * cross-engine. Scale shape: one map-side-partial groupBy to
+    * |domains| rows joined to a broadcast targets table. */
+  def epochPlan(
+      df: DataFrame, domainCol: String, textCol: String,
+      targets: Map[String, Double], budgetTokens: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      s"positive target fractions required: $targets")
+    require(budgetTokens > 0 && maxEpochs > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fracSum = targets.values.sum
+    val tgt = targets.toSeq.sortBy(_._1)
+      .map { case (dom, f) => (dom, f / fracSum) }
+      .toDF(domainCol, "target_frac")
+    df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast(LongType))
+          .cast(LongType).as("n_tokens"))
+      .join(broadcast(tgt), domainCol)
+      .withColumn("target_tokens",
+        floor(lit(budgetTokens).cast(DoubleType) * col("target_frac"))
+          .cast(LongType))
+      .withColumn("sample_rate",
+        least(lit(1.0), col("target_tokens").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)))
+      .withColumn("epochs",
+        least(lit(maxEpochs), col("target_tokens").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType)))
+      .withColumn("planned_tokens",
+        least(col("target_tokens").cast(DoubleType),
+          col("n_tokens").cast(DoubleType) * lit(maxEpochs))
+          .cast(LongType))
+      .select(col(domainCol), col("n_docs"), col("n_tokens"),
+        col("target_frac"), col("target_tokens"), col("sample_rate"),
+        col("epochs"), col("planned_tokens"))
+  }
+
+  // ------------------------------------------------ corpus snapshot diff
+
+  /** Content diff between two corpus snapshots (what changed between
+    * crawls / releases): FULL OUTER join on the id comparing content
+    * hashes — `added` (new only), `removed` (old only), `changed`
+    * (both, different content), `unchanged`.
+    *
+    * Scale shape: the md5 is computed map-side, so the shuffle carries
+    * (id, 32-char hash) per side — O(ids), never O(corpus bytes) — and
+    * the join is a plain high-cardinality equi-join. This is the primer
+    * for incremental reprocessing: downstream per-doc operators re-run
+    * on `added ∪ changed` only. */
+  def corpusDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol), md5(col(textCol)).as("old_md5"))
+    val n = newDf.select(col(idCol), md5(col(textCol)).as("new_md5"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") === col("new_md5"), "unchanged")
+          .otherwise("changed"))
+  }
 }

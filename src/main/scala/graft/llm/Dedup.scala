@@ -690,6 +690,55 @@ object Dedup {
         count(lit(1)).as("n_occurrences"))
       .filter(col("n_docs") >= minDocs)
 
+  /** C4-style boilerplate REMOVAL (the rewrite step on top of
+    * [[passageDuplicates]]'s detector): drop every line whose normalized
+    * fingerprint appears in ≥ `minDocs` distinct documents, reconstruct
+    * each document's remaining lines in original order, and report
+    * (n_lines, n_removed, cleaned text hash) per document — documents
+    * whose every line is boilerplate survive with empty cleaned text,
+    * not silently disappear.
+    *
+    * Scale shape: one posexplode (no data motion), one line-fingerprint
+    * aggregate to build the hot set, one left_anti equi-join on the
+    * 128-bit fingerprint (high-cardinality key — no skew guard needed;
+    * the HOT side of the join is the small aggregated set), one per-doc
+    * re-aggregation. The per-doc collect_list is bounded by document
+    * size, the same bound any per-doc rewrite has. Short lines
+    * (< `minChars` normalized) never enter the hot set and are always
+    * kept, mirroring the detector's threshold. */
+  def stripBoilerplate(
+      df: DataFrame, idCol: String, textCol: String,
+      minChars: Int = 20, minDocs: Int = 2): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("fp",
+        when(length(normalize(col("line"))) >= minChars,
+          md5(normalize(col("line")))))
+    val hot = lines.filter(col("fp").isNotNull)
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("fp"))
+    val rebuilt = lines
+      .join(hot, Seq("fp"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("__cleaned"))
+    df.select(col(idCol).as("id"),
+        size(split(col(textCol), "\n")).cast(LongType).as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        md5(coalesce(col("__cleaned"), lit(""))).as("cleaned_md5"))
+  }
+
   // ------------------------------------------- near-dup canonicalization
 
   /** Resolve near-dup PAIRS into connected components and assign each

@@ -69,6 +69,31 @@ object TextAnalysis {
     when(anyHit, best.getField("l")).otherwise(lit("und"))
   }
 
+  /** Tokenizer fertility per detected language — the standard tokenizer
+    * evaluation table (tokens per whitespace word, characters per
+    * token): languages a tokenizer serves badly show high fertility, the
+    * signal behind per-language vocab budgeting. Composes the row-local
+    * codegen kernels ([[languageId]], [[tokenCount]],
+    * [[bpeTokenCount]]); the only shuffle is the |languages|-row final
+    * aggregate. Ratios are ONE IEEE division of exact integer sums, so
+    * they reproduce cross-engine. */
+  def tokenizerFertility(df: DataFrame, textCol: String): DataFrame =
+    df.select(
+        languageId(col(textCol)).as("lang"),
+        tokenCount(col(textCol)).cast(LongType).as("__ws"),
+        bpeTokenCount(col(textCol)).cast(LongType).as("__bpe"),
+        length(col(textCol)).cast(LongType).as("__chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__ws")).as("ws_tokens"),
+        sum(col("__bpe")).as("bpe_tokens"),
+        sum(col("__chars")).as("n_chars"),
+        (sum(col("__bpe")).cast(DoubleType) /
+          sum(col("__ws")).cast(DoubleType)).as("fertility"),
+        (sum(col("__chars")).cast(DoubleType) /
+          sum(col("__bpe")).cast(DoubleType)).as("chars_per_token"))
+
   /** Winnowing fingerprints of the normalized text (rolling k-byte-gram
     * hashes, window-min selection — the MOSS local-fingerprint scheme):
     * any shared substring of length ≥ w+k-1 between two docs yields at

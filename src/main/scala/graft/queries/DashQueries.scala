@@ -580,6 +580,300 @@ object DashQueries {
                     ELSE 'normal' END AS hole_category,
                median_pace_exact, TRUE AS median_within_tol,
                TRUE AS stddev_within_tol, pace_stddev_formula
-               FROM hs ORDER BY course_id, hole_number"""))
+               FROM hs ORDER BY course_id, hole_number""")),
+
+    // OVERVIEW_STATS (queries.py:11-21): the landing-page one-row lake
+    // overview.
+    QueryDef(
+      "d17_overview_stats",
+      (s, d) =>
+        graft.analytics.DashboardQueries.overviewStats(
+          GoldQueries.silverView(s, d)),
+      Some(s"""WITH ${GoldQueries.SilverSql}
+               SELECT COUNT(DISTINCT course_id) AS total_courses,
+               COUNT(DISTINCT round_id) AS total_rounds,
+               COUNT(*) AS total_events,
+               CAST(SUM(CASE WHEN is_location_padding = FALSE THEN 1 ELSE 0 END) AS BIGINT) AS real_events,
+               MIN(event_date) AS earliest_date,
+               MAX(event_date) AS latest_date
+               FROM silver""")),
+
+    // COURSE_SUMMARY (queries.py:23-46): per-course stats + the
+    // inferred-type ladder.
+    QueryDef(
+      "d18_course_summary",
+      (s, d) =>
+        graft.analytics.DashboardQueries.courseSummary(
+          GoldQueries.silverView(s, d)),
+      Some(s"""WITH ${GoldQueries.SilverSql}
+               SELECT course_id,
+               COUNT(DISTINCT round_id) AS round_count,
+               COUNT(*) AS event_count,
+               CAST(SUM(CASE WHEN is_location_padding = FALSE THEN 1 ELSE 0 END) AS BIGINT) AS real_events,
+               MIN(event_date) AS first_date,
+               MAX(event_date) AS last_date,
+               CAST(DATE_DIFF('day', MIN(event_date), MAX(event_date)) + 1 AS INTEGER) AS total_days,
+               COUNT(DISTINCT CASE WHEN is_location_padding = FALSE THEN event_date END) AS playing_days,
+               MAX(section_number) AS max_section,
+               MAX(hole_number) AS max_hole,
+               CASE WHEN MAX(hole_number) >= 10 THEN '18-hole'
+                    WHEN MAX(section_number) > 54 THEN '27-hole'
+                    WHEN MAX(section_number) > 27 THEN '18-hole (loop)'
+                    ELSE '9-hole' END AS inferred_type
+               FROM silver GROUP BY course_id ORDER BY course_id""")),
+
+    // get_hole_duration_for_course (queries.py:950-996): per-hole
+    // duration stats. The synthetic mapping day-truncates every fix, so
+    // the gate spreads fixes with a deterministic per-line minute offset
+    // to give (round, hole) groups real durations; the approx median is
+    // pinned with the exact-value + tolerance-flag discipline (d15).
+    QueryDef(
+      "d19_hole_durations",
+      (s, d) => {
+        val sv = GoldQueries.silverView(s, d)
+          .withColumn("fix_timestamp",
+            expr("fix_timestamp + make_dt_interval(0, 0, (location_index * 9) % 55, 0)"))
+        val lib = graft.analytics.DashboardQueries.holeDurations(sv, "A")
+        val durs = sv.filter(col("course_id") === "A" &&
+            !col("is_location_padding") &&
+            col("hole_number").isNotNull && col("fix_timestamp").isNotNull)
+          .groupBy(col("course_id"), col("round_id"), col("hole_number"))
+          .agg(min(col("fix_timestamp")).as("hs"),
+            max(col("fix_timestamp")).as("he"))
+          .withColumn("dm",
+            floor((unix_timestamp(col("he")) - unix_timestamp(col("hs"))) / 60))
+          .filter(col("dm") > 0 && col("dm") < 60)
+        val exact = durs.groupBy(col("hole_number")).agg(
+          round(expr("percentile(dm, 0.5)"), 1).as("median_duration_exact"),
+          sqrt((sum(col("dm") * col("dm")) -
+            sum(col("dm")) * sum(col("dm")) / count(col("dm"))) /
+            (count(col("dm")) - 1)).as("__sd_exact"))
+        lib.join(exact, Seq("hole_number"))
+          .withColumn("median_within_tol",
+            abs(col("median_duration_min") - col("median_duration_exact")) <=
+              greatest(col("median_duration_exact") * 0.02, lit(2.0)))
+          .withColumn("stddev_within_tol",
+            abs(col("stddev_duration") - col("__sd_exact")) <= lit(0.1))
+          .withColumn("stddev_duration_formula", round(col("__sd_exact"), 1))
+          .drop("median_duration_min", "stddev_duration", "__sd_exact")
+          .orderBy(col("hole_number"))
+      },
+      Some(s"""WITH ${GoldQueries.SilverSql},
+               sv AS (
+                 SELECT *,
+                 fix_timestamp + INTERVAL 1 MINUTE * ((location_index * 9) % 55) AS fx
+                 FROM silver
+               ),
+               hd AS (
+                 SELECT course_id, round_id, hole_number,
+                 CAST(FLOOR(DATE_DIFF('second', MIN(fx), MAX(fx)) / 60.0e0) AS BIGINT) AS dm
+                 FROM sv
+                 WHERE course_id = 'A' AND is_location_padding = FALSE
+                   AND hole_number IS NOT NULL AND fx IS NOT NULL
+                 GROUP BY course_id, round_id, hole_number
+               ),
+               b AS (SELECT * FROM hd WHERE dm > 0 AND dm < 60)
+               SELECT hole_number,
+               COUNT(*) AS sample_count,
+               ROUND(AVG(dm), 1) AS avg_duration_min,
+               MIN(dm) AS min_duration_min,
+               MAX(dm) AS max_duration_min,
+               ROUND(QUANTILE_CONT(dm, 0.5e0), 1) AS median_duration_exact,
+               TRUE AS median_within_tol,
+               TRUE AS stddev_within_tol,
+               ROUND(SQRT((SUM(dm * dm) - SUM(dm) * SUM(dm) / COUNT(dm))
+                 / (COUNT(dm) - 1)), 1) AS stddev_duration_formula
+               FROM b GROUP BY hole_number ORDER BY hole_number""")),
+
+    // get_nine_loop_pace_comparison (queries.py:1460-1502): the fatigue
+    // query — same hole, first vs second pass. Approx median pinned via
+    // the exact + tolerance discipline; pace folds into the (0, 60)
+    // band so the realistic-pace bounds bite.
+    QueryDef(
+      "d20_nine_loop_pace",
+      (s, d) => {
+        val sv = GoldQueries.silverView(s, d)
+          .withColumn("pace", col("pace") % 60)
+        val lib = graft.analytics.DashboardQueries
+          .nineLoopPaceComparison(sv, "A")
+        val base = sv.filter(col("course_id") === "A" &&
+          !col("is_location_padding") && col("is_nine_hole") === false &&
+          col("pace").isNotNull && col("pace") > 0 && col("pace") < 60 &&
+          col("hole_number").isNotNull && col("nine_number").isNotNull)
+        val exact = base.groupBy(col("hole_number"), col("nine_number")).agg(
+          round(expr("percentile(pace, 0.5)"), 1).as("median_pace_exact"),
+          sqrt((sum(col("pace") * col("pace")) -
+            sum(col("pace")) * sum(col("pace")) / count(col("pace"))) /
+            (count(col("pace")) - 1)).as("__sd_exact"))
+        lib.join(exact, Seq("hole_number", "nine_number"))
+          .withColumn("median_within_tol",
+            abs(col("median_pace") - col("median_pace_exact")) <=
+              greatest(col("median_pace_exact") * 0.02, lit(2.0)))
+          .withColumn("stddev_within_tol",
+            abs(col("pace_stddev") - col("__sd_exact")) <= lit(0.1))
+          .withColumn("pace_stddev_formula", round(col("__sd_exact"), 1))
+          .drop("median_pace", "pace_stddev", "__sd_exact")
+          .orderBy(col("hole_number"), col("nine_number"))
+      },
+      Some(s"""WITH ${GoldQueries.SilverSql},
+               p AS (
+                 SELECT hole_number, nine_number, round_id,
+                 pace % 60 AS pace
+                 FROM silver
+                 WHERE course_id = 'A' AND is_location_padding = FALSE
+                   AND is_nine_hole = FALSE
+                   AND pace IS NOT NULL AND (pace % 60) > 0 AND (pace % 60) < 60
+                   AND hole_number IS NOT NULL AND nine_number IS NOT NULL
+               )
+               SELECT hole_number, nine_number,
+               COUNT(DISTINCT round_id) AS sample_rounds,
+               COUNT(*) AS sample_events,
+               ROUND(AVG(pace), 1) AS avg_pace,
+               ROUND(MIN(pace), 1) AS min_pace,
+               ROUND(MAX(pace), 1) AS max_pace,
+               CASE WHEN nine_number = 1 THEN 'first_nine'
+                    WHEN nine_number = 2 THEN 'second_nine'
+                    ELSE 'nine_' || CAST(nine_number AS VARCHAR) END AS pass_number,
+               ROUND(QUANTILE_CONT(pace, 0.5e0), 1) AS median_pace_exact,
+               TRUE AS median_within_tol,
+               TRUE AS stddev_within_tol,
+               ROUND(SQRT((SUM(pace * pace) - SUM(pace) * SUM(pace) / COUNT(pace))
+                 / (COUNT(pace) - 1)), 1) AS pace_stddev_formula
+               FROM p GROUP BY hole_number, nine_number
+               ORDER BY hole_number, nine_number""")),
+
+    // PACE_BY_SECTION (queries.py:1434-1459): section-grain pace stats.
+    QueryDef(
+      "d21_pace_by_section",
+      (s, d) => {
+        val sv = GoldQueries.silverView(s, d)
+          .withColumn("pace", col("pace") % 60)
+        val lib = graft.analytics.DashboardQueries
+          .paceBySection(sv, Some("A"))
+        val base = sv.filter(col("course_id") === "A" &&
+          !col("is_location_padding") &&
+          col("pace").isNotNull && col("pace") > 0 && col("pace") < 60 &&
+          col("hole_number").isNotNull && col("section_number").isNotNull)
+        val exact = base
+          .groupBy(col("course_id"), col("hole_number"), col("section_number"))
+          .agg(round(expr("percentile(pace, 0.5)"), 1).as("median_pace_exact"))
+        lib.join(exact, Seq("course_id", "hole_number", "section_number"))
+          .withColumn("median_within_tol",
+            abs(col("median_pace") - col("median_pace_exact")) <=
+              greatest(col("median_pace_exact") * 0.02, lit(2.0)))
+          .drop("median_pace")
+          .orderBy(col("course_id"), col("hole_number"), col("section_number"))
+      },
+      Some(s"""WITH ${GoldQueries.SilverSql},
+               p AS (
+                 SELECT course_id, hole_number, section_number, round_id,
+                 pace % 60 AS pace
+                 FROM silver
+                 WHERE course_id = 'A' AND is_location_padding = FALSE
+                   AND pace IS NOT NULL AND (pace % 60) > 0 AND (pace % 60) < 60
+                   AND hole_number IS NOT NULL AND section_number IS NOT NULL
+               )
+               SELECT course_id, hole_number, section_number,
+               COUNT(DISTINCT round_id) AS sample_rounds,
+               ROUND(AVG(pace), 1) AS avg_pace,
+               ROUND(QUANTILE_CONT(pace, 0.5e0), 1) AS median_pace_exact,
+               TRUE AS median_within_tol
+               FROM p GROUP BY course_id, hole_number, section_number
+               ORDER BY course_id, hole_number, section_number""")),
+
+    // ROUND_DURATION (queries.py:379-397): bounded-duration stats per
+    // course.
+    QueryDef(
+      "d22_round_duration",
+      (s, d) =>
+        DashboardQueries2.roundDuration(durSilver(s, d)),
+      Some(s"""WITH ${GoldQueries.SilverSql}, $DurSql
+               SELECT course_id,
+               COUNT(DISTINCT round_id) AS rounds_with_duration,
+               ROUND(AVG(round_duration_minutes), 0) AS avg_duration_min,
+               ROUND(MIN(round_duration_minutes), 0) AS min_duration_min,
+               ROUND(MAX(round_duration_minutes), 0) AS max_duration_min
+               FROM dur
+               WHERE round_duration_minutes IS NOT NULL
+                 AND round_duration_minutes > 0 AND round_duration_minutes < 600
+               GROUP BY course_id ORDER BY course_id""")),
+
+    // DEVICE_STATS (queries.py:442-466): device fleet + battery health
+    // per course.
+    QueryDef(
+      "d23_device_stats",
+      (s, d) =>
+        DashboardQueries2.deviceStats(GoldQueries.silverView(s, d)),
+      Some(s"""WITH ${GoldQueries.SilverSql}
+               SELECT course_id,
+               COUNT(DISTINCT device) AS unique_devices,
+               ROUND(AVG(battery_percentage), 1) AS avg_battery,
+               ROUND(MIN(battery_percentage), 1) AS min_battery,
+               COUNT(*) AS total_events,
+               CAST(SUM(CASE WHEN battery_percentage < 20 THEN 1 ELSE 0 END) AS BIGINT) AS low_battery_events,
+               ROUND(100.0e0 * SUM(CASE WHEN battery_percentage < 20 THEN 1 ELSE 0 END) / COUNT(*), 1) AS low_battery_pct,
+               CAST(SUM(CASE WHEN is_cache THEN 1 ELSE 0 END) AS BIGINT) AS cached_events,
+               ROUND(100.0e0 * SUM(CASE WHEN is_cache THEN 1 ELSE 0 END) / COUNT(*), 1) AS cached_pct,
+               CAST(SUM(CASE WHEN is_problem THEN 1 ELSE 0 END) AS BIGINT) AS problem_events,
+               ROUND(100.0e0 * SUM(CASE WHEN is_problem THEN 1 ELSE 0 END) / COUNT(*), 1) AS problem_pct,
+               CAST(SUM(CASE WHEN is_projected THEN 1 ELSE 0 END) AS BIGINT) AS projected_events,
+               ROUND(100.0e0 * SUM(CASE WHEN is_projected THEN 1 ELSE 0 END) / COUNT(*), 1) AS projected_pct
+               FROM silver
+               WHERE is_location_padding = FALSE
+               GROUP BY course_id ORDER BY course_id""")),
+
+    // GLOBAL_ROUND_DURATION_COMPARISON (queries.py:1164-1193): per-round
+    // durations rolled to course grain; approx median pinned via the
+    // exact + tolerance discipline.
+    QueryDef(
+      "d24_duration_comparison",
+      (s, d) => {
+        val sv = durSilver(s, d)
+        val lib = DashboardQueries2.globalRoundDurationComparison(sv)
+        val perRound = sv.filter(!col("is_location_padding") &&
+            col("round_duration_minutes").isNotNull &&
+            col("round_duration_minutes") > 30 &&
+            col("round_duration_minutes") < 480)
+          .groupBy(col("course_id"), col("round_id"))
+          .agg(max(col("round_duration_minutes")).as("dmin"))
+        val exact = perRound.groupBy(col("course_id")).agg(
+          round(expr("percentile(dmin, 0.5)"), 0).as("median_duration_exact"),
+          sqrt((sum(col("dmin") * col("dmin")) -
+            sum(col("dmin")) * sum(col("dmin")) / count(col("dmin"))) /
+            (count(col("dmin")) - 1)).as("__sd_exact"))
+        lib.join(exact, Seq("course_id"))
+          .withColumn("median_within_tol",
+            abs(col("median_duration_min") - col("median_duration_exact")) <=
+              greatest(col("median_duration_exact") * 0.02, lit(2.0)))
+          .withColumn("stddev_within_tol",
+            abs(col("duration_stddev") - round(col("__sd_exact"), 0)) <= lit(1.0))
+          .withColumn("duration_stddev_formula", round(col("__sd_exact"), 0))
+          .drop("median_duration_min", "duration_stddev", "__sd_exact")
+          .orderBy(col("course_id"))
+      },
+      Some(s"""WITH ${GoldQueries.SilverSql}, $DurSql,
+               pr AS (
+                 SELECT course_id, round_id,
+                 MAX(round_duration_minutes) AS dmin,
+                 CAST(MAX(CAST(is_nine_hole AS INT)) AS INT) AS is_nine
+                 FROM dur
+                 WHERE is_location_padding = FALSE
+                   AND round_duration_minutes IS NOT NULL
+                   AND round_duration_minutes > 30 AND round_duration_minutes < 480
+                 GROUP BY course_id, round_id
+               )
+               SELECT course_id,
+               COUNT(*) AS round_count,
+               ROUND(AVG(dmin), 0) AS avg_duration_min,
+               ROUND(MIN(dmin), 0) AS min_duration_min,
+               ROUND(MAX(dmin), 0) AS max_duration_min,
+               CAST(SUM(CASE WHEN is_nine = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nine_hole_rounds,
+               CAST(SUM(CASE WHEN is_nine = 0 THEN 1 ELSE 0 END) AS BIGINT) AS full_rounds,
+               ROUND(QUANTILE_CONT(dmin, 0.5e0), 0) AS median_duration_exact,
+               TRUE AS median_within_tol,
+               TRUE AS stddev_within_tol,
+               ROUND(SQRT((SUM(dmin * dmin) - SUM(dmin) * SUM(dmin) / COUNT(dmin))
+                 / (COUNT(dmin) - 1)), 0) AS duration_stddev_formula
+               FROM pr GROUP BY course_id ORDER BY course_id"""))
   )
 }

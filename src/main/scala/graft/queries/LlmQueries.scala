@@ -2693,6 +2693,178 @@ object LlmQueries {
               UNION ALL SELECT 3, 'lang_en', CAST(s2 AS BIGINT) FROM c
               UNION ALL SELECT 4, 'quality', CAST(s3 AS BIGINT) FROM c
               UNION ALL SELECT 5, 'train_split', CAST(s4 AS BIGINT) FROM c
-              ORDER BY stage_order"""))
+              ORDER BY stage_order""")),
+
+    // C4-style boilerplate REMOVAL (the rewrite on top of
+    // l_passage_dedup's detector): hot lines (planted into ~1/3 of docs
+    // at the end and ~1/5 at the front — order preservation is under
+    // test) are stripped and each doc's remaining lines reassemble in
+    // original order; the cleaned text is hash-pinned per doc.
+    QueryDef(
+      "l_boilerplate_strip",
+      (s, d) => {
+        val planted = t(s, d, "documents")
+          .withColumn("text",
+            when(col("doc_id") % 3 === 0,
+              concat(col("text"),
+                lit("\nsubscribe to our newsletter for updates today")))
+              .otherwise(col("text")))
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0,
+              concat(lit("follow us on social media for more content\n"),
+                col("text")))
+              .otherwise(col("text")))
+        Dedup.stripBoilerplate(planted, "doc_id", "text",
+            minChars = 20, minDocs = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH docs AS (
+                SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0
+                     THEN 'follow us on social media for more content' || chr(10) ||
+                          (CASE WHEN doc_id % 3 = 0
+                                THEN text || chr(10) || 'subscribe to our newsletter for updates today'
+                                ELSE text END)
+                     WHEN doc_id % 3 = 0
+                     THEN text || chr(10) || 'subscribe to our newsletter for updates today'
+                     ELSE text END AS text
+                FROM documents
+              ),
+              parts AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM docs),
+              lines AS (
+                SELECT doc_id, unnest(ls) AS line,
+                generate_subscripts(ls, 1) AS pos FROM parts
+              ),
+              norm AS (
+                SELECT doc_id, pos, line,
+                trim(regexp_replace(lower(line), '\s+', ' ', 'g')) AS nline
+                FROM lines
+              ),
+              hot AS (
+                SELECT md5(nline) AS fp FROM norm WHERE length(nline) >= 20
+                GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+              ),
+              kept AS (
+                SELECT n.doc_id, n.pos, n.line FROM norm n
+                LEFT JOIN hot h
+                ON (CASE WHEN length(n.nline) >= 20 THEN md5(n.nline) END) = h.fp
+                WHERE h.fp IS NULL
+              ),
+              recon AS (
+                SELECT doc_id, COUNT(*) AS n_kept,
+                string_agg(line, chr(10) ORDER BY pos) AS cleaned
+                FROM kept GROUP BY doc_id
+              ),
+              base AS (
+                SELECT doc_id,
+                CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines
+                FROM docs
+              )
+              SELECT b.doc_id, b.n_lines,
+              b.n_lines - COALESCE(r.n_kept, 0) AS n_removed,
+              md5(COALESCE(r.cleaned, '')) AS cleaned_md5
+              FROM base b LEFT JOIN recon r USING (doc_id)
+              ORDER BY b.doc_id""")),
+
+    // Corpus snapshot diff: old = documents; new = documents minus the
+    // %7 slice (removed), with the %5 slice edited (changed) and a %11
+    // shadow slice appended under shifted ids (added). The per-doc
+    // status table is the primer for incremental reprocessing.
+    QueryDef(
+      "l_corpus_diff",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val newDocs = docs.filter(col("doc_id") % 7 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+          .unionByName(docs.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 30000).as("doc_id"), col("text"),
+              col("lang"), col("source"), col("n_chars")))
+        Curation.corpusDiff(docs, newDocs, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+              nw AS (
+                SELECT doc_id,
+                md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS new_md5
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 30000, md5(text) FROM documents WHERE doc_id % 11 = 0
+              )
+              SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id,
+              old_md5, new_md5,
+              CASE WHEN old_md5 IS NULL THEN 'added'
+                   WHEN new_md5 IS NULL THEN 'removed'
+                   WHEN old_md5 = new_md5 THEN 'unchanged'
+                   ELSE 'changed' END AS status
+              FROM o FULL JOIN nw ON o.doc_id = nw.doc_id
+              ORDER BY doc_id""")),
+
+    // Tokenizer fertility per detected language: BPE-ish tokens per
+    // whitespace word and characters per token — the per-language
+    // tokenizer-evaluation table behind vocab budgeting.
+    QueryDef(
+      "l_fertility",
+      (s, d) =>
+        TextAnalysis.tokenizerFertility(t(s, d, "documents"), "text")
+          .orderBy(col("lang")),
+      Some("""WITH scored AS (
+                SELECT text,
+                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_en,
+                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_de,
+                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['le','la','les','et','est','un','une','pas','avec','pour'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_fr,
+                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['el','la','los','y','es','un','una','no','con','para'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_es
+                FROM documents
+              ),
+              tagged AS (
+                SELECT
+                CASE WHEN (s_en + s_de + s_fr + s_es) > 0 THEN
+                  CASE WHEN s_es > GREATEST(s_en, s_de, s_fr) THEN 'es'
+                       WHEN s_fr > GREATEST(s_en, s_de) THEN 'fr'
+                       WHEN s_de > s_en THEN 'de'
+                       ELSE 'en' END
+                ELSE 'und' END AS lang,
+                CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws,
+                CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT) AS bpe,
+                CAST(length(text) AS BIGINT) AS chars
+                FROM scored
+              )
+              SELECT lang, COUNT(*) AS n_docs,
+              CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+              CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+              CAST(SUM(chars) AS BIGINT) AS n_chars,
+              CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility,
+              CAST(SUM(chars) AS DOUBLE) / CAST(SUM(bpe) AS DOUBLE) AS chars_per_token
+              FROM tagged GROUP BY lang ORDER BY lang""")),
+
+    // Epoch plan for a published mixture under a global token budget:
+    // exactly-representable target fractions (.5/.25/.125/.125) so the
+    // plan's doubles reproduce cross-engine; the 8000-token budget puts
+    // the four sources in three different regimes (repeat, partial
+    // repeat, downsample).
+    QueryDef(
+      "l_epoch_plan",
+      (s, d) =>
+        Curation.epochPlan(t(s, d, "documents"), "source", "text",
+            Map("src0" -> 0.5, "src1" -> 0.25,
+              "src2" -> 0.125, "src3" -> 0.125),
+            budgetTokens = 8000L, maxEpochs = 4.0)
+          .orderBy(col("source")),
+      Some("""WITH t(source, target_frac) AS (
+                VALUES ('src0', 0.5e0), ('src1', 0.25e0),
+                       ('src2', 0.125e0), ('src3', 0.125e0)
+              ),
+              agg AS (
+                SELECT source, COUNT(*) AS n_docs,
+                CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY source
+              )
+              SELECT a.source, a.n_docs, a.n_tokens, t.target_frac,
+              CAST(FLOOR(CAST(8000 AS DOUBLE) * t.target_frac) AS BIGINT) AS target_tokens,
+              LEAST(1.0e0, CAST(FLOOR(CAST(8000 AS DOUBLE) * t.target_frac) AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)) AS sample_rate,
+              LEAST(4.0e0, CAST(FLOOR(CAST(8000 AS DOUBLE) * t.target_frac) AS DOUBLE) / CAST(a.n_tokens AS DOUBLE)) AS epochs,
+              CAST(FLOOR(LEAST(CAST(FLOOR(CAST(8000 AS DOUBLE) * t.target_frac) AS DOUBLE), CAST(a.n_tokens AS DOUBLE) * 4.0e0)) AS BIGINT) AS planned_tokens
+              FROM agg a JOIN t USING (source) ORDER BY a.source"""))
   )
 }

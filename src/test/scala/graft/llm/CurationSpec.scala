@@ -453,4 +453,36 @@ class CurationSpec extends SparkSpec {
     assert(out.sortBy(r => (r._1, r._2, r._3)).toSeq ===
       again.sortBy(r => (r._1, r._2, r._3)).toSeq)
   }
+
+  test("corpusDiff classifies added/removed/changed/unchanged") {
+    val old = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    val nw = Seq((2L, "two"), (3L, "three CHANGED"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val out = Curation.corpusDiff(old, nw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("epochPlan: repeat under-represented, downsample over-represented, cap binds") {
+    // a: 100 tokens, b: 10 tokens, c: 1 token (10 one-word docs etc.)
+    val corpus =
+      (1 to 10).map(i => (s"a$i", "a", Seq.fill(10)("w").mkString(" "))) ++
+      (1 to 10).map(i => (s"b$i", "b", "w")) ++
+      Seq(("c1", "c", "w"))
+    val df = corpus.toDF("id", "source", "text")
+    val plan = Curation.epochPlan(df, "source", "text",
+        Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25),
+        budgetTokens = 80L, maxEpochs = 4.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(4), r.getDouble(5), r.getDouble(6),
+          r.getLong(7))).toMap
+    // a: avail 100, target 40 -> downsample rate 0.4, planned 40
+    assert(plan("a") === ((100L, 40L, 0.4, 0.4, 40L)))
+    // b: avail 10, target 20 -> 2 epochs, planned 20
+    assert(plan("b") === ((10L, 20L, 1.0, 2.0, 20L)))
+    // c: avail 1, target 20 -> epochs capped at 4, planned 4
+    assert(plan("c") === ((1L, 20L, 1.0, 4.0, 4L)))
+  }
 }

@@ -274,6 +274,48 @@ class LlmSpec extends SparkSpec {
     assert(dups(0).getLong(2) === 2L) // n_occurrences
   }
 
+  test("stripBoilerplate removes hot lines, keeps order, survives empty docs") {
+    val boiler = "subscribe to our newsletter for updates today"
+    val df = Seq(
+      (1L, s"alpha first unique line of doc one\n$boiler\nomega last unique line here"),
+      (2L, s"$boiler\nbeta solitary unique line in doc two"),
+      (3L, boiler), // every line hot -> cleaned text must be empty, not dropped
+      (4L, "ok\nshort dup\nok"), // short lines never enter the hot set
+      (5L, "ok\nshort dup\nok")).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplate(df, "doc_id", "text",
+        minChars = 20, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1)._1 === 3L && out(1)._2 === 1L)
+    assert(out(2) === ((2L, 1L,
+      md5Hex("beta solitary unique line in doc two"))))
+    // order preserved: doc 1 keeps first + last lines in original order
+    assert(out(1)._3 === md5Hex(
+      "alpha first unique line of doc one\nomega last unique line here"))
+    assert(out(3) === ((1L, 1L, md5Hex(""))))
+    assert(out(4) === ((3L, 0L, md5Hex("ok\nshort dup\nok"))))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("tokenizerFertility computes exact ratios per detected language") {
+    val df = Seq(
+      // en: stopword 'the' present; 6 ws tokens; bpe: don't -> don ' t
+      "the cat sat, don't move",
+      "the dog ran fast").toDF("text")
+    val out = TextAnalysis.tokenizerFertility(df, "text").collect()
+    assert(out.length === 1 && out(0).getString(0) === "en")
+    val ws = out(0).getLong(2); val bpe = out(0).getLong(3)
+    val chars = out(0).getLong(4)
+    // "the cat sat, don't move" -> ws 5; bpe: the cat sat , don ' t move = 8
+    // "the dog ran fast" -> ws 4; bpe 4
+    assert(ws === 9L && bpe === 12L)
+    assert(out(0).getDouble(5) === bpe.toDouble / ws.toDouble)
+    assert(out(0).getDouble(6) === chars.toDouble / bpe.toDouble)
+  }
+
   test("canonicalization converges on deep chains (checkpointed lineage)") {
     // A 14-node path has component diameter > checkpointEvery (5), so the
     // loop crosses at least two localCheckpoint generations — the labels
