@@ -64,7 +64,14 @@ object ScaleStress {
     "l_threshold_sweep", "l_dedup_cluster_stats", "l_eval_leak_report",
     "l_dataset_card", "l_hnsw_topk", "m15_stats_skipping", "st_leak",
     "d8_round_progression_summary", "d16_pace_by_hole",
-    "d15_global_pace_comparison")
+    "d15_global_pace_comparison",
+    // round-7 additions: the boilerplate rewrite is the natural victim
+    // of the hot planted line (its fingerprint shuffle and anti-join
+    // both see a mega-hot key), the snapshot diff rides a narrow
+    // (id, md5) shuffle, and the two new dashboard gates exercise the
+    // two-level timestamp agg and the fatigue rollup under skew
+    "l_boilerplate_strip", "l_corpus_diff", "l_fertility",
+    "d19_hole_durations", "d20_nine_loop_pace")
 
   /** Hot boilerplate phrase planted into ~30% of documents. */
   val HotPhrase =
