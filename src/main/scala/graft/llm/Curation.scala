@@ -863,8 +863,16 @@ object Curation {
   def corpusDiff(
       oldDf: DataFrame, newDf: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol), md5(col(textCol)).as("old_md5"))
-    val n = newDf.select(col(idCol), md5(col(textCol)).as("new_md5"))
+    // NULL text hashes as '' — md5(NULL) is NULL, which would make the
+    // presence test read a present-but-NULL doc as absent ('added' /
+    // 'removed'); NULL and empty text compare as the same content,
+    // which is the right diff semantic for both. Ids must be unique per
+    // snapshot (the usual corpus invariant — enforce upstream with
+    // exactDuplicateGroups/keepFirst if in doubt).
+    val o = oldDf.select(col(idCol),
+      md5(coalesce(col(textCol), lit(""))).as("old_md5"))
+    val n = newDf.select(col(idCol),
+      md5(coalesce(col(textCol), lit(""))).as("new_md5"))
     o.join(n, Seq(idCol), "full_outer")
       .withColumn("status",
         when(col("old_md5").isNull, "added")

@@ -2784,13 +2784,15 @@ object LlmQueries {
         Curation.corpusDiff(docs, newDocs, "doc_id", "text")
           .orderBy(col("doc_id"))
       },
-      Some("""WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+      Some("""WITH o AS (
+                SELECT doc_id, md5(COALESCE(text, '')) AS old_md5 FROM documents
+              ),
               nw AS (
                 SELECT doc_id,
-                md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS new_md5
+                md5(COALESCE(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END, '')) AS new_md5
                 FROM documents WHERE doc_id % 7 <> 0
                 UNION ALL
-                SELECT doc_id + 30000, md5(text) FROM documents WHERE doc_id % 11 = 0
+                SELECT doc_id + 30000, md5(COALESCE(text, '')) FROM documents WHERE doc_id % 11 = 0
               )
               SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id,
               old_md5, new_md5,

@@ -454,15 +454,19 @@ class CurationSpec extends SparkSpec {
       again.sortBy(r => (r._1, r._2, r._3)).toSeq)
   }
 
-  test("corpusDiff classifies added/removed/changed/unchanged") {
-    val old = Seq((1L, "one"), (2L, "two"), (3L, "three"))
+  test("corpusDiff classifies added/removed/changed/unchanged; NULL text is present") {
+    val old = Seq((1L, "one"), (2L, "two"), (3L, "three"),
+        (5L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
-    val nw = Seq((2L, "two"), (3L, "three CHANGED"), (4L, "four"))
+    val nw = Seq((2L, "two"), (3L, "three CHANGED"), (4L, "four"),
+        (5L, "now populated"))
       .toDF("doc_id", "text")
     val out = Curation.corpusDiff(old, nw, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // 5: NULL text in old is a PRESENT doc (hashes as '') — the diff
+    // must read it as changed, never as added
     assert(out === Map(1L -> "removed", 2L -> "unchanged",
-      3L -> "changed", 4L -> "added"))
+      3L -> "changed", 4L -> "added", 5L -> "changed"))
   }
 
   test("epochPlan: repeat under-represented, downsample over-represented, cap binds") {
