@@ -41,7 +41,9 @@ object Bench {
     "l_substring_runs", "l_semantic_dedup", "l_kmeans_step",
     "j11_asof_join", "w7_sessionize", "a20_topk_agg",
     "l_dsir_weights", "l_ccnet_buckets", "l_pipeline_funnel",
-    "l_split_leakage", "l_collocations")
+    "l_split_leakage", "l_collocations",
+    "l_boilerplate_strip", "l_hnsw_topk", "d15_global_pace_comparison",
+    "d20_nine_loop_pace")
 
   /** Locale-pinned number rendering: a comma-decimal default locale would
     * otherwise print "0,850" and break the driver's JSON parse. */

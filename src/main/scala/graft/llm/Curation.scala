@@ -232,10 +232,18 @@ object Curation {
           col("n_ngrams") > 0 && col("n_covered") === col("n_ngrams"))
     } else {
       val hotLit = typedlit(hotGrams.toSeq)
-      val isHot = array_contains(hotLit, col("gram"))
+      // TRAIN-side hot membership goes through a broadcast HASH join,
+      // not array_contains(literal): the literal scan is O(|hot|) per
+      // gram row — at a 10⁵ hot set over 10⁹ train gram rows that is
+      // 10¹⁴ string compares, dwarfing the pair join the cap avoids.
+      // (array_intersect with hotLit below is fine: it only runs on the
+      // fixed-size eval suite.)
+      val sp = train.sparkSession
+      import sp.implicits._
+      val hotDf = broadcast(hotGrams.toSeq.toDF("gram"))
       // cold pair stream: bounded by cap × |eval grams|
-      val coldTrain = trainGrams.filter(!isHot)
-      val coldEval = evalGrams.filter(!isHot)
+      val coldTrain = trainGrams.join(hotDf, Seq("gram"), "left_anti")
+      val coldEval = evalGrams.join(hotDf, Seq("gram"), "left_anti")
       val matched = coldTrain.join(broadcast(coldEval), "gram")
         .localCheckpoint()
       // coverage = cold grams matched + hot grams present (always covered)
@@ -245,12 +253,22 @@ object Curation {
         array_sort(array_intersect(col("__grams"), hotLit)).as("__hot"))
       val covHot = evalHot.select(col("eval_id"),
         size(col("__hot")).cast(LongType).as("__cov_hot"))
-      // per-train-doc hot-gram mask → (mask, doc count); boilerplate
-      // collapses most docs onto a handful of masks
-      val masks = trainGrams.filter(isHot)
+      // per-train-doc hot-gram mask, ONE definition shared by nHot
+      // (via the mask census below) and nColdHot (via the join) — the
+      // identical aggregate exchange dedupes under ReuseExchange. NOT
+      // materialized: with a large organic hot set (every gram above
+      // 1% df, not just a planted phrase) the (id, mask-array) table
+      // is corpus-scale, and an eager localCheckpoint of it OOMed the
+      // ×100 measurement run that the streamed form completes.
+      val trainMask = trainGrams.join(hotDf, Seq("gram"), "left_semi")
         .groupBy(col("__tid"))
-        .agg(array_sort(collect_set(col("gram"))).as("__mask"))
-        .groupBy(col("__mask")).agg(count(lit(1)).as("__mask_docs"))
+        .agg(array_sort(collect_set(col("gram"))).as("__tmask"))
+      // mask → doc count; boilerplate collapses most docs onto a
+      // handful of masks
+      val masks = trainMask
+        .select(col("__tmask").as("__mask"))
+        .groupBy(col("__mask"))
+        .agg(count(lit(1)).as("__mask_docs"))
       // n_hot(e) = Σ docs of masks overlapping e's hot grams
       val nHot = evalHot.filter(size(col("__hot")) > 0)
         .join(broadcast(masks), arrays_overlap(col("__hot"), col("__mask")))
@@ -261,9 +279,6 @@ object Curation {
         .localCheckpoint()
       val nCold = coldPairs
         .groupBy("eval_id").agg(count(lit(1)).as("__n_cold"))
-      val trainMask = trainGrams.filter(isHot)
-        .groupBy(col("__tid"))
-        .agg(array_sort(collect_set(col("gram"))).as("__tmask"))
       val nColdHot = coldPairs
         .join(trainMask, "__tid")
         .join(broadcast(evalHot), "eval_id")
@@ -811,7 +826,15 @@ object Curation {
     * doubles both engines then see as literals). rate/epochs are ONE
     * IEEE division of exact integers each, so the plan reproduces
     * cross-engine. Scale shape: one map-side-partial groupBy to
-    * |domains| rows joined to a broadcast targets table. */
+    * |domains| rows joined to a broadcast targets table.
+    *
+    * Scope is the INTERSECTION of `targets` and the corpus: corpus
+    * domains not in `targets` get no plan row (they have no budget
+    * share by definition), and a target domain with no corpus rows
+    * yields no row either — its budget share is unplannable, so
+    * Σ planned_tokens < budget signals the gap. Callers wanting a hard
+    * failure on absent target domains should compare the plan's row
+    * count against `targets.size`. */
   def epochPlan(
       df: DataFrame, domainCol: String, textCol: String,
       targets: Map[String, Double], budgetTokens: Long,

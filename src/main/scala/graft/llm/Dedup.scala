@@ -709,8 +709,16 @@ object Dedup {
   def stripBoilerplate(
       df: DataFrame, idCol: String, textCol: String,
       minChars: Int = 20, minDocs: Int = 2): DataFrame = {
-    val lines = df.select(col(idCol).as("id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    // NULL text reads as empty (same present-but-NULL semantic as
+    // [[graft.llm.Curation.corpusDiff]]): without the coalesce,
+    // split(NULL) is NULL, posexplode drops the doc from `lines` AND
+    // n_lines goes NULL — the output would then claim md5('') cleaned
+    // content with NULL counts, silently skipping those docs from any
+    // n_removed rollup.
+    val src = df.select(col(idCol).as("id"),
+      coalesce(col(textCol), lit("")).as("__text"))
+    val lines = src.select(col("id"),
+        posexplode(split(col("__text"), "\n")).as(Seq("pos", "line")))
       .withColumn("fp",
         when(length(normalize(col("line"))) >= minChars,
           md5(normalize(col("line")))))
@@ -729,8 +737,8 @@ object Dedup {
             array_sort(collect_list(struct(col("pos"), col("line")))),
             x => x.getField("line")),
           "\n").as("__cleaned"))
-    df.select(col(idCol).as("id"),
-        size(split(col(textCol), "\n")).cast(LongType).as("n_lines"))
+    src.select(col("id"),
+        size(split(col("__text"), "\n")).cast(LongType).as("n_lines"))
       .join(rebuilt, Seq("id"), "left")
       .select(
         col("id").as(idCol),

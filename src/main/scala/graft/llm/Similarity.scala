@@ -525,6 +525,13 @@ object Similarity {
     spark.read.parquet(path)
       .filter(col("__ivf_list").isin(probes: _*))
       .select(col("id"), col("v"), col("neighbors"), col("__ivf_list"))
+      // REQUIRED, not an optimization: the scan splits a big list's
+      // parquet across several FilePartitions (maxPartitionBytes), and a
+      // task holding half a list would hit neighbor ids that live in the
+      // other half. The walk needs whole lists — re-key the nprobe'd
+      // rows (a small shuffle of only the probed lists) exactly like the
+      // build side.
+      .repartition(col("__ivf_list"))
       .mapPartitions { rows =>
         val byList = rows.map { r =>
           (r.getInt(3),

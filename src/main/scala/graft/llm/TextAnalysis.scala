@@ -330,13 +330,11 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       sampleMod: Long = 5L, sampleCap: Int = 1000): DataFrame = {
     val scored = bigramFluency(df, idCol, textCol)
-    // Sample selection hashes the id (md5 prefix, the same deterministic
-    // bucket [[graft.llm.Curation.hashBucket]] uses) rather than `id %
-    // mod`, so ANY id type — numeric, string, uuid — samples at rate
-    // ~1/mod, cross-engine reproducibly.
-    val idBucket = conv(
-      substring(md5(col(idCol).cast(org.apache.spark.sql.types.StringType)),
-        1, 4), 16, 10).cast(org.apache.spark.sql.types.IntegerType)
+    // Sample selection hashes the id ([[graft.llm.Curation.hashBucket]],
+    // the one cross-engine bucket definition) rather than `id % mod`, so
+    // ANY id type — numeric, string, uuid — samples at rate ~1/mod,
+    // cross-engine reproducibly.
+    val idBucket = Curation.hashBucket(col(idCol))
     val sample = scored
       .filter(idBucket % sampleMod === 0)
       .orderBy(col(idCol)).limit(sampleCap)

@@ -623,16 +623,20 @@ object DashQueries {
                FROM silver GROUP BY course_id ORDER BY course_id""")),
 
     // get_hole_duration_for_course (queries.py:950-996): per-hole
-    // duration stats. The synthetic mapping day-truncates every fix, so
-    // the gate spreads fixes with a deterministic per-line minute offset
-    // to give (round, hole) groups real durations; the approx median is
+    // duration stats. The synthetic fixes of one round land days apart
+    // (shipdates), so raw durations all exceed the (0, 60) bound; the
+    // gate anchors every fix to one day plus a deterministic per-line
+    // minute offset (NULL injection preserved) so (round, hole) groups
+    // get realistic in-band durations at every sf. The approx median is
     // pinned with the exact-value + tolerance-flag discipline (d15).
     QueryDef(
       "d19_hole_durations",
       (s, d) => {
         val sv = GoldQueries.silverView(s, d)
           .withColumn("fix_timestamp",
-            expr("fix_timestamp + make_dt_interval(0, 0, (location_index * 9) % 55, 0)"))
+            when(col("fix_timestamp").isNotNull, expr(
+              "TIMESTAMP '2024-06-01 00:00:00' + make_dt_interval(0, 0, " +
+                "(location_index * 9 + section_number * 13) % 55, 0)")))
         val lib = graft.analytics.DashboardQueries.holeDurations(sv, "A")
         val durs = sv.filter(col("course_id") === "A" &&
             !col("is_location_padding") &&
@@ -648,10 +652,24 @@ object DashQueries {
           sqrt((sum(col("dm") * col("dm")) -
             sum(col("dm")) * sum(col("dm")) / count(col("dm"))) /
             (count(col("dm")) - 1)).as("__sd_exact"))
+        // These groups are SMALL and sparse-valued (≈ 10-20 quantized
+        // durations), where the approx median (an ELEMENT) and the exact
+        // continuous median (an interpolation) legitimately diverge by a
+        // whole value gap — an abs-tolerance flag is the wrong pin. The
+        // convention-free property is pinned instead: the library's
+        // median must be a MEDIAN ELEMENT of its group (≤ n/2 values
+        // strictly below it, ≥ n/2 values at or below it).
+        val medCheck = durs
+          .join(lib.select(col("hole_number"),
+            col("median_duration_min").as("__m")), Seq("hole_number"))
+          .groupBy(col("hole_number"))
+          .agg(
+            ((sum(when(col("dm") < col("__m"), 1L).otherwise(0L)) <=
+              count(lit(1)) / 2) &&
+             (sum(when(col("dm") <= col("__m"), 1L).otherwise(0L)) >=
+              count(lit(1)) / 2)).as("median_within_tol"))
         lib.join(exact, Seq("hole_number"))
-          .withColumn("median_within_tol",
-            abs(col("median_duration_min") - col("median_duration_exact")) <=
-              greatest(col("median_duration_exact") * 0.02, lit(2.0)))
+          .join(medCheck, Seq("hole_number"))
           .withColumn("stddev_within_tol",
             abs(col("stddev_duration") - col("__sd_exact")) <= lit(0.1))
           .withColumn("stddev_duration_formula", round(col("__sd_exact"), 1))
@@ -661,7 +679,10 @@ object DashQueries {
       Some(s"""WITH ${GoldQueries.SilverSql},
                sv AS (
                  SELECT *,
-                 fix_timestamp + INTERVAL 1 MINUTE * ((location_index * 9) % 55) AS fx
+                 CASE WHEN fix_timestamp IS NOT NULL THEN
+                   TIMESTAMP '2024-06-01 00:00:00' +
+                   INTERVAL 1 MINUTE * ((location_index * 9 + section_number * 13) % 55)
+                 END AS fx
                  FROM silver
                ),
                hd AS (

@@ -157,17 +157,41 @@ object IncrementalView {
       attachKeys: DataFrame => DataFrame = identity,
       store: CommitStore = LocalCommitStore): Int = {
     val cur = IncrementalTable.read(spark, viewPath, None, store)
-    val fromV = cur.agg(max(col("__src_version"))).head.getInt(0)
+    val verRow = cur.agg(max(col("__src_version"))).head
+    if (verRow.isNullAt(0)) {
+      // EMPTY view — a prior batch legitimately deleted every group
+      // ("groups whose rows were all deleted vanish"), so there is no
+      // watermark to diff from. Rebuild at the current version instead
+      // of NPE-ing on the NULL max (which would kill the maintaining
+      // stream unrecoverably: every restart replays the same path).
+      val toV = IncrementalTable.currentVersion(tablePath, store)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no committed version at $tablePath"))
+      val base = IncrementalTable.read(spark, tablePath, Some(toV), store)
+      IncrementalTable.commitFull(
+        model(attachKeys(base)).withColumn("__src_version", lit(toV)),
+        viewPath, store = store)
+      return toV
+    }
+    val fromV = verRow.getInt(0)
     val toV = IncrementalTable.currentVersion(tablePath, store).getOrElse(fromV)
     if (toV == fromV) return fromV
     val affected = attachKeys(
         IncrementalTable.diff(spark, tablePath, fromV, toV, store))
       .select(keys.map(col): _*).distinct()
     val base = IncrementalTable.read(spark, tablePath, Some(toV), store)
-    val recomputed =
-      model(attachKeys(base).join(broadcast(affected), keys, "left_semi"))
-    val untouched = cur.drop("__src_version")
-      .join(broadcast(affected), keys, "left_anti")
+    // Key matching is NULL-SAFE (<=>): a model whose derived grain can
+    // yield NULL keys (e.g. a concat over a nullable source field) still
+    // groups those rows — plain equi-semi/anti joins would never match
+    // the NULL-key group, leaving its stale view row in place forever.
+    val baseK = attachKeys(base)
+    val curD = cur.drop("__src_version")
+    def keyCond(l: DataFrame, r: DataFrame) =
+      keys.map(k => l(k) <=> r(k)).reduce(_ && _)
+    val recomputed = model(
+      baseK.join(broadcast(affected), keyCond(baseK, affected), "left_semi"))
+    val untouched =
+      curD.join(broadcast(affected), keyCond(curD, affected), "left_anti")
     IncrementalTable.commitFull(
       untouched.unionByName(recomputed)
         .withColumn("__src_version", lit(toV)),

@@ -11,10 +11,18 @@ import graft.llm.Curation
   * PRODUCTION shape: a FIXED eval suite (eval suites do not grow with
   * the corpus — that is what makes leak auditing tractable at all)
   * against a train corpus growing ×factor, with a hot boilerplate
-  * phrase planted into ~30% of BOTH sides — the input that makes the
-  * naive gram join quadratic (each hot gram matches hot_train ×
-  * hot_eval pairs; the ×100 gate-shaped attempt filled the disk
-  * mid-join twice before the hot-gram cap existed).
+  * phrase planted on both sides — the input that makes the naive gram
+  * join quadratic (each hot gram matches hot_train × hot_eval pairs;
+  * the ×100 gate-shaped attempt filled the disk mid-join twice before
+  * the hot-gram cap existed).
+  *
+  * Planting detail: the eval suite is the doc_id % 10 == 0 slice and
+  * the plant rule is pmod(doc_id, 10) < 3, so EVERY eval doc carries
+  * the phrase (residue 0) and ~22% of train docs do (residues 1-2 of
+  * the 9 train residues). That is the MOST adversarial eval shape for
+  * the pair join — every eval doc contributes hot grams — and slightly
+  * milder than 30% on the train side; the measured naive blow-up and
+  * capped slopes are under exactly this shape.
   *
   * Measures, per scale factor:
   *   - the CAPPED plan (hot grams pair-free, output exact);

@@ -281,7 +281,8 @@ class LlmSpec extends SparkSpec {
       (2L, s"$boiler\nbeta solitary unique line in doc two"),
       (3L, boiler), // every line hot -> cleaned text must be empty, not dropped
       (4L, "ok\nshort dup\nok"), // short lines never enter the hot set
-      (5L, "ok\nshort dup\nok")).toDF("doc_id", "text")
+      (5L, "ok\nshort dup\nok"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val out = Dedup.stripBoilerplate(df, "doc_id", "text",
         minChars = 20, minDocs = 2)
       .collect().map(r => r.getLong(0) ->
@@ -294,6 +295,9 @@ class LlmSpec extends SparkSpec {
       "alpha first unique line of doc one\nomega last unique line here"))
     assert(out(3) === ((1L, 1L, md5Hex(""))))
     assert(out(4) === ((3L, 0L, md5Hex("ok\nshort dup\nok"))))
+    // NULL text = present-but-empty (the corpusDiff semantic): one empty
+    // line kept, never NULL counts
+    assert(out(6) === ((1L, 0L, md5Hex(""))))
   }
 
   private def md5Hex(s: String): String =
@@ -415,6 +419,39 @@ class LlmSpec extends SparkSpec {
     val b = spark.read.parquet(s"$dir/idx2").orderBy("id")
       .select("id", "neighbors").collect().toSeq
     assert(a === b, "NSW build is not deterministic")
+  }
+
+  test("NSW probe survives a list split across scan partitions") {
+    // One centroid = one list holding the whole corpus; shrinking
+    // maxPartitionBytes makes the scan slice that list's parquet into
+    // several FilePartitions. The probe must re-key whole lists before
+    // walking — a task holding half a list would hit neighbor ids from
+    // the other half (pre-fix: NoSuchElementException in the id index).
+    val centroids = Array(Array.fill(vecs.select(size(col("embedding")))
+      .head.getInt(0))(0.0))
+    val dir = java.nio.file.Files.createTempDirectory("nsw_split").toString
+    Similarity.materializeNsw(
+      vecs, "vec_id", "embedding", centroids, s"$dir/idx",
+      m = 8, efConstruction = 48)
+    val q = vecs.filter(col("vec_id") === 3)
+      .select(col("embedding")).head.getSeq[Float](0).toArray
+    val whole = Similarity.nswTopKCandidates(
+        spark, s"$dir/idx", centroids, q, ef = 64, nprobe = 1)
+      .collect().map(_.getLong(0)).toSet
+    val mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val split = Similarity.nswTopKCandidates(
+          spark, s"$dir/idx", centroids, q, ef = 64, nprobe = 1)
+        .collect().map(_.getLong(0)).toSet
+      assert(split === whole,
+        s"split-scan probe diverged: ${split.size} vs ${whole.size} candidates")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+      spark.conf.set("spark.sql.files.openCostInBytes", oc)
+    }
   }
 
   test("kmeansStep: assignment matches brute force, means are per-list averages") {

@@ -148,6 +148,49 @@ class IncrementalViewSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("maintainGrouped recovers after a batch empties the whole view") {
+    val t = freshPath("t6"); val v = freshPath("v6")
+    def grpModel(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"grp").agg(max($"m").as("m_max"))
+    IncrementalTable.commitFull(rows((1L, "a", 1.0)), t, Seq("grp"))
+    IncrementalView.buildGrouped(spark, t, v, Seq("grp"), grpModel)
+    // delete EVERY group: the maintained view legitimately goes empty
+    IncrementalTable.deleteWhere(spark, t, Seq("grp"), lit(true))
+    IncrementalView.maintainGrouped(spark, t, v, Seq("grp"), grpModel)
+    assert(IncrementalTable.read(spark, v).isEmpty)
+    // the next batch lands rows; maintenance must rebuild, not NPE on
+    // the empty view's NULL version watermark
+    IncrementalTable.refreshPartitions(rows((2L, "b", 7.0)), t, Seq("grp"))
+    val toV = IncrementalView.maintainGrouped(spark, t, v, Seq("grp"), grpModel)
+    assert(toV === IncrementalTable.currentVersion(t).get)
+    val got = IncrementalTable.read(spark, v).drop("__src_version")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq === Seq(("b", 7.0)))
+  }
+
+  test("maintainGrouped recomputes NULL-key groups (null-safe key joins)") {
+    val t = freshPath("t7"); val v = freshPath("v7")
+    // derived grain that goes NULL for some source rows: grp 'x' → NULL
+    def attach(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("k", when($"grp" === "x", lit(null)).otherwise($"grp"))
+    def model(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"k").agg(max($"m").as("m_max"))
+    IncrementalTable.commitFull(
+      rows((1L, "x", 1.0), (2L, "x", 9.0), (3L, "b", 5.0)), t, Seq("grp"))
+    IncrementalView.buildGrouped(spark, t, v, Seq("k"),
+      df => model(attach(df)))
+    // rewrite the NULL-key group's partition, dropping its MAX (9)
+    IncrementalTable.refreshPartitions(
+      rows((1L, "x", 1.0), (5L, "x", 4.0)), t, Seq("grp"))
+    IncrementalView.maintainGrouped(spark, t, v, Seq("k"), model,
+      attachKeys = attach)
+    val got = IncrementalTable.read(spark, v).drop("__src_version")
+      .collect().map(r => (Option(r.get(0)), r.getDouble(1))).toMap
+    // a plain equi-join would never match the NULL key, leaving the
+    // stale 9.0 in place
+    assert(got === Map(None -> 4.0, Some("b") -> 5.0))
+  }
+
   test("maintain is a no-op when the view is already current") {
     val t = freshPath("t3"); val v = freshPath("v3")
     IncrementalTable.commitFull(rows((1L, "a", 1.0)), t, Seq("grp"))
