@@ -168,13 +168,19 @@ object Curation {
     * at least one gram, and whether the doc is fully leaked.
     *
     * Scale shape: the EVAL gram stream is small by definition (an eval
-    * suite) and broadcasts; train streams once through the gram join.
-    * The matched stream materializes (localCheckpoint — a 100 TB run
-    * lands it to storage) so the two distinct-collapse rollups read it
-    * instead of re-running the join, and neither uses a countDistinct
-    * Expand. Eval docs with zero matches surface with coverage 0 via
-    * the eval-grain left join — absence of evidence must be a ROW, not
-    * a missing row. */
+    * suite) and broadcasts. COVERAGE is pair-free — it only asks set
+    * membership (which eval grams exist in train), so it rides a
+    * gram-set semi-join whose exchange carries ≤ |eval gram set| rows.
+    * Distinct-train-doc counts need the pair grain, but only the
+    * DISTINCT (eval, train) pairs: the gram-grain join output collapses
+    * to that grain inside its own stage (map-side partial aggregation)
+    * and the gram-grain stream is never landed — an earlier form
+    * localCheckpoint'ed it to share between the two rollups and the
+    * ×100 replica measured that landed stream at disk-filling size
+    * (every gram is ~replica-factor-hot yet below any sane df cap).
+    * Neither rollup uses a countDistinct Expand. Eval docs with zero
+    * matches surface with coverage 0 via the eval-grain left join —
+    * absence of evidence must be a ROW, not a missing row. */
   def evalContaminationReport(
       train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       n: Int = 3, hotGramDf: Option[Long] = None): DataFrame = {
@@ -215,11 +221,24 @@ object Curation {
     }
 
     if (hotGrams.isEmpty) {
-      val matched = trainGrams.join(broadcast(evalGrams), "gram")
-        .localCheckpoint()
-      val cov = matched.select("eval_id", "gram").distinct()
+      // Coverage: intersect the (tiny, broadcast) eval gram SET with
+      // the train gram stream — the semi-matched train rows collapse to
+      // ≤ |eval gram set| before their exchange, and no (eval, train)
+      // pair exists anywhere in this branch of the plan.
+      val evalGramSet = evalGrams.select("gram").distinct()
+      val coveredGrams = trainGrams
+        .join(broadcast(evalGramSet), Seq("gram"), "left_semi")
+        .select("gram").distinct()
+      // wordShingles is distinct-per-doc, so counting e's semi-matched
+      // gram rows IS e's distinct covered-gram count.
+      val cov = evalGrams
+        .join(broadcast(coveredGrams), Seq("gram"), "left_semi")
         .groupBy("eval_id").agg(count(lit(1)).as("n_covered"))
-      val td = matched.select("eval_id", "__tid").distinct()
+      // Distinct train docs: collapse the gram-grain join output to the
+      // distinct (eval_id, __tid) grain in-stage; the exchange carries
+      // only distinct pairs (output-bound), never the gram-grain stream.
+      val td = trainGrams.join(broadcast(evalGrams), "gram")
+        .select("eval_id", "__tid").distinct()
         .groupBy("eval_id").agg(count(lit(1)).as("n_train_docs"))
       evalBase.drop("__grams")
         .join(cov, Seq("eval_id"), "left")
@@ -244,10 +263,15 @@ object Curation {
       // cold pair stream: bounded by cap × |eval grams|
       val coldTrain = trainGrams.join(hotDf, Seq("gram"), "left_anti")
       val coldEval = evalGrams.join(hotDf, Seq("gram"), "left_anti")
-      val matched = coldTrain.join(broadcast(coldEval), "gram")
-        .localCheckpoint()
-      // coverage = cold grams matched + hot grams present (always covered)
-      val covCold = matched.select("eval_id", "gram").distinct()
+      // coverage = cold grams present in cold train (pair-free gram-set
+      // intersection, same shape as the uncapped branch) + hot grams
+      // (covered by definition: df > cap ≥ 1)
+      val coldEvalSet = coldEval.select("gram").distinct()
+      val coveredCold = coldTrain
+        .join(broadcast(coldEvalSet), Seq("gram"), "left_semi")
+        .select("gram").distinct()
+      val covCold = coldEval
+        .join(broadcast(coveredCold), Seq("gram"), "left_semi")
         .groupBy("eval_id").agg(count(lit(1)).as("__cov_cold"))
       val evalHot = evalBase.select(col("eval_id"),
         array_sort(array_intersect(col("__grams"), hotLit)).as("__hot"))
@@ -274,8 +298,15 @@ object Curation {
         .join(broadcast(masks), arrays_overlap(col("__hot"), col("__mask")))
         .groupBy("eval_id").agg(sum(col("__mask_docs")).as("__n_hot"))
       // n_cold(e) and the overlap correction n_cold∩hot(e): cold-matched
-      // train docs whose own hot mask intersects e's hot grams
-      val coldPairs = matched.select("eval_id", "__tid").distinct()
+      // train docs whose own hot mask intersects e's hot grams. Only the
+      // DISTINCT (eval, train) pair table lands (it is read twice below
+      // and is output-bound — ≤ eval docs × matched train docs); the
+      // gram-grain join output collapses to that grain in-stage. The
+      // ×100 replica killed the previous shape, which landed the
+      // gram-grain stream itself: replicas make every gram ~factor-hot
+      // yet below the cap, so that stream filled the disk.
+      val coldPairs = coldTrain.join(broadcast(coldEval), "gram")
+        .select("eval_id", "__tid").distinct()
         .localCheckpoint()
       val nCold = coldPairs
         .groupBy("eval_id").agg(count(lit(1)).as("__n_cold"))
