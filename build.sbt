@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Specs run corpus gates, which materialize sketch stages for the DuckDB
+// oracle to re-read; give the test JVM its own scratch root so `sbt test`
+// can never clobber a concurrently running Verify's files.
+Test / javaOptions += "-Dgraft.oracle.scratch=/tmp/graft_oracle_test"

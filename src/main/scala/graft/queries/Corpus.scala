@@ -20,6 +20,7 @@ object Corpus {
         GoldQueries3.defs ++
         MaintenanceQueries.defs ++
         DashQueries.defs ++
+        DashQueries2.defs ++
         LlmQueries.defs ++
         StreamingQueries.defs
     base :+ corpusComplete(base.size + 1)

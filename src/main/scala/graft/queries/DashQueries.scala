@@ -17,12 +17,12 @@ object DashQueries {
     * synthetic mapping has no duration column): 240 + 5×section for
     * rounds with a goal_time, NULL otherwise — spans the valid/invalid
     * buckets of the reference's validation CASE. */
-  private def durSilver(s: SparkSession, d: String): DataFrame =
+  private[queries] def durSilver(s: SparkSession, d: String): DataFrame =
     GoldQueries.silverView(s, d)
       .withColumn("round_duration_minutes",
         col("goal_time") / 60.0 + col("current_section") * 5)
 
-  private val DurSql: String =
+  private[queries] val DurSql: String =
     """dur AS (
       SELECT *, goal_time / 60.0 + current_section * 5 AS round_duration_minutes
       FROM silver

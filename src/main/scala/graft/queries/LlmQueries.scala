@@ -26,8 +26,11 @@ object LlmQueries {
     * the final result from the read-back frame — the oracle then
     * `read_parquet`s the same files and recomputes the exact verification
     * stage (Hamming / Jaccard / euclidean / posting join) independently.
-    * The path is a literal because it must match the static oracle SQL. */
-  private val OracleScratch = "/tmp/graft_oracle"
+    * The path is resolved once per JVM ([[QueryDef.oracleScratch]]) and
+    * interpolated into both the write path and the oracle SQL, so they
+    * always agree — and a forked test JVM gets its own root instead of
+    * racing a concurrent Verify run over the same files. */
+  private val OracleScratch = QueryDef.oracleScratch
 
   private def materialize(df: DataFrame, name: String): DataFrame = {
     val path = s"$OracleScratch/$name"

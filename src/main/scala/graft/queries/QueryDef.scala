@@ -23,6 +23,16 @@ final case class QueryDef(
     oracle: Option[String] = None)
 
 object QueryDef {
+  /** Scratch root for gates that materialize a sketch stage for the
+    * oracle to re-read. Overridable via `-Dgraft.oracle.scratch` so a
+    * test JVM and a concurrent Verify run never clobber each other's
+    * files (the driver sets nothing and gets the canonical path; the
+    * forked test JVM gets its own root via build.sbt). The resolved
+    * value is interpolated into BOTH the write path and the oracle SQL
+    * at defs-construction time, so the two always agree within a JVM. */
+  val oracleScratch: String =
+    sys.props.getOrElse("graft.oracle.scratch", "/tmp/graft_oracle")
+
   /** Exact, order-independent sum of a double column: decimal-accumulate
     * then return DOUBLE. Mirrors `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS
     * DOUBLE)` in the oracle. */

@@ -234,7 +234,7 @@ object ScanQueries {
     QueryDef(
       "s10_orc_roundtrip",
       (s, d) => {
-        val path = "/tmp/graft_oracle/orc_customer"
+        val path = s"${QueryDef.oracleScratch}/orc_customer"
         t(s, d, "customer").write.mode("overwrite").orc(path)
         s.read.orc(path)
           .groupBy(col("c_mktsegment"))

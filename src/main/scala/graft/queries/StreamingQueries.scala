@@ -617,7 +617,7 @@ object StreamingQueries {
       (s, d) => {
         val base = scratch("st_neardup")
         val land = s"$base/land"; Files.createDirectories(Paths.get(land))
-        val sink = "/tmp/graft_oracle/st_neardup_cands"
+        val sink = s"${QueryDef.oracleScratch}/st_neardup_cands"
         graft.tables.FsUtil.deleteRec(Paths.get(sink))
         val corpus = t(s, d, "documents")
         val idx = s"$base/index"
@@ -649,7 +649,7 @@ object StreamingQueries {
           s, idx, s.read.parquet(sink).distinct(), batch,
           "doc_id", "text", n = 2, threshold = 0.7)
       },
-      Some("""WITH corpus AS (SELECT doc_id, text FROM documents),
+      Some(raw"""WITH corpus AS (SELECT doc_id, text FROM documents),
               batch AS (SELECT doc_id + 20000 AS doc_id, text || ' graftmarker' AS text
                         FROM documents),
               bsh AS (SELECT doc_id,
@@ -665,7 +665,7 @@ object StreamingQueries {
                        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')[i+1])) AS sh
                 FROM corpus),
               c AS (SELECT DISTINCT batch_id, corpus_id
-                    FROM read_parquet('/tmp/graft_oracle/st_neardup_cands/*.parquet'))
+                    FROM read_parquet('${QueryDef.oracleScratch}/st_neardup_cands/*.parquet'))
               SELECT c.batch_id, c.corpus_id,
               CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE) /
                 NULLIF(LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))), 0) AS jaccard
