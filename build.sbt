@@ -29,6 +29,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 // Specs run corpus gates, which materialize sketch stages for the DuckDB
-// oracle to re-read; give the test JVM its own scratch root so `sbt test`
-// can never clobber a concurrently running Verify's files.
-Test / javaOptions += "-Dgraft.oracle.scratch=/tmp/graft_oracle_test"
+// oracle to re-read. The scratch root defaults to a per-JVM (pid-suffixed)
+// directory — see QueryDef.oracleScratch — so `sbt test`, Verify, and
+// Bench can run concurrently without clobbering each other's files.

@@ -22,6 +22,25 @@ object DashQueries {
       .withColumn("round_duration_minutes",
         col("goal_time") / 60.0 + col("current_section") * 5)
 
+  /** The d18 course-summary oracle body, shared with d34's CTE so the
+    * two gates can never drift to different summary semantics. */
+  private[queries] val CourseSummaryBody: String =
+    """SELECT course_id,
+      COUNT(DISTINCT round_id) AS round_count,
+      COUNT(*) AS event_count,
+      CAST(SUM(CASE WHEN is_location_padding = FALSE THEN 1 ELSE 0 END) AS BIGINT) AS real_events,
+      MIN(event_date) AS first_date,
+      MAX(event_date) AS last_date,
+      CAST(DATE_DIFF('day', MIN(event_date), MAX(event_date)) + 1 AS INTEGER) AS total_days,
+      COUNT(DISTINCT CASE WHEN is_location_padding = FALSE THEN event_date END) AS playing_days,
+      MAX(section_number) AS max_section,
+      MAX(hole_number) AS max_hole,
+      CASE WHEN MAX(hole_number) >= 10 THEN '18-hole'
+           WHEN MAX(section_number) > 54 THEN '27-hole'
+           WHEN MAX(section_number) > 27 THEN '18-hole (loop)'
+           ELSE '9-hole' END AS inferred_type
+      FROM silver GROUP BY course_id"""
+
   private[queries] val DurSql: String =
     """dur AS (
       SELECT *, goal_time / 60.0 + current_section * 5 AS round_duration_minutes
@@ -606,21 +625,8 @@ object DashQueries {
         graft.analytics.DashboardQueries.courseSummary(
           GoldQueries.silverView(s, d)),
       Some(s"""WITH ${GoldQueries.SilverSql}
-               SELECT course_id,
-               COUNT(DISTINCT round_id) AS round_count,
-               COUNT(*) AS event_count,
-               CAST(SUM(CASE WHEN is_location_padding = FALSE THEN 1 ELSE 0 END) AS BIGINT) AS real_events,
-               MIN(event_date) AS first_date,
-               MAX(event_date) AS last_date,
-               CAST(DATE_DIFF('day', MIN(event_date), MAX(event_date)) + 1 AS INTEGER) AS total_days,
-               COUNT(DISTINCT CASE WHEN is_location_padding = FALSE THEN event_date END) AS playing_days,
-               MAX(section_number) AS max_section,
-               MAX(hole_number) AS max_hole,
-               CASE WHEN MAX(hole_number) >= 10 THEN '18-hole'
-                    WHEN MAX(section_number) > 54 THEN '27-hole'
-                    WHEN MAX(section_number) > 27 THEN '18-hole (loop)'
-                    ELSE '9-hole' END AS inferred_type
-               FROM silver GROUP BY course_id ORDER BY course_id""")),
+               $CourseSummaryBody
+               ORDER BY course_id""")),
 
     // get_hole_duration_for_course (queries.py:950-996): per-hole
     // duration stats. The synthetic fixes of one round land days apart

@@ -55,25 +55,11 @@ object DashQueries2 {
           peak_season_start_month, peak_season_end_month, notes)
     )"""
 
-  /** The d18 course-summary rollup as a reusable CTE (d34 builds on it). */
+  /** The d18 course-summary rollup as a reusable CTE — the BODY is
+    * shared with the d18 oracle ([[DashQueries.CourseSummaryBody]]) so
+    * the two gates can never drift to different summary semantics. */
   private val CourseSummarySql: String =
-    """cs AS (
-      SELECT course_id,
-      COUNT(DISTINCT round_id) AS round_count,
-      COUNT(*) AS event_count,
-      CAST(SUM(CASE WHEN is_location_padding = FALSE THEN 1 ELSE 0 END) AS BIGINT) AS real_events,
-      MIN(event_date) AS first_date,
-      MAX(event_date) AS last_date,
-      CAST(DATE_DIFF('day', MIN(event_date), MAX(event_date)) + 1 AS INTEGER) AS total_days,
-      COUNT(DISTINCT CASE WHEN is_location_padding = FALSE THEN event_date END) AS playing_days,
-      MAX(section_number) AS max_section,
-      MAX(hole_number) AS max_hole,
-      CASE WHEN MAX(hole_number) >= 10 THEN '18-hole'
-           WHEN MAX(section_number) > 54 THEN '27-hole'
-           WHEN MAX(section_number) > 27 THEN '18-hole (loop)'
-           ELSE '9-hole' END AS inferred_type
-      FROM silver GROUP BY course_id
-    )"""
+    s"cs AS (${DashQueries.CourseSummaryBody})"
 
   private def pctSql(cond: String): String =
     s"ROUND(100.0e0 * SUM(CASE WHEN $cond THEN 1 ELSE 0 END) / NULLIF(COUNT(*), 0), 1)"

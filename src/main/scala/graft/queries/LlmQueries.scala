@@ -901,6 +901,89 @@ object LlmQueries {
                 TRUE AS pieces_bounded
               FROM n ORDER BY doc_id""")),
 
+    // Unigram-LM (SentencePiece, Kudo 2018) tokenizer — the second
+    // tokenizer-training family next to BPE. Gate 1: the SEED-piece
+    // census (substrings of census words up to length 3, weighted by
+    // word frequency, top-K by count with single chars always retained)
+    // is pure relational algebra, so the FULL training input gets a
+    // real DuckDB oracle — not just a pinned invariant.
+    QueryDef(
+      "l_unigram_seed_census",
+      (s, d) =>
+        graft.llm.Unigram.seedCensus(t(s, d, "documents"), "text",
+          maxPieceLen = 3, seedSize = 4000),
+      Some(raw"""WITH w AS (
+                SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+                FROM documents
+              ),
+              wc AS (
+                SELECT w, COUNT(*) AS c FROM w WHERE len(w) > 0 GROUP BY w
+              ),
+              pieces AS (
+                SELECT unnest(flatten(list_transform(generate_series(1, 3),
+                  l -> CASE WHEN len(w) >= l THEN
+                         list_transform(generate_series(1, len(w) - l + 1),
+                           i -> substring(w, i, l))
+                       ELSE CAST([] AS VARCHAR[]) END))) AS piece, c
+                FROM wc
+              ),
+              pc AS (
+                SELECT piece, CAST(SUM(c) AS BIGINT) AS cnt
+                FROM pieces GROUP BY piece
+              ),
+              top AS (
+                SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT 4000
+              ),
+              uni AS (
+                SELECT piece, cnt FROM top
+                UNION ALL
+                SELECT piece, cnt FROM pc WHERE len(piece) = 1
+              )
+              SELECT piece, MAX(cnt) AS cnt FROM uni GROUP BY piece""")),
+
+    // Gate 2: Viterbi-EM training + exact-integer Viterbi ENCODE, pinned
+    // by the l_bpe_encode losslessness discipline — the oracle
+    // independently normalizes the raw text and compares md5 against the
+    // piece-reconstructed text, so a segmenter that drops, duplicates,
+    // or reorders ONE character anywhere in the corpus diverges. The
+    // vocabulary-membership and piece-count bounds are Spark-side
+    // assertions the oracle pins as constants (DuckDB cannot re-run the
+    // DP; the census feeding it is oracle-checked by gate 1).
+    QueryDef(
+      "l_unigram_encode",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pieces = graft.llm.Unigram.train(docs, "text",
+          vocabSize = 1500, maxPieceLen = 3, iterations = 2, seedSize = 4000)
+        val vocab = pieces.map(_.piece)
+        graft.llm.Unigram.encode(docs, "doc_id", "text", pieces, maxPieceLen = 3)
+          .select(col("doc_id"),
+            size(col("unigram_tokens")).as("n_words"),
+            aggregate(transform(col("unigram_tokens"), a => size(a)),
+              lit(0), (acc, x) => acc + x).as("__n_pieces"),
+            concat_ws(" ",
+              transform(col("unigram_tokens"), a => concat_ws("", a))).as("__rec"),
+            (size(array_except(flatten(col("unigram_tokens")),
+              typedLit(vocab))) === 0).as("all_pieces_in_vocab"))
+          .select(col("doc_id"), col("n_words"),
+            md5(col("__rec")).as("reconstruction_md5"),
+            (col("__n_pieces") >= col("n_words") &&
+              col("__n_pieces") <= length(col("__rec"))).as("pieces_bounded"),
+            col("all_pieces_in_vocab"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH n AS (
+                SELECT doc_id,
+                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+                FROM documents
+              )
+              SELECT doc_id,
+                CAST(len(string_split(norm, ' ')) AS INT) AS n_words,
+                md5(norm) AS reconstruction_md5,
+                TRUE AS pieces_bounded,
+                TRUE AS all_pieces_in_vocab
+              FROM n ORDER BY doc_id""")),
+
     // Corpus heavy hitters — EXACT output at sketch-bounded cost: a
     // Misra–Gries aggregate (mergeable, ≤512 rows per partition cross
     // the wire — never a full-vocabulary shuffle) yields a candidate

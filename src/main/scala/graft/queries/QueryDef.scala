@@ -24,14 +24,17 @@ final case class QueryDef(
 
 object QueryDef {
   /** Scratch root for gates that materialize a sketch stage for the
-    * oracle to re-read. Overridable via `-Dgraft.oracle.scratch` so a
-    * test JVM and a concurrent Verify run never clobber each other's
-    * files (the driver sets nothing and gets the canonical path; the
-    * forked test JVM gets its own root via build.sbt). The resolved
-    * value is interpolated into BOTH the write path and the oracle SQL
-    * at defs-construction time, so the two always agree within a JVM. */
+    * oracle to re-read. Unique PER JVM by default (pid suffix), so NO
+    * two concurrent runs — Verify vs `sbt test`, or two Verifies — can
+    * ever clobber each other's files; `-Dgraft.oracle.scratch` pins it
+    * when a stable path is wanted. The resolved value is interpolated
+    * into BOTH the write path and the oracle SQL at defs-construction
+    * time, so the two always agree within a JVM, and the oracle-side
+    * consumer (the driver's DuckDB compare) reads the path from the
+    * dumped oracle_sql.json, never from a convention. */
   val oracleScratch: String =
-    sys.props.getOrElse("graft.oracle.scratch", "/tmp/graft_oracle")
+    sys.props.getOrElse("graft.oracle.scratch",
+      s"/tmp/graft_oracle_${ProcessHandle.current().pid()}")
 
   /** Exact, order-independent sum of a double column: decimal-accumulate
     * then return DOUBLE. Mirrors `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS

@@ -417,4 +417,21 @@ class PlanSpec extends SparkSpec {
     assert(r.getSeq[Long](6).head ===
       spark.sql("SELECT xxhash64('a')").collect()(0).getLong(0))
   }
+
+  test("unigram seed census explodes substrings at VOCAB grain, not corpus grain") {
+    // the scale contract: the corpus collapses to its word census
+    // (one partial-aggregated shuffle) BEFORE the substring Generate —
+    // an explosion below the aggregate would be corpus-sized at 100 TB
+    val p = plan("l_unigram_seed_census")
+    val gen = p.indexOf("Generate")          // substring explosion
+    assert(gen >= 0, s"no Generate in:\n$p")
+    // formatted explain lists operators leaves-first: the word-census
+    // HashAggregate must appear BEFORE (below) the substring Generate,
+    // and partial aggregation must be planned for both censuses
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && firstAgg < gen,
+      s"substring explosion below the word census in:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no map-side partial aggregation in:\n$p")
+  }
 }

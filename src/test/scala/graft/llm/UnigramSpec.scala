@@ -1,0 +1,170 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unigram-LM tokenizer semantics: exact-integer Viterbi vs brute-force
+  * enumeration, losslessness, training determinism, monotone objective,
+  * single-char fallback, and the seed-census hand-count. */
+class UnigramSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  // -- seed census -----------------------------------------------------
+
+  test("seed census hand-count: substrings weighted by word frequency") {
+    // "ab ab ba" → census ab:2, ba:1
+    // pieces of 'ab' (w=2): a,b,ab ; of 'ba' (w=1): b,a,ba
+    val out = Unigram.seedCensus(docs("ab ab ba"), "text",
+      maxPieceLen = 2, seedSize = 100)
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 3L, "b" -> 3L, "ab" -> 2L, "ba" -> 1L))
+  }
+
+  test("seed census always retains single chars below the top-K cut") {
+    // seedSize=1 keeps only the top piece, but 1-char pieces union back
+    val out = Unigram.seedCensus(docs("aa aa aa ab"), "text",
+      maxPieceLen = 2, seedSize = 1)
+      .as[(String, Long)].collect().toMap
+    assert(out.contains("a") && out.contains("b"))
+  }
+
+  // -- Viterbi ---------------------------------------------------------
+
+  /** Brute-force best segmentation by enumerating all 2^(n-1) splits
+    * with exact rational comparison (cross-multiplied BigInt). */
+  private def bruteBest(word: String, counts: Map[String, Long],
+      total: BigInt, maxLen: Int): Seq[Seq[String]] = {
+    def segs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(maxLen, w.length)).flatMap { l =>
+        val h = w.substring(0, l)
+        if (!counts.contains(h)) Nil
+        else segs(w.substring(l)).map(h +: _)
+      }
+    val all = segs(word)
+    if (all.isEmpty) return Nil
+    def score(s: Seq[String]) =
+      (s.map(p => BigInt(counts(p))).product, s.length)
+    // max by p/T^k: a >= b iff pA*T^kB >= pB*T^kA
+    val best = all.reduceLeft { (a, b) =>
+      val (pa, ka) = score(a); val (pb, kb) = score(b)
+      val cmp = (pa * total.pow(kb)).compare(pb * total.pow(ka))
+      if (cmp > 0) a else if (cmp < 0) b
+      else if (ka != kb) { if (ka < kb) a else b }
+      else a
+    }
+    all.filter { s =>
+      val (ps, ks) = score(s); val (pb, kb) = score(best)
+      (ps * total.pow(kb)) == (pb * total.pow(ks))
+    }
+  }
+
+  test("viterbi matches brute-force enumeration on every short word") {
+    val counts = Map("a" -> 5L, "b" -> 3L, "c" -> 2L, "ab" -> 7L,
+      "bc" -> 6L, "abc" -> 4L, "ca" -> 1L)
+    val total: BigInt = counts.values.map(BigInt(_)).sum
+    val words = Seq("a", "ab", "abc", "abca", "cabc", "abcabc", "cccc", "bca")
+    words.foreach { w =>
+      val v = Unigram.viterbiSegment(w, counts, total, 3)
+      val bests = bruteBest(w, counts, total, 3)
+      assert(v != null, s"no path for $w")
+      assert(v.mkString("") == w, s"lossy segmentation of $w")
+      assert(bests.exists(_ == v.toSeq),
+        s"$w: viterbi ${v.toSeq} not among optimal $bests")
+    }
+  }
+
+  test("viterbi prefers the higher-probability piece over chars") {
+    // 'ab' has huge count → one piece beats two chars
+    val counts = Map("a" -> 1L, "b" -> 1L, "ab" -> 1000L)
+    val total: BigInt = counts.values.map(BigInt(_)).sum
+    assert(Unigram.viterbiSegment("ab", counts, total, 2).toSeq == Seq("ab"))
+    // with a rare 'xy' piece, two common chars win: (1000*1000)/T² vs 2/T
+    val c2 = Map("x" -> 1000L, "y" -> 1000L, "xy" -> 2L)
+    val t2: BigInt = c2.values.map(BigInt(_)).sum
+    val pick = Unigram.viterbiSegment("xy", c2, t2, 2).toSeq
+    assert(pick == Seq("x", "y") ||
+      (BigInt(2) * t2) > (BigInt(1000L) * BigInt(1000L)))
+  }
+
+  test("viterbi returns null when the word is not segmentable") {
+    val counts = Map("a" -> 1L)
+    assert(Unigram.viterbiSegment("ax", counts, BigInt(2), 2) == null)
+  }
+
+  // -- training --------------------------------------------------------
+
+  test("training is deterministic and keeps the table within bounds") {
+    val d = docs("the cat sat on the mat", "the bat sat on the hat",
+      "a cat and a bat", "mat hat bat cat")
+    val t1 = Unigram.train(d, "text", vocabSize = 12, maxPieceLen = 3,
+      iterations = 2, seedSize = 50)
+    val t2 = Unigram.train(d, "text", vocabSize = 12, maxPieceLen = 3,
+      iterations = 2, seedSize = 50)
+    assert(t1.toSeq == t2.toSeq)
+    val singles = t1.count(_.piece.length == 1)
+    assert(t1.length <= 12 + singles,
+      "pruned table exceeds vocabSize + retained single chars")
+    assert(t1.forall(_.count > 0))
+  }
+
+  test("viterbi-EM objective is non-decreasing across iterations") {
+    val d = docs("banana bandana", "banana banana cabana", "nab ban ana")
+    def corpusLogScore(pieces: Array[Unigram.Piece]): Double = {
+      val counts = pieces.map(p => p.piece -> (p.count + 1L)).toMap
+      val total: BigInt = counts.valuesIterator.map(BigInt(_)).sum
+      val logT = math.log(total.toDouble)
+      val words = d.select(explode(TextAnalysis.tokens(
+        TextAnalysis.normalize(col("text")))).as("w"))
+        .as[String].collect()
+      words.map { w =>
+        val seg = Unigram.viterbiSegment(w, counts, total, 3)
+        assert(seg != null)
+        seg.map(p => math.log(counts(p).toDouble) - logT).sum
+      }.sum
+    }
+    // score iteration i's table on the SAME corpus: each EM step may
+    // only improve (or keep) the Viterbi objective
+    val scores = (1 to 3).map { it =>
+      corpusLogScore(Unigram.train(d, "text", vocabSize = 30,
+        maxPieceLen = 3, iterations = it, seedSize = 100))
+    }
+    assert(scores.sliding(2).forall { case Seq(a, b) => b >= a - 1e-9 },
+      s"objective regressed: $scores")
+  }
+
+  // -- encode ----------------------------------------------------------
+
+  test("encode reconstructs every word exactly and stays in-vocab") {
+    val d = docs("hello world", "worldly hello", "low lowly hell")
+    val pieces = Unigram.train(d, "text", vocabSize = 20, maxPieceLen = 3,
+      iterations = 2, seedSize = 100)
+    val vocab = pieces.map(_.piece).toSet
+    val out = Unigram.encode(d, "doc_id", "text", pieces, maxPieceLen = 3)
+      .select(col("doc_id"), col("unigram_tokens"))
+      .as[(Long, Seq[Seq[String]])].collect().toMap
+    val texts = d.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    texts.foreach { case (id, t) =>
+      val norm = t.toLowerCase.trim.replaceAll("\\s+", " ")
+      val rec = out(id).map(_.mkString("")).mkString(" ")
+      assert(rec == norm, s"doc $id: $rec != $norm")
+      assert(out(id).flatten.forall(vocab.contains),
+        s"doc $id emitted out-of-vocab pieces")
+    }
+  }
+
+  test("encode falls back to characters for out-of-alphabet words") {
+    val pieces = Array(Unigram.Piece("a", 5L), Unigram.Piece("b", 3L))
+    val out = Unigram.encode(docs("ab zq"), "doc_id", "text", pieces,
+      maxPieceLen = 2)
+      .select(col("unigram_tokens")).as[Seq[Seq[String]]].collect().head
+    assert(out.map(_.mkString("")) == Seq("ab", "zq"))
+  }
+}
