@@ -298,30 +298,33 @@ object Curation {
         .join(broadcast(masks), arrays_overlap(col("__hot"), col("__mask")))
         .groupBy("eval_id").agg(sum(col("__mask_docs")).as("__n_hot"))
       // n_cold(e) and the overlap correction n_cold∩hot(e): cold-matched
-      // train docs whose own hot mask intersects e's hot grams. Only the
-      // DISTINCT (eval, train) pair table lands (it is read twice below
-      // and is output-bound — ≤ eval docs × matched train docs); the
-      // gram-grain join output collapses to that grain in-stage. The
-      // ×100 replica killed the previous shape, which landed the
-      // gram-grain stream itself: replicas make every gram ~factor-hot
-      // yet below the cap, so that stream filled the disk.
+      // train docs whose own hot mask intersects e's hot grams. The
+      // distinct (eval, train) pair table is quadratic at adversarial
+      // grain (every eval doc vocabulary-matching most train docs), so
+      // it must NEVER be materialized: a localCheckpoint of it OOMed an
+      // ×100 measurement run at ~10⁹ pairs (and the previous shape,
+      // which landed the GRAM-grain stream, filled the disk before
+      // that). Instead the pair stream is consumed EXACTLY ONCE: the
+      // gram-grain join collapses to distinct pairs in-stage, flows
+      // through the mask join, and ONE aggregation computes both
+      // n_cold (count) and n_cold∩hot (conditional count) — every
+      // pair-scale stage streams through shuffle files, nothing lands
+      // in a storage level.
       val coldPairs = coldTrain.join(broadcast(coldEval), "gram")
         .select("eval_id", "__tid").distinct()
-        .localCheckpoint()
-      val nCold = coldPairs
-        .groupBy("eval_id").agg(count(lit(1)).as("__n_cold"))
-      val nColdHot = coldPairs
-        .join(trainMask, "__tid")
-        .join(broadcast(evalHot), "eval_id")
-        .filter(size(col("__hot")) > 0 &&
-          arrays_overlap(col("__hot"), col("__tmask")))
-        .groupBy("eval_id").agg(count(lit(1)).as("__n_coldhot"))
+      val nColdBoth = coldPairs
+        .join(trainMask, Seq("__tid"), "left")
+        .join(broadcast(evalHot), Seq("eval_id"), "left")
+        .groupBy("eval_id").agg(
+          count(lit(1)).as("__n_cold"),
+          sum(when(size(col("__hot")) > 0 && col("__tmask").isNotNull &&
+              arrays_overlap(col("__hot"), col("__tmask")), 1L)
+            .otherwise(0L)).as("__n_coldhot"))
       evalBase.drop("__grams")
         .join(covCold, Seq("eval_id"), "left")
         .join(covHot, Seq("eval_id"), "left")
-        .join(nCold, Seq("eval_id"), "left")
+        .join(nColdBoth, Seq("eval_id"), "left")
         .join(nHot, Seq("eval_id"), "left")
-        .join(nColdHot, Seq("eval_id"), "left")
         .na.fill(0L, Seq("__cov_cold", "__cov_hot", "__n_cold", "__n_hot",
           "__n_coldhot"))
         .withColumn("n_covered", col("__cov_cold") + col("__cov_hot"))

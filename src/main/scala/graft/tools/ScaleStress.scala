@@ -71,7 +71,15 @@ object ScaleStress {
     // (id, md5) shuffle, and the two new dashboard gates exercise the
     // two-level timestamp agg and the fatigue rollup under skew
     "l_boilerplate_strip", "l_corpus_diff", "l_fertility",
-    "d19_hole_durations", "d20_nine_loop_pace")
+    "d19_hole_durations", "d20_nine_loop_pace",
+    // round-7 corpus close: the dashboard tail's heavy hitters under
+    // the hot course (the 16-metric conditional-agg composite, the
+    // round-grain validation ladder, the full round listing — output-
+    // bound by contract — and the ranking rollup), plus the unigram
+    // tokenizer encode (corpus-grain Viterbi DP — embarrassingly
+    // parallel, the claim under test)
+    "d25_data_quality_score", "d41_round_validation", "d38_round_list",
+    "d43_global_data_quality_ranking", "l_unigram_encode")
 
   /** Hot boilerplate phrase planted into ~30% of documents. */
   val HotPhrase =
