@@ -531,9 +531,21 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)],
       outCol: String = "bpe_tokens"): DataFrame = {
+    val ranks = merges.zipWithIndex.toMap
+    encodeWords(df, idCol, textCol, outCol)(w => applyBpeMerges(w, ranks).toSeq)
+  }
+
+  /** Shared per-word tokenizer-inference scaffolding (BPE and unigram):
+    * tokenization stays codegen; `segment` runs per word behind the one
+    * justified mapPartitions boundary, with whatever table it needs
+    * captured in its closure. Output `outCol` is Array[Array[String]]
+    * (pieces per word) so word boundaries survive for downstream
+    * packing/reconstruction. */
+  private[llm] def encodeWords(
+      df: DataFrame, idCol: String, textCol: String, outCol: String)(
+      segment: String => Seq[String]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
-    val ranks = merges.zipWithIndex.toMap
     val worded = df.select(col(idCol),
       tokens(normalize(col(textCol))).as("__words"))
     val wIdx = worded.schema.fieldIndex("__words")
@@ -545,8 +557,7 @@ object TextAnalysis {
       rows.map { r =>
         val ws = r.getSeq[String](wIdx)
         val pieces: Seq[Seq[String]] =
-          if (ws == null) null
-          else ws.map(w => applyBpeMerges(w, ranks).toSeq)
+          if (ws == null) null else ws.map(segment)
         Row.fromSeq(r.toSeq.patch(wIdx, Nil, 1) :+ pieces)
       }
     }(enc)

@@ -1,9 +1,7 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Unigram-LM subword tokenizer (Kudo 2018, the SentencePiece model) —
   * the second tokenizer-training family next to BPE, completing the
@@ -60,15 +58,13 @@ object Unigram {
         TextAnalysis.normalize(col(textCol)))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val pieces = words
-      .select(explode(expr(
-        s"""flatten(transform(sequence(1, $maxPieceLen, 1),
-            l -> CASE WHEN length(w) >= l THEN
-                   transform(sequence(1, length(w) - l + 1, 1),
-                     i -> substring(w, i, l))
-                 ELSE array() END))"""))
-        .as("piece"), col("c"))
-      .groupBy(col("piece")).agg(sum(col("c")).as("cnt"))
+    val piecesPlan = seedPieceCensus(words, maxPieceLen)
+    // pin the census to ONE physical plan (LogicalRDD): the top-K and
+    // the singles filter below both read the same shuffle output. Left
+    // as two Catalyst branches, the grouping-key filter pushes below
+    // the aggregate, the subplans diverge, exchange reuse is lost, and
+    // the corpus scans + census shuffle run TWICE.
+    val pieces = df.sparkSession.createDataFrame(piecesPlan.rdd, piecesPlan.schema)
     val top = pieces
       .orderBy(desc("cnt"), asc("piece"))
       .limit(seedSize)
@@ -77,13 +73,54 @@ object Unigram {
       .groupBy(col("piece")).agg(max(col("cnt")).as("cnt"))
   }
 
+  /** The substring census over a (w, c) word census — the piece
+    * explosion happens ABOVE the word-census aggregate (vocab grain,
+    * never corpus grain); PlanSpec pins that shape on this plan
+    * directly, since [[seedCensus]] hides it behind the LogicalRDD pin. */
+  private[graft] def seedPieceCensus(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, $maxPieceLen, 1),
+            l -> CASE WHEN length(w) >= l THEN
+                   transform(sequence(1, length(w) - l + 1, 1),
+                     i -> substring(w, i, l))
+                 ELSE array() END))"""))
+        .as("piece"), col("c"))
+      .groupBy(col("piece")).agg(sum(col("c")).as("cnt"))
+
   /** Best segmentation of `word` under the piece table, by exact-integer
     * Viterbi. `counts` maps piece → smoothed count (c+1); `total` is
     * Σ(c+1). Ties break to FEWER pieces, then to the longer last piece
     * (smaller back-pointer), recursively — a total order, so the result
     * is deterministic. Returns null when no path exists (cannot happen
     * when all single chars of the word are in the table). */
+  /** Words longer than this segment in independent chunks: a 100k-char
+    * unbroken token (base64 blob, minified JS) would otherwise give the
+    * DP corpus-scale BigInt products — SentencePiece caps unbroken
+    * input the same way. Chunk-local segmentation stays lossless (each
+    * chunk's pieces concatenate back exactly); only optimality across
+    * the chunk boundary is given up, on pathological tokens only. */
+  val DpChunkChars = 512
+
   def viterbiSegment(
+      word: String, counts: scala.collection.Map[String, Long],
+      total: BigInt, maxPieceLen: Int): Array[String] = {
+    if (word.length <= DpChunkChars) viterbiChunk(word, counts, total, maxPieceLen)
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var off = 0
+      while (off < word.length) {
+        val end = math.min(off + DpChunkChars, word.length)
+        val seg = viterbiChunk(word.substring(off, end), counts, total, maxPieceLen)
+        if (seg == null) return null
+        out ++= seg
+        off = end
+      }
+      out.toArray
+    }
+  }
+
+  private def viterbiChunk(
       word: String, counts: scala.collection.Map[String, Long],
       total: BigInt, maxPieceLen: Int): Array[String] = {
     val n = word.length
@@ -106,11 +143,18 @@ object Unigram {
             case Some(c) =>
               val p = prod(j) * BigInt(c)
               val kk = k(j) + 1
-              // score = p / total^kk; compare exactly via cross-multiply
+              // score = p / total^kk; compare exactly by raising only
+              // the SHORTER path by the exponent DELTA (never the full
+              // path length — total^k over a long word is a multi-
+              // megabit product; the delta stays small)
               val better =
                 if (bestProd == null) true
                 else {
-                  val cmp = (p * total.pow(bestK)).compare(bestProd * total.pow(kk))
+                  val cmp =
+                    if (kk >= bestK)
+                      p.compare(bestProd * total.pow(kk - bestK))
+                    else
+                      (p * total.pow(bestK - kk)).compare(bestProd)
                   if (cmp != 0) cmp > 0
                   else if (kk != bestK) kk < bestK
                   else j < bestBack // longer last piece wins ties
@@ -155,27 +199,41 @@ object Unigram {
     try {
       var table: Array[Piece] = seedCensus(df, textCol, maxPieceLen, seedSize)
         .as[(String, Long)].collect().map { case (p, c) => Piece(p, c) }
+      // the training ALPHABET: every single-char piece of the seed.
+      // These survive every prune — with count 0 if an iteration never
+      // used them — so every word over the alphabet stays segmentable;
+      // pruning singles that happened to be unused one iteration would
+      // strand words whose multi-char pieces fall below a later cut
+      // (and silently drop them from the EM census).
+      val alphabet: Array[String] =
+        table.collect { case Piece(p, _) if p.length == 1 => p }
       var iter = 0
       while (iter < iterations) {
         val counts = table.map(p => p.piece -> (p.count + 1L)).toMap
         val total: BigInt = counts.valuesIterator.map(BigInt(_)).sum
         val bcCounts = spark.sparkContext.broadcast(counts)
-        val used = wordCensus.as[(String, Long)].mapPartitions { rows =>
-          val m = bcCounts.value
-          rows.flatMap { case (w, c) =>
-            val seg = viterbiSegment(w, m, total, maxPieceLen)
-            if (seg == null) Iterator.empty
-            else seg.iterator.map(p => (p, c))
-          }
-        }.toDF("piece", "c")
-          .groupBy(col("piece")).agg(sum(col("c")).as("cnt"))
-        val pruned = used
-          .orderBy(desc("cnt"), asc("piece"))
-          .limit(vocabSize)
-          .unionByName(used.filter(length(col("piece")) === 1))
-          .groupBy(col("piece")).agg(max(col("cnt")).as("cnt"))
-        table = pruned.as[(String, Long)].collect()
-          .map { case (p, c) => Piece(p, c) }
+        // the EM census is bounded by the CURRENT table (only pieces in
+        // the table can be used), so one collect suffices; pruning
+        // driver-side also keeps the Viterbi mapPartitions job from
+        // being planned twice (a dataframe-side top-K ∪ singles union
+        // re-plans the census — the grouping-key filter pushes below
+        // the aggregate and breaks exchange reuse)
+        val used: Array[(String, Long)] =
+          wordCensus.as[(String, Long)].mapPartitions { rows =>
+            val m = bcCounts.value
+            rows.flatMap { case (w, c) =>
+              val seg = viterbiSegment(w, m, total, maxPieceLen)
+              if (seg == null) Iterator.empty
+              else seg.iterator.map(p => (p, c))
+            }
+          }.toDF("piece", "c")
+            .groupBy(col("piece")).agg(sum(col("c")).as("cnt"))
+            .as[(String, Long)].collect()
+        val usedMap = used.toMap
+        val top = used.sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+        table = (top.iterator.map { case (p, c) => Piece(p, c) } ++
+          alphabet.iterator.map(ch => Piece(ch, usedMap.getOrElse(ch, 0L))))
+          .toArray.distinctBy(_.piece)
         bcCounts.destroy()
         iter += 1
       }
@@ -198,30 +256,21 @@ object Unigram {
       outCol: String = "unigram_tokens"): DataFrame = {
     val counts = pieces.map(p => p.piece -> (p.count + 1L)).toMap
     val total: BigInt = counts.valuesIterator.map(BigInt(_)).sum
-    val worded = df.select(col(idCol),
-      TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))).as("__words"))
-    val wIdx = worded.schema.fieldIndex("__words")
-    val outSchema = StructType(
-      worded.schema.fields.patch(wIdx, Nil, 1) :+
-        StructField(outCol, ArrayType(ArrayType(StringType))))
-    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    worded.mapPartitions { rows =>
-      rows.map { r =>
-        val ws = r.getSeq[String](wIdx)
-        val ps: Seq[Seq[String]] =
-          if (ws == null) null
-          else ws.map { w =>
-            if (w.isEmpty) Seq.empty[String]
-            else {
-              val seg = viterbiSegment(w, counts, total, maxPieceLen)
-              // single chars always in the table → seg never null for
-              // words drawn from the training corpus's alphabet; fall
-              // back to characters for out-of-alphabet words
-              if (seg == null) w.map(_.toString) else seg.toSeq
-            }
-          }
-        Row.fromSeq(r.toSeq.patch(wIdx, Nil, 1) :+ ps)
+    TextAnalysis.encodeWords(df, idCol, textCol, outCol) { w =>
+      if (w.isEmpty) Seq.empty[String]
+      else {
+        val seg = viterbiSegment(w, counts, total, maxPieceLen)
+        // the training alphabet's single chars survive every prune →
+        // seg is never null for words over that alphabet; fall back to
+        // CODE POINTS (not Chars — a Char split would cut a non-BMP
+        // code point into two lone surrogates, which are invalid
+        // strings and would break the losslessness hash) for
+        // out-of-alphabet words
+        if (seg == null)
+          w.codePoints().toArray
+            .map(cp => new String(Character.toChars(cp))).toSeq
+        else seg.toSeq
       }
-    }(enc)
+    }
   }
 }

@@ -875,7 +875,12 @@ object LlmQueries {
     QueryDef(
       "l_bpe_encode",
       (s, d) => {
+        // NULL text reads as present-but-empty on both sides (the
+        // l_corpus_diff discipline); an empty norm has 0 pieces for 1
+        // empty "word", so the bound carries an explicit empty guard
+        // instead of silently failing on blank documents.
         val docs = t(s, d, "documents")
+          .withColumn("text", coalesce(col("text"), lit("")))
         val merges = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 30)
         TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
           .select(col("doc_id"),
@@ -886,13 +891,14 @@ object LlmQueries {
               transform(col("bpe_tokens"), a => concat_ws("", a))).as("__rec"))
           .select(col("doc_id"), col("n_words"),
             md5(col("__rec")).as("reconstruction_md5"),
-            (col("__n_pieces") >= col("n_words") &&
-              col("__n_pieces") <= length(col("__rec"))).as("pieces_bounded"))
+            ((col("__n_pieces") >= col("n_words") &&
+              col("__n_pieces") <= length(col("__rec"))) ||
+              length(col("__rec")) === 0).as("pieces_bounded"))
           .orderBy(col("doc_id"))
       },
       Some("""WITH n AS (
                 SELECT doc_id,
-                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+                  trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g')) AS norm
                 FROM documents
               )
               SELECT doc_id,
@@ -953,6 +959,7 @@ object LlmQueries {
       "l_unigram_encode",
       (s, d) => {
         val docs = t(s, d, "documents")
+          .withColumn("text", coalesce(col("text"), lit("")))
         val pieces = graft.llm.Unigram.train(docs, "text",
           vocabSize = 1500, maxPieceLen = 3, iterations = 2, seedSize = 4000)
         val vocab = pieces.map(_.piece)
@@ -967,14 +974,15 @@ object LlmQueries {
               typedLit(vocab))) === 0).as("all_pieces_in_vocab"))
           .select(col("doc_id"), col("n_words"),
             md5(col("__rec")).as("reconstruction_md5"),
-            (col("__n_pieces") >= col("n_words") &&
-              col("__n_pieces") <= length(col("__rec"))).as("pieces_bounded"),
+            ((col("__n_pieces") >= col("n_words") &&
+              col("__n_pieces") <= length(col("__rec"))) ||
+              length(col("__rec")) === 0).as("pieces_bounded"),
             col("all_pieces_in_vocab"))
           .orderBy(col("doc_id"))
       },
       Some(raw"""WITH n AS (
                 SELECT doc_id,
-                  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+                  trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g')) AS norm
                 FROM documents
               )
               SELECT doc_id,

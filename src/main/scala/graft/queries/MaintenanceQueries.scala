@@ -22,8 +22,11 @@ object MaintenanceQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.load(s, d, n)
 
+  // rooted under the per-JVM oracle scratch: a concurrent run of the
+  // same gate (test vs Verify) would otherwise clobber this run's
+  // working tables mid-query
   private def scratch(name: String): String = {
-    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_maint_q", name)
+    val p = Paths.get(QueryDef.oracleScratch, "maint_q", name)
     graft.tables.FsUtil.deleteRec(p)
     Files.createDirectories(p.getParent)
     p.toString

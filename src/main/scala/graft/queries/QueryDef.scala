@@ -32,9 +32,23 @@ object QueryDef {
     * time, so the two always agree within a JVM, and the oracle-side
     * consumer (the driver's DuckDB compare) reads the path from the
     * dumped oracle_sql.json, never from a convention. */
-  val oracleScratch: String =
-    sys.props.getOrElse("graft.oracle.scratch",
+  val oracleScratch: String = {
+    val root = sys.props.getOrElse("graft.oracle.scratch",
       s"/tmp/graft_oracle_${ProcessHandle.current().pid()}")
+    // the files must OUTLIVE the JVM (the driver's DuckDB replay runs
+    // after Verify exits), so no exit hook can clean them; instead each
+    // JVM sweeps SIBLING scratch dirs older than a day — any live
+    // concurrent run is hours old at most, so only abandoned dirs go
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    try {
+      val dir = new java.io.File("/tmp")
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("graft_oracle_") &&
+          f.lastModified() < cutoff && f.getAbsolutePath != root)
+        .foreach(f => graft.tables.FsUtil.deleteRec(f.toPath))
+    } catch { case _: Exception => () } // best-effort
+    root
+  }
 
   /** Exact, order-independent sum of a double column: decimal-accumulate
     * then return DOUBLE. Mirrors `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS

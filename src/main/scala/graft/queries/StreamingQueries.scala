@@ -44,8 +44,11 @@ object StreamingQueries {
     } finally walk.close()
   }
 
+  // rooted under the per-JVM oracle scratch: a concurrent run of the
+  // same gate would otherwise clobber this run's landing dirs and
+  // checkpoints mid-stream
   private def scratch(name: String): String = {
-    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_stream_q", name)
+    val p = Paths.get(QueryDef.oracleScratch, "stream_q", name)
     if (Files.exists(p)) deleteTree(p)
     Files.createDirectories(p)
     p.toString

@@ -421,16 +421,26 @@ class PlanSpec extends SparkSpec {
   test("unigram seed census explodes substrings at VOCAB grain, not corpus grain") {
     // the scale contract: the corpus collapses to its word census
     // (one partial-aggregated shuffle) BEFORE the substring Generate —
-    // an explosion below the aggregate would be corpus-sized at 100 TB
-    val p = plan("l_unigram_seed_census")
-    val gen = p.indexOf("Generate")          // substring explosion
+    // an explosion below the aggregate would be corpus-sized at 100 TB.
+    // Asserted on the census subplan directly (seedCensus pins it
+    // behind a LogicalRDD, hiding it from the outer gate's plan).
+    val words = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val census = graft.llm.Unigram.seedPieceCensus(words, 3)
+    // executedPlan prints ROOT-first: the word-census HashAggregate
+    // must appear AFTER (= below) the substring Generate, with the
+    // scan below that; a corpus-grain regression would leave no
+    // aggregate between the Generate and the scan
+    val p = census.queryExecution.executedPlan.toString
+    val gen = p.indexOf("Generate")
     assert(gen >= 0, s"no Generate in:\n$p")
-    // formatted explain lists operators leaves-first: the word-census
-    // HashAggregate must appear BEFORE (below) the substring Generate,
-    // and partial aggregation must be planned for both censuses
-    val firstAgg = p.indexOf("HashAggregate")
-    assert(firstAgg >= 0 && firstAgg < gen,
-      s"substring explosion below the word census in:\n$p")
+    val aggBelow = p.indexOf("HashAggregate", gen)
+    assert(aggBelow > gen,
+      s"no word-census aggregate BELOW the substring explosion in:\n$p")
+    assert(p.indexOf("Scan", aggBelow) > aggBelow,
+      s"scan not below the word census in:\n$p")
     assert(p.contains("partial_sum") || p.contains("partial_count"),
       s"no map-side partial aggregation in:\n$p")
   }

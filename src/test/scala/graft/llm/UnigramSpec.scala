@@ -111,7 +111,10 @@ class UnigramSpec extends SparkSpec {
     val singles = t1.count(_.piece.length == 1)
     assert(t1.length <= 12 + singles,
       "pruned table exceeds vocabSize + retained single chars")
-    assert(t1.forall(_.count > 0))
+    // multi-char pieces only exist because the EM census used them;
+    // alphabet singles survive every prune even at count 0 (the
+    // stranded-word guarantee), so only the multi-char bound holds
+    assert(t1.filter(_.piece.length > 1).forall(_.count > 0))
   }
 
   test("viterbi-EM objective is non-decreasing across iterations") {
@@ -158,6 +161,45 @@ class UnigramSpec extends SparkSpec {
       assert(out(id).flatten.forall(vocab.contains),
         s"doc $id emitted out-of-vocab pieces")
     }
+  }
+
+  test("aggressive pruning never strands a word: seed singles survive training") {
+    // 'q' appears only inside 'qatar'; with vocabSize=1 every multi-char
+    // piece is cut and most singles are unused in the final segmentation
+    // round — the seed ALPHABET must still survive so 'qatar' stays
+    // segmentable (and in-vocab) after training
+    val d = docs("aaa aaa aaa qatar")
+    val pieces = Unigram.train(d, "text", vocabSize = 1, maxPieceLen = 3,
+      iterations = 2, seedSize = 100)
+    val vocab = pieces.map(_.piece).toSet
+    assert(Set("q", "a", "t", "r").subsetOf(vocab),
+      s"seed singles pruned away: $vocab")
+    val counts = pieces.map(p => p.piece -> (p.count + 1L)).toMap
+    val total: BigInt = counts.values.map(BigInt(_)).sum
+    val seg = Unigram.viterbiSegment("qatar", counts, total, 3)
+    assert(seg != null && seg.mkString("") == "qatar")
+    assert(seg.forall(vocab.contains))
+  }
+
+  test("out-of-alphabet fallback splits by CODE POINT, not UTF-16 char") {
+    // U+1F600 is a surrogate pair; a Char split would emit two invalid
+    // lone-surrogate pieces and break reconstruction
+    val emoji = new String(Character.toChars(0x1F600))
+    val pieces = Array(Unigram.Piece("a", 5L))
+    val out = Unigram.encode(docs(s"a $emoji$emoji"), "doc_id", "text",
+      pieces, maxPieceLen = 2)
+      .select(col("unigram_tokens")).as[Seq[Seq[String]]].collect().head
+    assert(out.map(_.mkString("")) == Seq("a", emoji + emoji))
+    assert(out(1) == Seq(emoji, emoji), s"surrogate split: ${out(1)}")
+  }
+
+  test("pathological unbroken tokens segment chunk-wise, losslessly") {
+    val long = "ab" * 2000 // 4000 chars, > DpChunkChars
+    val counts = Map("a" -> 5L, "b" -> 3L, "ab" -> 100L)
+    val total: BigInt = counts.values.map(BigInt(_)).sum
+    val seg = Unigram.viterbiSegment(long, counts, total, 2)
+    assert(seg != null && seg.mkString("") == long)
+    assert(seg.forall(counts.contains))
   }
 
   test("encode falls back to characters for out-of-alphabet words") {
