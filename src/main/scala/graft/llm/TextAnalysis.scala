@@ -554,10 +554,27 @@ object TextAnalysis {
         StructField(outCol, ArrayType(ArrayType(StringType))))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     worded.mapPartitions { rows =>
+      // Zipf makes repeated words the common case, so memoize
+      // segmentations per task: corpus-grain encode then does
+      // VOCABULARY-grain segmentation work (measured: the unigram
+      // encode's ×100 slope was 1.19 without this — per-occurrence DP —
+      // and the distinct-word count barely grows with corpus size).
+      // Bounded: past the cap, segment without caching (a few MB of
+      // memo covers the head of any natural-language distribution).
+      val memo = new java.util.HashMap[String, Seq[String]](1 << 12)
+      def seg(w: String): Seq[String] = {
+        val hit = memo.get(w)
+        if (hit != null) hit
+        else {
+          val s = segment(w)
+          if (s != null && memo.size < (1 << 17)) memo.put(w, s)
+          s
+        }
+      }
       rows.map { r =>
         val ws = r.getSeq[String](wIdx)
         val pieces: Seq[Seq[String]] =
-          if (ws == null) null else ws.map(segment)
+          if (ws == null) null else ws.map(seg)
         Row.fromSeq(r.toSeq.patch(wIdx, Nil, 1) :+ pieces)
       }
     }(enc)

@@ -120,55 +120,96 @@ object Unigram {
     }
   }
 
+  /** Guard band for the log-domain filter: double rounding error over a
+    * ≤[[DpChunkChars]]-piece chunk accumulates to ~1e-12 in the log, so
+    * any pair whose true log-score gap exceeds 1e-9 is decided correctly
+    * by doubles; pairs inside the band (in practice: exact ties from
+    * reordered equal piece multisets) are re-compared exactly. */
+  private val LogEps = 1e-9
+
+  /** Exact path product along finalized back-pointers (guard-band
+    * fallback only): multiply the smoothed counts of the pieces on the
+    * best path ending at `end`. */
+  private def pathProd(
+      end: Int, back: Array[Int], word: String,
+      counts: scala.collection.Map[String, Long]): BigInt = {
+    var i = end
+    var p = BigInt(1)
+    while (i > 0) {
+      val j = back(i)
+      p *= BigInt(counts(word.substring(j, i)))
+      i = j
+    }
+    p
+  }
+
   private def viterbiChunk(
       word: String, counts: scala.collection.Map[String, Long],
       total: BigInt, maxPieceLen: Int): Array[String] = {
     val n = word.length
     if (n == 0) return Array.empty
-    // best path to position i (exclusive): product of smoothed counts,
-    // piece count k, and the start index of the last piece
-    val prod = new Array[BigInt](n + 1)
+    // Filter-then-verify scoring: the DP compares candidates in double
+    // log domain (score = Σ log c − k·log T), which is corpus-size-
+    // independent; only candidates inside the [[LogEps]] guard band are
+    // re-compared with exact integers (path-product reconstruction +
+    // exponent-delta cross-multiply) — so the chosen segmentation is
+    // bit-identical to pure exact-integer scoring, without BigInt
+    // arithmetic on the hot path (whose bit-length grew with
+    // log(corpus) and made per-word cost rise with scale).
+    val logT = math.log(total.toDouble)
+    val logProd = new Array[Double](n + 1)
     val k = new Array[Int](n + 1)
     val back = new Array[Int](n + 1)
-    prod(0) = BigInt(1); k(0) = 0; back(0) = -1
+    val reach = new Array[Boolean](n + 1)
+    reach(0) = true; back(0) = -1
     var i = 1
     while (i <= n) {
-      var bestProd: BigInt = null
+      var bestLogProd = 0.0
       var bestK = 0
       var bestBack = -1
       var j = math.max(0, i - maxPieceLen)
       while (j < i) {
-        if (prod(j) != null) {
+        if (reach(j)) {
           counts.get(word.substring(j, i)) match {
             case Some(c) =>
-              val p = prod(j) * BigInt(c)
+              val lp = logProd(j) + math.log(c.toDouble)
               val kk = k(j) + 1
-              // score = p / total^kk; compare exactly by raising only
-              // the SHORTER path by the exponent DELTA (never the full
-              // path length — total^k over a long word is a multi-
-              // megabit product; the delta stays small)
               val better =
-                if (bestProd == null) true
+                if (bestBack < 0) true
                 else {
-                  val cmp =
-                    if (kk >= bestK)
-                      p.compare(bestProd * total.pow(kk - bestK))
-                    else
-                      (p * total.pow(bestK - kk)).compare(bestProd)
-                  if (cmp != 0) cmp > 0
-                  else if (kk != bestK) kk < bestK
-                  else j < bestBack // longer last piece wins ties
+                  val diff = (lp - kk * logT) - (bestLogProd - bestK * logT)
+                  if (diff > LogEps) true
+                  else if (diff < -LogEps) false
+                  else {
+                    // guard band: exact compare. Both j and bestBack are
+                    // finalized (< i), so their path products reconstruct
+                    // from back-pointers; raise only the SHORTER path by
+                    // the exponent DELTA (total^k over a long word is a
+                    // multi-megabit product; the delta stays small).
+                    val p = pathProd(j, back, word, counts) * BigInt(c)
+                    val bp = pathProd(bestBack, back, word, counts) *
+                      BigInt(counts(word.substring(bestBack, i)))
+                    val cmp =
+                      if (kk >= bestK) p.compare(bp * total.pow(kk - bestK))
+                      else (p * total.pow(bestK - kk)).compare(bp)
+                    if (cmp != 0) cmp > 0
+                    else if (kk != bestK) kk < bestK
+                    else j < bestBack // longer last piece wins ties
+                  }
                 }
-              if (better) { bestProd = p; bestK = kk; bestBack = j }
+              if (better) { bestLogProd = lp; bestK = kk; bestBack = j }
             case None => ()
           }
         }
         j += 1
       }
-      prod(i) = bestProd; k(i) = bestK; back(i) = bestBack
+      if (bestBack >= 0) {
+        reach(i) = true
+        logProd(i) = bestLogProd; k(i) = bestK; back(i) = bestBack
+      }
       i += 1
     }
-    if (prod(n) == null) return null
+    if (!reach(n)) return null
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var pos = n
     while (pos > 0) { out += word.substring(back(pos), pos); pos = back(pos) }

@@ -992,6 +992,94 @@ object LlmQueries {
                 TRUE AS all_pieces_in_vocab
               FROM n ORDER BY doc_id""")),
 
+    // WordPiece gate 1: the positional-substring vocabulary (initial vs
+    // ##-continuation forms censused separately) is pure relational
+    // algebra — DuckDB recomputes census, top-K cut, and the
+    // single-form union-back exactly.
+    QueryDef(
+      "l_wordpiece_vocab",
+      (s, d) =>
+        graft.llm.WordPiece.buildVocab(t(s, d, "documents"), "text",
+          vocabSize = 2000, maxPieceLen = 4),
+      Some(raw"""WITH w AS (
+                SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+                FROM documents
+              ),
+              wc AS (
+                SELECT w, COUNT(*) AS c FROM w WHERE len(w) > 0 GROUP BY w
+              ),
+              pieces AS (
+                SELECT unnest(flatten(list_transform(generate_series(1, 4),
+                  l -> CASE WHEN len(w) >= l THEN
+                         list_transform(generate_series(1, len(w) - l + 1),
+                           i -> CASE WHEN i = 1 THEN substring(w, i, l)
+                                ELSE '##' || substring(w, i, l) END)
+                       ELSE CAST([] AS VARCHAR[]) END))) AS piece, c
+                FROM wc
+              ),
+              pc AS (
+                SELECT piece, CAST(SUM(c) AS BIGINT) AS cnt
+                FROM pieces GROUP BY piece
+              ),
+              top AS (
+                SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT 2000
+              ),
+              uni AS (
+                SELECT piece, cnt FROM top
+                UNION ALL
+                SELECT piece, cnt FROM pc
+                WHERE len(piece) = 1
+                   OR (piece LIKE '##%' AND len(piece) = 3)
+              )
+              SELECT piece, MAX(cnt) AS cnt FROM uni GROUP BY piece""")),
+
+    // WordPiece gate 2: greedy longest-match-first ENCODE, pinned by the
+    // tokenizer losslessness discipline — reconstruction strips the ##
+    // prefix from continuation positions and must md5-match the
+    // independently normalized raw text; bounds and vocabulary
+    // membership are Spark-side assertions the oracle pins as constants
+    // (the vocab feeding them is oracle-checked by gate 1).
+    QueryDef(
+      "l_wordpiece_encode",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("text", coalesce(col("text"), lit("")))
+        val vocab: Array[String] = graft.llm.WordPiece
+          .buildVocab(docs, "text", vocabSize = 2000, maxPieceLen = 4)
+          .select(col("piece")).collect().map(_.getString(0))
+        graft.llm.WordPiece.encode(docs, "doc_id", "text",
+          vocab.toSet, maxPieceLen = 4)
+          .select(col("doc_id"),
+            size(col("wp_tokens")).as("n_words"),
+            aggregate(transform(col("wp_tokens"), a => size(a)),
+              lit(0), (acc, x) => acc + x).as("__n_pieces"),
+            concat_ws(" ", transform(col("wp_tokens"), a =>
+              concat_ws("", transform(a, (p, i) =>
+                when(i === 0, p)
+                  .otherwise(p.substr(lit(3), length(p)))))))
+              .as("__rec"),
+            (size(array_except(flatten(col("wp_tokens")),
+              typedLit(vocab.toSeq))) === 0).as("all_pieces_in_vocab"))
+          .select(col("doc_id"), col("n_words"),
+            md5(col("__rec")).as("reconstruction_md5"),
+            ((col("__n_pieces") >= col("n_words") &&
+              col("__n_pieces") <= length(col("__rec"))) ||
+              length(col("__rec")) === 0).as("pieces_bounded"),
+            col("all_pieces_in_vocab"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH n AS (
+                SELECT doc_id,
+                  trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g')) AS norm
+                FROM documents
+              )
+              SELECT doc_id,
+                CAST(len(string_split(norm, ' ')) AS INT) AS n_words,
+                md5(norm) AS reconstruction_md5,
+                TRUE AS pieces_bounded,
+                TRUE AS all_pieces_in_vocab
+              FROM n ORDER BY doc_id""")),
+
     // Corpus heavy hitters — EXACT output at sketch-bounded cost: a
     // Misra–Gries aggregate (mergeable, ≤512 rows per partition cross
     // the wire — never a full-vocabulary shuffle) yields a candidate

@@ -79,7 +79,10 @@ object ScaleStress {
     // tokenizer encode (corpus-grain Viterbi DP — embarrassingly
     // parallel, the claim under test)
     "d25_data_quality_score", "d41_round_validation", "d38_round_list",
-    "d43_global_data_quality_ranking", "l_unigram_encode")
+    "d43_global_data_quality_ranking", "l_unigram_encode",
+    // round-7 continuation: the WordPiece greedy encode (corpus-grain
+    // max-munch, memoized per task like the other tokenizer encoders)
+    "l_wordpiece_encode")
 
   /** Hot boilerplate phrase planted into ~30% of documents. */
   val HotPhrase =

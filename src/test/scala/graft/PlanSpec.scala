@@ -444,4 +444,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial_count"),
       s"no map-side partial aggregation in:\n$p")
   }
+
+  test("wordpiece vocab census explodes positional substrings at VOCAB grain") {
+    // same scale contract as the unigram census: corpus → word census
+    // (one shuffle) BEFORE the positional-substring Generate
+    val words = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val census = graft.llm.WordPiece.pieceCensus(words, 4)
+    val p = census.queryExecution.executedPlan.toString
+    val gen = p.indexOf("Generate")
+    assert(gen >= 0, s"no Generate in:\n$p")
+    val aggBelow = p.indexOf("HashAggregate", gen)
+    assert(aggBelow > gen,
+      s"no word-census aggregate BELOW the substring explosion in:\n$p")
+    assert(p.indexOf("Scan", aggBelow) > aggBelow,
+      s"scan not below the word census in:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no map-side partial aggregation in:\n$p")
+  }
 }
