@@ -535,6 +535,28 @@ object TextAnalysis {
     encodeWords(df, idCol, textCol, outCol)(w => applyBpeMerges(w, ranks).toSeq)
   }
 
+  /** Shared vocab-build scaffolding ([[Unigram.seedCensus]] and
+    * [[WordPiece.buildVocab]]): pin `censusPlan` to ONE physical plan
+    * (LogicalRDD), take the top `topK` rows by `order`, and union back
+    * every row matching `singles` (the stranded-word guard), deduping by
+    * max(cnt) over the census's key columns (everything but `cnt`).
+    *
+    * The pin matters: left as two Catalyst branches, the `singles`
+    * grouping-key filter pushes BELOW the census aggregate, the subplans
+    * diverge, exchange reuse is lost, and the corpus scans + census
+    * shuffle run twice. Shared here so the fix lives in exactly one
+    * place. */
+  private[llm] def pinnedTopKUnionSingles(
+      censusPlan: DataFrame, order: Seq[Column],
+      singles: Column, topK: Int): DataFrame = {
+    val census = censusPlan.sparkSession
+      .createDataFrame(censusPlan.rdd, censusPlan.schema)
+    val top = census.orderBy(order: _*).limit(topK)
+    val keyCols = census.columns.filterNot(_ == "cnt").map(col(_))
+    top.unionByName(census.filter(singles))
+      .groupBy(keyCols: _*).agg(max(col("cnt")).as("cnt"))
+  }
+
   /** Shared per-word tokenizer-inference scaffolding (BPE and unigram):
     * tokenization stays codegen; `segment` runs per word behind the one
     * justified mapPartitions boundary, with whatever table it needs

@@ -58,19 +58,13 @@ object Unigram {
         TextAnalysis.normalize(col(textCol)))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val piecesPlan = seedPieceCensus(words, maxPieceLen)
-    // pin the census to ONE physical plan (LogicalRDD): the top-K and
-    // the singles filter below both read the same shuffle output. Left
-    // as two Catalyst branches, the grouping-key filter pushes below
-    // the aggregate, the subplans diverge, exchange reuse is lost, and
-    // the corpus scans + census shuffle run TWICE.
-    val pieces = df.sparkSession.createDataFrame(piecesPlan.rdd, piecesPlan.schema)
-    val top = pieces
-      .orderBy(desc("cnt"), asc("piece"))
-      .limit(seedSize)
-    // union-back single chars that fell below the cut, then dedup
-    top.unionByName(pieces.filter(length(col("piece")) === 1))
-      .groupBy(col("piece")).agg(max(col("cnt")).as("cnt"))
+    // plan-pin + top-K + singles union-back shared with WordPiece
+    // (see [[TextAnalysis.pinnedTopKUnionSingles]] for why the pin)
+    TextAnalysis.pinnedTopKUnionSingles(
+      seedPieceCensus(words, maxPieceLen),
+      order = Seq(desc("cnt"), asc("piece")),
+      singles = length(col("piece")) === 1,
+      topK = seedSize)
   }
 
   /** The substring census over a (w, c) word census — the piece
@@ -110,7 +104,12 @@ object Unigram {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var off = 0
       while (off < word.length) {
-        val end = math.min(off + DpChunkChars, word.length)
+        var end = math.min(off + DpChunkChars, word.length)
+        // never split a surrogate pair across the chunk boundary: a lone
+        // high surrogate ends no census piece, so the chunk would be
+        // unsegmentable even over the full alphabet
+        if (end < word.length && Character.isHighSurrogate(word.charAt(end - 1)))
+          end -= 1
         val seg = viterbiChunk(word.substring(off, end), counts, total, maxPieceLen)
         if (seg == null) return null
         out ++= seg
@@ -167,7 +166,18 @@ object Unigram {
       var bestLogProd = 0.0
       var bestK = 0
       var bestBack = -1
-      var j = math.max(0, i - maxPieceLen)
+      // look back maxPieceLen CODE POINTS (the census's piece length is
+      // code points, so a piece with non-BMP chars spans up to
+      // 2·maxPieceLen UTF-16 units — a raw `i - maxPieceLen` window
+      // would make such pieces unreachable). ASCII cost is identical.
+      var j = i
+      var cpBack = 0
+      while (j > 0 && cpBack < maxPieceLen) {
+        j -= 1
+        if (j > 0 && Character.isLowSurrogate(word.charAt(j)) &&
+          Character.isHighSurrogate(word.charAt(j - 1))) j -= 1
+        cpBack += 1
+      }
       while (j < i) {
         if (reach(j)) {
           counts.get(word.substring(j, i)) match {
@@ -246,8 +256,13 @@ object Unigram {
       // pruning singles that happened to be unused one iteration would
       // strand words whose multi-char pieces fall below a later cut
       // (and silently drop them from the EM census).
+      // single = one CODE POINT (the census's length() counts code
+      // points; a JVM p.length == 1 would drop non-BMP singles from the
+      // alphabet and strand every word containing them)
       val alphabet: Array[String] =
-        table.collect { case Piece(p, _) if p.length == 1 => p }
+        table.collect {
+          case Piece(p, _) if p.codePointCount(0, p.length) == 1 => p
+        }
       var iter = 0
       while (iter < iterations) {
         val counts = table.map(p => p.piece -> (p.count + 1L)).toMap

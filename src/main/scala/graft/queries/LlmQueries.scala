@@ -993,7 +993,9 @@ object LlmQueries {
               FROM n ORDER BY doc_id""")),
 
     // WordPiece gate 1: the positional-substring vocabulary (initial vs
-    // ##-continuation forms censused separately) is pure relational
+    // ##-continuation forms censused separately, keyed by
+    // (piece, is_cont) — the display string alone is ambiguous when a
+    // corpus word literally starts with '##') is pure relational
     // algebra — DuckDB recomputes census, top-K cut, and the
     // single-form union-back exactly.
     QueryDef(
@@ -1008,30 +1010,37 @@ object LlmQueries {
               wc AS (
                 SELECT w, COUNT(*) AS c FROM w WHERE len(w) > 0 GROUP BY w
               ),
-              pieces AS (
+              parts AS (
                 SELECT unnest(flatten(list_transform(generate_series(1, 4),
                   l -> CASE WHEN len(w) >= l THEN
                          list_transform(generate_series(1, len(w) - l + 1),
-                           i -> CASE WHEN i = 1 THEN substring(w, i, l)
-                                ELSE '##' || substring(w, i, l) END)
-                       ELSE CAST([] AS VARCHAR[]) END))) AS piece, c
+                           i -> struct_pack(sub := substring(w, i, l),
+                                            ic := i <> 1))
+                       ELSE CAST([] AS STRUCT(sub VARCHAR, ic BOOLEAN)[]) END))) AS u, c
                 FROM wc
               ),
+              pieces AS (
+                SELECT CASE WHEN u.ic THEN '##' || u.sub ELSE u.sub END AS piece,
+                       u.ic AS is_cont, c
+                FROM parts
+              ),
               pc AS (
-                SELECT piece, CAST(SUM(c) AS BIGINT) AS cnt
-                FROM pieces GROUP BY piece
+                SELECT piece, is_cont, CAST(SUM(c) AS BIGINT) AS cnt
+                FROM pieces GROUP BY piece, is_cont
               ),
               top AS (
-                SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT 2000
+                SELECT piece, is_cont, cnt FROM pc
+                ORDER BY cnt DESC, piece, is_cont LIMIT 2000
               ),
               uni AS (
-                SELECT piece, cnt FROM top
+                SELECT piece, is_cont, cnt FROM top
                 UNION ALL
-                SELECT piece, cnt FROM pc
-                WHERE len(piece) = 1
-                   OR (piece LIKE '##%' AND len(piece) = 3)
+                SELECT piece, is_cont, cnt FROM pc
+                WHERE (NOT is_cont AND len(piece) = 1)
+                   OR (is_cont AND len(piece) = 3)
               )
-              SELECT piece, MAX(cnt) AS cnt FROM uni GROUP BY piece""")),
+              SELECT piece, is_cont, MAX(cnt) AS cnt
+              FROM uni GROUP BY piece, is_cont""")),
 
     // WordPiece gate 2: greedy longest-match-first ENCODE, pinned by the
     // tokenizer losslessness discipline — reconstruction strips the ##
@@ -1044,11 +1053,15 @@ object LlmQueries {
       (s, d) => {
         val docs = t(s, d, "documents")
           .withColumn("text", coalesce(col("text"), lit("")))
-        val vocab: Array[String] = graft.llm.WordPiece
-          .buildVocab(docs, "text", vocabSize = 2000, maxPieceLen = 4)
-          .select(col("piece")).collect().map(_.getString(0))
+        val vocab = graft.llm.WordPiece.Vocab.fromRows(
+          graft.llm.WordPiece
+            .buildVocab(docs, "text", vocabSize = 2000, maxPieceLen = 4)
+            .select(col("piece"), col("is_cont")).collect()
+            .map(r => (r.getString(0), r.getBoolean(1))))
+        val initArr = typedLit(vocab.initial.toSeq.sorted)
+        val contArr = typedLit(vocab.continuation.toSeq.sorted)
         graft.llm.WordPiece.encode(docs, "doc_id", "text",
-          vocab.toSet, maxPieceLen = 4)
+          vocab, maxPieceLen = 4)
           .select(col("doc_id"),
             size(col("wp_tokens")).as("n_words"),
             aggregate(transform(col("wp_tokens"), a => size(a)),
@@ -1058,8 +1071,15 @@ object LlmQueries {
                 when(i === 0, p)
                   .otherwise(p.substr(lit(3), length(p)))))))
               .as("__rec"),
-            (size(array_except(flatten(col("wp_tokens")),
-              typedLit(vocab.toSeq))) === 0).as("all_pieces_in_vocab"))
+            // positional membership: a word's FIRST piece must be a
+            // vocab initial form, every later piece a continuation form
+            // (the two namespaces are distinct — see WordPiece doc)
+            forall(col("wp_tokens"), a =>
+              aggregate(transform(a, (p, i) =>
+                when(i === 0, array_contains(initArr, p))
+                  .otherwise(array_contains(contArr, p))),
+                lit(true), (acc, x) => acc && x))
+              .as("all_pieces_in_vocab"))
           .select(col("doc_id"), col("n_words"),
             md5(col("__rec")).as("reconstruction_md5"),
             ((col("__n_pieces") >= col("n_words") &&

@@ -37,14 +37,30 @@ object QueryDef {
       s"/tmp/graft_oracle_${ProcessHandle.current().pid()}")
     // the files must OUTLIVE the JVM (the driver's DuckDB replay runs
     // after Verify exits), so no exit hook can clean them; instead each
-    // JVM sweeps SIBLING scratch dirs older than a day — any live
-    // concurrent run is hours old at most, so only abandoned dirs go
+    // JVM sweeps SIBLING scratch dirs that are provably abandoned: the
+    // name must match the DEFAULT pid pattern (a `-Dgraft.oracle.scratch`
+    // pin with any other name is never touched), the owning pid must be
+    // dead (a live run's files are never swept, however old — the root
+    // dir's mtime does not advance when files land in nested subdirs),
+    // AND the dir must be a day old (so a replay pending right after a
+    // Verify exit still finds its files).
     val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    val defaultPat = "graft_oracle_(\\d+)".r
     try {
       val dir = new java.io.File("/tmp")
       Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("graft_oracle_") &&
-          f.lastModified() < cutoff && f.getAbsolutePath != root)
+        .filter { f =>
+          f.isDirectory && f.lastModified() < cutoff &&
+          f.getAbsolutePath != root &&
+          (f.getName match {
+            case defaultPat(pid) =>
+              try {
+                val h = ProcessHandle.of(pid.toLong)
+                !(h.isPresent && h.get.isAlive)
+              } catch { case _: Exception => false }
+            case _ => false
+          })
+        }
         .foreach(f => graft.tables.FsUtil.deleteRec(f.toPath))
     } catch { case _: Exception => () } // best-effort
     root

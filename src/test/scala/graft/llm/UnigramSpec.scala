@@ -202,6 +202,54 @@ class UnigramSpec extends SparkSpec {
     assert(seg.forall(counts.contains))
   }
 
+  // -- non-BMP (surrogate pair) handling -------------------------------
+
+  test("DP look-back window counts CODE POINTS: non-BMP singles are reachable") {
+    // '😀' is 2 UTF-16 chars; with maxPieceLen=1 a UTF-16 look-back of 1
+    // would probe only the lone low surrogate and report unsegmentable
+    val emoji = new String(Character.toChars(0x1F600))
+    val counts = Map(emoji -> 3L)
+    val seg = Unigram.viterbiSegment(emoji, counts, BigInt(3), 1)
+    assert(seg != null && seg.toSeq == Seq(emoji), s"got $seg")
+    // a 2-code-point piece containing a non-BMP char (3 UTF-16 units)
+    // must be reachable under maxPieceLen=2
+    val c2 = Map(emoji + "a" -> 100L, emoji -> 1L, "a" -> 1L)
+    val t2: BigInt = c2.values.map(BigInt(_)).sum
+    val seg2 = Unigram.viterbiSegment(emoji + "a", c2, t2, 2)
+    assert(seg2 != null && seg2.toSeq == Seq(emoji + "a"), s"got $seg2")
+  }
+
+  test("chunk boundaries never split a surrogate pair") {
+    // place a surrogate pair straddling the DpChunkChars offset: chars
+    // 0..510 are 'a', then '😀' occupies UTF-16 indices 511-512
+    val emoji = new String(Character.toChars(0x1F600))
+    val word = ("a" * (Unigram.DpChunkChars - 1)) + emoji +
+      ("a" * Unigram.DpChunkChars)
+    val counts = Map("a" -> 5L, emoji -> 3L)
+    val total: BigInt = counts.values.map(BigInt(_)).sum
+    val seg = Unigram.viterbiSegment(word, counts, total, 2)
+    assert(seg != null, "boundary split a surrogate pair")
+    assert(seg.mkString("") == word)
+    assert(seg.forall(counts.contains), s"lone surrogate piece emitted")
+  }
+
+  test("training alphabet retains non-BMP single code points across prunes") {
+    val emoji = new String(Character.toChars(0x1F600))
+    // the emoji is rare (one word) — a vocabSize=3 prune would drop it
+    // without the alphabet guarantee, stranding its word from the census
+    val d = docs(s"aa aa aa ab x$emoji")
+    val pieces = Unigram.train(d, "text",
+      vocabSize = 3, maxPieceLen = 2, iterations = 2, seedSize = 50)
+    assert(pieces.exists(_.piece == emoji),
+      s"non-BMP single dropped from alphabet: ${pieces.map(_.piece).toSeq}")
+    // and encode of the training corpus stays in-vocab (no fallback)
+    val vocab = pieces.map(_.piece).toSet
+    val out = Unigram.encode(d, "doc_id", "text", pieces, maxPieceLen = 2)
+      .select(col("unigram_tokens")).as[Seq[Seq[String]]].collect().head
+    assert(out.flatten.forall(vocab.contains),
+      s"out-of-vocab pieces: ${out.flatten.filterNot(vocab.contains)}")
+  }
+
   test("encode falls back to characters for out-of-alphabet words") {
     val pieces = Array(Unigram.Piece("a", 5L), Unigram.Piece("b", 3L))
     val out = Unigram.encode(docs("ab zq"), "doc_id", "text", pieces,
