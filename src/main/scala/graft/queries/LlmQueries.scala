@@ -1073,12 +1073,18 @@ object LlmQueries {
               .as("__rec"),
             // positional membership: a word's FIRST piece must be a
             // vocab initial form, every later piece a continuation form
-            // (the two namespaces are distinct — see WordPiece doc)
-            forall(col("wp_tokens"), a =>
-              aggregate(transform(a, (p, i) =>
-                when(i === 0, array_contains(initArr, p))
-                  .otherwise(array_contains(contArr, p))),
-                lit(true), (acc, x) => acc && x))
+            // (the two namespaces are distinct — see WordPiece doc).
+            // array_except hashes the vocab once per row — O(pieces+V) —
+            // where per-piece array_contains would scan the 2000-entry
+            // literal per piece (O(pieces·V), measured slower at sf0.1)
+            ((size(array_except(
+              filter(transform(col("wp_tokens"), a => element_at(a, 1)),
+                p => p.isNotNull),
+              initArr)) === 0) &&
+              (size(array_except(
+                flatten(transform(col("wp_tokens"),
+                  a => slice(a, lit(2), greatest(size(a) - 1, lit(0))))),
+                contArr)) === 0))
               .as("all_pieces_in_vocab"))
           .select(col("doc_id"), col("n_words"),
             md5(col("__rec")).as("reconstruction_md5"),
