@@ -420,10 +420,12 @@ object TextAnalysis {
     * corpus-shuffle (map-side combined) and everything after operates
     * on ~10⁶ vocab rows. Top-K by count with lexicographic
     * tie-break; top-k is orderBy+limit → TakeOrderedAndProject. */
-  def bpePairCensus(df: DataFrame, textCol: String, topK: Int): DataFrame = {
-    val words = df
-      .select(explode(tokens(normalize(col(textCol)))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+  def bpePairCensus(df: DataFrame, textCol: String, topK: Int): DataFrame =
+    bpePairCensusFromWords(wordCensus(df, textCol), topK)
+
+  /** [[bpePairCensus]] from an existing (w, c) word census — the
+    * incremental-retrain entry point (see [[mergeWordCensus]]). */
+  def bpePairCensusFromWords(words: DataFrame, topK: Int): DataFrame = {
     words.filter(length(col("w")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
@@ -533,6 +535,35 @@ object TextAnalysis {
       outCol: String = "bpe_tokens"): DataFrame = {
     val ranks = merges.zipWithIndex.toMap
     encodeWords(df, idCol, textCol, outCol)(w => applyBpeMerges(w, ranks).toSeq)
+  }
+
+  /** Word-frequency census of a corpus slice: (w, c) over normalized
+    * whitespace words — the ONE corpus-grain shuffle (map-side combined)
+    * every tokenizer trainer starts from; everything downstream (BPE
+    * pair census, unigram seed pieces, WordPiece positional pieces)
+    * derives from it at VOCAB grain.
+    *
+    * ADDITIVE by construction: wordCensus(A ⊎ B) ≡
+    * [[mergeWordCensus]](wordCensus(A), wordCensus(B)) — the property
+    * the incremental retrain path rides (oracle-pinned by
+    * `l_census_incremental`). */
+  def wordCensus(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(normalize(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** Merge shard word censuses by summing counts — vocab-grain work,
+    * never corpus-grain. The continuous-ingest retrain shape at 100 TB:
+    * the standing corpus census is maintained as a table; a new shard
+    * contributes census(shard) = O(shard) work, the merge is one
+    * ~10⁶-row shuffle, and every tokenizer family retrains from the
+    * merged census WITHOUT rescanning the corpus ([[bpePairCensus]]'
+    * pair explosion, [[Unigram.seedCensusFromWords]], and
+    * [[WordPiece.pieceCensus]] all take the word census as input). */
+  def mergeWordCensus(censuses: Seq[DataFrame]): DataFrame = {
+    require(censuses.nonEmpty, "mergeWordCensus needs at least one census")
+    censuses.reduce(_.unionByName(_))
+      .groupBy(col("w")).agg(sum(col("c")).as("c"))
   }
 
   /** Shared vocab-build scaffolding ([[Unigram.seedCensus]] and

@@ -52,12 +52,16 @@ object Unigram {
     * segmentation fallback: with them, every word is segmentable). */
   def seedCensus(
       df: DataFrame, textCol: String,
-      maxPieceLen: Int = 4, seedSize: Int = 20000): DataFrame = {
-    val words = df
-      .select(explode(TextAnalysis.tokens(
-        TextAnalysis.normalize(col(textCol)))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      maxPieceLen: Int = 4, seedSize: Int = 20000): DataFrame =
+    seedCensusFromWords(TextAnalysis.wordCensus(df, textCol),
+      maxPieceLen, seedSize)
+
+  /** [[seedCensus]] from an existing (w, c) word census — the
+    * incremental-retrain entry point: a standing corpus census (or a
+    * [[TextAnalysis.mergeWordCensus]] of shard censuses) derives the
+    * seed pieces without touching the corpus. */
+  def seedCensusFromWords(
+      words: DataFrame, maxPieceLen: Int, seedSize: Int): DataFrame =
     // plan-pin + top-K + singles union-back shared with WordPiece
     // (see [[TextAnalysis.pinnedTopKUnionSingles]] for why the pin)
     TextAnalysis.pinnedTopKUnionSingles(
@@ -65,7 +69,6 @@ object Unigram {
       order = Seq(desc("cnt"), asc("piece")),
       singles = length(col("piece")) === 1,
       topK = seedSize)
-  }
 
   /** The substring census over a (w, c) word census — the piece
     * explosion happens ABOVE the word-census aggregate (vocab grain,
@@ -241,11 +244,7 @@ object Unigram {
       iterations: Int = 2, seedSize: Int = 20000): Array[Piece] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val wordCensus: DataFrame = df
-      .select(explode(TextAnalysis.tokens(
-        TextAnalysis.normalize(col(textCol)))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val wordCensus: DataFrame = TextAnalysis.wordCensus(df, textCol)
     wordCensus.persist()
     try {
       var table: Array[Piece] = seedCensus(df, textCol, maxPieceLen, seedSize)

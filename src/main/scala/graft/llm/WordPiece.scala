@@ -98,11 +98,7 @@ object WordPiece {
   def buildVocab(
       df: DataFrame, textCol: String,
       vocabSize: Int = 8000, maxPieceLen: Int = 8): DataFrame = {
-    val words = df
-      .select(explode(TextAnalysis.tokens(
-        TextAnalysis.normalize(col(textCol)))).as("w"))
-      .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val words = TextAnalysis.wordCensus(df, textCol)
     // single-code-point forms: initial = 1 char; continuation = '##'
     // followed by exactly 1 char (length() counts code points, so
     // non-BMP singles are retained too)

@@ -947,6 +947,54 @@ object LlmQueries {
               )
               SELECT piece, MAX(cnt) AS cnt FROM uni GROUP BY piece""")),
 
+    // Incremental tokenizer-census maintenance: the word census is
+    // ADDITIVE, so the 100 TB retrain path never rescans the corpus —
+    // census each NEW shard (O(shard)), merge at vocab grain (one
+    // ~10⁶-row shuffle), and re-derive any tokenizer census from the
+    // merged words. The Spark side goes through the 3-shard
+    // split→census→merge→derive chain; the oracle computes the seed
+    // census DIRECTLY from the full corpus — hash equality proves the
+    // incremental path is lossless end to end.
+    QueryDef(
+      "l_census_incremental",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val shardCensuses = (0 until 3).map(i =>
+          TextAnalysis.wordCensus(
+            docs.filter(pmod(col("doc_id"), lit(3)) === i), "text"))
+        graft.llm.Unigram.seedCensusFromWords(
+          TextAnalysis.mergeWordCensus(shardCensuses),
+          maxPieceLen = 3, seedSize = 3000)
+      },
+      Some(raw"""WITH w AS (
+                SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+                FROM documents
+              ),
+              wc AS (
+                SELECT w, COUNT(*) AS c FROM w WHERE len(w) > 0 GROUP BY w
+              ),
+              pieces AS (
+                SELECT unnest(flatten(list_transform(generate_series(1, 3),
+                  l -> CASE WHEN len(w) >= l THEN
+                         list_transform(generate_series(1, len(w) - l + 1),
+                           i -> substring(w, i, l))
+                       ELSE CAST([] AS VARCHAR[]) END))) AS piece, c
+                FROM wc
+              ),
+              pc AS (
+                SELECT piece, CAST(SUM(c) AS BIGINT) AS cnt
+                FROM pieces GROUP BY piece
+              ),
+              top AS (
+                SELECT piece, cnt FROM pc ORDER BY cnt DESC, piece LIMIT 3000
+              ),
+              uni AS (
+                SELECT piece, cnt FROM top
+                UNION ALL
+                SELECT piece, cnt FROM pc WHERE len(piece) = 1
+              )
+              SELECT piece, MAX(cnt) AS cnt FROM uni GROUP BY piece""")),
+
     // Gate 2: Viterbi-EM training + exact-integer Viterbi ENCODE, pinned
     // by the l_bpe_encode losslessness discipline — the oracle
     // independently normalizes the raw text and compares md5 against the

@@ -81,8 +81,11 @@ object ScaleStress {
     "d25_data_quality_score", "d41_round_validation", "d38_round_list",
     "d43_global_data_quality_ranking", "l_unigram_encode",
     // round-7 continuation: the WordPiece greedy encode (corpus-grain
-    // max-munch, memoized per task like the other tokenizer encoders)
-    "l_wordpiece_encode")
+    // max-munch, memoized per task like the other tokenizer encoders),
+    // and the shard-merge census path (the hot boilerplate phrase makes
+    // its words mega-hot census keys in every shard — the merge must
+    // stay vocab-grain under that skew)
+    "l_wordpiece_encode", "l_census_incremental")
 
   /** Hot boilerplate phrase planted into ~30% of documents. */
   val HotPhrase =

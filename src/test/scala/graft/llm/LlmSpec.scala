@@ -919,6 +919,31 @@ class LlmSpec extends SparkSpec {
     assert(out.filter(_._1 == 0L).minBy(_._2)._3 === best)
   }
 
+  test("word census is additive: shard merge equals the direct census") {
+    val direct = TextAnalysis.wordCensus(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val shards = (0 until 3).map(i =>
+      TextAnalysis.wordCensus(
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), "text"))
+    val merged = TextAnalysis.mergeWordCensus(shards)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct)
+    // a single-census merge is the identity
+    val one = TextAnalysis.mergeWordCensus(
+      Seq(TextAnalysis.wordCensus(docs, "text")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one == direct)
+    // and the derived seed census via the incremental path matches the
+    // direct-from-corpus derivation exactly (the retrain contract)
+    val seedDirect = Unigram.seedCensus(docs, "text",
+      maxPieceLen = 2, seedSize = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val seedInc = Unigram.seedCensusFromWords(
+      TextAnalysis.mergeWordCensus(shards), maxPieceLen = 2, seedSize = 50)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(seedInc == seedDirect)
+  }
+
   test("BPE: pair census matches hand count; merges reconstruct a known corpus") {
     // weighted census: "aaab" x3, "ab" x2 → pairs aa: 2*3=6, ab: 3+2=5
     val tiny = Seq((1L, "aaab aaab aaab ab ab")).toDF("doc_id", "text")
