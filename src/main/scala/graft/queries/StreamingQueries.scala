@@ -337,6 +337,59 @@ object StreamingQueries {
               TRUE AS maintained_incrementally
               FROM events GROUP BY bucket ORDER BY bucket""")),
 
+    // ST14 — continuously-maintained tokenizer word census: the additive
+    // merge path (l_census_incremental's batch contract) under
+    // continuous ingest. Three document batches land; each advances the
+    // STANDING (w, c) census by one vocab-grain merge committed as a new
+    // IncrementalTable version — the raw text is never retained. Pins:
+    // final census == the direct batch census over the same docs
+    // (exceptAll both ways), it advanced across ≥3 versions (the merge
+    // actually ran per batch, not one big build), and the oracle
+    // recomputes the census head relationally from the documents table.
+    QueryDef(
+      "st_census",
+      (s, d) => {
+        val base = scratch("st_census")
+        val land = s"$base/land"; Files.createDirectories(Paths.get(land))
+        val censusDir = s"$base/census"
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        val t0 = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          landJson(docs.filter(pmod(col("doc_id"), lit(3)) === i),
+            land, s"b$i.json", t0 + i * 60000)
+        }
+        val stream = s.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1")
+          .json(land)
+        val q = graft.streaming.StreamingCorpus.startCensusMaintenance(
+          stream, "text", censusDir, s"$base/ckpt",
+          Some(Trigger.AvailableNow()))
+        q.awaitTermination()
+        val it = graft.tables.IncrementalTable
+        val got = it.read(s, censusDir)
+        val direct = graft.llm.TextAnalysis.wordCensus(docs, "text")
+        val identical = got.exceptAll(direct).isEmpty &&
+          direct.exceptAll(got).isEmpty
+        got
+          .orderBy(desc("c"), asc("w")).limit(1000)
+          .withColumn("matches_direct", lit(identical))
+          .withColumn("advanced_incrementally",
+            lit(it.versions(censusDir).size >= 3))
+      },
+      Some(raw"""WITH t AS (
+                SELECT unnest(string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g')), ' ')) AS w
+                FROM documents
+              ),
+              wc AS (
+                SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+                FROM t WHERE len(w) > 0 GROUP BY w
+              )
+              SELECT w, c, TRUE AS matches_direct,
+                TRUE AS advanced_incrementally
+              FROM wc ORDER BY c DESC, w LIMIT 1000""")),
+
     // ST7 — stream-stream LEFT OUTER interval join: same two feeds as
     // st_join, but unmatched fixes must surface with NULL alert columns
     // — and a streaming outer join may emit a null row only once the

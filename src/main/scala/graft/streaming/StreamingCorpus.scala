@@ -70,6 +70,56 @@ object StreamingCorpus {
         col("source"), col("window.start").as("window_start"),
         col("docs"), col("tokens"), col("avg_quality"))
 
+  /** Continuously-maintained tokenizer word census — the streaming form
+    * of the additive merge path (`l_census_incremental`'s contract):
+    * each micro-batch is censused at O(batch) and the STANDING (w, c)
+    * census advances by one vocab-grain merge
+    * ([[TextAnalysis.mergeWordCensus]]), committed as a new version of
+    * an [[graft.tables.IncrementalTable]] (atomic manifest commit, so
+    * readers never see a half-written census). The raw text is never
+    * retained — only the ~10⁶-row census, which any tokenizer family
+    * retrains from without a corpus rescan.
+    *
+    * Exactly-once under foreachBatch replay: EVERY batch commits one
+    * version (an empty batch re-commits the current census), so the
+    * applied-version count always equals the applied-batch count; a
+    * re-delivered batch whose commit already landed
+    * (versions.size > batchId) is skipped instead of re-merged —
+    * re-merging would double its counts. */
+  def startCensusMaintenance(
+      docs: DataFrame, textCol: String, censusPath: String,
+      checkpointDir: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val w = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyCensusBatch(batch.toDF(), textCol, censusPath, batchId)
+      }
+    trigger.foreach(w.trigger)
+    w.start()
+  }
+
+  /** One census-maintenance step (the [[startCensusMaintenance]]
+    * foreachBatch body, exposed for the replay-idempotence spec). */
+  private[graft] def applyCensusBatch(
+      batch: DataFrame, textCol: String, censusPath: String,
+      batchId: Long): Unit = {
+    import graft.tables.IncrementalTable
+    val applied = IncrementalTable.versions(censusPath).size
+    if (applied > batchId) () // replay of an already-committed batch
+    else {
+      val delta = TextAnalysis.wordCensus(batch, textCol)
+      val merged =
+        if (applied == 0) delta
+        else TextAnalysis.mergeWordCensus(Seq(
+          IncrementalTable.read(batch.sparkSession, censusPath), delta))
+      IncrementalTable.commitFull(merged, censusPath): Unit
+    }
+  }
+
   /** Stateless streaming prep: PII scrub then token-window chunking —
     * one output row per training sequence, with the chunk columns
     * flattened. Both steps are pure column expressions (regex replace +

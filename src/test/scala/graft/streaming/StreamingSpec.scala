@@ -233,4 +233,33 @@ class StreamingSpec extends SparkSpec {
       assert(out("crawl") === ((1L, 5L)))
     } finally q.stop()
   }
+
+  test("streaming corpus: census maintenance merges per batch, replay-safe") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_census").toString
+    try {
+      val b0 = Seq((1L, "the cat sat"), (2L, "the dog")).toDF("doc_id", "text")
+      val b1 = Seq((3L, "the cat ran")).toDF("doc_id", "text")
+      StreamingCorpus.applyCensusBatch(b0, "text", dir, 0L)
+      StreamingCorpus.applyCensusBatch(b1, "text", dir, 1L)
+      def census(): Map[String, Long] =
+        graft.tables.IncrementalTable.read(spark, dir)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = Map("the" -> 3L, "cat" -> 2L, "sat" -> 1L,
+        "dog" -> 1L, "ran" -> 1L)
+      assert(census() == expected)
+      // foreachBatch replay re-delivers batch 1 — the committed version
+      // count proves it already applied, so the merge must NOT re-run
+      // (re-merging would double batch 1's counts)
+      StreamingCorpus.applyCensusBatch(b1, "text", dir, 1L)
+      assert(census() == expected, "replayed batch double-counted")
+      assert(graft.tables.IncrementalTable.versions(dir).size == 2)
+      // an empty batch still commits (keeps version==batch alignment,
+      // the invariant the replay skip rides on)
+      StreamingCorpus.applyCensusBatch(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), "text", dir, 2L)
+      assert(census() == expected)
+      assert(graft.tables.IncrementalTable.versions(dir).size == 3)
+    } finally graft.tables.FsUtil.deleteRec(java.nio.file.Paths.get(dir))
+  }
 }
