@@ -443,15 +443,23 @@ object TextAnalysis {
     * greedily left-to-right per word. The corpus is never re-read.
     * Returns the ordered merge list [(left, right)]. */
   def trainBpeMerges(
-      df: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+      df: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] =
+    trainBpeMergesFromWords(wordCensus(df, textCol), numMerges)
+
+  /** [[trainBpeMerges]] from an existing (w, c) word census — the
+    * incremental-retrain entry point (see [[mergeWordCensus]]). */
+  def trainBpeMergesFromWords(
+      words: DataFrame, numMerges: Int): Seq[(String, String)] = {
     // vocab to the driver: (symbols, weight). Production keeps this as
     // a DataFrame when vocab outgrows memory; the iteration structure
     // (pair census → argmax → merge) is identical either way.
-    var vocab: Array[(Array[String], Long)] = df
-      .select(explode(tokens(normalize(col(textCol)))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // Initial symbols are CODE POINTS, matching [[bpePairCensus]]'s
+    // substring semantics — a UTF-16 Char split would seed non-BMP
+    // words with lone-surrogate symbols, which are invalid strings the
+    // moment a piece lands anywhere (parquet, JSON) un-merged.
+    var vocab: Array[(Array[String], Long)] = words
       .collect()
-      .map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+      .map(r => (codePointSyms(r.getString(0)), r.getLong(1)))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var step = 0
     while (step < numMerges) {
@@ -490,9 +498,14 @@ object TextAnalysis {
     * remains — the standard decode-side pairing of [[trainBpeMerges]].
     * Concatenating the returned pieces always reconstructs the word
     * exactly (BPE is lossless by construction). */
+  /** Split a word into single-code-point symbol strings (the BPE
+    * starting alphabet; a Char split would break surrogate pairs). */
+  private def codePointSyms(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
   def applyBpeMerges(
       word: String, ranks: Map[(String, String), Int]): Array[String] = {
-    var syms = word.map(_.toString).toArray
+    var syms = codePointSyms(word)
     var done = syms.length < 2
     while (!done) {
       var bestIdx = -1

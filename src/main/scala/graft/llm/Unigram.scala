@@ -236,19 +236,31 @@ object Unigram {
     * re-census the used pieces weighted by word frequency (one
     * piece-grain shuffle), then prune to `vocabSize` by (count desc,
     * piece asc) keeping all single characters. The corpus itself is
-    * read exactly once (for the word census, inside [[seedCensus]]).
+    * read exactly once (into the word census the whole loop runs on).
     * Returns the final piece table, sorted (count desc, piece asc). */
   def train(
       df: DataFrame, textCol: String,
       vocabSize: Int = 8000, maxPieceLen: Int = 4,
-      iterations: Int = 2, seedSize: Int = 20000): Array[Piece] = {
-    val spark = df.sparkSession
+      iterations: Int = 2, seedSize: Int = 20000): Array[Piece] =
+    trainFromWords(TextAnalysis.wordCensus(df, textCol),
+      vocabSize, maxPieceLen, iterations, seedSize)
+
+  /** [[train]] from an existing (w, c) word census — the
+    * incremental-retrain entry point: a standing corpus census (or a
+    * [[TextAnalysis.mergeWordCensus]] of shard censuses) drives the
+    * full Viterbi-EM loop without ever touching the corpus. */
+  def trainFromWords(
+      words: DataFrame,
+      vocabSize: Int, maxPieceLen: Int,
+      iterations: Int, seedSize: Int): Array[Piece] = {
+    val spark = words.sparkSession
     import spark.implicits._
-    val wordCensus: DataFrame = TextAnalysis.wordCensus(df, textCol)
+    val wordCensus: DataFrame = words
     wordCensus.persist()
     try {
-      var table: Array[Piece] = seedCensus(df, textCol, maxPieceLen, seedSize)
-        .as[(String, Long)].collect().map { case (p, c) => Piece(p, c) }
+      var table: Array[Piece] =
+        seedCensusFromWords(wordCensus, maxPieceLen, seedSize)
+          .as[(String, Long)].collect().map { case (p, c) => Piece(p, c) }
       // the training ALPHABET: every single-char piece of the seed.
       // These survive every prune — with count 0 if an iteration never
       // used them — so every word over the alphabet stays segmentable;

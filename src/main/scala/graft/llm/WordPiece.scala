@@ -97,8 +97,15 @@ object WordPiece {
     * collects the encoder's two sets from it. */
   def buildVocab(
       df: DataFrame, textCol: String,
-      vocabSize: Int = 8000, maxPieceLen: Int = 8): DataFrame = {
-    val words = TextAnalysis.wordCensus(df, textCol)
+      vocabSize: Int = 8000, maxPieceLen: Int = 8): DataFrame =
+    buildVocabFromWords(TextAnalysis.wordCensus(df, textCol),
+      vocabSize, maxPieceLen)
+
+  /** [[buildVocab]] from an existing (w, c) word census — the
+    * incremental-retrain entry point (see
+    * [[TextAnalysis.mergeWordCensus]]). */
+  def buildVocabFromWords(
+      words: DataFrame, vocabSize: Int, maxPieceLen: Int): DataFrame = {
     // single-code-point forms: initial = 1 char; continuation = '##'
     // followed by exactly 1 char (length() counts code points, so
     // non-BMP singles are retained too)

@@ -942,6 +942,33 @@ class LlmSpec extends SparkSpec {
       TextAnalysis.mergeWordCensus(shards), maxPieceLen = 2, seedSize = 50)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(seedInc == seedDirect)
+    // every trainer family retrains from the merged census identically
+    // to training from the corpus (all three are deterministic)
+    val mergedDf = TextAnalysis.mergeWordCensus(shards)
+    assert(TextAnalysis.trainBpeMergesFromWords(mergedDf, numMerges = 5) ==
+      TextAnalysis.trainBpeMerges(docs, "text", numMerges = 5))
+    assert(WordPiece.buildVocabFromWords(mergedDf, vocabSize = 30, maxPieceLen = 3)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSet ==
+      WordPiece.buildVocab(docs, "text", vocabSize = 30, maxPieceLen = 3)
+        .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2))).toSet)
+    assert(Unigram.trainFromWords(mergedDf,
+        vocabSize = 40, maxPieceLen = 2, iterations = 1, seedSize = 60).toSeq ==
+      Unigram.train(docs, "text",
+        vocabSize = 40, maxPieceLen = 2, iterations = 1, seedSize = 60).toSeq)
+  }
+
+  test("BPE symbols are code points: non-BMP words train and encode losslessly") {
+    val emoji = new String(Character.toChars(0x1F600))
+    val tiny = Seq((1L, s"$emoji$emoji a$emoji a$emoji")).toDF("doc_id", "text")
+    // pair census (SQL substring = code points) and the driver trainer
+    // must agree: the only 2-symbol pairs are (😀,😀)x1 and (a,😀)x2
+    val merges = TextAnalysis.trainBpeMerges(tiny, "text", numMerges = 1)
+    assert(merges == Seq(("a", emoji)), s"got $merges")
+    // no piece is ever a lone surrogate (invalid string) — encode of an
+    // unmerged emoji keeps the full code point as one symbol
+    val pieces = TextAnalysis.applyBpeMerges(
+      emoji + emoji, merges.zipWithIndex.toMap)
+    assert(pieces.toSeq == Seq(emoji, emoji), s"got ${pieces.toSeq}")
   }
 
   test("BPE: pair census matches hand count; merges reconstruct a known corpus") {
