@@ -192,6 +192,64 @@ object TextAnalysis {
         (col("cnt").cast(DoubleType) / col("total")).as("frac"))
   }
 
+  /** Vocabulary growth curve (Heaps' law measurement) — tokenizer-budget
+    * planning: per corpus epoch, how many distinct words occur in it
+    * (`epoch_vocab`), how many of those are NEW — first seen in that
+    * epoch (`new_words`) — and the cumulative vocabulary at each cut.
+    * Epochs are `buckets` equal ID-RANGE slices of `idCol` (ids model
+    * arrival order): the min/max bounds broadcast from one cheap
+    * aggregate and the bucket assignment is row-local integer arithmetic
+    * (exact and engine-agnostic — an ntile would sort the corpus through
+    * ONE window partition). The corpus pays exactly one doc-grain
+    * shuffle, to (bucket, word) grain with map-side partials; both
+    * output signals then reduce off that small grain (≤ vocab × buckets
+    * rows — at 100 TB, persist that intermediate to share it instead of
+    * recomputing the scan per branch). A bucket spine LEFT-join keeps
+    * every epoch present even when it contributes nothing, and the
+    * cumulative sum runs over `buckets` rows (constant-size window). A
+    * flattening curve says the vocabulary is saturating — more data buys
+    * few new types; a steep tail says the vocab budget is underfed. */
+  def vocabGrowth(
+      df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = df.agg(
+      min(col(idCol).cast("long")).as("__lo"),
+      max(col(idCol).cast("long")).as("__hi"))
+    val bucketWord = df
+      .filter(col(idCol).isNotNull)
+      .crossJoin(broadcast(bounds))
+      .select(
+        // DIV (integer floor division — operands are non-negative), not
+        // `/`: double division then floor can land one ulp off on large
+        // ids, and the oracle's integer arithmetic would diverge
+        expr(s"CAST(((CAST($idCol AS BIGINT) - __lo) * $buckets) " +
+          "DIV (__hi - __lo + 1) + 1 AS INT)").as("__bucket"),
+        explode(tokens(normalize(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("__bucket"), col("w")).agg(count(lit(1)).as("cnt"))
+    val epochVocab = bucketWord
+      .groupBy(col("__bucket").as("bucket"))
+      .agg(count(lit(1)).as("epoch_vocab"))
+    val newWords = bucketWord
+      .groupBy(col("w")).agg(min(col("__bucket")).as("first_bucket"))
+      .groupBy(col("first_bucket").as("bucket"))
+      .agg(count(lit(1)).as("new_words"))
+    df.sparkSession.range(1, buckets + 1L)
+      .select(col("id").cast("int").as("bucket"))
+      .join(broadcast(newWords), Seq("bucket"), "left")
+      .join(broadcast(epochVocab), Seq("bucket"), "left")
+      .select(
+        col("bucket"),
+        coalesce(col("new_words"), lit(0L)).as("new_words"),
+        coalesce(col("epoch_vocab"), lit(0L)).as("epoch_vocab"))
+      .withColumn("cumulative_vocab",
+        sum(col("new_words")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("bucket"))
+  }
+
   /** EXACT corpus heavy hitters at sketch-bounded cost. The naive plan
     * (`GROUP BY token` over the exploded stream, then HAVING) shuffles
     * one row per distinct token per partition — on a web corpus the
@@ -299,6 +357,93 @@ object TextAnalysis {
         count(lit(1)).as("n_bigrams"),
         (sum(col("p").cast(DecimalType(18, 12))).cast(DoubleType) /
           count(lit(1))).as("fluency"))
+  }
+
+  /** Interpolated Kneser–Ney bigram LM scoring (Kneser & Ney 1995;
+    * Chen & Goodman 1998 — the smoothing KenLM itself implements, and
+    * the CCNet quality-filter convention: TRAIN the LM on a clean
+    * reference corpus, SCORE the crawl with it). [[bigramFluency]]'s
+    * raw-MLE transition probability assigns zero mass to any pair the
+    * scored doc doesn't share with the corpus and over-rewards
+    * boilerplate; KN discounts every seen bigram by `discount` and
+    * redistributes that mass through the CONTINUATION distribution
+    * (how many distinct contexts a word follows — "francisco" is
+    * frequent but only ever follows "san", so its continuation
+    * probability is tiny), which is what makes the score transfer to
+    * held-out text.
+    *
+    * Model censuses (all derived from ONE bigram census over `train`,
+    * never re-scanning it): c2(w1,w2); per-prefix totals c1(w1·) and
+    * distinct-continuation counts N1+(w1·); per-suffix distinct-context
+    * counts N1+(·w2); bigram-type total B; vocabulary size V. Scoring a
+    * target bigram ladders deterministically:
+    *
+    *   - prefix seen:  p = (seen ? (c2 − D)/c1 : 0) + ((D·N1+(w1·))/c1)·pc
+    *   - prefix unseen: p = pc
+    *   - pc = N1+(·w2)/B when w2 is in-vocab, else the uniform floor
+    *     1/(V+1)
+    *
+    * (c2 ≥ 1 and D < 1, so the textbook max(c2 − D, 0) is just c2 − D.)
+    * Every term is IEEE arithmetic over exact integers with a pinned
+    * expression tree — correctly-rounded ops reproduce bit for bit in
+    * any engine, the same discipline as [[bigramFluency]] (a log-prob
+    * would not hash-match). Output per target doc: `n_bigrams`,
+    * `oov_bigrams` (pairs the model never saw — its own quality
+    * signal), and `kn_score` (decimal-accumulated mean p).
+    *
+    * Scale shape: the train corpus pays one bigram-grain shuffle; the
+    * three model tables are vocab-grain, so the target side pays three
+    * vocab-grain equi-joins (broadcast when the model fits, shuffle
+    * hash join with map-side partials when it doesn't) and one
+    * doc-grain re-group. Nothing is ever doc×doc or corpus-sorted. */
+  def knFluency(
+      train: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"KN discount must be in (0,1), got $discount")
+    def bigramsOf(df: DataFrame, cols: Column*): DataFrame = {
+      val toks = tokens(normalize(col(textCol)))
+      df.select((cols :+ toks.as("toks")): _*)
+        .filter(size(col("toks")) >= 2)
+        .select((cols :+ explode(
+          zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => concat_ws(" ", a, b))).as("bigram")): _*)
+    }
+    val c2 = bigramsOf(train).groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1_fwd"))
+    val cont = c2.groupBy(substring_index(col("bigram"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("n1_bwd"))
+    // B = bigram types, V = vocabulary size — both 1-row, derived from
+    // the same vocab-grain tables, broadcast into the scoring join
+    val totals = c2.agg(count(lit(1)).as("bt"))
+      .crossJoin(
+        train.select(explode(tokens(normalize(col(textCol)))).as("w"))
+          .agg(count_distinct(col("w")).as("v")))
+    val tb = bigramsOf(target, col(idCol))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val d = lit(discount)
+    val pc = when(col("n1_bwd").isNotNull,
+        col("n1_bwd").cast(DoubleType) / col("bt"))
+      .otherwise(lit(1.0) / (col("v") + 1L))
+    val p = when(col("c1").isNotNull,
+        when(col("c2").isNotNull, (col("c2") - d) / col("c1"))
+          .otherwise(lit(0.0)) + ((d * col("n1_fwd")) / col("c1")) * pc)
+      .otherwise(pc)
+    tb.join(c2, Seq("bigram"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), col("c2").as("__c2"), p.as("p"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("__c2").isNull, 1L).otherwise(0L)).as("oov_bigrams"),
+        (sum(col("p").cast(DecimalType(18, 12))).cast(DoubleType) /
+          count(lit(1))).as("kn_score"))
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:

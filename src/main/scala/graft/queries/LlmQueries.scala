@@ -786,6 +786,55 @@ object LlmQueries {
               SELECT token, cnt, CAST(cnt AS DOUBLE) / total AS frac
               FROM c, t ORDER BY cnt DESC, token ASC LIMIT 50""")),
 
+    // Vocabulary growth curve (Heaps' law): per id-range epoch, the
+    // distinct words occurring in it, the words FIRST seen in it, and
+    // the cumulative vocabulary at each cut — the tokenizer-budget
+    // planning signal. Bucketing is row-local integer arithmetic off a
+    // broadcast min/max (never an ntile sort); the corpus pays one
+    // (bucket, word)-grain shuffle and both signals reduce off it; a
+    // bucket spine keeps empty epochs present.
+    QueryDef(
+      "l_vocab_growth",
+      (s, d) =>
+        TextAnalysis.vocabGrowth(t(s, d, "documents"), "doc_id", "text",
+          buckets = 4),
+      Some(raw"""WITH b AS (
+                SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+              ),
+              t AS (
+                SELECT CAST(((d.doc_id - b.lo) * 4) // (b.hi - b.lo + 1) + 1 AS INT) AS bucket,
+                  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+                FROM documents d, b
+              ),
+              bw AS (
+                SELECT bucket, w FROM t WHERE len(w) > 0 GROUP BY bucket, w
+              ),
+              pe AS (
+                SELECT bucket, CAST(COUNT(*) AS BIGINT) AS epoch_vocab
+                FROM bw GROUP BY bucket
+              ),
+              fs AS (
+                SELECT w, MIN(bucket) AS first_bucket FROM bw GROUP BY w
+              ),
+              nw AS (
+                SELECT first_bucket AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS new_words
+                FROM fs GROUP BY first_bucket
+              ),
+              sp AS (
+                SELECT CAST(unnest(generate_series(1, 4)) AS INT) AS bucket
+              )
+              SELECT sp.bucket,
+                COALESCE(nw.new_words, 0) AS new_words,
+                COALESCE(pe.epoch_vocab, 0) AS epoch_vocab,
+                CAST(SUM(COALESCE(nw.new_words, 0)) OVER (ORDER BY sp.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cumulative_vocab
+              FROM sp
+              LEFT JOIN nw ON nw.bucket = sp.bucket
+              LEFT JOIN pe ON pe.bucket = sp.bucket
+              ORDER BY sp.bucket""")),
+
     // Corpus-frequency quality signal (the exact-rational stand-in for
     // perplexity filtering): per-doc rare-token density + mean token
     // corpus frequency, every score a single IEEE division of exact
@@ -842,6 +891,79 @@ object LlmQueries {
                 CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS fluency
               FROM bg JOIN p USING (bigram)
               GROUP BY bg.doc_id ORDER BY bg.doc_id""")),
+
+    // Interpolated Kneser–Ney bigram LM (the smoothing KenLM implements;
+    // the CCNet shape: TRAIN on one split, SCORE the held-out split).
+    // Seen bigrams are discounted and the freed mass backs off through
+    // the continuation distribution; OOV pairs ladder to the
+    // continuation / uniform floor instead of bigramFluency's zero.
+    // Every probability is IEEE arithmetic over exact integers with a
+    // pinned expression tree — bit-reproducible cross-engine.
+    QueryDef(
+      "l_kneser_ney",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val h = Curation.hashBucket(col("doc_id")) % 2
+        TextAnalysis.knFluency(
+            docs.filter(h === 0), docs.filter(h =!= 0), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH hb AS (
+                SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 2 AS h
+                FROM documents
+              ),
+              trb AS (
+                SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1])) AS bigram
+                FROM hb WHERE h = 0 AND len(toks) >= 2
+              ),
+              c2 AS (SELECT bigram, COUNT(*) AS c2 FROM trb GROUP BY bigram),
+              c1 AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                            CAST(SUM(c2) AS BIGINT) AS c1,
+                            COUNT(*) AS n1_fwd
+                     FROM c2 GROUP BY 1),
+              ct AS (SELECT split_part(bigram, ' ', 2) AS w2,
+                            COUNT(*) AS n1_bwd
+                     FROM c2 GROUP BY 1),
+              tt AS (SELECT (SELECT COUNT(*) FROM c2) AS bt,
+                            (SELECT COUNT(DISTINCT w)
+                             FROM (SELECT unnest(toks) AS w
+                                   FROM hb WHERE h = 0)) AS v),
+              tgb AS (
+                SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+                FROM hb WHERE h <> 0 AND len(toks) >= 2
+              ),
+              j AS (
+                SELECT tgb.doc_id, c2.c2,
+                  CASE WHEN c1.c1 IS NOT NULL THEN
+                    (CASE WHEN c2.c2 IS NOT NULL
+                          THEN (c2.c2 - 0.75e0) / c1.c1 ELSE 0e0 END)
+                    + ((0.75e0 * c1.n1_fwd) / c1.c1) *
+                      (CASE WHEN ct.n1_bwd IS NOT NULL
+                            THEN CAST(ct.n1_bwd AS DOUBLE) / tt.bt
+                            ELSE 1e0 / (tt.v + 1) END)
+                  ELSE
+                    (CASE WHEN ct.n1_bwd IS NOT NULL
+                          THEN CAST(ct.n1_bwd AS DOUBLE) / tt.bt
+                          ELSE 1e0 / (tt.v + 1) END)
+                  END AS p
+                FROM tgb
+                LEFT JOIN c2 USING (bigram)
+                LEFT JOIN c1 ON c1.w1 = split_part(tgb.bigram, ' ', 1)
+                LEFT JOIN ct ON ct.w2 = split_part(tgb.bigram, ' ', 2)
+                CROSS JOIN tt
+              )
+              SELECT doc_id,
+                COUNT(*) AS n_bigrams,
+                CAST(SUM(CASE WHEN c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS oov_bigrams,
+                CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+                  AS kn_score
+              FROM j GROUP BY doc_id ORDER BY doc_id""")),
 
     // BPE pair census (tokenizer-training primitive): most frequent
     // adjacent character pairs weighted by word frequency — the corpus

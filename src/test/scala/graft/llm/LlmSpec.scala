@@ -717,6 +717,54 @@ class LlmSpec extends SparkSpec {
     assert(top2.toSeq === Seq("banana", "apple"))
   }
 
+  test("knFluency: discount arithmetic, continuation property, OOV ladder") {
+    // train model: B = 8 bigram types, V = 8 words, floor = 1/9.
+    // "the" continues 3 distinct contexts; "francisco" only follows
+    // "san" — the Kneser–Ney showcase pair.
+    val train = Seq(
+      (1L, "a the b the c the"),
+      (2L, "san francisco san francisco"),
+      (3L, "u v")).toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "x the"),         // unseen prefix → pure continuation 3/8
+      (11L, "x francisco"),   // unseen prefix → continuation 1/8
+      (12L, "zz qq"),         // both unseen → uniform floor 1/9
+      (13L, "san francisco"), // seen: (2-.75)/2 + (.75·1/2)·(1/8)
+      (14L, "the san")        // seen prefix, unseen bigram: (.75·2/2)·(1/8)
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.knFluency(train, target, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows(10L) === ((1L, 1L, 0.375)))
+    assert(rows(11L) === ((1L, 1L, 0.125)))
+    assert(rows(13L) === ((1L, 0L, 0.671875)))
+    assert(rows(14L) === ((1L, 1L, 0.09375)))
+    assert(math.abs(rows(12L)._3 - 1.0 / 9) < 1e-9)
+    // the continuation property: same raw frequency would rank
+    // "francisco" ≥ "the" under MLE; KN ranks by context diversity
+    assert(rows(10L)._3 > rows(11L)._3)
+  }
+
+  test("vocabGrowth: first-seen epochs, empty-epoch spine, cumulative cut") {
+    // ids 0..7 → 4 epochs of 2 docs; vocabulary grows then saturates:
+    // epoch 1 brings {a,b}, epoch 2 brings {c}, epoch 3 nothing new,
+    // epoch 4 brings {d}. Epoch 3 reuses old words (epoch_vocab 1,
+    // new_words 0) — the spine must still emit its row.
+    val df = Seq(
+      (0L, "a b"), (1L, "a"),
+      (2L, "c a"), (3L, "b c"),
+      (4L, "a b"), (5L, "b"),
+      (6L, "d a"), (7L, "d")).toDF("doc_id", "text")
+    val rows = TextAnalysis.vocabGrowth(df, "doc_id", "text", buckets = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq(
+      (1, 2L, 2L, 2L),   // {a,b} new; epoch sees {a,b}
+      (2, 1L, 3L, 3L),   // {c} new; epoch sees {a,b,c}
+      (3, 0L, 2L, 3L),   // nothing new; epoch sees {a,b}
+      (4, 1L, 2L, 4L)))  // {d} new; epoch sees {a,d}
+  }
+
   test("lshTopKCandidates ∪ exact-rerank matches lshTopK end-to-end") {
     val query = vecs.filter(col("vec_id") === 1)
       .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
