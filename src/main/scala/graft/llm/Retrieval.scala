@@ -1,0 +1,140 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.TextAnalysis.{normalize, tokens}
+
+/** Full-text retrieval over the corpus: inverted index + BM25 top-k
+  * (Robertson & Spärck Jones; the BM25 form in Robertson & Zaragoza
+  * 2009, "The Probabilistic Relevance Framework"). The data-curation
+  * uses: mining documents relevant to a target domain (DSIR-style
+  * seeding), building retrieval training pairs, and RAG-corpus serving.
+  *
+  * Scale design — the classic search-engine layout, expressed as Spark
+  * tables:
+  *
+  *   - The INDEX is built once (three keyed shuffles over the corpus:
+  *     doc-grain term frequencies, doc lengths, term document
+  *     frequencies) and materialized; queries never re-scan the corpus.
+  *     `dl` and `df_t` are DENORMALIZED into the posting rows exactly so
+  *     query-time scoring touches ONE table.
+  *   - A query batch broadcasts its (query, term) pairs into the
+  *     postings scan, so the corpus-sized side is filtered to the query
+  *     vocabulary's postings before anything else happens. Per-term
+  *     posting lists are the unit of work — never doc × query.
+  *   - `dfCap` is the skew lever: a stopword-like term whose posting
+  *     list is a large fraction of the corpus contributes near-zero BM25
+  *     (idf → 0) but costs a corpus-sized candidate set; capping df
+  *     drops those terms BEFORE their postings are read (the filter
+  *     pushes into the index scan).
+  *   - Scores per (query, doc) sum with map-side partials, and the
+  *     top-k cut is [[graft.functions.TopKStructs]] — a bounded heap per
+  *     (query, partition), never a per-query window sort.
+  */
+object Retrieval {
+
+  /** Build the inverted index: one row per (token, doc) with the term
+    * frequency, the doc's token length `dl`, and the term's document
+    * frequency `df_t` denormalized in (the dictionary folded into the
+    * postings — query-time scoring reads one table). Docs with no
+    * tokens don't index (they can never match). Build cost: one
+    * doc-grain census + two keyed joins, paid ONCE; materialize the
+    * result (partitioned/bucketed by token for posting-list locality)
+    * and serve query batches from the parquet. */
+  def invertedIndex(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(normalize(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df_t"))
+    tf.join(dl, "doc_id").join(dft, "token")
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"),
+        col("df_t"))
+  }
+
+  /** One-row corpus statistics for BM25: document count and total token
+    * length (avgdl stays a RATIO of these exact integers — the score
+    * expression divides once, so every engine reproduces it bit for
+    * bit). Computed from the index's doc grain; materialize alongside
+    * the index. */
+  def corpusStats(postings: DataFrame): DataFrame =
+    postings.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+
+  /** BM25 top-k retrieval for a query batch against a built index.
+    *
+    * Score per (query, doc): Σ_terms qtf · idf(t) · tf-norm(t, d) with
+    * the standard tf saturation tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    * `idf` defaults to the RAW Robertson ratio (N − df + ½)/(df + ½) —
+    * the same exact-rational discipline as tf-idf here (a transcendental
+    * log would not hash-match across engines; the log is monotone in the
+    * ratio, so single-term rankings agree and multi-term rankings are
+    * the documented trade). `logIdf = true` applies ln(1 + ratio) —
+    * textbook BM25+, for in-engine use where cross-engine bit-parity
+    * doesn't gate. Per-(query, doc) contributions decimal-accumulate
+    * (order-independent), ranking compares the EXACT decimal score with
+    * doc_id as the deterministic tie-break, and the emitted `score` is
+    * the decimal cast to double.
+    *
+    * Plan: broadcast the (query, term, qtf) table into the postings
+    * scan (`df_t <= dfCap` pushes down first), one (query, doc)-grain
+    * shuffle with map-side partial sums, one bounded-heap top-k
+    * aggregate per query. Nothing sorts more than k rows per group. */
+  def bm25TopK(
+      postings: DataFrame, stats: DataFrame, queries: DataFrame,
+      qidCol: String, qtextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      dfCap: Long = Long.MaxValue, logIdf: Boolean = false): DataFrame = {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
+    val qterms = queries
+      .select(col(qidCol).as("query_id"),
+        explode(tokens(normalize(col(qtextCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("query_id"), col("token"))
+      .agg(count(lit(1)).as("qtf"))
+    val cands = postings
+      .filter(col("df_t") <= dfCap)
+      .join(broadcast(qterms), "token")
+      .crossJoin(broadcast(stats))
+    val ratio = (col("n_docs") - col("df_t") + lit(0.5)) /
+      (col("df_t") + lit(0.5))
+    val idf = if (logIdf) log1p(ratio) else ratio
+    val tfNorm = (col("tf") * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+        lit(b) * ((col("dl") * col("n_docs")).cast(DoubleType) /
+          col("total_len"))))
+    val scores = cands
+      .select(col("query_id"), col("doc_id"),
+        (col("qtf").cast(DoubleType) * idf * tfNorm).as("contrib"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib").cast(DecimalType(38, 12))).as("sd"))
+    scores
+      .groupBy(col("query_id"))
+      .agg(graft.functions.F.topKStructs(
+        struct(col("sd"), col("doc_id")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "r")))
+      .select(col("query_id"), (col("i") + 1).cast(IntegerType).as("rank"),
+        col("r.doc_id").as("doc_id"),
+        col("r.sd").cast(DoubleType).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Convenience end-to-end form: build the index inline and retrieve.
+    * For repeated query batches, build once with [[invertedIndex]] /
+    * [[corpusStats]], materialize, and call [[bm25TopK]]. */
+  def bm25TopKDirect(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      dfCap: Long = Long.MaxValue, logIdf: Boolean = false): DataFrame = {
+    val idx = invertedIndex(docs, idCol, textCol)
+    bm25TopK(idx, corpusStats(idx), queries, qidCol, qtextCol, k,
+      k1, b, dfCap, logIdf)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
-import graft.llm.{Curation, Dedup, MediaCodecs, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, MediaCodecs, Multimodal, Packing, Retrieval, Similarity, TextAnalysis}
 import QueryDef._
 
 /** LLM-training-data operators (builder brief §extensions) over the
@@ -2029,6 +2029,73 @@ object LlmQueries {
                     FROM s)
               SELECT doc_id, token, tf, df_t, score, rank
               FROM r WHERE rank <= 5 ORDER BY doc_id, rank""")),
+
+    // BM25 top-k retrieval (inverted-index posting join): a 3-query
+    // batch broadcasts its (query, term, qtf) table into the postings
+    // scan, contributions use the raw Robertson idf ratio and the
+    // standard tf saturation (pinned IEEE expression tree), per-(query,
+    // doc) sums decimal-accumulate, and the top-k cut is the bounded
+    // heap aggregate — never a per-query window sort. The oracle
+    // recomputes the whole thing, ranking by the exact decimal score.
+    QueryDef(
+      "l_bm25_topk",
+      (s, d) => {
+        import s.implicits._
+        val qs = Seq(
+          (1, "spark table join"),
+          (2, "fast key scan value"),
+          (3, "slow vector group")).toDF("query_id", "qtext")
+        Retrieval.bm25TopKDirect(t(s, d, "documents"), "doc_id", "text",
+          qs, "query_id", "qtext", k = 10)
+      },
+      Some(raw"""WITH q AS (
+                SELECT * FROM (VALUES
+                  (1, 'spark table join'),
+                  (2, 'fast key scan value'),
+                  (3, 'slow vector group')) AS v(query_id, qtext)
+              ),
+              tk AS (
+                SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+                FROM documents
+              ),
+              tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                     FROM tk WHERE len(token) > 0 GROUP BY doc_id, token),
+              dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+                     FROM tf GROUP BY doc_id),
+              dft AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token),
+              st AS (SELECT COUNT(*) AS n_docs,
+                            CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+              qt AS (
+                SELECT query_id, token, COUNT(*) AS qtf
+                FROM (SELECT query_id,
+                        unnest(string_split(trim(regexp_replace(lower(qtext), '\s+', ' ', 'g')), ' ')) AS token
+                      FROM q)
+                WHERE len(token) > 0 GROUP BY query_id, token
+              ),
+              c AS (
+                SELECT qt.query_id, tf.doc_id,
+                  CAST(qt.qtf AS DOUBLE)
+                    * ((st.n_docs - dft.df_t + 0.5e0) / (dft.df_t + 0.5e0))
+                    * ((tf.tf * (1.2e0 + 1e0)) /
+                       (tf.tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 *
+                         (CAST(dl.dl * st.n_docs AS DOUBLE) / st.total_len))))
+                    AS contrib
+                FROM qt
+                JOIN tf USING (token)
+                JOIN dl USING (doc_id)
+                JOIN dft USING (token)
+                CROSS JOIN st
+              ),
+              sc AS (SELECT query_id, doc_id,
+                            SUM(CAST(contrib AS DECIMAL(38,12))) AS sd
+                     FROM c GROUP BY query_id, doc_id),
+              r AS (SELECT query_id, doc_id, sd,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sd DESC, doc_id DESC) AS INTEGER) AS rank
+                    FROM sc)
+              SELECT query_id, rank, doc_id, CAST(sd AS DOUBLE) AS score
+              FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
 
     // Sequence packing spans (GPT-style concat-and-chunk): cumulative
     // token offsets over bucket-salted streams — the window is always

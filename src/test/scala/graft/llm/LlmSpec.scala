@@ -717,6 +717,47 @@ class LlmSpec extends SparkSpec {
     assert(top2.toSeq === Seq("banana", "apple"))
   }
 
+  test("bm25TopK: exact scores, dfCap pruning, length normalization") {
+    val docs = Seq(
+      (1L, "cat dog"),
+      (2L, "cat cat cat fish"),
+      (3L, "bird")).toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(docs, "doc_id", "text")
+    val stats = Retrieval.corpusStats(idx)
+    def q(text: String) = Seq((1, text)).toDF("query_id", "qtext")
+
+    // hand-computed: N=3, total_len=7, idf(cat)=1.5/2.5=0.6
+    val cat = Retrieval.bm25TopK(idx, stats, q("cat"), "query_id", "qtext", 10)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(cat.map(_._1).toSeq === Seq(2L, 1L)) // tf=3 beats tf=1; d3 absent
+    assert(math.abs(cat(0)._2 - 0.6 * (3 * 2.2 /
+      (3 + 1.2 * (0.25 + 0.75 * (4.0 * 3 / 7))))) < 1e-9)
+    assert(math.abs(cat(1)._2 - 0.6 * (1 * 2.2 /
+      (1 + 1.2 * (0.25 + 0.75 * (2.0 * 3 / 7))))) < 1e-9)
+
+    // dfCap: "cat" (df=2) is dropped at dfCap=1; only "bird" survives,
+    // so the hot term's postings never become candidates
+    val capped = Retrieval.bm25TopK(idx, stats, q("cat bird"),
+        "query_id", "qtext", 10, dfCap = 1L)
+      .collect().map(_.getLong(2))
+    assert(capped.toSeq === Seq(3L))
+
+    // length normalization: same tf, shorter doc wins
+    val lenDocs = Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text")
+    val lenIdx = Retrieval.invertedIndex(lenDocs, "doc_id", "text")
+    val len = Retrieval.bm25TopK(lenIdx, Retrieval.corpusStats(lenIdx),
+        q("a"), "query_id", "qtext", 10)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(len.map(_._1).toSeq === Seq(1L, 2L))
+    assert(len(0)._2 > len(1)._2)
+
+    // logIdf is a monotone transform: single-term ranking unchanged
+    val logRank = Retrieval.bm25TopK(idx, stats, q("cat"),
+        "query_id", "qtext", 10, logIdf = true)
+      .collect().map(_.getLong(2))
+    assert(logRank.toSeq === Seq(2L, 1L))
+  }
+
   test("knFluency: discount arithmetic, continuation property, OOV ladder") {
     // train model: B = 8 bigram types, V = 8 words, floor = 1/9.
     // "the" continues 3 distinct contexts; "francisco" only follows
