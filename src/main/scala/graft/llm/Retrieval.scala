@@ -91,17 +91,56 @@ object Retrieval {
       qidCol: String, qtextCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       dfCap: Long = Long.MaxValue, logIdf: Boolean = false): DataFrame = {
-    require(k >= 1, s"top-k needs k >= 1, got $k")
-    val qterms = queries
+    val cands = postings
+      .filter(col("df_t") <= dfCap)
+      .join(broadcast(queryTerms(queries, qidCol, qtextCol)), "token")
+      .crossJoin(broadcast(stats))
+    scoreAndTopK(cands, k, k1, b, logIdf)
+  }
+
+  /** BM25 top-k against a SEGMENTED live index — postings WITHOUT the
+    * denormalized `df_t`, plus a separate (token, df_t) dictionary. This
+    * is the continuously-maintained layout ([[graft.streaming
+    * .StreamingCorpus.startIndexMaintenance]]): posting segments are
+    * immutable per ingest batch while `df_t` churns with EVERY batch, so
+    * the dictionary lives apart exactly as search engines keep it (df
+    * summed across segments). The query terms join the dictionary FIRST
+    * (vocab-grain, query side tiny) and `dfCap` filters there — a
+    * stopword-grade term is dropped before its posting lists are ever
+    * read, the same property the denormalized layout gets from
+    * pushdown. */
+  def bm25TopKWithDict(
+      postings: DataFrame, dict: DataFrame, stats: DataFrame,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      dfCap: Long = Long.MaxValue, logIdf: Boolean = false): DataFrame = {
+    val qdf = queryTerms(queries, qidCol, qtextCol)
+      .join(dict, "token")
+      .filter(col("df_t") <= dfCap)
+    val cands = postings
+      .join(broadcast(qdf), "token")
+      .crossJoin(broadcast(stats))
+    scoreAndTopK(cands, k, k1, b, logIdf)
+  }
+
+  /** (query_id, token, qtf) for a query batch — same tokenization as the
+    * index side. */
+  private def queryTerms(
+      queries: DataFrame, qidCol: String, qtextCol: String): DataFrame =
+    queries
       .select(col(qidCol).as("query_id"),
         explode(tokens(normalize(col(qtextCol)))).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("query_id"), col("token"))
       .agg(count(lit(1)).as("qtf"))
-    val cands = postings
-      .filter(col("df_t") <= dfCap)
-      .join(broadcast(qterms), "token")
-      .crossJoin(broadcast(stats))
+
+  /** Shared scoring tail: candidates carrying (query_id, doc_id, qtf,
+    * tf, dl, df_t, n_docs, total_len) → decimal-accumulated (query, doc)
+    * scores → bounded-heap top-k. */
+  private def scoreAndTopK(
+      cands: DataFrame, k: Int, k1: Double, b: Double,
+      logIdf: Boolean): DataFrame = {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
     val ratio = (col("n_docs") - col("df_t") + lit(0.5)) /
       (col("df_t") + lit(0.5))
     val idf = if (logIdf) log1p(ratio) else ratio

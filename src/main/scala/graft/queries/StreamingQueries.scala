@@ -390,6 +390,106 @@ object StreamingQueries {
                 TRUE AS advanced_incrementally
               FROM wc ORDER BY c DESC, w LIMIT 1000""")),
 
+    // ST — continuously-maintained inverted index: three landed batches
+    // advance immutable posting SEGMENTS (hive shard per batch, O(batch)
+    // refresh) plus the additive dictionary and corpus stats; BM25
+    // retrieval then runs against the LIVE index and must match (a) the
+    // batch-built index over the same landed docs bit for bit and
+    // (b) the DuckDB recomputation. The segment layout is the claim
+    // under test: df_t lives apart from postings because it churns with
+    // every batch while segments never rewrite.
+    QueryDef(
+      "st_bm25",
+      (s, d) => {
+        val base = scratch("st_bm25")
+        val land = s"$base/land"; Files.createDirectories(Paths.get(land))
+        val indexDir = s"$base/index"
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        val t0 = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          landJson(docs.filter(pmod(col("doc_id"), lit(3)) === i),
+            land, s"b$i.json", t0 + i * 60000)
+        }
+        val stream = s.readStream
+          .schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1")
+          .json(land)
+        val q = graft.streaming.StreamingCorpus.startIndexMaintenance(
+          stream, "doc_id", "text", indexDir, s"$base/ckpt",
+          Some(Trigger.AvailableNow()))
+        q.awaitTermination()
+        import s.implicits._
+        val qs = Seq(
+          (1, "spark table join"),
+          (2, "fast key scan value"),
+          (3, "slow vector group")).toDF("query_id", "qtext")
+        val (postings, dict, stats) =
+          graft.streaming.StreamingCorpus.readIndex(s, indexDir)
+        val live = graft.llm.Retrieval.bm25TopKWithDict(
+          postings, dict, stats, qs, "query_id", "qtext", k = 10)
+        val direct = graft.llm.Retrieval.bm25TopKDirect(
+          docs, "doc_id", "text", qs, "query_id", "qtext", k = 10)
+        val identical = live.exceptAll(direct).isEmpty &&
+          direct.exceptAll(live).isEmpty
+        val it = graft.tables.IncrementalTable
+        live
+          .withColumn("matches_direct", lit(identical))
+          .withColumn("advanced_incrementally",
+            lit(it.versions(s"$indexDir/postings").size >= 3 &&
+              it.versions(s"$indexDir/dict").size >= 3 &&
+              it.versions(s"$indexDir/stats").size >= 3))
+      },
+      Some(raw"""WITH q AS (
+                SELECT * FROM (VALUES
+                  (1, 'spark table join'),
+                  (2, 'fast key scan value'),
+                  (3, 'slow vector group')) AS v(query_id, qtext)
+              ),
+              tk AS (
+                SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g')), ' ')) AS token
+                FROM documents
+              ),
+              tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                     FROM tk WHERE len(token) > 0 GROUP BY doc_id, token),
+              dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+                     FROM tf GROUP BY doc_id),
+              dft AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token),
+              st AS (SELECT COUNT(*) AS n_docs,
+                            CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+              qt AS (
+                SELECT query_id, token, COUNT(*) AS qtf
+                FROM (SELECT query_id,
+                        unnest(string_split(trim(regexp_replace(lower(qtext), '\s+', ' ', 'g')), ' ')) AS token
+                      FROM q)
+                WHERE len(token) > 0 GROUP BY query_id, token
+              ),
+              c AS (
+                SELECT qt.query_id, tf.doc_id,
+                  CAST(qt.qtf AS DOUBLE)
+                    * ((st.n_docs - dft.df_t + 0.5e0) / (dft.df_t + 0.5e0))
+                    * ((tf.tf * (1.2e0 + 1e0)) /
+                       (tf.tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 *
+                         (CAST(dl.dl * st.n_docs AS DOUBLE) / st.total_len))))
+                    AS contrib
+                FROM qt
+                JOIN tf USING (token)
+                JOIN dl USING (doc_id)
+                JOIN dft USING (token)
+                CROSS JOIN st
+              ),
+              sc AS (SELECT query_id, doc_id,
+                            SUM(CAST(contrib AS DECIMAL(38,12))) AS sd
+                     FROM c GROUP BY query_id, doc_id),
+              r AS (SELECT query_id, doc_id, sd,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sd DESC, doc_id DESC) AS INTEGER) AS rank
+                    FROM sc)
+              SELECT query_id, rank, doc_id, CAST(sd AS DOUBLE) AS score,
+                TRUE AS matches_direct, TRUE AS advanced_incrementally
+              FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
+
     // ST7 — stream-stream LEFT OUTER interval join: same two feeds as
     // st_join, but unmatched fixes must surface with NULL alert columns
     // — and a streaming outer join may emit a null row only once the

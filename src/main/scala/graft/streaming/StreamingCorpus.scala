@@ -120,6 +120,107 @@ object StreamingCorpus {
     }
   }
 
+  /** Continuously-maintained inverted index — the live form of
+    * [[graft.llm.Retrieval.invertedIndex]], laid out the way search
+    * engines actually maintain one: immutable posting SEGMENTS plus a
+    * churning dictionary.
+    *
+    *   - `<indexDir>/postings` (token, doc_id, tf, dl, shard):
+    *     each micro-batch's postings land as hive partition
+    *     `shard=<batchId>` via `IncrementalTable.refreshPartitions` —
+    *     O(batch) data cost, every other segment carries by reference,
+    *     and a replayed batch REWRITES its own shard (content-
+    *     idempotent by construction, no guard needed). Docs are
+    *     append-only/immutable, the inverted-index contract.
+    *   - `<indexDir>/dict` (token, df_t): additive vocab-grain merge
+    *     per batch (df sums across segments because each doc lives in
+    *     exactly one), guarded by the census discipline — one committed
+    *     version per applied batch, `versions.size > batchId` marks an
+    *     already-applied redelivery whose re-merge would double-count.
+    *   - `<indexDir>/stats` (n_docs, total_len): the same additive
+    *     merge at 1-row grain, independently guarded — a crash between
+    *     the three commits self-heals on replay because each table
+    *     checks its own applied-version count.
+    *
+    * Query batches read the index with [[readIndex]] and score with
+    * [[graft.llm.Retrieval.bm25TopKWithDict]] — retrieval over a corpus
+    * that was never batch-indexed, always current to the last landed
+    * micro-batch. */
+  def startIndexMaintenance(
+      docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      checkpointDir: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val w = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        applyIndexBatch(batch.toDF(), idCol, textCol, indexDir, batchId)
+      }
+    trigger.foreach(w.trigger)
+    w.start()
+  }
+
+  /** One index-maintenance step (the [[startIndexMaintenance]]
+    * foreachBatch body, exposed for the replay-idempotence spec). */
+  private[graft] def applyIndexBatch(
+      batch: DataFrame, idCol: String, textCol: String, indexDir: String,
+      batchId: Long): Unit = {
+    import graft.tables.IncrementalTable
+    import graft.llm.TextAnalysis.{normalize, tokens}
+    val postingsPath = s"$indexDir/postings"
+    val dictPath = s"$indexDir/dict"
+    val statsPath = s"$indexDir/stats"
+    // three commits consume the batch census — persist it once instead
+    // of re-running the explode per action
+    val tf = batch
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(normalize(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    try {
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val segment = tf.join(dl, "doc_id")
+        .select(col("token"), col("doc_id"), col("tf"), col("dl"),
+          lit(batchId).as("shard"))
+      IncrementalTable.refreshPartitions(segment, postingsPath, Seq("shard"))
+      if (IncrementalTable.versions(dictPath).size <= batchId) {
+        val delta = tf.groupBy(col("token")).agg(count(lit(1)).as("df_t"))
+        val merged =
+          if (IncrementalTable.versions(dictPath).isEmpty) delta
+          else IncrementalTable.read(batch.sparkSession, dictPath)
+            .unionByName(delta)
+            .groupBy(col("token")).agg(sum(col("df_t")).as("df_t"))
+        IncrementalTable.commitFull(merged, dictPath): Unit
+      }
+      if (IncrementalTable.versions(statsPath).size <= batchId) {
+        val delta = dl.agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("total_len"))
+        val merged =
+          if (IncrementalTable.versions(statsPath).isEmpty) delta
+          else IncrementalTable.read(batch.sparkSession, statsPath)
+            .unionByName(delta)
+            .agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("total_len")).as("total_len"))
+        IncrementalTable.commitFull(merged, statsPath): Unit
+      }
+    } finally { tf.unpersist(): Unit }
+  }
+
+  /** Read the live index: (postings, dict, stats) as of the latest
+    * committed versions. */
+  def readIndex(
+      spark: SparkSession, indexDir: String): (DataFrame, DataFrame, DataFrame) = {
+    import graft.tables.IncrementalTable
+    (IncrementalTable.read(spark, s"$indexDir/postings").drop("shard"),
+      IncrementalTable.read(spark, s"$indexDir/dict"),
+      IncrementalTable.read(spark, s"$indexDir/stats"))
+  }
+
   /** Stateless streaming prep: PII scrub then token-window chunking —
     * one output row per training sequence, with the chunk columns
     * flattened. Both steps are pure column expressions (regex replace +

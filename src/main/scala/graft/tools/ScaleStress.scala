@@ -85,7 +85,13 @@ object ScaleStress {
     // and the shard-merge census path (the hot boilerplate phrase makes
     // its words mega-hot census keys in every shard — the merge must
     // stay vocab-grain under that skew)
-    "l_wordpiece_encode", "l_census_incremental")
+    "l_wordpiece_encode", "l_census_incremental",
+    // round-7 continuation: the hot boilerplate phrase is the direct
+    // adversary of all three — its words are mega-hot posting lists
+    // (BM25's dfCap territory), mega-hot bigram census keys (KN's
+    // discount path), and a mega-hot (bucket, word) census key (the
+    // growth curve's one shuffle)
+    "l_bm25_topk", "l_kneser_ney", "l_vocab_growth")
 
   /** Hot boilerplate phrase planted into ~30% of documents. */
   val HotPhrase =

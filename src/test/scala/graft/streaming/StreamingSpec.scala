@@ -262,4 +262,54 @@ class StreamingSpec extends SparkSpec {
       assert(graft.tables.IncrementalTable.versions(dir).size == 3)
     } finally graft.tables.FsUtil.deleteRec(java.nio.file.Paths.get(dir))
   }
+
+  test("streaming corpus: inverted-index maintenance is replay-safe per table") {
+    import spark.implicits._
+    val it = graft.tables.IncrementalTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    try {
+      val b0 = Seq((1L, "cat dog"), (2L, "cat cat fish")).toDF("doc_id", "text")
+      val b1 = Seq((3L, "dog bird")).toDF("doc_id", "text")
+      StreamingCorpus.applyIndexBatch(b0, "doc_id", "text", dir, 0L)
+      StreamingCorpus.applyIndexBatch(b1, "doc_id", "text", dir, 1L)
+      def dict(): Map[String, Long] =
+        it.read(spark, s"$dir/dict")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def stats(): (Long, Long) = {
+        val r = it.read(spark, s"$dir/stats").collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      def postings(): Set[(String, Long, Long, Long)] =
+        it.read(spark, s"$dir/postings")
+          .select("token", "doc_id", "tf", "dl").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+      val expDict = Map("cat" -> 2L, "dog" -> 2L, "fish" -> 1L, "bird" -> 1L)
+      val expStats = (3L, 7L) // 3 docs, 2+3+2 tokens
+      val expPost = Set(
+        ("cat", 1L, 1L, 2L), ("dog", 1L, 1L, 2L),
+        ("cat", 2L, 2L, 3L), ("fish", 2L, 1L, 3L),
+        ("dog", 3L, 1L, 2L), ("bird", 3L, 1L, 2L))
+      assert(dict() == expDict)
+      assert(stats() == expStats)
+      assert(postings() == expPost)
+      // replay of batch 1: the dict/stats merges must skip (re-merging
+      // double-counts); the segment refresh rewrites shard=1 to the same
+      // content — everything stays bit-identical
+      StreamingCorpus.applyIndexBatch(b1, "doc_id", "text", dir, 1L)
+      assert(dict() == expDict, "replayed batch double-counted dict")
+      assert(stats() == expStats, "replayed batch double-counted stats")
+      assert(postings() == expPost)
+      // live retrieval over the maintained index matches the batch build
+      val qs = Seq((1, "cat dog")).toDF("query_id", "qtext")
+      val docs = b0.unionByName(b1)
+      val live = graft.llm.Retrieval.bm25TopKWithDict(
+        it.read(spark, s"$dir/postings").drop("shard"),
+        it.read(spark, s"$dir/dict"), it.read(spark, s"$dir/stats"),
+        qs, "query_id", "qtext", k = 5)
+      val direct = graft.llm.Retrieval.bm25TopKDirect(
+        docs, "doc_id", "text", qs, "query_id", "qtext", k = 5)
+      assert(live.exceptAll(direct).isEmpty && direct.exceptAll(live).isEmpty)
+    } finally graft.tables.FsUtil.deleteRec(java.nio.file.Paths.get(dir))
+  }
 }
