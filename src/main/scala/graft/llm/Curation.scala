@@ -711,6 +711,31 @@ object Curation {
     dsirScoreWithCensus(df, idCol, textCol,
       dsirCensus(df, textCol, targetFilter, buckets), buckets)
 
+  /** Moore–Lewis contrastive data selection (Moore & Lewis 2010,
+    * "Intelligent Selection of Language Model Training Data" — public):
+    * rank a candidate pool by the DIFFERENCE between an IN-DOMAIN LM's
+    * score and a GENERAL-corpus LM's score, so documents that look like
+    * the target domain — rather than documents that are merely fluent —
+    * float to the top. The textbook form differences cross-entropies;
+    * this differences [[TextAnalysis.knFluency]]'s exact-rational KN
+    * mean probabilities (same decision direction, and a log-prob would
+    * not hash-match cross-engine — the house discipline). Two model
+    * trainings (one bigram census each), two scoring passes over the
+    * pool (vocab-grain joins), one doc-grain join of the two score
+    * tables. Select the pool's top fraction by `ml_score` descending. */
+  def mooreLewisScores(
+      inDomain: DataFrame, general: DataFrame, pool: DataFrame,
+      idCol: String, textCol: String, discount: Double = 0.75): DataFrame = {
+    val inS = TextAnalysis.knFluency(inDomain, pool, idCol, textCol, discount)
+      .select(col(idCol), col("n_bigrams"), col("kn_score").as("in_score"))
+    val genS = TextAnalysis.knFluency(general, pool, idCol, textCol, discount)
+      .select(col(idCol), col("kn_score").as("gen_score"))
+    inS.join(genS, idCol)
+      .select(col(idCol), col("n_bigrams"), col("in_score"),
+        col("gen_score"),
+        (col("in_score") - col("gen_score")).as("ml_score"))
+  }
+
   /** The DSIR hashed-unigram census: ≤`buckets` rows of (bucket,
     * raw count, target count), ONE pass with a conditional count. The
     * census is ADDITIVE — counts sum — so an ingest pipeline maintains

@@ -164,6 +164,45 @@ object Retrieval {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** POSITIONAL inverted index: (token, doc_id, positions) with 1-based
+    * token positions sorted ascending — the layout phrase/proximity
+    * search needs. Same one doc-grain shuffle as [[invertedIndex]]
+    * (positions collect within the (token, doc) group, bounded by the
+    * doc's own length). Materialize partitioned or bucketed by token so
+    * a phrase query's per-term lookups prune to their posting files. */
+  def positionalIndex(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(normalize(col(textCol)))).as(Seq("pos0", "token")))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos0") + 1)).as("positions"))
+
+  /** Exact phrase search over a positional index: docs containing the
+    * terms CONSECUTIVELY, with the match count. Each term's postings are
+    * a point token lookup (partition-pruned on a materialized index);
+    * the per-term posting sets then equi-join on doc_id — a doc survives
+    * only if it holds every term, so the join chain shrinks
+    * monotonically — and the consecutive test is pure array arithmetic
+    * inside codegen: a start position p matches when term i's list
+    * contains p + i for every i. Nothing ever rescans text, and the
+    * work is proportional to the PHRASE TERMS' posting lists, not the
+    * corpus. */
+  def phraseMatches(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase needs at least one term")
+    val parts = phrase.zipWithIndex.map { case (term, i) =>
+      index.filter(col("token") === lit(term))
+        .select(col("doc_id"), col("positions").as(s"p$i"))
+    }
+    val joined = parts.reduce((a, b) => a.join(b, "doc_id"))
+    val matchStarts = (1 until phrase.length).foldLeft(col("p0")) {
+      (acc, i) => filter(acc, p => array_contains(col(s"p$i"), p + lit(i)))
+    }
+    joined
+      .select(col("doc_id"), size(matchStarts).as("match_count"))
+      .filter(col("match_count") > 0)
+  }
+
   /** Convenience end-to-end form: build the index inline and retrieve.
     * For repeated query batches, build once with [[invertedIndex]] /
     * [[corpusStats]], materialize, and call [[bm25TopK]]. */

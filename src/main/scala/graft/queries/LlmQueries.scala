@@ -965,6 +965,119 @@ object LlmQueries {
                   AS kn_score
               FROM j GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Moore–Lewis contrastive selection: pool docs ranked by in-domain
+    // LM score minus general LM score — "looks like the target domain"
+    // beats "merely fluent". Both LMs are the Kneser–Ney machinery; the
+    // oracle recomputes the full double pipeline independently.
+    QueryDef(
+      "l_moore_lewis",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val h = Curation.hashBucket(col("doc_id")) % 4
+        Curation.mooreLewisScores(
+            docs.filter(h === 0), docs.filter(h === 1 || h === 2),
+            docs.filter(h === 3), "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH hb AS (
+                SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 4 AS h
+                FROM documents
+              ),
+              tgb AS (
+                SELECT doc_id,
+                  unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+                FROM hb WHERE h = 3 AND len(toks) >= 2
+              ),
+              a_trb AS (
+                SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1])) AS bigram
+                FROM hb WHERE h = 0 AND len(toks) >= 2
+              ),
+              a_c2 AS (SELECT bigram, COUNT(*) AS c2 FROM a_trb GROUP BY bigram),
+              a_c1 AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                              CAST(SUM(c2) AS BIGINT) AS c1,
+                              COUNT(*) AS n1_fwd
+                       FROM a_c2 GROUP BY 1),
+              a_ct AS (SELECT split_part(bigram, ' ', 2) AS w2,
+                              COUNT(*) AS n1_bwd
+                       FROM a_c2 GROUP BY 1),
+              a_tt AS (SELECT (SELECT COUNT(*) FROM a_c2) AS bt,
+                              (SELECT COUNT(DISTINCT w)
+                               FROM (SELECT unnest(toks) AS w
+                                     FROM hb WHERE h = 0)) AS v),
+              a_j AS (
+                SELECT tgb.doc_id,
+                  CASE WHEN a_c1.c1 IS NOT NULL THEN
+                    (CASE WHEN a_c2.c2 IS NOT NULL
+                          THEN (a_c2.c2 - 0.75e0) / a_c1.c1 ELSE 0e0 END)
+                    + ((0.75e0 * a_c1.n1_fwd) / a_c1.c1) *
+                      (CASE WHEN a_ct.n1_bwd IS NOT NULL
+                            THEN CAST(a_ct.n1_bwd AS DOUBLE) / a_tt.bt
+                            ELSE 1e0 / (a_tt.v + 1) END)
+                  ELSE
+                    (CASE WHEN a_ct.n1_bwd IS NOT NULL
+                          THEN CAST(a_ct.n1_bwd AS DOUBLE) / a_tt.bt
+                          ELSE 1e0 / (a_tt.v + 1) END)
+                  END AS p
+                FROM tgb
+                LEFT JOIN a_c2 USING (bigram)
+                LEFT JOIN a_c1 ON a_c1.w1 = split_part(tgb.bigram, ' ', 1)
+                LEFT JOIN a_ct ON a_ct.w2 = split_part(tgb.bigram, ' ', 2)
+                CROSS JOIN a_tt
+              ),
+              a_s AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                        CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE)
+                          / COUNT(*) AS in_score
+                      FROM a_j GROUP BY doc_id),
+              b_trb AS (
+                SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1])) AS bigram
+                FROM hb WHERE h IN (1, 2) AND len(toks) >= 2
+              ),
+              b_c2 AS (SELECT bigram, COUNT(*) AS c2 FROM b_trb GROUP BY bigram),
+              b_c1 AS (SELECT split_part(bigram, ' ', 1) AS w1,
+                              CAST(SUM(c2) AS BIGINT) AS c1,
+                              COUNT(*) AS n1_fwd
+                       FROM b_c2 GROUP BY 1),
+              b_ct AS (SELECT split_part(bigram, ' ', 2) AS w2,
+                              COUNT(*) AS n1_bwd
+                       FROM b_c2 GROUP BY 1),
+              b_tt AS (SELECT (SELECT COUNT(*) FROM b_c2) AS bt,
+                              (SELECT COUNT(DISTINCT w)
+                               FROM (SELECT unnest(toks) AS w
+                                     FROM hb WHERE h IN (1, 2))) AS v),
+              b_j AS (
+                SELECT tgb.doc_id,
+                  CASE WHEN b_c1.c1 IS NOT NULL THEN
+                    (CASE WHEN b_c2.c2 IS NOT NULL
+                          THEN (b_c2.c2 - 0.75e0) / b_c1.c1 ELSE 0e0 END)
+                    + ((0.75e0 * b_c1.n1_fwd) / b_c1.c1) *
+                      (CASE WHEN b_ct.n1_bwd IS NOT NULL
+                            THEN CAST(b_ct.n1_bwd AS DOUBLE) / b_tt.bt
+                            ELSE 1e0 / (b_tt.v + 1) END)
+                  ELSE
+                    (CASE WHEN b_ct.n1_bwd IS NOT NULL
+                          THEN CAST(b_ct.n1_bwd AS DOUBLE) / b_tt.bt
+                          ELSE 1e0 / (b_tt.v + 1) END)
+                  END AS p
+                FROM tgb
+                LEFT JOIN b_c2 USING (bigram)
+                LEFT JOIN b_c1 ON b_c1.w1 = split_part(tgb.bigram, ' ', 1)
+                LEFT JOIN b_ct ON b_ct.w2 = split_part(tgb.bigram, ' ', 2)
+                CROSS JOIN b_tt
+              ),
+              b_s AS (SELECT doc_id,
+                        CAST(SUM(CAST(p AS DECIMAL(18,12))) AS DOUBLE)
+                          / COUNT(*) AS gen_score
+                      FROM b_j GROUP BY doc_id)
+              SELECT a_s.doc_id, a_s.n_bigrams, a_s.in_score, b_s.gen_score,
+                a_s.in_score - b_s.gen_score AS ml_score
+              FROM a_s JOIN b_s ON a_s.doc_id = b_s.doc_id
+              ORDER BY a_s.doc_id""")),
+
     // BPE pair census (tokenizer-training primitive): most frequent
     // adjacent character pairs weighted by word frequency — the corpus
     // collapses to its word vocabulary first, so the pair explosion is
@@ -2096,6 +2209,45 @@ object LlmQueries {
                     FROM sc)
               SELECT query_id, rank, doc_id, CAST(sd AS DOUBLE) AS score
               FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
+
+    // Exact phrase search over the positional inverted index: per-term
+    // point lookups equi-joined on doc_id, consecutive-position test as
+    // array arithmetic in codegen — work ∝ the phrase terms' posting
+    // lists, never the corpus. The oracle is a DIFFERENT algorithm
+    // (direct token-window scan per doc) agreeing on the answer.
+    QueryDef(
+      "l_phrase_search",
+      (s, d) => {
+        val idx = Retrieval.positionalIndex(
+          t(s, d, "documents"), "doc_id", "text")
+        Retrieval.phraseMatches(idx, Seq("fast", "table"))
+          .withColumn("phrase", lit("fast table"))
+          .unionByName(
+            Retrieval.phraseMatches(idx, Seq("the", "value", "a"))
+              .withColumn("phrase", lit("the value a")))
+          .select(col("phrase"), col("doc_id"), col("match_count"))
+          .orderBy(col("phrase"), col("doc_id"))
+      },
+      Some(raw"""WITH tk AS (
+                SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+                FROM documents
+              ),
+              m AS (
+                SELECT 'fast table' AS phrase, doc_id,
+                  CAST(len(list_filter(generate_series(1, len(toks) - 1),
+                    i -> toks[i] = 'fast' AND toks[i+1] = 'table')) AS INT)
+                    AS match_count
+                FROM tk
+                UNION ALL
+                SELECT 'the value a' AS phrase, doc_id,
+                  CAST(len(list_filter(generate_series(1, len(toks) - 2),
+                    i -> toks[i] = 'the' AND toks[i+1] = 'value'
+                         AND toks[i+2] = 'a')) AS INT) AS match_count
+                FROM tk
+              )
+              SELECT phrase, doc_id, match_count
+              FROM m WHERE match_count > 0 ORDER BY phrase, doc_id""")),
 
     // Sequence packing spans (GPT-style concat-and-chunk): cumulative
     // token offsets over bucket-salted streams — the window is always

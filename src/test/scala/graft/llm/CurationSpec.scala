@@ -489,4 +489,24 @@ class CurationSpec extends SparkSpec {
     // c: avail 1, target 20 -> epochs capped at 4, planned 4
     assert(plan("c") === ((1L, 20L, 1.0, 4.0, 4L)))
   }
+
+  test("mooreLewisScores ranks domain-like pool docs above general-like ones") {
+    import spark.implicits._
+    val inDomain = Seq(
+      (1L, "alpha beta alpha beta gamma"),
+      (2L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val general = Seq(
+      (3L, "delta epsilon delta epsilon gamma"),
+      (4L, "delta epsilon delta epsilon")).toDF("doc_id", "text")
+    val pool = Seq(
+      (10L, "alpha beta alpha beta"),   // reuses in-domain transitions
+      (11L, "delta epsilon delta epsilon") // reuses general transitions
+    ).toDF("doc_id", "text")
+    val got = Curation.mooreLewisScores(inDomain, general, pool,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got(10L) > 0.0, "domain-like doc must score positive")
+    assert(got(11L) < 0.0, "general-like doc must score negative")
+    assert(got(10L) > got(11L))
+  }
 }

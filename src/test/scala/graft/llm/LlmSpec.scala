@@ -758,6 +758,24 @@ class LlmSpec extends SparkSpec {
     assert(logRank.toSeq === Seq(2L, 1L))
   }
 
+  test("phraseMatches: boundaries, overlaps, repeated terms, single term") {
+    val docs = Seq(
+      (1L, "cat dog cat dog"),   // "cat dog" at 1 and 3; starts the doc
+      (2L, "dog cat dog"),       // "cat dog" at 2; ends the doc
+      (3L, "a a a"),             // overlapping "a a" at 1 and 2
+      (4L, "dog dog cat")        // "cat dog" absent (order matters)
+    ).toDF("doc_id", "text")
+    val idx = Retrieval.positionalIndex(docs, "doc_id", "text")
+    def m(phrase: String*) =
+      Retrieval.phraseMatches(idx, phrase)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m("cat", "dog") === Map(1L -> 2, 2L -> 1))
+    assert(m("a", "a") === Map(3L -> 2))        // overlaps both count
+    assert(m("a", "a", "a") === Map(3L -> 1))
+    assert(m("cat") === Map(1L -> 2, 2L -> 1, 4L -> 1)) // single term = tf
+    assert(m("cat", "cat") === Map.empty)
+  }
+
   test("knFluency: discount arithmetic, continuation property, OOV ladder") {
     // train model: B = 8 bigram types, V = 8 words, floor = 1/9.
     // "the" continues 3 distinct contexts; "francisco" only follows
