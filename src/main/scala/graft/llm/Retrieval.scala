@@ -203,6 +203,62 @@ object Retrieval {
       .filter(col("match_count") > 0)
   }
 
+  /** HYBRID retrieval — the RAG-standard two-stage pipeline: BM25 over
+    * the inverted index recalls `recallN` lexical candidates per query,
+    * an embedding cosine re-ranks EXACTLY that candidate set, and
+    * Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009 — public)
+    * fuses the two orderings: rrf = 1/(rrfK + bm25_rank) +
+    * 1/(rrfK + cos_rank). RRF is rank-based, so the fused score is IEEE
+    * division of exact integers — bit-reproducible cross-engine where a
+    * score-mixing fusion would not be.
+    *
+    * Scale shape: stage 1 is [[bm25TopK]] (bounded-heap top-recallN);
+    * stage 2 joins the ≤ queries×recallN candidate table to the vector
+    * table on doc_id (keyed equi-join — the corpus-sized side is
+    * touched only for candidate ids) and broadcasts the query vectors;
+    * the re-rank windows partition per query over ≤ recallN rows, so no
+    * executor ever sorts more than one query's candidates. Candidates
+    * without a vector drop (inner join) — re-ranking needs the vector
+    * by construction. */
+  def hybridTopK(
+      postings: DataFrame, stats: DataFrame,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      qvecs: DataFrame, qvecIdCol: String, qvecCol: String,
+      docVecs: DataFrame, dvecIdCol: String, dvecCol: String,
+      k: Int, recallN: Int = 50, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75,
+      dfCap: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && recallN >= k,
+      s"need recallN >= k >= 1, got k=$k recallN=$recallN")
+    val recall = bm25TopK(postings, stats, queries, qidCol, qtextCol,
+        recallN, k1, b, dfCap)
+      .select(col("query_id"), col("rank").as("bm25_rank"), col("doc_id"))
+    val withCos = recall
+      .join(docVecs.select(col(dvecIdCol).as("doc_id"),
+        col(dvecCol).as("__dv")), "doc_id")
+      .join(broadcast(qvecs.select(col(qvecIdCol).as("query_id"),
+        col(qvecCol).as("__qv"))), "query_id")
+      .withColumn("cosine",
+        graft.functions.F.cosineSim(col("__qv"), col("__dv")))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(desc_nulls_last("cosine"), asc_nulls_last("doc_id"))
+    val fused = withCos
+      .withColumn("cos_rank", row_number().over(wc))
+      .withColumn("rrf_score",
+        lit(1.0) / (lit(rrfK) + col("bm25_rank")) +
+          lit(1.0) / (lit(rrfK) + col("cos_rank")))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(desc("rrf_score"), asc("doc_id"))
+    fused
+      .withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast(IntegerType).as("rank"),
+        col("doc_id"), col("bm25_rank"), col("cos_rank").cast(IntegerType)
+          .as("cos_rank"), col("rrf_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Convenience end-to-end form: build the index inline and retrieve.
     * For repeated query batches, build once with [[invertedIndex]] /
     * [[corpusStats]], materialize, and call [[bm25TopK]]. */

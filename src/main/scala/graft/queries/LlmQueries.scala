@@ -2210,6 +2210,107 @@ object LlmQueries {
               SELECT query_id, rank, doc_id, CAST(sd AS DOUBLE) AS score
               FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    // Hybrid retrieval (the RAG-standard two-stage): BM25 recalls 50
+    // lexical candidates per query, embedding cosine re-ranks exactly
+    // that set, Reciprocal Rank Fusion fuses the orderings — RRF is
+    // rank-based, so the fused score is IEEE division of exact integers
+    // and hash-verifies where score-mixing would not.
+    QueryDef(
+      "l_hybrid_topk",
+      (s, d) => {
+        import s.implicits._
+        val qs = Seq(
+          (1, "spark table join"),
+          (2, "fast key scan value"),
+          (3, "slow vector group")).toDF("query_id", "qtext")
+        val vecs = t(s, d, "embeddings")
+        val idx = Retrieval.invertedIndex(t(s, d, "documents"),
+          "doc_id", "text")
+        Retrieval.hybridTopK(idx, Retrieval.corpusStats(idx),
+          qs, "query_id", "qtext",
+          vecs.filter(col("vec_id").isin(1L, 2L, 3L)), "vec_id", "embedding",
+          vecs, "vec_id", "embedding",
+          k = 10, recallN = 50)
+      },
+      Some(raw"""WITH q AS (
+                SELECT * FROM (VALUES
+                  (1, 'spark table join'),
+                  (2, 'fast key scan value'),
+                  (3, 'slow vector group')) AS v(query_id, qtext)
+              ),
+              tk AS (
+                SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+                FROM documents
+              ),
+              tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                     FROM tk WHERE len(token) > 0 GROUP BY doc_id, token),
+              dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+                     FROM tf GROUP BY doc_id),
+              dft AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token),
+              st AS (SELECT COUNT(*) AS n_docs,
+                            CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+              qt AS (
+                SELECT query_id, token, COUNT(*) AS qtf
+                FROM (SELECT query_id,
+                        unnest(string_split(trim(regexp_replace(lower(qtext), '\s+', ' ', 'g')), ' ')) AS token
+                      FROM q)
+                WHERE len(token) > 0 GROUP BY query_id, token
+              ),
+              c AS (
+                SELECT qt.query_id, tf.doc_id,
+                  CAST(qt.qtf AS DOUBLE)
+                    * ((st.n_docs - dft.df_t + 0.5e0) / (dft.df_t + 0.5e0))
+                    * ((tf.tf * (1.2e0 + 1e0)) /
+                       (tf.tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 *
+                         (CAST(dl.dl * st.n_docs AS DOUBLE) / st.total_len))))
+                    AS contrib
+                FROM qt
+                JOIN tf USING (token)
+                JOIN dl USING (doc_id)
+                JOIN dft USING (token)
+                CROSS JOIN st
+              ),
+              sc AS (SELECT query_id, doc_id,
+                            SUM(CAST(contrib AS DECIMAL(38,12))) AS sd
+                     FROM c GROUP BY query_id, doc_id),
+              recall AS (SELECT query_id, doc_id,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sd DESC, doc_id DESC) AS INTEGER)
+                        AS bm25_rank
+                    FROM sc QUALIFY bm25_rank <= 50),
+              ve AS (
+                SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+              ),
+              cosd AS (
+                SELECT r.query_id, r.bm25_rank, r.doc_id,
+                  list_sum(list_transform(range(1, len(qe.e) + 1),
+                    i -> qe.e[i] * de.e[i])) /
+                  (SQRT(list_sum(list_transform(qe.e, x -> x * x))) *
+                   SQRT(list_sum(list_transform(de.e, x -> x * x))))
+                    AS cosine
+                FROM recall r
+                JOIN ve de ON de.vec_id = r.doc_id
+                JOIN ve qe ON qe.vec_id = r.query_id
+              ),
+              cr AS (SELECT query_id, bm25_rank, doc_id,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC NULLS LAST, doc_id ASC NULLS LAST)
+                        AS INTEGER) AS cos_rank
+                    FROM cosd),
+              f AS (SELECT query_id, doc_id, bm25_rank, cos_rank,
+                      1e0 / (60 + bm25_rank) + 1e0 / (60 + cos_rank)
+                        AS rrf_score
+                    FROM cr),
+              fr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER)
+                        AS rank
+                    FROM f)
+              SELECT query_id, rank, doc_id, bm25_rank, cos_rank, rrf_score
+              FROM fr WHERE rank <= 10 ORDER BY query_id, rank""")),
+
     // Exact phrase search over the positional inverted index: per-term
     // point lookups equi-joined on doc_id, consecutive-position test as
     // array arithmetic in codegen — work ∝ the phrase terms' posting

@@ -91,7 +91,15 @@ object ScaleStress {
     // (BM25's dfCap territory), mega-hot bigram census keys (KN's
     // discount path), and a mega-hot (bucket, word) census key (the
     // growth curve's one shuffle)
-    "l_bm25_topk", "l_kneser_ney", "l_vocab_growth")
+    "l_bm25_topk", "l_kneser_ney", "l_vocab_growth",
+    // the hot phrase's tokens have corpus-sized posting lists — the
+    // phrase gate's point-lookup claim under maximal posting skew — and
+    // Moore–Lewis doubles the KN pipeline under the same hot bigrams
+    "l_phrase_search", "l_moore_lewis",
+    // hybrid = BM25 recall + cosine re-rank + RRF: the recall stage
+    // inherits the hot-posting stress; the re-rank must stay bounded by
+    // queries × recallN whatever the corpus does
+    "l_hybrid_topk")
 
   /** Hot boilerplate phrase planted into ~30% of documents. */
   val HotPhrase =

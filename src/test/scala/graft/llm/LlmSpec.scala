@@ -758,6 +758,49 @@ class LlmSpec extends SparkSpec {
     assert(logRank.toSeq === Seq(2L, 1L))
   }
 
+  test("hybridTopK: RRF arithmetic, vectorless candidates drop, k bound") {
+    // doc 1 wins bm25 for "cat" (higher tf, same length); doc 2's vector
+    // IS the query vector, so it wins the cosine stage — RRF fuses.
+    val docs = Seq(
+      (1L, "cat cat dog x"),
+      (2L, "cat dog fish x"),
+      (3L, "dog dog dog x")).toDF("doc_id", "text")
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.6f, 0.8f)),
+      (9L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val qs = Seq((9L, "cat")).toDF("query_id", "qtext")
+    val idx = Retrieval.invertedIndex(docs, "doc_id", "text")
+    val got = Retrieval.hybridTopK(idx, Retrieval.corpusStats(idx),
+        qs, "query_id", "qtext",
+        vecs.filter(col("vec_id") === 9L), "vec_id", "embedding",
+        vecs, "vec_id", "embedding", k = 5, recallN = 5)
+      .collect()
+      .map(r => (r.getLong(2), r.getInt(1), r.getInt(3), r.getInt(4),
+        r.getDouble(5)))
+    // doc 3 never matches "cat"; docs 1,2 both survive with vectors
+    assert(got.map(_._1).toSeq === Seq(2L, 1L) ||
+      got.map(_._1).toSeq === Seq(1L, 2L))
+    val byDoc = got.map(g => g._1 -> g).toMap
+    // bm25: doc1 rank 1 (tf=2), doc2 rank 2; cosine: doc2 rank 1
+    // (identical vector), doc1 rank 2
+    assert(byDoc(1L)._3 === 1 && byDoc(1L)._4 === 2)
+    assert(byDoc(2L)._3 === 2 && byDoc(2L)._4 === 1)
+    // RRF is exact integer-division arithmetic — both fuse to the same
+    // score here, and the doc_id tie-break puts doc 1 first
+    assert(byDoc(1L)._5 === 1.0 / 61 + 1.0 / 62)
+    assert(byDoc(2L)._5 === 1.0 / 62 + 1.0 / 61)
+    assert(got.head._1 === 1L && got.head._2 === 1)
+    // a candidate without a vector drops from the re-rank
+    val noVec = Retrieval.hybridTopK(idx, Retrieval.corpusStats(idx),
+        qs, "query_id", "qtext",
+        vecs.filter(col("vec_id") === 9L), "vec_id", "embedding",
+        vecs.filter(col("vec_id") === 1L), "vec_id", "embedding",
+        k = 5, recallN = 5)
+      .collect().map(_.getLong(2))
+    assert(noVec.toSeq === Seq(1L))
+  }
+
   test("phraseMatches: boundaries, overlaps, repeated terms, single term") {
     val docs = Seq(
       (1L, "cat dog cat dog"),   // "cat dog" at 1 and 3; starts the doc
