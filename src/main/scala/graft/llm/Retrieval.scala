@@ -259,6 +259,58 @@ object Retrieval {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Distributed retrieval-quality evaluation: per query, precision@k,
+    * recall@k, reciprocal rank, and average precision, from a predicted
+    * ranking table and a relevance-truth table — the harness that
+    * grades a retriever (BM25, ANN, hybrid) against ground truth AT
+    * SCALE, instead of collecting rankings to a driver loop. All four
+    * metrics are exact-rational (divisions of exact integers; AP's sum
+    * decimal-accumulates), so the evaluation itself hash-verifies
+    * cross-engine — nDCG is deliberately absent (its log2 discount is
+    * a transcendental that wouldn't).
+    *
+    * Shapes: one keyed equi-join (predicted ∩ truth), a per-query
+    * window over ≤ k hit rows, one query-grain aggregate. Queries with
+    * zero hits keep a row (metrics 0) — silent disappearance would
+    * read as "all queries scored". */
+  def retrievalMetrics(
+      predicted: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"metrics@k needs k >= 1, got $k")
+    val p = predicted.filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val tr = truth.select(col("query_id"), col("doc_id")).distinct()
+    val nrel = tr.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val perQ = p.join(tr, Seq("query_id", "doc_id"))
+      .withColumn("i", row_number().over(w))
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("hits"),
+        min(col("rank")).as("first_rank"),
+        sum((col("i").cast(DoubleType) / col("rank"))
+          .cast(DecimalType(18, 12))).as("ap_num"))
+    p.select(col("query_id")).distinct()
+      .join(perQ, Seq("query_id"), "left")
+      .join(nrel, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast(DoubleType) / k)
+          .as("precision_k"),
+        when(col("n_rel").isNotNull && col("n_rel") > 0,
+          coalesce(col("hits"), lit(0L)).cast(DoubleType) / col("n_rel"))
+          .otherwise(lit(0.0)).as("recall_k"),
+        when(col("first_rank").isNotNull, lit(1.0) / col("first_rank"))
+          .otherwise(lit(0.0)).as("rr"),
+        when(col("ap_num").isNotNull &&
+            least(col("n_rel"), lit(k.toLong)) > 0,
+          col("ap_num").cast(DoubleType) /
+            least(col("n_rel"), lit(k.toLong)))
+          .otherwise(lit(0.0)).as("ap"))
+  }
+
   /** Convenience end-to-end form: build the index inline and retrieve.
     * For repeated query batches, build once with [[invertedIndex]] /
     * [[corpusStats]], materialize, and call [[bm25TopK]]. */

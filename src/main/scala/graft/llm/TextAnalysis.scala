@@ -206,13 +206,16 @@ object TextAnalysis {
     * rows — at 100 TB, persist that intermediate to share it instead of
     * recomputing the scan per branch). A bucket spine LEFT-join keeps
     * every epoch present even when it contributes nothing, and the
-    * cumulative sum runs over `buckets` rows (constant-size window). A
-    * flattening curve says the vocabulary is saturating — more data buys
-    * few new types; a steep tail says the vocab budget is underfed. */
+    * cumulative sum is an explode-to-later-epochs aggregation (each
+    * first-seen row fans out to the ≤ `buckets` epochs it counts
+    * toward) — an equi-groupBy, never a single-partition window, per
+    * the house rule that NO plan may carry an unpartitioned WindowExec
+    * even over provably bounded input. A flattening curve says the
+    * vocabulary is saturating — more data buys few new types; a steep
+    * tail says the vocab budget is underfed. */
   def vocabGrowth(
       df: DataFrame, idCol: String, textCol: String,
       buckets: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bounds = df.agg(
       min(col(idCol).cast("long")).as("__lo"),
       max(col(idCol).cast("long")).as("__hi"))
@@ -235,18 +238,24 @@ object TextAnalysis {
       .groupBy(col("w")).agg(min(col("__bucket")).as("first_bucket"))
       .groupBy(col("first_bucket").as("bucket"))
       .agg(count(lit(1)).as("new_words"))
+    // cumulative per epoch b = Σ new_words over first_bucket ≤ b: each
+    // first-seen row fans out to the epochs it counts toward, then one
+    // keyed aggregate — no window anywhere in the plan
+    val cumul = newWords
+      .select(explode(sequence(col("bucket"), lit(buckets))).as("bucket"),
+        col("new_words"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("new_words")).as("cumulative_vocab"))
     df.sparkSession.range(1, buckets + 1L)
       .select(col("id").cast("int").as("bucket"))
       .join(broadcast(newWords), Seq("bucket"), "left")
       .join(broadcast(epochVocab), Seq("bucket"), "left")
+      .join(broadcast(cumul), Seq("bucket"), "left")
       .select(
         col("bucket"),
         coalesce(col("new_words"), lit(0L)).as("new_words"),
-        coalesce(col("epoch_vocab"), lit(0L)).as("epoch_vocab"))
-      .withColumn("cumulative_vocab",
-        sum(col("new_words")).over(
-          Window.orderBy(col("bucket"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        coalesce(col("epoch_vocab"), lit(0L)).as("epoch_vocab"),
+        coalesce(col("cumulative_vocab"), lit(0L)).as("cumulative_vocab"))
       .orderBy(col("bucket"))
   }
 

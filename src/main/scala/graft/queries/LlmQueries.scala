@@ -2210,6 +2210,91 @@ object LlmQueries {
               SELECT query_id, rank, doc_id, CAST(sd AS DOUBLE) AS score
               FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    // Distributed retrieval-quality evaluation: precision@k / recall@k /
+    // MRR / AP per query, grading brute-force cosine retrieval against
+    // label-sharing ground truth — exact-rational metrics, so the
+    // evaluation itself hash-verifies (nDCG's log2 deliberately absent).
+    QueryDef(
+      "l_retrieval_metrics",
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+        val pred = Similarity.bruteForceTopK(
+            vecs.filter(col("vec_id").isin(1L, 2L, 3L)), vecs,
+            "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("rank"),
+            col("neighbor_id").as("doc_id"))
+        val truth = vecs.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+          .join(vecs.select(col("vec_id").as("doc_id"), col("label")),
+            col("qlabel") === col("label") &&
+              col("query_id") =!= col("doc_id"))
+          .select(col("query_id"), col("doc_id"))
+        Retrieval.retrievalMetrics(pred, truth, k = 10)
+          .orderBy(col("query_id"))
+      },
+      Some(raw"""WITH v AS (
+                SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                FROM embeddings
+              ),
+              pairs AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                  list_sum(list_transform(range(1, len(q.e) + 1),
+                    i -> q.e[i] * c.e[i])) /
+                  (SQRT(list_sum(list_transform(q.e, x -> x * x))) *
+                   SQRT(list_sum(list_transform(c.e, x -> x * x)))) AS cosine
+                FROM v q JOIN v c ON q.vec_id <> c.vec_id
+                WHERE q.vec_id IN (1, 2, 3)
+              ),
+              pred AS (
+                SELECT query_id, doc_id, rank FROM (
+                  SELECT query_id, doc_id,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC NULLS LAST, doc_id ASC NULLS LAST)
+                      AS INTEGER) AS rank
+                  FROM pairs
+                ) WHERE rank <= 10
+              ),
+              tr AS (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS doc_id
+                FROM v q JOIN v c
+                  ON q.label = c.label AND q.vec_id <> c.vec_id
+                WHERE q.vec_id IN (1, 2, 3)
+              ),
+              nrel AS (SELECT query_id, COUNT(*) AS n_rel
+                       FROM tr GROUP BY query_id),
+              h AS (
+                SELECT p.query_id, p.rank,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id
+                    ORDER BY p.rank) AS INTEGER) AS i
+                FROM pred p JOIN tr USING (query_id, doc_id)
+              ),
+              perq AS (
+                SELECT query_id, CAST(COUNT(*) AS BIGINT) AS hits,
+                  MIN(rank) AS first_rank,
+                  SUM(CAST(CAST(i AS DOUBLE) / rank AS DECIMAL(18,12)))
+                    AS ap_num
+                FROM h GROUP BY query_id
+              ),
+              qs AS (SELECT DISTINCT query_id FROM pred)
+              SELECT qs.query_id,
+                COALESCE(nrel.n_rel, 0) AS n_rel,
+                COALESCE(perq.hits, 0) AS hits,
+                CAST(COALESCE(perq.hits, 0) AS DOUBLE) / 10 AS precision_k,
+                CASE WHEN nrel.n_rel IS NOT NULL AND nrel.n_rel > 0
+                     THEN CAST(COALESCE(perq.hits, 0) AS DOUBLE) / nrel.n_rel
+                     ELSE 0e0 END AS recall_k,
+                CASE WHEN perq.first_rank IS NOT NULL
+                     THEN 1e0 / perq.first_rank ELSE 0e0 END AS rr,
+                CASE WHEN perq.ap_num IS NOT NULL
+                          AND LEAST(nrel.n_rel, 10) > 0
+                     THEN CAST(perq.ap_num AS DOUBLE) / LEAST(nrel.n_rel, 10)
+                     ELSE 0e0 END AS ap
+              FROM qs
+              LEFT JOIN perq USING (query_id)
+              LEFT JOIN nrel USING (query_id)
+              ORDER BY qs.query_id""")),
+
     // Hybrid retrieval (the RAG-standard two-stage): BM25 recalls 50
     // lexical candidates per query, embedding cosine re-ranks exactly
     // that set, Reciprocal Rank Fusion fuses the orderings — RRF is

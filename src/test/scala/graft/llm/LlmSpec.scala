@@ -758,6 +758,28 @@ class LlmSpec extends SparkSpec {
     assert(logRank.toSeq === Seq(2L, 1L))
   }
 
+  test("retrievalMetrics: hand-computed AP/MRR, zero-hit queries keep rows") {
+    val pred = Seq(
+      (1L, 1, 100L), (1L, 2, 101L), (1L, 3, 102L), (1L, 4, 103L),
+      (2L, 1, 200L), (2L, 2, 201L)).toDF("query_id", "rank", "doc_id")
+    val truth = Seq(
+      (1L, 101L), (1L, 103L), (1L, 999L), (1L, 101L), // dup collapses
+      (2L, 888L)                                      // never retrieved
+    ).toDF("query_id", "doc_id")
+    val m = Retrieval.retrievalMetrics(pred, truth, k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    // q1: hits at ranks 2,4 of truth {101,103,999} →
+    // precision 2/4, recall 2/3, rr 1/2, ap (1/2 + 2/4)/min(3,4) = 1/3
+    assert(m(1L)._1 === 3L && m(1L)._2 === 2L)
+    assert(m(1L)._3 === 0.5 && m(1L)._5 === 0.5)
+    assert(math.abs(m(1L)._4 - 2.0 / 3) < 1e-12)
+    assert(math.abs(m(1L)._6 - 1.0 / 3) < 1e-12)
+    // q2: zero hits — the row survives with zeroed metrics
+    assert(m(2L) === ((1L, 0L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("hybridTopK: RRF arithmetic, vectorless candidates drop, k bound") {
     // doc 1 wins bm25 for "cat" (higher tf, same length); doc 2's vector
     // IS the query vector, so it wins the cosine stage — RRF fuses.
