@@ -259,6 +259,48 @@ object Retrieval {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Materialize a posting table (from [[invertedIndex]] or
+    * [[positionalIndex]]) hash-bucketed by token into hive partitions,
+    * so a query's per-term lookups PRUNE to ≤ |distinct terms| posting
+    * directories instead of scanning the index — the same
+    * partition-pruned point-lookup discipline as the IVF probe
+    * ([[Similarity.materializeIvf]]). Bucketing hashes rather than
+    * partitioning by raw token because a web-scale vocabulary would
+    * mean millions of tiny directories; `tokenBuckets` bounds the
+    * directory count while a lookup still reads only its terms'
+    * buckets. */
+  def materializePostings(
+      postings: DataFrame, path: String, tokenBuckets: Int = 64): Unit =
+    postings
+      .withColumn("__tb", pmod(xxhash64(col("token")), lit(tokenBuckets)))
+      .write.mode("overwrite").partitionBy("__tb").parquet(path)
+
+  /** Read only the posting buckets holding `terms` from a
+    * [[materializePostings]] store. The `__tb IN (...)` filter is a
+    * partition filter — `.explain` shows the scan pruned to the terms'
+    * directories (PlanSpec pins it); the residual token equality
+    * re-applies on the read rows, so bucketing is never a correctness
+    * dependency. */
+  def readPostingsForTerms(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String], tokenBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bucketOf: String => Long = t => {
+      // seed 42 = the default of the `xxhash64` SQL function used on
+      // the write side
+      val h = XxHash64(Seq(Literal.create(t,
+        org.apache.spark.sql.types.StringType)), 42L).eval(null)
+        .asInstanceOf[Long]
+      ((h % tokenBuckets) + tokenBuckets) % tokenBuckets
+    }
+    val buckets = terms.map(bucketOf).distinct
+    spark.read.parquet(path)
+      .filter(col("__tb").isin(buckets: _*))
+      .filter(col("token").isin(terms: _*))
+      .drop("__tb")
+  }
+
   /** Distributed retrieval-quality evaluation: per query, precision@k,
     * recall@k, reciprocal rank, and average precision, from a predicted
     * ranking table and a relevance-truth table — the harness that

@@ -211,6 +211,23 @@ object StreamingCorpus {
     } finally { tf.unpersist(): Unit }
   }
 
+  /** Lucene-style segment merge for the live index: fold every posting
+    * shard into one (`shard = -1`), committed as a new version of the
+    * postings table — reads of the merged index list one directory
+    * instead of one per ingest batch, and older versions still
+    * time-travel to the pre-merge segment layout. Cost is O(index), the
+    * defining cost of compaction; dict and stats are untouched (they
+    * are already single tables). Run while the maintenance stream is
+    * STOPPED — a foreachBatch replay racing a compaction could re-add a
+    * merged batch's rows as a fresh shard. Returns the new version. */
+  def compactIndex(spark: SparkSession, indexDir: String): Int = {
+    import graft.tables.IncrementalTable
+    val path = s"$indexDir/postings"
+    val merged = IncrementalTable.read(spark, path)
+      .withColumn("shard", lit(-1L))
+    IncrementalTable.commitFull(merged, path, partitionCols = Seq("shard"))
+  }
+
   /** Read the live index: (postings, dict, stats) as of the latest
     * committed versions. */
   def readIndex(

@@ -341,6 +341,44 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("materialized posting store prunes term lookups to their buckets") {
+    import graft.llm.Retrieval
+    val docs = Tables.load(spark, sfDir, "documents")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_test_postings"
+    Retrieval.materializePostings(
+      Retrieval.positionalIndex(docs, "doc_id", "text"), path,
+      tokenBuckets = 16)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val terms = Seq("fast", "table")
+      val pruned = Retrieval.readPostingsForTerms(spark, path, terms,
+        tokenBuckets = 16)
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "no file scan in the pruned read")
+      assert(scans.head.partitionFilters.exists(_.references.exists(
+        _.name == "__tb")), "no partition filter on __tb")
+      assert(scans.head.selectedPartitions.partitionCount <= terms.length,
+        s"read ${scans.head.selectedPartitions.partitionCount} buckets, " +
+          s"expected <= ${terms.length}")
+      // bucketing is never a correctness dependency: the pruned read
+      // holds exactly the full index's rows for those terms
+      val full = Retrieval.positionalIndex(docs, "doc_id", "text")
+        .filter(col("token").isin(terms: _*))
+      assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+      // and phrase search over the pruned store matches the full index
+      val viaPruned = Retrieval.phraseMatches(pruned, terms)
+      val viaFull = Retrieval.phraseMatches(
+        Retrieval.positionalIndex(docs, "doc_id", "text"), terms)
+      assert(viaPruned.exceptAll(viaFull).isEmpty &&
+        viaFull.exceptAll(viaPruned).isEmpty)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      graft.tables.FsUtil.deleteRec(java.nio.file.Paths.get(path))
+    }
+  }
+
   test("kmeans step is one partial-aggregated shuffle, never a cartesian") {
     val vecs = Tables.load(spark, sfDir, "embeddings")
     val cents = Array.tabulate(4)(i => Array.fill(64)(i.toDouble))

@@ -310,6 +310,22 @@ class StreamingSpec extends SparkSpec {
       val direct = graft.llm.Retrieval.bm25TopKDirect(
         docs, "doc_id", "text", qs, "query_id", "qtext", k = 5)
       assert(live.exceptAll(direct).isEmpty && direct.exceptAll(live).isEmpty)
+      // segment merge: one shard afterwards, retrieval unchanged, and
+      // the pre-merge segment layout still time-travels
+      val preVersion = it.versions(s"$dir/postings").max
+      StreamingCorpus.compactIndex(spark, dir)
+      val shards = it.read(spark, s"$dir/postings")
+        .select("shard").distinct().collect().map(_.getLong(0)).toSeq
+      assert(shards === Seq(-1L))
+      assert(postings() == expPost)
+      val liveC = graft.llm.Retrieval.bm25TopKWithDict(
+        it.read(spark, s"$dir/postings").drop("shard"),
+        it.read(spark, s"$dir/dict"), it.read(spark, s"$dir/stats"),
+        qs, "query_id", "qtext", k = 5)
+      assert(liveC.exceptAll(direct).isEmpty && direct.exceptAll(liveC).isEmpty)
+      val preShards = it.read(spark, s"$dir/postings", Some(preVersion))
+        .select("shard").distinct().count()
+      assert(preShards == 2L, "pre-merge layout must still time-travel")
     } finally graft.tables.FsUtil.deleteRec(java.nio.file.Paths.get(dir))
   }
 }
