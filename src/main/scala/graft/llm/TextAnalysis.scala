@@ -295,6 +295,44 @@ object TextAnalysis {
       .orderBy(desc("cnt"), asc("token"))
   }
 
+  /** Per-GROUP exact heavy hitters at sketch-bounded cost — the
+    * per-domain form of [[heavyHitterTokens]]: a vocabulary profile for
+    * every source/language/domain without ever shuffling the full
+    * per-group vocabulary. Each group keeps its own Misra–Gries sketch
+    * (mergeable, map-side combined — ≤ capacity rows per (group,
+    * partition) cross the wire), which provably covers every token
+    * above group_total/(capacity+1); only those candidates are exactly
+    * recounted per group, and the true `cnt · ratio > group_total`
+    * filter applies to EXACT counts — the output is exact, the sketch
+    * only bounded the candidate set. A skewed group (one mega-domain)
+    * costs one hot sketch merge, never a hot vocabulary shuffle. The
+    * candidate set is ≤ groups × capacity rows; the broadcast hint fits
+    * domain/language/source grouping (≲10⁴ groups) — drop it for a
+    * pathological million-group key and the semi-join shuffles keyed. */
+  def heavyHitterTokensByGroup(
+      df: DataFrame, groupCol: String, textCol: String, ratio: Long = 200L,
+      capacity: Int = 512): DataFrame = {
+    require(ratio > 0 && ratio < capacity + 1,
+      s"MG(capacity=$capacity) only guarantees hitters above total/${capacity + 1}; " +
+        s"ratio=$ratio filters below that floor")
+    val toks = df.select(col(groupCol).as("grp"),
+      explode(tokens(normalize(col(textCol)))).as("token"))
+    val candidates = toks
+      .groupBy(col("grp"))
+      .agg(graft.functions.F.heavyHitters(col("token"), capacity).as("hh"))
+      .select(col("grp"), explode(col("hh")).as("c"))
+      .select(col("grp"), col("c.token").as("token"))
+    val exact = toks
+      .join(broadcast(candidates), Seq("grp", "token"), "left_semi")
+      .groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = toks.groupBy(col("grp")).agg(count(lit(1)).as("total"))
+    exact.join(totals, "grp")
+      .filter(col("cnt") * ratio > col("total"))
+      .select(col("grp").as(groupCol), col("token"), col("cnt"))
+      .orderBy(col(groupCol), desc("cnt"), asc("token"))
+  }
+
   /** Corpus-frequency-based quality signal per document (the exact-
     * rational stand-in for CCNet-style LM perplexity filtering — a
     * transcendental log-prob would not hash-match across engines, the

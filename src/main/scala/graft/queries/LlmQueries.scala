@@ -1411,6 +1411,30 @@ object LlmQueries {
               WHERE cnt * 200 > total
               ORDER BY cnt DESC, token ASC""")),
 
+    // Per-DOMAIN heavy hitters (the vocabulary profile of every source
+    // at sketch-bounded cost): per-group Misra–Gries candidates, exact
+    // per-group recount, true threshold on exact counts — output exact,
+    // so the oracle is the full per-group census with HAVING.
+    QueryDef(
+      "l_heavy_hitters_by_domain",
+      (s, d) =>
+        TextAnalysis.heavyHitterTokensByGroup(
+          t(s, d, "documents"), "source", "text",
+          ratio = 50L, capacity = 256),
+      Some("""WITH tk AS (
+                SELECT source,
+                  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+                FROM documents
+              ),
+              c AS (SELECT source, token, COUNT(*) AS cnt
+                    FROM tk GROUP BY source, token),
+              t AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS total
+                    FROM c GROUP BY source)
+              SELECT c.source, c.token, c.cnt
+              FROM c JOIN t USING (source)
+              WHERE c.cnt * 50 > t.total
+              ORDER BY c.source, c.cnt DESC, c.token ASC""")),
+
     // Language-ID heuristic: argmax of per-language function-word stream
     // ratios (deterministic tie-break en > de > fr > es).
     QueryDef(

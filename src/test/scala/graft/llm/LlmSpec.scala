@@ -758,6 +758,20 @@ class LlmSpec extends SparkSpec {
     assert(logRank.toSeq === Seq(2L, 1L))
   }
 
+  test("heavyHitterTokensByGroup: per-group exactness at tight capacity") {
+    // group A: 'x' dominates; group B: 'y' dominates and 'x' is absent.
+    // capacity=2 forces the sketch path (per-group vocab is larger);
+    // ratio=2 keeps tokens above half the group's stream.
+    val df = Seq(
+      ("A", "x x x x q r"), ("A", "x x s t"),
+      ("B", "y y y u v"), ("B", "y y y w z")).toDF("source", "text")
+    val got = TextAnalysis.heavyHitterTokensByGroup(
+        df, "source", "text", ratio = 2L, capacity = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // A: 10 tokens, x=6 > 5; B: 10 tokens, y=6 > 5 — nothing else passes
+    assert(got.toSeq === Seq(("A", "x", 6L), ("B", "y", 6L)))
+  }
+
   test("retrievalMetrics: hand-computed AP/MRR, zero-hit queries keep rows") {
     val pred = Seq(
       (1L, 1, 100L), (1L, 2, 101L), (1L, 3, 102L), (1L, 4, 103L),
