@@ -333,6 +333,52 @@ object TextAnalysis {
       .orderBy(col(groupCol), desc("cnt"), asc("token"))
   }
 
+  /** Count–Min point-frequency estimates for probe tokens — the sketch
+    * that answers "how often does THIS token occur" in one mergeable
+    * pass, completing the sketch menu (HLL → distinct counts,
+    * Misra–Gries → who is frequent, Bloom → membership, CMS → how
+    * frequent is a GIVEN key). Uses Spark's built-in `count_min_sketch`
+    * aggregate (partial-merged map-side, one corpus pass, sketch size
+    * O(1/eps · ln(1/δ)) — a few KB crosses the wire per partition, never
+    * a vocabulary); the probe lookups read the collected sketch
+    * driver-side (it is broadcast-sized by construction). Output per
+    * probe: the exact count (recounted over only the probe tokens — a
+    * bounded semi-filtered aggregate) plus the two CMS contract
+    * booleans: `never_under` (CMS cannot underestimate) and `within_eps`
+    * (overestimate ≤ eps · stream length, w.p. ≥ confidence — pinned as
+    * actual behavior under the fixed seed, the `a22_approx_distinct`
+    * accuracy-gate discipline). */
+  def cmsTokenCounts(
+      df: DataFrame, textCol: String, probes: Seq[String],
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe token")
+    val spark = df.sparkSession
+    val toks = df
+      .select(explode(tokens(normalize(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+    val row = toks.agg(
+      expr(s"count_min_sketch(token, CAST($eps AS DOUBLE), " +
+        s"CAST($confidence AS DOUBLE), $seed)").as("cms"),
+      count(lit(1)).as("total")).collect()(0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(row.getAs[Array[Byte]](0))
+    val bound = math.ceil(eps * row.getLong(1)).toLong
+    import spark.implicits._
+    val estDf = probes.map(t => (t, cms.estimateCount(t)))
+      .toDF("token", "est")
+    val exact = toks.filter(col("token").isin(probes: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+    estDf.join(exact, Seq("token"), "left")
+      .select(col("token"),
+        coalesce(col("exact_cnt"), lit(0L)).as("exact_cnt"),
+        (col("est") >= coalesce(col("exact_cnt"), lit(0L)))
+          .as("never_under"),
+        (col("est") <= coalesce(col("exact_cnt"), lit(0L)) + bound)
+          .as("within_eps"))
+      .orderBy(col("token"))
+  }
+
   /** Corpus-frequency-based quality signal per document (the exact-
     * rational stand-in for CCNet-style LM perplexity filtering — a
     * transcendental log-prob would not hash-match across engines, the

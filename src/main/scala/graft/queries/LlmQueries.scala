@@ -1411,6 +1411,34 @@ object LlmQueries {
               WHERE cnt * 200 > total
               ORDER BY cnt DESC, token ASC""")),
 
+    // Count–Min point-frequency probes: one mergeable sketch pass over
+    // the token stream, probe lookups driver-side from the
+    // broadcast-sized sketch, CMS contract booleans (never-under /
+    // within-eps) pinned against exact recounts — the sketch answers
+    // "how frequent is THIS key" where MG answers "who is frequent".
+    QueryDef(
+      "l_cms_counts",
+      (s, d) =>
+        TextAnalysis.cmsTokenCounts(
+          t(s, d, "documents"), "text",
+          probes = Seq("table", "spark", "zz_absent"),
+          eps = 0.001, confidence = 0.99, seed = 42),
+      Some("""WITH p AS (
+                SELECT * FROM (VALUES ('table'), ('spark'), ('zz_absent'))
+                  AS v(token)
+              ),
+              tk AS (
+                SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+                FROM documents
+              ),
+              c AS (SELECT token, COUNT(*) AS cnt
+                    FROM tk WHERE len(token) > 0 GROUP BY token)
+              SELECT p.token,
+                COALESCE(c.cnt, 0) AS exact_cnt,
+                TRUE AS never_under, TRUE AS within_eps
+              FROM p LEFT JOIN c USING (token)
+              ORDER BY p.token""")),
+
     // Per-DOMAIN heavy hitters (the vocabulary profile of every source
     // at sketch-bounded cost): per-group Misra–Gries candidates, exact
     // per-group recount, true threshold on exact counts — output exact,

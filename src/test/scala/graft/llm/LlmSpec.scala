@@ -758,6 +758,24 @@ class LlmSpec extends SparkSpec {
     assert(logRank.toSeq === Seq(2L, 1L))
   }
 
+  test("cmsTokenCounts: contract holds even under forced collisions") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a a a b b k l m n o")).toDF("doc_id", "text")
+    // eps = 0.4 → width ~7 buckets for 15 distinct tokens: collisions
+    // certain. CMS must still never underestimate, and the eps bound
+    // (0.4 · 20 = 8) absorbs every collision overestimate.
+    val rows = TextAnalysis.cmsTokenCounts(df, "text",
+        probes = Seq("a", "k", "zz_absent"), eps = 0.4,
+        confidence = 0.99, seed = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getBoolean(2), r.getBoolean(3)))
+    assert(rows.map(r => r._1 -> r._2).toMap ===
+      Map("a" -> 4L, "k" -> 1L, "zz_absent" -> 0L))
+    assert(rows.forall(_._3), "CMS underestimated a count")
+    assert(rows.forall(_._4), "CMS overshot the eps bound")
+  }
+
   test("heavyHitterTokensByGroup: per-group exactness at tight capacity") {
     // group A: 'x' dominates; group B: 'y' dominates and 'x' is absent.
     // capacity=2 forces the sketch path (per-group vocab is larger);
