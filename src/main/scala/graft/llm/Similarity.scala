@@ -31,6 +31,48 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector. The query side
     * is expected to be small (broadcast); the corpus side streams. */
+  /** Embedding-distribution drift between two corpus snapshots — the
+    * monitor that catches "the new crawl's embeddings moved" before a
+    * model trains on it. Each side reduces to its PER-DIMENSION mean
+    * (posexplode → 64-group aggregate with map-side partials; sums
+    * decimal-accumulate so the means are order-independent and
+    * cross-engine exact), then the two mean vectors — dims-sized, tiny —
+    * compare by cosine and L2. One corpus-grain pass per side, nothing
+    * else scales with the data. Drift reads: cosine near 1 and L2 near
+    * 0 = stable; a falling cosine = directional shift (new domain mix),
+    * a growing L2 at stable cosine = magnitude shift (pipeline /
+    * normalization change). */
+  def embeddingDrift(
+      a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
+    def dimMeans(df: DataFrame, side: String): DataFrame =
+      df.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy((col("pos") + 1).as("dim"))
+        .agg((sum(col("v").cast(DoubleType).cast(DecimalType(38, 12)))
+          .cast(DoubleType) / count(lit(1))).as(s"m_$side"),
+          count(lit(1)).as(s"n_$side"))
+    dimMeans(a, "a").join(dimMeans(b, "b"), "dim")
+      .agg(
+        count(lit(1)).as("n_dims"),
+        max(col("n_a")).as("n_a"),
+        max(col("n_b")).as("n_b"),
+        sum((col("m_a") * col("m_b")).cast(DecimalType(38, 18)))
+          .cast(DoubleType).as("dot"),
+        sum((col("m_a") * col("m_a")).cast(DecimalType(38, 18)))
+          .cast(DoubleType).as("na2"),
+        sum((col("m_b") * col("m_b")).cast(DecimalType(38, 18)))
+          .cast(DoubleType).as("nb2"),
+        sum(((col("m_a") - col("m_b")) * (col("m_a") - col("m_b")))
+          .cast(DecimalType(38, 18))).cast(DoubleType).as("d2"))
+      .select(col("n_dims"), col("n_a"), col("n_b"),
+        // rounded to 9 decimals: the double→decimal re-rounding of the
+        // squared terms can land on a tie that engines break differently
+        // (HALF_UP vs HALF_EVEN) — a sub-ulp wobble a monitor never
+        // cares about, and rounding makes the metric engine-exact
+        round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 9)
+          .as("cosine_of_means"),
+        round(sqrt(col("d2")), 9).as("l2_of_means"))
+  }
+
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {

@@ -1411,6 +1411,58 @@ object LlmQueries {
               WHERE cnt * 200 > total
               ORDER BY cnt DESC, token ASC""")),
 
+    // Embedding-distribution drift between two corpus snapshots: each
+    // side reduces to its per-dimension mean (decimal-exact, so the
+    // means are order-independent), the two mean vectors compare by
+    // cosine and L2. One corpus pass per side; the compare is dims-sized.
+    QueryDef(
+      "l_embedding_drift",
+      (s, d) => {
+        val vecs = t(s, d, "embeddings")
+        Similarity.embeddingDrift(
+          vecs.filter(pmod(col("vec_id"), lit(2)) === 0),
+          vecs.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "embedding")
+      },
+      Some(raw"""WITH v AS (
+                SELECT vec_id, embedding, vec_id % 2 AS h FROM embeddings
+              ),
+              da AS (
+                SELECT u.i AS dim,
+                  CAST(SUM(CAST(CAST(e.embedding[u.i] AS DOUBLE)
+                    AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m_a,
+                  CAST(COUNT(*) AS BIGINT) AS n_a
+                FROM v e, (SELECT unnest(generate_series(1, 64)) AS i) u
+                WHERE e.h = 0 GROUP BY u.i
+              ),
+              db AS (
+                SELECT u.i AS dim,
+                  CAST(SUM(CAST(CAST(e.embedding[u.i] AS DOUBLE)
+                    AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_b
+                FROM v e, (SELECT unnest(generate_series(1, 64)) AS i) u
+                WHERE e.h = 1 GROUP BY u.i
+              ),
+              j AS (SELECT da.dim, m_a, n_a, m_b, n_b
+                    FROM da JOIN db USING (dim)),
+              agg AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+                  MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+                  CAST(SUM(CAST(m_a * m_b AS DECIMAL(38,18))) AS DOUBLE)
+                    AS dot,
+                  CAST(SUM(CAST(m_a * m_a AS DECIMAL(38,18))) AS DOUBLE)
+                    AS na2,
+                  CAST(SUM(CAST(m_b * m_b AS DECIMAL(38,18))) AS DOUBLE)
+                    AS nb2,
+                  CAST(SUM(CAST((m_a - m_b) * (m_a - m_b)
+                    AS DECIMAL(38,18))) AS DOUBLE) AS d2
+                FROM j
+              )
+              SELECT n_dims, n_a, n_b,
+                ROUND(dot / (SQRT(na2) * SQRT(nb2)), 9) AS cosine_of_means,
+                ROUND(SQRT(d2), 9) AS l2_of_means
+              FROM agg""")),
+
     // Count–Min point-frequency probes: one mergeable sketch pass over
     // the token stream, probe lookups driver-side from the
     // broadcast-sized sketch, CMS contract booleans (never-under /

@@ -758,6 +758,30 @@ class LlmSpec extends SparkSpec {
     assert(logRank.toSeq === Seq(2L, 1L))
   }
 
+  test("embeddingDrift: identity is zero drift; shifts move the right metric") {
+    val base = Seq(
+      (1L, Array(1.0f, 0.0f, 0.5f)),
+      (2L, Array(0.0f, 1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val same = Similarity.embeddingDrift(base, base, "embedding")
+      .collect()(0)
+    assert(same.getLong(0) === 3L) // dims
+    assert(same.getDouble(3) === 1.0 && same.getDouble(4) === 0.0)
+    // pure magnitude scale: direction identical (cosine 1), L2 > 0
+    val scaled = base.select(col("vec_id"),
+      transform(col("embedding"), x => x * 2.0f).as("embedding"))
+    val mag = Similarity.embeddingDrift(base, scaled, "embedding")
+      .collect()(0)
+    assert(mag.getDouble(3) === 1.0)
+    assert(mag.getDouble(4) > 0.0)
+    // directional shift: cosine drops below 1
+    val rotated = Seq(
+      (1L, Array(0.0f, 1.0f, 0.5f)),
+      (2L, Array(1.0f, 0.0f, -0.5f))).toDF("vec_id", "embedding")
+    val dir = Similarity.embeddingDrift(base, rotated, "embedding")
+      .collect()(0)
+    assert(dir.getDouble(3) < 1.0)
+  }
+
   test("cmsTokenCounts: contract holds even under forced collisions") {
     val df = Seq(
       (1L, "a b c d e f g h i j"),
