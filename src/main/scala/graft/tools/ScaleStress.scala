@@ -99,7 +99,13 @@ object ScaleStress {
     // hybrid = BM25 recall + cosine re-rank + RRF: the recall stage
     // inherits the hot-posting stress; the re-rank must stay bounded by
     // queries × recallN whatever the corpus does
-    "l_hybrid_topk")
+    "l_hybrid_topk",
+    // the hot phrase's words are mega-hot PER-SOURCE census keys (the
+    // grouped sketch must absorb them map-side); CMS partials stay
+    // KB-sized whatever the stream does; drift and the metrics harness
+    // are one-pass corpus reductions
+    "l_heavy_hitters_by_domain", "l_cms_counts", "l_embedding_drift",
+    "l_retrieval_metrics")
 
   /** Hot boilerplate phrase planted into ~30% of documents. */
   val HotPhrase =
