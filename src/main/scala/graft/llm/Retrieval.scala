@@ -301,6 +301,46 @@ object Retrieval {
       .drop("__tb")
   }
 
+  /** Retriever-training triples from the lexical index — the standard
+    * construction (Karpukhin et al. 2020, "Dense Passage Retrieval",
+    * public): for each (query, positive) pair, the top BM25 candidates
+    * that are NOT relevant become the hard negatives — lexically
+    * confusable, semantically wrong, exactly the negatives that carry
+    * gradient for a dense retriever ([[Similarity.hardNegatives]] is
+    * the embedding-space analogue; this one needs no embeddings yet).
+    *
+    * Shapes: one [[bm25TopK]] recall (bounded heap), one anti-join
+    * against the truth table (keyed), a per-query re-rank window over
+    * ≤ recallN surviving rows, then positives × negatives per query —
+    * bounded by n_pos · negPerQuery, the output's own size. */
+  def trainingTriples(
+      postings: DataFrame, stats: DataFrame,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      truth: DataFrame, negPerQuery: Int, recallN: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75,
+      dfCap: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(negPerQuery >= 1 && recallN >= negPerQuery,
+      s"need recallN >= negPerQuery >= 1, got $negPerQuery/$recallN")
+    val tr = truth.select(col("query_id"), col("doc_id")).distinct()
+    val recall = bm25TopK(postings, stats, queries, qidCol, qtextCol,
+        recallN, k1, b, dfCap)
+      .select(col("query_id"), col("rank").as("bm25_rank"), col("doc_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("bm25_rank"))
+    val negs = recall
+      .join(tr, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= negPerQuery)
+      .select(col("query_id"), col("doc_id").as("neg_doc_id"),
+        col("neg_rank"), col("bm25_rank"))
+    tr.select(col("query_id"), col("doc_id").as("pos_doc_id"))
+      .join(negs, "query_id")
+      .select(col("query_id"), col("pos_doc_id"), col("neg_doc_id"),
+        col("neg_rank").cast(IntegerType).as("neg_rank"),
+        col("bm25_rank"))
+      .orderBy(col("query_id"), col("pos_doc_id"), col("neg_rank"))
+  }
+
   /** Distributed retrieval-quality evaluation: per query, precision@k,
     * recall@k, reciprocal rank, and average precision, from a predicted
     * ranking table and a relevance-truth table — the harness that

@@ -2314,6 +2314,98 @@ object LlmQueries {
               SELECT query_id, rank, doc_id, CAST(sd AS DOUBLE) AS score
               FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    // Retriever-training triples (the DPR construction): per (query,
+    // positive) pair, the top BM25 candidates that are NOT relevant
+    // become hard negatives — lexically confusable, semantically wrong.
+    // One bounded-heap recall, one keyed anti-join, a bounded re-rank.
+    QueryDef(
+      "l_training_triples",
+      (s, d) => {
+        import s.implicits._
+        val qs = Seq(
+          (1, "spark table join"),
+          (2, "fast key scan value"),
+          (3, "slow vector group")).toDF("query_id", "qtext")
+        val vecs = t(s, d, "embeddings")
+        val truth = vecs.filter(col("vec_id").isin(1L, 2L, 3L))
+          .select(col("vec_id").cast(IntegerType).as("query_id"),
+            col("label").as("qlabel"))
+          .join(vecs.select(col("vec_id").as("doc_id"), col("label")),
+            col("qlabel") === col("label"))
+          .select(col("query_id"), col("doc_id"))
+        val idx = Retrieval.invertedIndex(t(s, d, "documents"),
+          "doc_id", "text")
+        Retrieval.trainingTriples(idx, Retrieval.corpusStats(idx),
+          qs, "query_id", "qtext", truth,
+          negPerQuery = 3, recallN = 50)
+      },
+      Some(raw"""WITH q AS (
+                SELECT * FROM (VALUES
+                  (1, 'spark table join'),
+                  (2, 'fast key scan value'),
+                  (3, 'slow vector group')) AS v(query_id, qtext)
+              ),
+              tk AS (
+                SELECT doc_id,
+                  unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+                FROM documents
+              ),
+              tf AS (SELECT doc_id, token, COUNT(*) AS tf
+                     FROM tk WHERE len(token) > 0 GROUP BY doc_id, token),
+              dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+                     FROM tf GROUP BY doc_id),
+              dft AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token),
+              st AS (SELECT COUNT(*) AS n_docs,
+                            CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+              qt AS (
+                SELECT query_id, token, COUNT(*) AS qtf
+                FROM (SELECT query_id,
+                        unnest(string_split(trim(regexp_replace(lower(qtext), '\s+', ' ', 'g')), ' ')) AS token
+                      FROM q)
+                WHERE len(token) > 0 GROUP BY query_id, token
+              ),
+              c AS (
+                SELECT qt.query_id, tf.doc_id,
+                  CAST(qt.qtf AS DOUBLE)
+                    * ((st.n_docs - dft.df_t + 0.5e0) / (dft.df_t + 0.5e0))
+                    * ((tf.tf * (1.2e0 + 1e0)) /
+                       (tf.tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 *
+                         (CAST(dl.dl * st.n_docs AS DOUBLE) / st.total_len))))
+                    AS contrib
+                FROM qt
+                JOIN tf USING (token)
+                JOIN dl USING (doc_id)
+                JOIN dft USING (token)
+                CROSS JOIN st
+              ),
+              sc AS (SELECT query_id, doc_id,
+                            SUM(CAST(contrib AS DECIMAL(38,12))) AS sd
+                     FROM c GROUP BY query_id, doc_id),
+              recall AS (SELECT query_id, doc_id,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY sd DESC, doc_id DESC) AS INTEGER)
+                        AS bm25_rank
+                    FROM sc QUALIFY bm25_rank <= 50),
+              tr AS (
+                SELECT DISTINCT CAST(e.vec_id AS INTEGER) AS query_id,
+                  c2.vec_id AS doc_id
+                FROM embeddings e JOIN embeddings c2 ON e.label = c2.label
+                WHERE e.vec_id IN (1, 2, 3)
+              ),
+              negs AS (
+                SELECT query_id, doc_id AS neg_doc_id, bm25_rank,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY bm25_rank) AS INTEGER) AS neg_rank
+                FROM recall r
+                WHERE NOT EXISTS (SELECT 1 FROM tr
+                  WHERE tr.query_id = r.query_id AND tr.doc_id = r.doc_id)
+                QUALIFY neg_rank <= 3
+              )
+              SELECT tr.query_id, tr.doc_id AS pos_doc_id, n.neg_doc_id,
+                n.neg_rank, n.bm25_rank
+              FROM tr JOIN negs n USING (query_id)
+              ORDER BY tr.query_id, pos_doc_id, n.neg_rank""")),
+
     // Distributed retrieval-quality evaluation: precision@k / recall@k /
     // MRR / AP per query, grading brute-force cosine retrieval against
     // label-sharing ground truth — exact-rational metrics, so the

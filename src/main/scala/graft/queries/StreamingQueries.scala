@@ -390,6 +390,74 @@ object StreamingQueries {
                 TRUE AS advanced_incrementally
               FROM wc ORDER BY c DESC, w LIMIT 1000""")),
 
+    // ST — continuous embedding-drift monitoring: each landed vector
+    // batch compares against the fixed reference snapshot and commits
+    // one drift row as its own partition (O(batch + dims), no streaming
+    // state). The oracle recomputes every batch's drift independently.
+    QueryDef(
+      "st_drift",
+      (s, d) => {
+        val base = scratch("st_drift")
+        val land = s"$base/land"; Files.createDirectories(Paths.get(land))
+        val outPath = s"$base/drift"
+        val vecs = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+        val t0 = System.currentTimeMillis()
+        (0 until 3).foreach { i =>
+          landJson(vecs.filter(pmod(col("vec_id"), lit(3)) === i),
+            land, s"b$i.json", t0 + i * 60000)
+        }
+        val stream = s.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .option("maxFilesPerTrigger", "1")
+          .json(land)
+        val q = graft.streaming.StreamingCorpus.startDriftMonitor(
+          vecs, stream, "embedding", outPath, s"$base/ckpt",
+          Some(Trigger.AvailableNow()))
+        q.awaitTermination()
+        graft.tables.IncrementalTable.read(s, outPath)
+          .select(col("batch_id"), col("n_dims"), col("n_a"), col("n_b"),
+            col("cosine_of_means"), col("l2_of_means"))
+          .orderBy(col("batch_id"))
+      },
+      Some(raw"""WITH v AS (
+                SELECT vec_id, embedding, vec_id % 3 AS h FROM embeddings
+              ),
+              da AS (
+                SELECT u.i AS dim,
+                  CAST(SUM(CAST(CAST(e.embedding[u.i] AS DOUBLE)
+                    AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m_a,
+                  CAST(COUNT(*) AS BIGINT) AS n_a
+                FROM v e, (SELECT unnest(generate_series(1, 64)) AS i) u
+                GROUP BY u.i
+              ),
+              db AS (
+                SELECT e.h, u.i AS dim,
+                  CAST(SUM(CAST(CAST(e.embedding[u.i] AS DOUBLE)
+                    AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_b
+                FROM v e, (SELECT unnest(generate_series(1, 64)) AS i) u
+                GROUP BY e.h, u.i
+              ),
+              j AS (SELECT db.h, da.dim, m_a, n_a, m_b, n_b
+                    FROM da JOIN db ON da.dim = db.dim),
+              agg AS (
+                SELECT h, CAST(COUNT(*) AS BIGINT) AS n_dims,
+                  MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+                  CAST(SUM(CAST(m_a * m_b AS DECIMAL(38,18))) AS DOUBLE)
+                    AS dot,
+                  CAST(SUM(CAST(m_a * m_a AS DECIMAL(38,18))) AS DOUBLE)
+                    AS na2,
+                  CAST(SUM(CAST(m_b * m_b AS DECIMAL(38,18))) AS DOUBLE)
+                    AS nb2,
+                  CAST(SUM(CAST((m_a - m_b) * (m_a - m_b)
+                    AS DECIMAL(38,18))) AS DOUBLE) AS d2
+                FROM j GROUP BY h
+              )
+              SELECT CAST(h AS BIGINT) AS batch_id, n_dims, n_a, n_b,
+                ROUND(dot / (SQRT(na2) * SQRT(nb2)), 9) AS cosine_of_means,
+                ROUND(SQRT(d2), 9) AS l2_of_means
+              FROM agg ORDER BY batch_id""")),
+
     // ST — continuously-maintained inverted index: three landed batches
     // advance immutable posting SEGMENTS (hive shard per batch, O(batch)
     // refresh) plus the additive dictionary and corpus stats; BM25

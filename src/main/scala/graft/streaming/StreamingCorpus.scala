@@ -211,6 +211,36 @@ object StreamingCorpus {
     } finally { tf.unpersist(): Unit }
   }
 
+  /** Continuous embedding-drift monitoring — the live form of
+    * [[graft.llm.Similarity.embeddingDrift]]: every micro-batch of
+    * vectors compares against a FIXED reference snapshot (the corpus a
+    * model was trained/validated on) and lands one drift row
+    * (batch_id, n_dims, n_a, n_b, cosine_of_means, l2_of_means) as its
+    * own hive partition of an IncrementalTable — O(batch + dims) per
+    * batch, no streaming state at all, and a replayed batch REWRITES
+    * its own partition (content-idempotent). An alerting job tails the
+    * table for cosine dips / L2 spikes — the "new crawl moved" signal
+    * before anything trains on it. */
+  def startDriftMonitor(
+      reference: DataFrame, vecs: DataFrame, vecCol: String,
+      outPath: String, checkpointDir: String,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.{Dataset, Row}
+    val w = vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val row = graft.llm.Similarity
+          .embeddingDrift(reference, batch.toDF(), vecCol)
+          .withColumn("batch_id", lit(batchId))
+        graft.tables.IncrementalTable
+          .refreshPartitions(row, outPath, Seq("batch_id")): Unit
+      }
+    trigger.foreach(w.trigger)
+    w.start()
+  }
+
   /** Lucene-style segment merge for the live index: fold every posting
     * shard into one (`shard = -1`), committed as a new version of the
     * postings table — reads of the merged index list one directory

@@ -814,6 +814,30 @@ class LlmSpec extends SparkSpec {
     assert(got.toSeq === Seq(("A", "x", 6L), ("B", "y", 6L)))
   }
 
+  test("trainingTriples: negatives exclude truth, rank by bm25, bound holds") {
+    val docs = Seq(
+      (1L, "cat dog"), (2L, "cat cat fish"), (3L, "cat bird"),
+      (4L, "dog dog")).toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(docs, "doc_id", "text")
+    val qs = Seq((1, "cat")).toDF("query_id", "qtext")
+    // docs 1,2,3 all match "cat"; doc 2 is the only positive
+    val truth = Seq((1, 2L)).toDF("query_id", "doc_id")
+    val got = Retrieval.trainingTriples(idx, Retrieval.corpusStats(idx),
+        qs, "query_id", "qtext", truth, negPerQuery = 1, recallN = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // one positive × one negative; the negative is the best NON-relevant
+    // bm25 match (doc 2 has top bm25 but is truth → excluded)
+    assert(got.length === 1)
+    val (q, pos, neg, nr) = got(0)
+    assert(q === 1 && pos === 2L && nr === 1)
+    assert(neg != 2L && Set(1L, 3L).contains(neg))
+    // widening the budget pulls in the remaining non-relevant match only
+    val wide = Retrieval.trainingTriples(idx, Retrieval.corpusStats(idx),
+        qs, "query_id", "qtext", truth, negPerQuery = 5, recallN = 10)
+      .collect().map(_.getLong(2)).toSet
+    assert(wide === Set(1L, 3L)) // doc 4 never matched; doc 2 is truth
+  }
+
   test("retrievalMetrics: hand-computed AP/MRR, zero-hit queries keep rows") {
     val pred = Seq(
       (1L, 1, 100L), (1L, 2, 101L), (1L, 3, 102L), (1L, 4, 103L),
