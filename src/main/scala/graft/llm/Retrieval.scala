@@ -203,6 +203,29 @@ object Retrieval {
       .filter(col("match_count") > 0)
   }
 
+  /** Pair proximity search (the IR `NEAR/n` operator) over a positional
+    * index: docs where `termA` occurs within `window` tokens of `termB`
+    * (either order), with the count of such anchor positions of
+    * `termA`. Same plan as [[phraseMatches]] — two point lookups, one
+    * doc_id equi-join, and the window test is array arithmetic in
+    * codegen (for each position of A, does B hold a position within
+    * ±window) — work ∝ the two terms' posting lists. */
+  def proximityMatches(
+      index: DataFrame, termA: String, termB: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"NEAR window must be >= 1, got $window")
+    val a = index.filter(col("token") === lit(termA))
+      .select(col("doc_id"), col("positions").as("pa"))
+    val b = index.filter(col("token") === lit(termB))
+      .select(col("doc_id"), col("positions").as("pb"))
+    a.join(b, "doc_id")
+      .select(col("doc_id"),
+        size(filter(col("pa"), p =>
+          exists(col("pb"), q =>
+            abs(q - p) <= window && q =!= p))).as("match_count"))
+      .filter(col("match_count") > 0)
+  }
+
   /** HYBRID retrieval — the RAG-standard two-stage pipeline: BM25 over
     * the inverted index recalls `recallN` lexical candidates per query,
     * an embedding cosine re-ranks EXACTLY that candidate set, and

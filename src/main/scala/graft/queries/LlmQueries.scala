@@ -2631,6 +2631,52 @@ object LlmQueries {
               SELECT phrase, doc_id, match_count
               FROM m WHERE match_count > 0 ORDER BY phrase, doc_id""")),
 
+    // Pair proximity search (the IR NEAR/n operator): two point lookups,
+    // one doc_id equi-join, window test as array arithmetic in codegen.
+    // The oracle is a direct token-window scan — a different algorithm
+    // agreeing on the answer, the l_phrase_search discipline.
+    QueryDef(
+      "l_proximity_search",
+      (s, d) => {
+        val idx = Retrieval.positionalIndex(
+          t(s, d, "documents"), "doc_id", "text")
+        Retrieval.proximityMatches(idx, "fast", "table", window = 3)
+          .withColumn("probe", lit("fast NEAR/3 table"))
+          .unionByName(
+            Retrieval.proximityMatches(idx, "spark", "join", window = 2)
+              .withColumn("probe", lit("spark NEAR/2 join")))
+          .select(col("probe"), col("doc_id"), col("match_count"))
+          .orderBy(col("probe"), col("doc_id"))
+      },
+      Some(raw"""WITH tk AS (
+                SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+                FROM documents
+              ),
+              m AS (
+                SELECT 'fast NEAR/3 table' AS probe, doc_id,
+                  CAST(len(list_filter(generate_series(1, len(toks)),
+                    i -> toks[i] = 'fast' AND
+                      len(list_filter(
+                        generate_series(greatest(1, i - 3),
+                                        least(len(toks), i + 3)),
+                        j -> j <> i AND toks[j] = 'table')) > 0)) AS INT)
+                    AS match_count
+                FROM tk
+                UNION ALL
+                SELECT 'spark NEAR/2 join' AS probe, doc_id,
+                  CAST(len(list_filter(generate_series(1, len(toks)),
+                    i -> toks[i] = 'spark' AND
+                      len(list_filter(
+                        generate_series(greatest(1, i - 2),
+                                        least(len(toks), i + 2)),
+                        j -> j <> i AND toks[j] = 'join')) > 0)) AS INT)
+                    AS match_count
+                FROM tk
+              )
+              SELECT probe, doc_id, match_count
+              FROM m WHERE match_count > 0 ORDER BY probe, doc_id""")),
+
     // Sequence packing spans (GPT-style concat-and-chunk): cumulative
     // token offsets over bucket-salted streams — the window is always
     // PARTITIONED (id % nBuckets), so packing scales without a global

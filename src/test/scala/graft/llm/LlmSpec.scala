@@ -903,6 +903,24 @@ class LlmSpec extends SparkSpec {
     assert(noVec.toSeq === Seq(1L))
   }
 
+  test("proximityMatches: window bound, either order, self-position excluded") {
+    val docs = Seq(
+      (1L, "cat x x dog"),      // distance 3
+      (2L, "dog cat"),          // distance 1, B before A
+      (3L, "cat x x x x dog"),  // distance 5 — outside window
+      (4L, "cat cat")           // same term twice
+    ).toDF("doc_id", "text")
+    val idx = Retrieval.positionalIndex(docs, "doc_id", "text")
+    def near(a: String, b: String, w: Int) =
+      Retrieval.proximityMatches(idx, a, b, w)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(near("cat", "dog", 3) === Map(1L -> 1, 2L -> 1))
+    assert(near("cat", "dog", 5) === Map(1L -> 1, 2L -> 1, 3L -> 1))
+    assert(near("cat", "dog", 2) === Map(2L -> 1))
+    // A NEAR A: a position may not witness itself
+    assert(near("cat", "cat", 3) === Map(4L -> 2))
+  }
+
   test("phraseMatches: boundaries, overlaps, repeated terms, single term") {
     val docs = Seq(
       (1L, "cat dog cat dog"),   // "cat dog" at 1 and 3; starts the doc
