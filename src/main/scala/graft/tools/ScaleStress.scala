@@ -105,7 +105,10 @@ object ScaleStress {
     // KB-sized whatever the stream does; drift and the metrics harness
     // are one-pass corpus reductions
     "l_heavy_hitters_by_domain", "l_cms_counts", "l_embedding_drift",
-    "l_retrieval_metrics")
+    "l_retrieval_metrics",
+    // triples ride the BM25 recall under hot postings; NEAR reads the
+    // hot phrase's corpus-sized positional lists through its join chain
+    "l_training_triples", "l_proximity_search")
 
   /** Hot boilerplate phrase planted into ~30% of documents. */
   val HotPhrase =
