@@ -38,6 +38,37 @@ object LlmQueries {
     df.sparkSession.read.parquet(path)
   }
 
+  private val idxCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  /** The inverted index + corpus stats, persisted once per (session,
+    * sfDir) — mirrors production, where the index is MATERIALIZED once
+    * and every query batch reads it (`Retrieval.invertedIndex` scaladoc;
+    * the `cachedFactRounds` discipline). The five retrieval gates
+    * (bm25 / hybrid / triples / metrics-adjacent) share this build
+    * instead of re-censusing the corpus each. */
+  private[queries] def cachedIndex(
+      s: SparkSession, d: String): (DataFrame, DataFrame) =
+    idxCache.computeIfAbsent((s, d), { k =>
+      val idx = Retrieval.invertedIndex(
+        t(k._1, k._2, "documents"), "doc_id", "text").persist()
+      val st = Retrieval.corpusStats(idx).persist()
+      (idx, st)
+    })
+
+  private val posIdxCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  /** The positional index, persisted once per (session, sfDir) — shared
+    * by the phrase and proximity gates, same rationale as
+    * [[cachedIndex]]. */
+  private[queries] def cachedPosIndex(
+      s: SparkSession, d: String): DataFrame =
+    posIdxCache.computeIfAbsent((s, d), { k =>
+      Retrieval.positionalIndex(
+        t(k._1, k._2, "documents"), "doc_id", "text").persist()
+    })
+
   /** DuckDB bigram-shingle set of a text expression — mirrors
     * Dedup.wordShingles(_, 2) (normalize → split → distinct bigrams). */
   private def bigramSql(textExpr: String): String = {
@@ -2262,8 +2293,8 @@ object LlmQueries {
           (1, "spark table join"),
           (2, "fast key scan value"),
           (3, "slow vector group")).toDF("query_id", "qtext")
-        Retrieval.bm25TopKDirect(t(s, d, "documents"), "doc_id", "text",
-          qs, "query_id", "qtext", k = 10)
+        val (idx, st) = cachedIndex(s, d)
+        Retrieval.bm25TopK(idx, st, qs, "query_id", "qtext", k = 10)
       },
       Some(raw"""WITH q AS (
                 SELECT * FROM (VALUES
@@ -2333,9 +2364,8 @@ object LlmQueries {
           .join(vecs.select(col("vec_id").as("doc_id"), col("label")),
             col("qlabel") === col("label"))
           .select(col("query_id"), col("doc_id"))
-        val idx = Retrieval.invertedIndex(t(s, d, "documents"),
-          "doc_id", "text")
-        Retrieval.trainingTriples(idx, Retrieval.corpusStats(idx),
+        val (idx, st) = cachedIndex(s, d)
+        Retrieval.trainingTriples(idx, st,
           qs, "query_id", "qtext", truth,
           negPerQuery = 3, recallN = 50)
       },
@@ -2505,9 +2535,8 @@ object LlmQueries {
           (2, "fast key scan value"),
           (3, "slow vector group")).toDF("query_id", "qtext")
         val vecs = t(s, d, "embeddings")
-        val idx = Retrieval.invertedIndex(t(s, d, "documents"),
-          "doc_id", "text")
-        Retrieval.hybridTopK(idx, Retrieval.corpusStats(idx),
+        val (idx, st) = cachedIndex(s, d)
+        Retrieval.hybridTopK(idx, st,
           qs, "query_id", "qtext",
           vecs.filter(col("vec_id").isin(1L, 2L, 3L)), "vec_id", "embedding",
           vecs, "vec_id", "embedding",
@@ -2600,8 +2629,7 @@ object LlmQueries {
     QueryDef(
       "l_phrase_search",
       (s, d) => {
-        val idx = Retrieval.positionalIndex(
-          t(s, d, "documents"), "doc_id", "text")
+        val idx = cachedPosIndex(s, d)
         Retrieval.phraseMatches(idx, Seq("fast", "table"))
           .withColumn("phrase", lit("fast table"))
           .unionByName(
@@ -2638,8 +2666,7 @@ object LlmQueries {
     QueryDef(
       "l_proximity_search",
       (s, d) => {
-        val idx = Retrieval.positionalIndex(
-          t(s, d, "documents"), "doc_id", "text")
+        val idx = cachedPosIndex(s, d)
         Retrieval.proximityMatches(idx, "fast", "table", window = 3)
           .withColumn("probe", lit("fast NEAR/3 table"))
           .unionByName(
