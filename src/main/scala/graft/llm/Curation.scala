@@ -125,6 +125,87 @@ object Curation {
       .otherwise(lit(null).cast(DoubleType))
   }
 
+  /** Hashed bag-of-words features at (doc, bucket, count) grain — the
+    * featurization [[perceptronTrain]] and [[perceptronMargin]] share
+    * (md5 token bucket, the engine-portable hash discipline). */
+  private def hashedBow(
+      df: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))))
+          .as("t"))
+      .filter(length(col("t")) > 0)
+      .select(col("__id"),
+        pmod(conv(substring(md5(col("t")), 1, 4), 16, 10).cast(LongType),
+          lit(dim.toLong)).as("b"))
+      .groupBy(col("__id"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Distributed batch-perceptron TRAINING — the training half of the
+    * [[linearTextScore]] seam (its scaladoc: "a TRAINED model drops in
+    * as the same array"). The fastText-shaped quality classifier every
+    * production pipeline trains on labeled docs and runs over the
+    * corpus, built so that TRAINING ITSELF is bit-reproducible in any
+    * engine: hashed token counts are integers, the learning rate is 1,
+    * and the batch update w += Σ_misclassified y·x is an exact integer
+    * sum — no transcendental loss, no float gradient order-dependence
+    * (logistic regression's exp is exactly what wouldn't cross-engine
+    * hash-match).
+    *
+    * Each epoch costs two keyed aggregates over the cached feature
+    * table — doc-grain margins under the broadcast weight vector, then
+    * bucket-grain gradient over the misclassified docs — and the weight
+    * vector (`dim` entries, a few KB) collects to the driver and
+    * re-broadcasts as a literal, the k-means-centroid discipline.
+    * Labels must be +1/-1. Returns the weight array (index = bucket).
+    * Margins classify at 0; [[linearTextScore]]'s mean-weight form
+    * divides by a positive length, so DECISIONS agree either way. */
+  def perceptronTrain(
+      df: DataFrame, idCol: String, textCol: String, labelCol: String,
+      dim: Int = 256, epochs: Int = 3): Array[Long] = {
+    require(dim >= 2 && epochs >= 1, s"need dim >= 2, epochs >= 1")
+    val labels = df.select(col(idCol).as("__id"),
+      col(labelCol).cast(LongType).as("y"))
+    val feats = hashedBow(df, idCol, textCol, dim)
+      .join(labels, "__id").persist()
+    try {
+      val w = Array.fill(dim)(0L)
+      for (_ <- 1 to epochs) {
+        val wLit = typedlit(w.toSeq)
+        val margins = feats
+          .groupBy(col("__id"), col("y"))
+          .agg(sum(col("cnt") *
+            element_at(wLit, (col("b") + 1).cast(IntegerType)))
+            .as("margin"))
+        val grad = feats
+          .join(margins.filter(col("y") * col("margin") <= 0)
+            .select(col("__id")), "__id")
+          .groupBy(col("b"))
+          .agg(sum(col("y") * col("cnt")).as("g"))
+          .collect()
+        grad.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+      }
+      w
+    } finally { feats.unpersist(): Unit }
+  }
+
+  /** Integer margin Σ count(b) · w[b] of a trained [[perceptronTrain]]
+    * model over a document — row-local codegen (the weight vector rides
+    * as a literal array), ZERO shuffles at any corpus size, and the
+    * margin is an exact integer so classification hash-verifies
+    * cross-engine. Token-less docs margin 0. */
+  def perceptronMargin(text: Column, weights: Array[Long]): Column = {
+    val d = weights.length
+    val wLit = typedlit(weights.toSeq)
+    val toks = TextAnalysis.tokens(TextAnalysis.normalize(text))
+    val s = aggregate(
+      filter(toks, t => length(t) > 0),
+      lit(0L),
+      (acc, t) => acc + element_at(wLit,
+        (pmod(conv(substring(md5(t), 1, 4), 16, 10).cast(LongType),
+          lit(d.toLong)) + 1).cast(IntegerType)))
+    coalesce(s, lit(0L))
+  }
+
   // ---------------------------------------------------------------------
   // Cross-corpus decontamination
   // ---------------------------------------------------------------------

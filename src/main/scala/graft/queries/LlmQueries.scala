@@ -2345,6 +2345,99 @@ object LlmQueries {
               SELECT query_id, rank, doc_id, CAST(sd AS DOUBLE) AS score
               FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    // TRAINED quality classifier (the fastText-shaped filter's training
+    // half): batch perceptron over hashed bag-of-words — integer counts,
+    // unit learning rate, so training itself is exact integer arithmetic
+    // and the DuckDB oracle retrains the SAME model by unrolling the
+    // three epochs. Train on the hash-split half, classify the rest.
+    QueryDef(
+      "l_perceptron",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val toksC = TextAnalysis.tokens(TextAnalysis.normalize(col("text")))
+        val y = when(array_contains(toksC, "spark"), 1L).otherwise(-1L)
+        val h = Curation.hashBucket(col("doc_id")) % 2
+        val w = Curation.perceptronTrain(
+          docs.filter(h === 0).withColumn("y", y),
+          "doc_id", "text", "y", dim = 64, epochs = 3)
+        docs.filter(h =!= 0)
+          .select(col("doc_id"),
+            Curation.perceptronMargin(col("text"), w).as("margin"),
+            y.as("actual"))
+          .withColumn("predicted",
+            when(col("margin") > 0, 1L).otherwise(-1L))
+          .withColumn("correct", col("predicted") === col("actual"))
+          .select(col("doc_id"), col("margin"), col("predicted"),
+            col("actual"), col("correct"))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""WITH hb AS (
+                SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 2 AS h
+                FROM documents
+              ),
+              lab AS (
+                SELECT doc_id, toks, h,
+                  CAST(CASE WHEN list_contains(toks, 'spark')
+                       THEN 1 ELSE -1 END AS BIGINT) AS y
+                FROM hb
+              ),
+              f AS (
+                SELECT doc_id, y,
+                  CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 64 AS b,
+                  COUNT(*) AS cnt
+                FROM (SELECT doc_id, y, unnest(toks) AS tok
+                      FROM lab WHERE h = 0)
+                WHERE len(tok) > 0 GROUP BY doc_id, y, b
+              ),
+              w1 AS (SELECT b, CAST(SUM(y * cnt) AS BIGINT) AS w
+                     FROM f GROUP BY b),
+              m2 AS (SELECT f.doc_id, f.y,
+                       SUM(f.cnt * COALESCE(w1.w, 0)) AS margin
+                     FROM f LEFT JOIN w1 USING (b) GROUP BY f.doc_id, f.y),
+              g2 AS (SELECT f.b, CAST(SUM(f.y * f.cnt) AS BIGINT) AS g
+                     FROM f JOIN m2 USING (doc_id)
+                     WHERE m2.y * m2.margin <= 0 GROUP BY f.b),
+              w2 AS (SELECT COALESCE(w1.b, g2.b) AS b,
+                       COALESCE(w1.w, 0) + COALESCE(g2.g, 0) AS w
+                     FROM w1 FULL OUTER JOIN g2 ON w1.b = g2.b),
+              m3 AS (SELECT f.doc_id, f.y,
+                       SUM(f.cnt * COALESCE(w2.w, 0)) AS margin
+                     FROM f LEFT JOIN w2 ON w2.b = f.b
+                     GROUP BY f.doc_id, f.y),
+              g3 AS (SELECT f.b, CAST(SUM(f.y * f.cnt) AS BIGINT) AS g
+                     FROM f JOIN m3 USING (doc_id)
+                     WHERE m3.y * m3.margin <= 0 GROUP BY f.b),
+              w3 AS (SELECT COALESCE(w2.b, g3.b) AS b,
+                       COALESCE(w2.w, 0) + COALESCE(g3.g, 0) AS w
+                     FROM w2 FULL OUTER JOIN g3 ON w2.b = g3.b),
+              tst AS (SELECT doc_id, toks, y FROM lab WHERE h <> 0),
+              tf2 AS (
+                SELECT doc_id,
+                  CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) % 64 AS b,
+                  COUNT(*) AS cnt
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM tst)
+                WHERE len(tok) > 0 GROUP BY doc_id, b
+              ),
+              tm AS (
+                SELECT t.doc_id,
+                  CAST(COALESCE(SUM(tf2.cnt * COALESCE(w3.w, 0)), 0)
+                    AS BIGINT) AS margin
+                FROM tst t
+                LEFT JOIN tf2 ON tf2.doc_id = t.doc_id
+                LEFT JOIN w3 ON w3.b = tf2.b
+                GROUP BY t.doc_id
+              )
+              SELECT tm.doc_id, tm.margin,
+                CAST(CASE WHEN tm.margin > 0 THEN 1 ELSE -1 END AS BIGINT)
+                  AS predicted,
+                t.y AS actual,
+                (CASE WHEN tm.margin > 0 THEN 1 ELSE -1 END) = t.y
+                  AS correct
+              FROM tm JOIN tst t USING (doc_id)
+              ORDER BY tm.doc_id""")),
+
     // Retriever-training triples (the DPR construction): per (query,
     // positive) pair, the top BM25 candidates that are NOT relevant
     // become hard negatives — lexically confusable, semantically wrong.

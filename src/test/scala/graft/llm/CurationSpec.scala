@@ -490,6 +490,28 @@ class CurationSpec extends SparkSpec {
     assert(plan("c") === ((1L, 20L, 1.0, 4.0, 4L)))
   }
 
+  test("perceptronTrain: exact update rule, convergence stops updates") {
+    import spark.implicits._
+    // buckets (md5 % 256): good=95, bad=230, nice=100, ugly=204 — no
+    // collisions, so the update arithmetic is exactly checkable
+    val train = Seq(
+      (1L, "good nice", 1L), (2L, "bad ugly", -1L)).toDF("doc_id", "text", "y")
+    val w = Curation.perceptronTrain(train, "doc_id", "text", "y",
+      dim = 256, epochs = 3)
+    // epoch 1: w=0, both docs misclassified (y·0 <= 0) → +1 on good/nice
+    // buckets, -1 on bad/ugly; epochs 2-3: both margins correct, no
+    // further updates — the exact batch-perceptron trajectory
+    assert(w(95) === 1L && w(100) === 1L)
+    assert(w(230) === -1L && w(204) === -1L)
+    assert(w.map(math.abs).sum === 4L)
+    // margins: exact integer sums of bucket weights
+    val m = Seq((1L, "good good bad"), (2L, ""), (3L, "ugly"))
+      .toDF("id", "text")
+      .select(col("id"), Curation.perceptronMargin(col("text"), w).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(1L -> 1L, 2L -> 0L, 3L -> -1L))
+  }
+
   test("mooreLewisScores ranks domain-like pool docs above general-like ones") {
     import spark.implicits._
     val inDomain = Seq(
