@@ -108,7 +108,11 @@ object ScaleStress {
     "l_retrieval_metrics",
     // triples ride the BM25 recall under hot postings; NEAR reads the
     // hot phrase's corpus-sized positional lists through its join chain
-    "l_training_triples", "l_proximity_search")
+    "l_training_triples", "l_proximity_search",
+    // classifier TRAINING under skew: the hot phrase makes a few
+    // feature buckets mega-hot; both per-epoch aggregates must combine
+    // them map-side
+    "l_perceptron")
 
   /** Hot boilerplate phrase planted into ~30% of documents. */
   val HotPhrase =
