@@ -125,6 +125,45 @@ object Curation {
       .otherwise(lit(null).cast(DoubleType))
   }
 
+  /** Preference-pair construction for reward-model / DPO-style training
+    * from a weak quality signal: within each group (source, domain,
+    * prompt cluster — pairs must be COMPARABLE), the top-k docs by
+    * score pair with the bottom-k ("extremes pairing": rank-1 chosen
+    * with rank-1-from-the-bottom rejected, etc.), keeping pairs whose
+    * score gap clears `minGap` — wide-margin pairs carry the training
+    * signal; near-ties are noise.
+    *
+    * Scale shape: ONE grouped aggregate with TWO bounded heaps per
+    * group ([[graft.functions.TopKStructs]] on (score, id) and on
+    * (-score, id)) — ≤ k rows per (group, partition) cross the wire for
+    * each end, never a per-group sort; the zip/explode afterwards is
+    * output-sized. Ties break on id (descending, the heap's
+    * lexicographic order) so pairing is fully deterministic. */
+  def preferencePairs(
+      df: DataFrame, idCol: String, scoreCol: String, groupCol: String,
+      k: Int, minGap: Long): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val base = df.select(col(groupCol).as("grp"),
+      col(idCol).as("id"), col(scoreCol).as("score"))
+    base.groupBy(col("grp"))
+      .agg(
+        graft.functions.F.topKStructs(
+          struct(col("score"), col("id")), k).as("top"),
+        graft.functions.F.topKStructs(
+          struct((-col("score")).as("nscore"), col("id")), k).as("bot"))
+      .select(col("grp"),
+        posexplode(arrays_zip(col("top"), col("bot"))).as(Seq("i", "p")))
+      .select(col("grp").as(groupCol),
+        (col("i") + 1).cast(IntegerType).as("pair_rank"),
+        col("p.top.id").as("chosen_id"),
+        col("p.top.score").as("chosen_score"),
+        col("p.bot.id").as("rejected_id"),
+        (-col("p.bot.nscore")).as("rejected_score"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("chosen_score") - col("rejected_score") >= minGap)
+      .orderBy(col(groupCol), col("pair_rank"))
+  }
+
   /** Hashed bag-of-words features at (doc, bucket, count) grain — the
     * featurization [[perceptronTrain]] and [[perceptronMargin]] share
     * (md5 token bucket, the engine-portable hash discipline). */

@@ -2345,6 +2345,35 @@ object LlmQueries {
               SELECT query_id, rank, doc_id, CAST(sd AS DOUBLE) AS score
               FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    // Preference pairs for reward-model / DPO training: per source, the
+    // top-k docs by the weak signal (length) pair with the bottom-k,
+    // keeping wide-margin pairs — one grouped aggregate with two
+    // bounded heaps, never a per-group sort.
+    QueryDef(
+      "l_preference_pairs",
+      (s, d) =>
+        Curation.preferencePairs(t(s, d, "documents"),
+          "doc_id", "n_chars", "source", k = 3, minGap = 10L),
+      Some("""WITH s AS (
+                SELECT source AS grp, doc_id AS id, n_chars AS score
+                FROM documents
+              ),
+              tp AS (SELECT grp, id, score,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                         ORDER BY score DESC, id DESC) AS INT) AS r
+                     FROM s),
+              bt AS (SELECT grp, id, score,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                         ORDER BY score ASC, id DESC) AS INT) AS r
+                     FROM s)
+              SELECT tp.grp AS source, tp.r AS pair_rank,
+                tp.id AS chosen_id, tp.score AS chosen_score,
+                bt.id AS rejected_id, bt.score AS rejected_score
+              FROM tp JOIN bt ON tp.grp = bt.grp AND tp.r = bt.r
+              WHERE tp.r <= 3 AND tp.id <> bt.id
+                AND tp.score - bt.score >= 10
+              ORDER BY source, pair_rank""")),
+
     // TRAINED quality classifier (the fastText-shaped filter's training
     // half): batch perceptron over hashed bag-of-words — integer counts,
     // unit learning rate, so training itself is exact integer arithmetic

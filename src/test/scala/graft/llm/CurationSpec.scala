@@ -490,6 +490,23 @@ class CurationSpec extends SparkSpec {
     assert(plan("c") === ((1L, 20L, 1.0, 4.0, 4L)))
   }
 
+  test("preferencePairs: extremes pairing, gap filter, self-pair exclusion") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 100L), ("a", 2L, 90L), ("a", 3L, 50L), ("a", 4L, 10L),
+      ("b", 5L, 30L), ("b", 6L, 25L), // gap 5 < 10 → filtered
+      ("c", 7L, 40L)                  // singleton: top = bottom → excluded
+    ).toDF("source", "doc_id", "n_chars")
+    val got = Curation.preferencePairs(df, "doc_id", "n_chars", "source",
+        k = 2, minGap = 10L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // a: rank1 = (100 vs 10), rank2 = (90 vs 50); b gap too small; c self
+    assert(got.toSeq === Seq(
+      ("a", 1, 1L, 100L, 4L, 10L),
+      ("a", 2, 2L, 90L, 3L, 50L)))
+  }
+
   test("perceptronTrain: exact update rule, convergence stops updates") {
     import spark.implicits._
     // buckets (md5 % 256): good=95, bad=230, nice=100, ugly=204 — no
