@@ -125,6 +125,73 @@ object Curation {
       .otherwise(lit(null).cast(DoubleType))
   }
 
+  /** Token-budget corpus selection: keep the highest-quality documents
+    * whose total token count fits `budgetTokens` — the "train on the
+    * best N tokens" cut every budgeted pretraining run makes. The
+    * quality signal must be INTEGER-quantized (bucket a float score
+    * first); selection descends quality levels whole-level-at-a-time,
+    * and the boundary level that doesn't fully fit splits by a
+    * deterministic 256-way id-hash sub-bucket, selecting the ascending
+    * prefix of sub-buckets that still fits (conservative at 1/256-level
+    * resolution — never overshoots the budget).
+    *
+    * Scale shape — NO global sort and NO corpus-sized window anywhere:
+    * one quality-level histogram (≤ levels rows) and one sub-bucket
+    * histogram of the boundary level (≤ 256 rows) collect to the
+    * driver; the cutoffs come back as literals into one row-local
+    * codegen filter over the corpus. Compare: the textbook greedy
+    * (sort all docs by quality, take the prefix) is a total order over
+    * 100 TB. Returns the selected docs as (idCol, quality, n_tokens). */
+  def selectToBudget(
+      df: DataFrame, idCol: String, textCol: String, qualityCol: String,
+      budgetTokens: Long, subBuckets: Int = 256): DataFrame = {
+    require(budgetTokens >= 0 && subBuckets >= 2, "bad budget/subBuckets")
+    val base = df.select(col(idCol),
+        col(qualityCol).cast(LongType).as("quality"),
+        TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("n_tokens"),
+        (hashBucket(col(idCol)) % subBuckets).as("__sub"))
+    val levels = base.groupBy(col("quality"))
+      .agg(sum(col("n_tokens")).as("tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    var used = 0L
+    var minFull: Option[Long] = None
+    var boundary: Option[Long] = None
+    levels.foreach { case (q, tok) =>
+      if (boundary.isEmpty) {
+        if (used + tok <= budgetTokens) { used += tok; minFull = Some(q) }
+        else boundary = Some(q)
+      }
+    }
+    val subCut: Option[Int] = boundary.map { qb =>
+      val subs = base.filter(col("quality") === qb)
+        .groupBy(col("__sub")).agg(sum(col("n_tokens")).as("tok"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy(_._1)
+      // ascending prefix of sub-buckets whose cumulative total fits the
+      // remaining budget (equivalently: max sub with running-cum ≤ r)
+      var r = budgetTokens - used
+      var cut = -1
+      var fits = true
+      subs.foreach { case (s, tok) =>
+        if (fits && tok <= r) { r -= tok; cut = s }
+        else fits = false
+      }
+      cut
+    }
+    // boundary (if any) is strictly below minFull in the descent, so
+    // quality >= minFull selects exactly the fully-fitting levels
+    val fullPred = minFull
+      .map(mq => col("quality") >= mq).getOrElse(lit(false))
+    val subPred = (boundary, subCut) match {
+      case (Some(qb), Some(c)) if c >= 0 =>
+        col("quality") === qb && col("__sub") <= c
+      case _ => lit(false)
+    }
+    base.filter(fullPred || subPred)
+      .select(col(idCol), col("quality"), col("n_tokens"))
+  }
+
   /** Preference-pair construction for reward-model / DPO-style training
     * from a weak quality signal: within each group (source, domain,
     * prompt cluster — pairs must be COMPARABLE), the top-k docs by

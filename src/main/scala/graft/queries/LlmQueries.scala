@@ -2345,6 +2345,54 @@ object LlmQueries {
               SELECT query_id, rank, doc_id, CAST(sd AS DOUBLE) AS score
               FROM r WHERE rank <= 10 ORDER BY query_id, rank""")),
 
+    // Token-budget corpus selection ("train on the best N tokens"):
+    // whole quality levels descend until one doesn't fit, the boundary
+    // level splits by a 256-way id-hash sub-bucket prefix — two bounded
+    // histograms to the driver + one row-local filter, NO global sort.
+    QueryDef(
+      "l_budget_select",
+      (s, d) =>
+        Curation.selectToBudget(
+          t(s, d, "documents").withColumn("qlevel", expr("n_chars DIV 50")),
+          "doc_id", "text", "qlevel", budgetTokens = 6000L)
+          .orderBy(col("doc_id")),
+      Some("""WITH b AS (
+                SELECT doc_id, n_chars // 50 AS quality,
+                  CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                    AS n_tokens,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 256 AS sub
+                FROM documents
+              ),
+              h AS (SELECT quality, SUM(n_tokens) AS tok
+                    FROM b GROUP BY quality),
+              hc AS (SELECT quality,
+                       SUM(tok) OVER (ORDER BY quality DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum
+                     FROM h),
+              fs AS (SELECT
+                       MIN(CASE WHEN cum <= 6000 THEN quality END) AS mq,
+                       COALESCE(MAX(CASE WHEN cum <= 6000 THEN cum END), 0)
+                         AS used,
+                       MAX(CASE WHEN cum > 6000 THEN quality END) AS qb
+                     FROM hc),
+              sh AS (SELECT b.sub, SUM(b.n_tokens) AS tok
+                     FROM b, fs WHERE b.quality = fs.qb GROUP BY b.sub),
+              shc AS (SELECT sub,
+                        SUM(tok) OVER (ORDER BY sub ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS cum
+                      FROM sh),
+              sc AS (SELECT MAX(CASE WHEN shc.cum <= 6000 - fs.used
+                       THEN shc.sub END) AS ms
+                     FROM shc, fs)
+              SELECT b.doc_id, b.quality, b.n_tokens
+              FROM b, fs, sc
+              WHERE (fs.mq IS NOT NULL AND b.quality >= fs.mq)
+                 OR (fs.qb IS NOT NULL AND b.quality = fs.qb
+                     AND sc.ms IS NOT NULL AND b.sub <= sc.ms)
+              ORDER BY b.doc_id""")),
+
     // Preference pairs for reward-model / DPO training: per source, the
     // top-k docs by the weak signal (length) pair with the bottom-k,
     // keeping wide-margin pairs — one grouped aggregate with two

@@ -490,6 +490,28 @@ class CurationSpec extends SparkSpec {
     assert(plan("c") === ((1L, 20L, 1.0, 4.0, 4L)))
   }
 
+  test("selectToBudget: level descent, boundary sub-prefix, never overshoots") {
+    import spark.implicits._
+    // five docs, 5 tokens each; levels q=3 {1,2}, q=2 {3,4}, q=1 {5}.
+    // id-hash sub-buckets (md5 % 256): 3→203, 4→127 — doc 4 is the
+    // ascending-prefix pick at the boundary level.
+    val df = Seq(
+      (1L, "t t t t t", 3L), (2L, "t t t t t", 3L),
+      (3L, "t t t t t", 2L), (4L, "t t t t t", 2L),
+      (5L, "t t t t t", 1L)).toDF("doc_id", "text", "q")
+    def ids(budget: Long) =
+      Curation.selectToBudget(df, "doc_id", "text", "q", budget)
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(100L) === Set(1L, 2L, 3L, 4L, 5L)) // everything fits
+    assert(ids(13L) === Set(1L, 2L))   // q2 boundary, r=3 < any sub
+    assert(ids(16L) === Set(1L, 2L, 4L)) // r=6 fits ONE sub: 127 < 203
+    assert(ids(4L) === Set.empty)      // even the top level overflows
+    // the selection never overshoots the budget
+    val picked = Curation.selectToBudget(df, "doc_id", "text", "q", 16L)
+      .agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(picked <= 16L)
+  }
+
   test("preferencePairs: extremes pairing, gap filter, self-pair exclusion") {
     import spark.implicits._
     val df = Seq(
