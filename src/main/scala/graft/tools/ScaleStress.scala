@@ -112,7 +112,11 @@ object ScaleStress {
     // classifier TRAINING under skew: the hot phrase makes a few
     // feature buckets mega-hot; both per-epoch aggregates must combine
     // them map-side
-    "l_perceptron")
+    "l_perceptron",
+    // pairing and budget selection are bounded-aggregate designs: two
+    // heaps per group, two driver-sized histograms — the claim is that
+    // NOTHING grows with the corpus except the one scan
+    "l_preference_pairs", "l_budget_select")
 
   /** Hot boilerplate phrase planted into ~30% of documents. */
   val HotPhrase =
