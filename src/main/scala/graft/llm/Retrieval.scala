@@ -114,8 +114,11 @@ object Retrieval {
       queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
       dfCap: Long = Long.MaxValue, logIdf: Boolean = false): DataFrame = {
-    val qdf = queryTerms(queries, qidCol, qtextCol)
-      .join(dict, "token")
+    // the query-term table broadcasts INTO the vocab-sized dictionary
+    // scan (mirroring bm25TopK's broadcast into postings) — never a
+    // dictionary shuffle per query batch
+    val qdf = dict
+      .join(broadcast(queryTerms(queries, qidCol, qtextCol)), "token")
       .filter(col("df_t") <= dfCap)
     val cands = postings
       .join(broadcast(qdf), "token")
@@ -190,7 +193,7 @@ object Retrieval {
     * corpus. */
   def phraseMatches(index: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase needs at least one term")
-    val parts = phrase.zipWithIndex.map { case (term, i) =>
+    val parts = phrase.map(normTerm).zipWithIndex.map { case (term, i) =>
       index.filter(col("token") === lit(term))
         .select(col("doc_id"), col("positions").as(s"p$i"))
     }
@@ -201,6 +204,17 @@ object Retrieval {
     joined
       .select(col("doc_id"), size(matchStarts).as("match_count"))
       .filter(col("match_count") > 0)
+  }
+
+  /** Driver-side mirror of the index tokenization for single terms —
+    * the index stores `tokens(normalize(text))` (lowercased, trimmed),
+    * so raw caller terms must normalize the same way or a cased term
+    * would silently match nothing. */
+  private def normTerm(t: String): String = {
+    val n = t.trim.toLowerCase
+    require(n.nonEmpty && !n.exists(_.isWhitespace),
+      s"a search term must be one non-empty token, got '$t'")
+    n
   }
 
   /** Pair proximity search (the IR `NEAR/n` operator) over a positional
@@ -214,9 +228,9 @@ object Retrieval {
       index: DataFrame, termA: String, termB: String,
       window: Int): DataFrame = {
     require(window >= 1, s"NEAR window must be >= 1, got $window")
-    val a = index.filter(col("token") === lit(termA))
+    val a = index.filter(col("token") === lit(normTerm(termA)))
       .select(col("doc_id"), col("positions").as("pa"))
-    val b = index.filter(col("token") === lit(termB))
+    val b = index.filter(col("token") === lit(normTerm(termB)))
       .select(col("doc_id"), col("positions").as("pb"))
     a.join(b, "doc_id")
       .select(col("doc_id"),
@@ -241,8 +255,12 @@ object Retrieval {
     * touched only for candidate ids) and broadcasts the query vectors;
     * the re-rank windows partition per query over ≤ recallN rows, so no
     * executor ever sorts more than one query's candidates. Candidates
-    * without a vector drop (inner join) — re-ranking needs the vector
-    * by construction. */
+    * without a doc vector drop (inner join) — re-ranking needs the
+    * vector by construction — and a QUERY missing from `qvecs` drops
+    * entirely (its BM25 results included): a fused ranking cannot be
+    * computed without the query embedding, and emitting stage-1-only
+    * rows would silently mix ranking semantics per query. Run
+    * [[bm25TopK]] directly for lexical-only queries. */
   def hybridTopK(
       postings: DataFrame, stats: DataFrame,
       queries: DataFrame, qidCol: String, qtextCol: String,
@@ -257,7 +275,10 @@ object Retrieval {
     val recall = bm25TopK(postings, stats, queries, qidCol, qtextCol,
         recallN, k1, b, dfCap)
       .select(col("query_id"), col("rank").as("bm25_rank"), col("doc_id"))
-    val withCos = recall
+    // the recall table is ≤ queries × recallN rows by construction but
+    // carries no stats — hint the broadcast so the corpus-sized vector
+    // table is probed for candidate ids, never shuffled
+    val withCos = broadcast(recall)
       .join(docVecs.select(col(dvecIdCol).as("doc_id"),
         col(dvecCol).as("__dv")), "doc_id")
       .join(broadcast(qvecs.select(col(qvecIdCol).as("query_id"),
@@ -293,22 +314,33 @@ object Retrieval {
     * directory count while a lookup still reads only its terms'
     * buckets. */
   def materializePostings(
-      postings: DataFrame, path: String, tokenBuckets: Int = 64): Unit =
+      postings: DataFrame, path: String, tokenBuckets: Int = 64): Unit = {
     postings
       .withColumn("__tb", pmod(xxhash64(col("token")), lit(tokenBuckets)))
       .write.mode("overwrite").partitionBy("__tb").parquet(path)
+    // the bucket count is part of the store's identity: a reader
+    // hashing mod a DIFFERENT count would prune to the wrong
+    // directories and silently find nothing — persist it alongside
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_token_buckets"),
+      tokenBuckets.toString): Unit
+  }
 
   /** Read only the posting buckets holding `terms` from a
-    * [[materializePostings]] store. The `__tb IN (...)` filter is a
-    * partition filter — `.explain` shows the scan pruned to the terms'
-    * directories (PlanSpec pins it); the residual token equality
-    * re-applies on the read rows, so bucketing is never a correctness
-    * dependency. */
+    * [[materializePostings]] store. The bucket count comes from the
+    * store's own `_token_buckets` marker (never a caller guess), the
+    * `__tb IN (...)` filter is a partition filter — `.explain` shows
+    * the scan pruned to the terms' directories (PlanSpec pins it) —
+    * and the residual token equality re-applies on the read rows, so
+    * bucket hashing is never a correctness dependency. Terms normalize
+    * like the index side (lowercase/trim). */
   def readPostingsForTerms(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      terms: Seq[String], tokenBuckets: Int = 64): DataFrame = {
+      terms: Seq[String]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.XxHash64
     import org.apache.spark.sql.catalyst.expressions.Literal
+    val tokenBuckets = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path, "_token_buckets")).trim.toInt
     val bucketOf: String => Long = t => {
       // seed 42 = the default of the `xxhash64` SQL function used on
       // the write side
@@ -317,10 +349,11 @@ object Retrieval {
         .asInstanceOf[Long]
       ((h % tokenBuckets) + tokenBuckets) % tokenBuckets
     }
-    val buckets = terms.map(bucketOf).distinct
+    val normed = terms.map(normTerm)
+    val buckets = normed.map(bucketOf).distinct
     spark.read.parquet(path)
       .filter(col("__tb").isin(buckets: _*))
-      .filter(col("token").isin(terms: _*))
+      .filter(col("token").isin(normed: _*))
       .drop("__tb")
   }
 
@@ -375,9 +408,11 @@ object Retrieval {
     * a transcendental that wouldn't).
     *
     * Shapes: one keyed equi-join (predicted ∩ truth), a per-query
-    * window over ≤ k hit rows, one query-grain aggregate. Queries with
-    * zero hits keep a row (metrics 0) — silent disappearance would
-    * read as "all queries scored". */
+    * window over ≤ k hit rows, one query-grain aggregate. The output
+    * anchors on predicted ∪ truth query ids, so BOTH failure shapes
+    * keep a zeroed row: a query with predictions but no hits, AND a
+    * query with truth the retriever never answered at all — silent
+    * disappearance of either would read as "all queries scored". */
   def retrievalMetrics(
       predicted: DataFrame, truth: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -395,7 +430,8 @@ object Retrieval {
         min(col("rank")).as("first_rank"),
         sum((col("i").cast(DoubleType) / col("rank"))
           .cast(DecimalType(18, 12))).as("ap_num"))
-    p.select(col("query_id")).distinct()
+    p.select(col("query_id"))
+      .unionByName(tr.select(col("query_id"))).distinct()
       .join(perQ, Seq("query_id"), "left")
       .join(nrel, Seq("query_id"), "left")
       .select(

@@ -2672,7 +2672,8 @@ object LlmQueries {
                     AS ap_num
                 FROM h GROUP BY query_id
               ),
-              qs AS (SELECT DISTINCT query_id FROM pred)
+              qs AS (SELECT query_id FROM pred
+                     UNION SELECT query_id FROM tr)
               SELECT qs.query_id,
                 COALESCE(nrel.n_rel, 0) AS n_rel,
                 COALESCE(perq.hits, 0) AS hits,

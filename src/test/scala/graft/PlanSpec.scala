@@ -351,8 +351,7 @@ class PlanSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val terms = Seq("fast", "table")
-      val pruned = Retrieval.readPostingsForTerms(spark, path, terms,
-        tokenBuckets = 16)
+      val pruned = Retrieval.readPostingsForTerms(spark, path, terms)
       val scans = pruned.queryExecution.executedPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }
