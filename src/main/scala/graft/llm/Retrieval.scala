@@ -45,18 +45,26 @@ object Retrieval {
     * and serve query batches from the parquet. */
   def invertedIndex(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = df
-      .select(col(idCol).as("doc_id"),
-        explode(tokens(normalize(col(textCol)))).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFrequencies(df, idCol, textCol)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df_t"))
     tf.join(dl, "doc_id").join(dft, "token")
       .select(col("token"), col("doc_id"), col("tf"), col("dl"),
         col("df_t"))
   }
+
+  /** (doc_id, token, tf) term frequencies — THE index-side
+    * tokenization, shared by the batch index build and the streaming
+    * segment maintenance ([[graft.streaming.StreamingCorpus
+    * .applyIndexBatch]]) so the two can never drift; [[queryTerms]]
+    * mirrors it on the query side. */
+  private[graft] def termFrequencies(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(tokens(normalize(col(textCol)))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
 
   /** One-row corpus statistics for BM25: document count and total token
     * length (avgdl stays a RATIO of these exact integers — the score

@@ -29,8 +29,6 @@ object Similarity {
     * Fused single-pass codegen kernel. */
   def cosine(a: Column, b: Column): Column = F.cosineSim(a, b)
 
-  /** Exact top-k cosine neighbors for each query vector. The query side
-    * is expected to be small (broadcast); the corpus side streams. */
   /** Embedding-distribution drift between two corpus snapshots — the
     * monitor that catches "the new crawl's embeddings moved" before a
     * model trains on it. Each side reduces to its PER-DIMENSION mean
@@ -43,14 +41,27 @@ object Similarity {
     * a growing L2 at stable cosine = magnitude shift (pipeline /
     * normalization change). */
   def embeddingDrift(
-      a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
-    def dimMeans(df: DataFrame, side: String): DataFrame =
-      df.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .groupBy((col("pos") + 1).as("dim"))
-        .agg((sum(col("v").cast(DoubleType).cast(DecimalType(38, 12)))
-          .cast(DoubleType) / count(lit(1))).as(s"m_$side"),
-          count(lit(1)).as(s"n_$side"))
-    dimMeans(a, "a").join(dimMeans(b, "b"), "dim")
+      a: DataFrame, b: DataFrame, vecCol: String): DataFrame =
+    embeddingDriftAgainstMeans(dimMeans(a, vecCol, "a"), b, vecCol)
+
+  /** One side's per-dimension decimal-exact means — dims-sized. Compute
+    * ONCE for a fixed reference snapshot and reuse across comparisons
+    * ([[graft.streaming.StreamingCorpus.startDriftMonitor]] does): the
+    * reference never changes, so re-scanning it per micro-batch would
+    * make the monitor's cost the reference's size, not the batch's. */
+  private[graft] def dimMeans(
+      df: DataFrame, vecCol: String, side: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy((col("pos") + 1).as("dim"))
+      .agg((sum(col("v").cast(DoubleType).cast(DecimalType(38, 12)))
+        .cast(DoubleType) / count(lit(1))).as(s"m_$side"),
+        count(lit(1)).as(s"n_$side"))
+
+  /** [[embeddingDrift]] with the reference side pre-reduced to its
+    * (dim, m_a, n_a) mean table. */
+  private[graft] def embeddingDriftAgainstMeans(
+      refMeans: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
+    refMeans.join(dimMeans(b, vecCol, "b"), "dim")
       .agg(
         count(lit(1)).as("n_dims"),
         max(col("n_a")).as("n_a"),
@@ -73,6 +84,8 @@ object Similarity {
         round(sqrt(col("d2")), 9).as("l2_of_means"))
   }
 
+  /** Exact top-k cosine neighbors for each query vector. The query side
+    * is expected to be small (broadcast); the corpus side streams. */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {

@@ -63,7 +63,11 @@ object StreamingCorpus {
       .groupBy(col("source"), window(col("ingest_ts"), windowLength))
       .agg(
         count(lit(1)).as("docs"),
-        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"),
+        // guard split-of-empty's [""] artifact: an empty/whitespace doc
+        // must count 0 tokens, not 1
+        sum(when(length(trim(col("text"))) > 0,
+          TextAnalysis.tokenCount(col("text")).cast("long"))
+          .otherwise(0L)).as("tokens"),
         avg(TextAnalysis.qualityScore(
           col("text"), TextAnalysis.StopwordProfiles.flatMap(_._2))).as("avg_quality"))
       .select(
@@ -108,7 +112,13 @@ object StreamingCorpus {
       batch: DataFrame, textCol: String, censusPath: String,
       batchId: Long): Unit = {
     import graft.tables.IncrementalTable
-    val applied = IncrementalTable.versions(censusPath).size
+    // the applied-batch ledger is the version NUMBER, not the version
+    // COUNT: numbers are never reused (mintNext is max+1), so the guard
+    // survives a vacuum that drops old manifests — a size-based guard
+    // would re-merge the last batch after vacuum and double its counts.
+    // (A restore/rollback on this table rewrites the ledger by design —
+    // reset the stream checkpoint with it.)
+    val applied = IncrementalTable.currentVersion(censusPath).getOrElse(0)
     if (applied > batchId) () // replay of an already-committed batch
     else {
       val delta = TextAnalysis.wordCensus(batch, textCol)
@@ -135,8 +145,9 @@ object StreamingCorpus {
     *   - `<indexDir>/dict` (token, df_t): additive vocab-grain merge
     *     per batch (df sums across segments because each doc lives in
     *     exactly one), guarded by the census discipline — one committed
-    *     version per applied batch, `versions.size > batchId` marks an
-    *     already-applied redelivery whose re-merge would double-count.
+    *     version per applied batch; the current version NUMBER (never
+    *     reused, vacuum-proof) marks an already-applied redelivery
+    *     whose re-merge would double-count.
     *   - `<indexDir>/stats` (n_docs, total_len): the same additive
     *     merge at 1-row grain, independently guarded — a crash between
     *     the three commits self-heals on replay because each table
@@ -168,40 +179,49 @@ object StreamingCorpus {
       batch: DataFrame, idCol: String, textCol: String, indexDir: String,
       batchId: Long): Unit = {
     import graft.tables.IncrementalTable
-    import graft.llm.TextAnalysis.{normalize, tokens}
     val postingsPath = s"$indexDir/postings"
     val dictPath = s"$indexDir/dict"
     val statsPath = s"$indexDir/stats"
     // three commits consume the batch census — persist it once instead
-    // of re-running the explode per action
-    val tf = batch
-      .select(col(idCol).as("doc_id"),
-        explode(tokens(normalize(col(textCol)))).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    // of re-running the explode per action. The tokenization is THE
+    // shared index-side one (Retrieval.termFrequencies), so the live
+    // segments can never drift from the batch index or the query side.
+    val tf = graft.llm.Retrieval.termFrequencies(batch, idCol, textCol)
       .persist()
     try {
       val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val segment = tf.join(dl, "doc_id")
-        .select(col("token"), col("doc_id"), col("tf"), col("dl"),
-          lit(batchId).as("shard"))
-      IncrementalTable.refreshPartitions(segment, postingsPath, Seq("shard"))
-      if (IncrementalTable.versions(dictPath).size <= batchId) {
+      // a batch already folded into shard=-1 by a compaction must NOT
+      // rewrite its shard on replay — its rows would then exist twice
+      // (once merged, once fresh) and every BM25 score would double
+      if (batchId > compactedThrough(postingsPath)) {
+        val segment = tf.join(dl, "doc_id")
+          .select(col("token"), col("doc_id"), col("tf"), col("dl"),
+            lit(batchId).as("shard"))
+        IncrementalTable.refreshPartitions(
+          segment, postingsPath, Seq("shard")): Unit
+      }
+      // applied-batch guards key on the version NUMBER (never reused —
+      // mintNext is max+1), not the version count, so they survive a
+      // vacuum of old manifests; each listing is taken once per table
+      val dictApplied =
+        IncrementalTable.currentVersion(dictPath).getOrElse(0)
+      if (dictApplied <= batchId) {
         val delta = tf.groupBy(col("token")).agg(count(lit(1)).as("df_t"))
         val merged =
-          if (IncrementalTable.versions(dictPath).isEmpty) delta
+          if (dictApplied == 0) delta
           else IncrementalTable.read(batch.sparkSession, dictPath)
             .unionByName(delta)
             .groupBy(col("token")).agg(sum(col("df_t")).as("df_t"))
         IncrementalTable.commitFull(merged, dictPath): Unit
       }
-      if (IncrementalTable.versions(statsPath).size <= batchId) {
+      val statsApplied =
+        IncrementalTable.currentVersion(statsPath).getOrElse(0)
+      if (statsApplied <= batchId) {
         val delta = dl.agg(
           count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("total_len"))
         val merged =
-          if (IncrementalTable.versions(statsPath).isEmpty) delta
+          if (statsApplied == 0) delta
           else IncrementalTable.read(batch.sparkSession, statsPath)
             .unionByName(delta)
             .agg(sum(col("n_docs")).as("n_docs"),
@@ -209,6 +229,15 @@ object StreamingCorpus {
         IncrementalTable.commitFull(merged, statsPath): Unit
       }
     } finally { tf.unpersist(): Unit }
+  }
+
+  /** Highest batch id folded into the merged shard by [[compactIndex]]
+    * (-1 when never compacted) — the replay fence. */
+  private def compactedThrough(postingsPath: String): Long = {
+    val p = java.nio.file.Paths.get(postingsPath, "_compacted_through")
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.readString(p).trim.toLong
+    else -1L
   }
 
   /** Continuous embedding-drift monitoring — the live form of
@@ -227,12 +256,19 @@ object StreamingCorpus {
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.{Dataset, Row}
+    // the reference snapshot is FIXED — reduce it to its dims-sized
+    // mean table ONCE and persist; recomputing it inside foreachBatch
+    // would rescan the whole reference every trigger and the monitor's
+    // cost would be the reference's size, not the batch's
+    val refMeans = graft.llm.Similarity
+      .dimMeans(reference, vecCol, "a").persist()
+    refMeans.count(): Unit // materialize before the stream starts
     val w = vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val row = graft.llm.Similarity
-          .embeddingDrift(reference, batch.toDF(), vecCol)
+          .embeddingDriftAgainstMeans(refMeans, batch.toDF(), vecCol)
           .withColumn("batch_id", lit(batchId))
         graft.tables.IncrementalTable
           .refreshPartitions(row, outPath, Seq("batch_id")): Unit
@@ -248,14 +284,32 @@ object StreamingCorpus {
     * time-travel to the pre-merge segment layout. Cost is O(index), the
     * defining cost of compaction; dict and stats are untouched (they
     * are already single tables). Run while the maintenance stream is
-    * STOPPED — a foreachBatch replay racing a compaction could re-add a
-    * merged batch's rows as a fresh shard. Returns the new version. */
+    * STOPPED (it rewrites the whole postings table), and the
+    * `_compacted_through` fence it records makes even the
+    * restart-replay of an un-checkpointed folded batch safe:
+    * [[applyIndexBatch]] skips the segment rewrite for batch ids at or
+    * below the fence. Returns the new version. */
   def compactIndex(spark: SparkSession, indexDir: String): Int = {
     import graft.tables.IncrementalTable
     val path = s"$indexDir/postings"
-    val merged = IncrementalTable.read(spark, path)
-      .withColumn("shard", lit(-1L))
-    IncrementalTable.commitFull(merged, path, partitionCols = Seq("shard"))
+    val cur = IncrementalTable.read(spark, path)
+    // the replay fence: a restart can re-deliver the last batch whose
+    // checkpoint commit didn't land (foreachBatch is at-least-once);
+    // if compaction folded that batch's shard, the replayed
+    // refreshPartitions would ADD its rows next to the merged copy and
+    // double every BM25 contribution. Record the highest folded batch
+    // id; applyIndexBatch skips the segment rewrite at or below it.
+    val maxShard = cur.agg(max(col("shard"))).collect()(0) match {
+      case r if r.isNullAt(0) => -1L
+      case r => r.getLong(0)
+    }
+    val merged = cur.withColumn("shard", lit(-1L))
+    val v = IncrementalTable.commitFull(
+      merged, path, partitionCols = Seq("shard"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "_compacted_through"),
+      maxShard.toString): Unit
+    v
   }
 
   /** Read the live index: (postings, dict, stats) as of the latest

@@ -326,6 +326,17 @@ class StreamingSpec extends SparkSpec {
       val preShards = it.read(spark, s"$dir/postings", Some(preVersion))
         .select("shard").distinct().count()
       assert(preShards == 2L, "pre-merge layout must still time-travel")
+      // the replay fence: a restart re-delivering batch 1 AFTER its
+      // shard was folded into the merged segment must NOT re-add its
+      // rows — without the _compacted_through fence every one of its
+      // postings would exist twice and BM25 scores would double
+      StreamingCorpus.applyIndexBatch(b1, "doc_id", "text", dir, 1L)
+      assert(postings() == expPost,
+        "replay after compaction duplicated folded postings")
+      assert(it.read(spark, s"$dir/postings")
+        .select("shard").distinct().collect().map(_.getLong(0)).toSeq
+        === Seq(-1L))
+      assert(dict() == expDict && stats() == expStats)
     } finally graft.tables.FsUtil.deleteRec(java.nio.file.Paths.get(dir))
   }
 }
