@@ -97,6 +97,15 @@ object Curation {
   def standInWeightsMilli(d: Int): Array[Long] =
     Array.tabulate(d)(i => (i.toLong * 2654435761L) % 1000L - 500L)
 
+  /** md5 token feature-bucket in [0, d) — THE formula the trained model
+    * ([[perceptronTrain]]/[[hashedBow]]) and every scorer
+    * ([[linearTextScore]], [[perceptronMargin]]) must share
+    * bit-identically: train/inference bucket agreement is load-bearing,
+    * so it exists exactly once. */
+  private def tokenBucket(t: Column, d: Int): Column =
+    pmod(conv(substring(md5(t), 1, 4), 16, 10).cast(LongType),
+      lit(d.toLong))
+
   /** Linear text-classifier INFERENCE at corpus scale (the fastText-
     * shaped quality filter every production pipeline runs over 100 TB):
     * each token feature-hashes into a broadcast weight table (md5
@@ -114,8 +123,7 @@ object Curation {
     val toks = TextAnalysis.tokens(TextAnalysis.normalize(text))
     val milliSum = aggregate(
       transform(toks, t => element_at(wLit,
-        (pmod(conv(substring(md5(t), 1, 4), 16, 10).cast(LongType),
-          lit(d.toLong)) + 1).cast(IntegerType))),
+        (tokenBucket(t, d) + 1).cast(IntegerType))),
       lit(0L), (acc, x) => acc + x)
     // guard on the normalized TEXT, not size(toks): splitting "" yields
     // [""] (size 1), so a token-less doc would otherwise score the hash
@@ -146,10 +154,16 @@ object Curation {
       df: DataFrame, idCol: String, textCol: String, qualityCol: String,
       budgetTokens: Long, subBuckets: Int = 256): DataFrame = {
     require(budgetTokens >= 0 && subBuckets >= 2, "bad budget/subBuckets")
-    val base = df.select(col(idCol),
+    // null-quality docs (missing classifier output) are EXCLUDED, not
+    // crashed on — and the slim projection persists because three
+    // actions consume it (two histogram collects + the output filter);
+    // recomputing the corpus scan per action would triple the cost
+    val base = df.filter(col(qualityCol).isNotNull)
+      .select(col(idCol),
         col(qualityCol).cast(LongType).as("quality"),
         TextAnalysis.tokenCount(col(textCol)).cast(LongType).as("n_tokens"),
         (hashBucket(col(idCol)) % subBuckets).as("__sub"))
+      .persist()
     val levels = base.groupBy(col("quality"))
       .agg(sum(col("n_tokens")).as("tok"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -188,6 +202,8 @@ object Curation {
         col("quality") === qb && col("__sub") <= c
       case _ => lit(false)
     }
+    // the result re-reads the persisted projection; unpersisting here
+    // would recompute it, so the cache is released lazily by eviction
     base.filter(fullPred || subPred)
       .select(col(idCol), col("quality"), col("n_tokens"))
   }
@@ -240,9 +256,7 @@ object Curation {
         explode(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))))
           .as("t"))
       .filter(length(col("t")) > 0)
-      .select(col("__id"),
-        pmod(conv(substring(md5(col("t")), 1, 4), 16, 10).cast(LongType),
-          lit(dim.toLong)).as("b"))
+      .select(col("__id"), tokenBucket(col("t"), dim).as("b"))
       .groupBy(col("__id"), col("b"))
       .agg(count(lit(1)).as("cnt"))
 
@@ -307,8 +321,7 @@ object Curation {
       filter(toks, t => length(t) > 0),
       lit(0L),
       (acc, t) => acc + element_at(wLit,
-        (pmod(conv(substring(md5(t), 1, 4), 16, 10).cast(LongType),
-          lit(d.toLong)) + 1).cast(IntegerType)))
+        (tokenBucket(t, d) + 1).cast(IntegerType)))
     coalesce(s, lit(0L))
   }
 
@@ -714,7 +727,12 @@ object Curation {
     * comes from the id hash (not random()), the sample is deterministic
     * and append-stable, like [[withSplit]]. Row-local codegen. */
   def weightedSampleKey(id: Column, weight: Column): Column =
-    pow(hashUniform(id, "wsample"), lit(1.0) / weight.cast(DoubleType))
+    // weights must be POSITIVE: w <= 0 flips the exponent sign and the
+    // key u^(1/w) lands >= 1, outranking every valid row — a negative
+    // weight yields NULL key here (never sampled) instead
+    when(weight > 0,
+      pow(hashUniform(id, "wsample"), lit(1.0) / weight.cast(DoubleType)))
+      .otherwise(lit(null).cast(DoubleType))
 
   /** Deterministic weighted sample of k rows (weights must be > 0; a
     * row's selection odds scale with its weight). Top-k by the A-ES key
@@ -765,10 +783,13 @@ object Curation {
     size(array_intersect(TextAnalysis.urlDomains(text),
       typedlit(blockedDomains))) > 0
 
-  /** Drop rows that link to any blocklisted domain. */
+  /** Drop rows that link to any blocklisted domain. A NULL text links
+    * to nothing and is KEPT — the raw predicate is NULL there, and
+    * filter would silently drop the row. */
   def blocklistFilter(
       df: DataFrame, textCol: String, blockedDomains: Seq[String]): DataFrame =
-    df.filter(!hasBlockedDomain(col(textCol), blockedDomains))
+    df.filter(!coalesce(
+      hasBlockedDomain(col(textCol), blockedDomains), lit(false)))
 
   /** Canonical URL form for URL-level dedup (the step before content
     * fetch in a crawl pipeline — near-identical URLs fan out crawler
@@ -782,7 +803,11 @@ object Curation {
     val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
     val host = lower(regexp_extract(url, "^[A-Za-z]+://([^/?#]+)", 1))
     val path = regexp_extract(url, "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // strip the fragment FIRST: a '?' inside the fragment is fragment
+    // content, not a query — extracting the query from the raw url
+    // would resurrect it ("/page#sec?b=1" has NO query)
+    val preFragment = regexp_extract(url, "^([^#]*)", 1)
+    val query = regexp_extract(preFragment, "\\?(.*)$", 1)
     val params = array_sort(filter(split(query, "&"),
       p => p =!= "" && !p.startsWith("utm_")))
     val q2 = array_join(params, "&")
@@ -851,7 +876,7 @@ object Curation {
       "ok_word_count" -> nWords.between(minWords, maxWords),
       "ok_mean_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
       "ok_symbol_ratio" -> (symbolRatio < 0.1),
-      "ok_alpha_words" -> (alphaFrac > 0.8),
+      "ok_alpha_words" -> (alphaFrac >= 0.8),
       "ok_stopwords" -> (stopHits >= 2))
   }
 
@@ -936,6 +961,10 @@ object Curation {
     df.select(targetFilter.as("__is_target"),
         explode(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))))
           .as("__tok"))
+      // split-of-empty's [""] artifact: an empty doc must contribute
+      // NOTHING, not a count in md5("")'s bucket (the trap
+      // linearTextScore's guard documents)
+      .filter(length(col("__tok")) > 0)
       .withColumn("__b", pmod(hashBucket(col("__tok")), lit(buckets)))
       .groupBy(col("__b"))
       .agg(count(lit(1)).as("c_r"),
@@ -967,6 +996,9 @@ object Curation {
     df.select(col(idCol),
         explode(TextAnalysis.tokens(TextAnalysis.normalize(col(textCol))))
           .as("__tok"))
+      // same empty-token guard as the census side: a token-less doc
+      // scores as ABSENT (no rows), never from md5("")'s noise bucket
+      .filter(length(col("__tok")) > 0)
       .withColumn("__b", pmod(hashBucket(col("__tok")), lit(buckets)))
       // LEFT: a bucket the census never saw (scoring NEW docs against a
       // historical census) takes the add-one default (c_t=c_r=0), the
@@ -1008,6 +1040,8 @@ object Curation {
   def domainBalance(
       df: DataFrame, domainCol: String, textCol: String,
       budgetDenom: Long = 2L, maxEpochs: Double = 4.0): DataFrame = {
+    require(budgetDenom > 0 && maxEpochs > 0,
+      s"budgetDenom/maxEpochs must be positive: $budgetDenom/$maxEpochs")
     val perDomain = df.groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col(textCol)).cast(LongType))

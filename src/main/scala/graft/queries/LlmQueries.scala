@@ -3456,7 +3456,7 @@ object LlmQueries {
                 len(toks) BETWEEN 30 AND 100000 AS ok_word_count,
                 (length(replace(norm, ' ', '')) / CAST(len(toks) AS DOUBLE)) BETWEEN 3.0e0 AND 10.0e0 AS ok_mean_word_len,
                 (len(regexp_extract_all(text, '#|\.\.\.|…')) / CAST(len(toks) AS DOUBLE)) < 0.1e0 AS ok_symbol_ratio,
-                (len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / CAST(len(toks) AS DOUBLE)) > 0.8e0 AS ok_alpha_words,
+                (len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / CAST(len(toks) AS DOUBLE)) >= 0.8e0 AS ok_alpha_words,
                 len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','was'], x))) >= 2 AS ok_stopwords
                 FROM t)
               SELECT doc_id, n_words, ok_word_count, ok_mean_word_len,

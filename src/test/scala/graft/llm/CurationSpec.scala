@@ -258,6 +258,12 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(canon.take(3).toSet === Set("https://example.com/p/1?a=1&b=2"))
     assert(canon(3) === "http://other.org/" && canon(4) === "http://other.org/")
+    // a '?' INSIDE the fragment is fragment content, not a query — it
+    // must not be resurrected as parameters
+    val fragQ = Seq("http://a.com/page#sec?b=1", "http://a.com/page")
+      .toDF("url").select(Curation.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(fragQ(0) === "http://a.com/page" && fragQ(1) === "http://a.com/page")
   }
 
   test("codeSignals: crafted code flags, prose does not, ratios hand-check") {
