@@ -57,8 +57,10 @@ object TextAnalysis {
     * ratios, 'und' when nothing matches. Deterministic tie-break: the
     * profile order above (en > de > fr > es). */
   def languageId(text: Column): Column = {
+    // lowercase before matching: the profiles are lowercase, so raw
+    // text would miss every sentence-initial/ALL-CAPS function word
     val scores = StopwordProfiles.map { case (lang, words) =>
-      lang -> stopwordRatio(text, words)
+      lang -> stopwordRatio(lower(text), words)
     }
     val anyHit = scores.map(_._2).reduce(_ + _) > 0.0
     val best = scores.tail.foldLeft(
@@ -92,7 +94,8 @@ object TextAnalysis {
         (sum(col("__bpe")).cast(DoubleType) /
           sum(col("__ws")).cast(DoubleType)).as("fertility"),
         (sum(col("__chars")).cast(DoubleType) /
-          sum(col("__bpe")).cast(DoubleType)).as("chars_per_token"))
+          nullif(sum(col("__bpe")), lit(0L)).cast(DoubleType))
+          .as("chars_per_token"))
 
   /** Winnowing fingerprints of the normalized text (rolling k-byte-gram
     * hashes, window-min selection — the MOSS local-fingerprint scheme):
@@ -146,7 +149,10 @@ object TextAnalysis {
         least(lit(chunkSize), n - i * stride).as("n_tokens"),
         array_join(slice(toks, i * stride + 1, lit(chunkSize)), " ").as("chunk_text")))
     // filter with a constant-false lambda = typed empty array
-    when(length(trim(text)) === 0, filter(chunks, _ => lit(false)))
+    // rlike("\\S"), not trim: Spark's trim strips only 0x20, so a
+    // tab/newline-only doc would bypass a trim-based guard and emit the
+    // phantom 1-token chunk this exists to prevent
+    when(!text.rlike("\\S"), filter(chunks, _ => lit(false)))
       .otherwise(chunks)
   }
 
@@ -281,14 +287,18 @@ object TextAnalysis {
       s"MG(capacity=$capacity) only guarantees hitters above total/${capacity + 1}; " +
         s"ratio=$ratio filters below that floor")
     val toks = df.select(explode(tokens(normalize(col(textCol)))).as("token"))
-    val candidates = toks
-      .agg(graft.functions.F.heavyHitters(col("token"), capacity).as("hh"))
+    // the stream total folds into the sketch pass — a separate
+    // count() would re-scan and re-explode the corpus a third time
+    val sketch = toks
+      .agg(graft.functions.F.heavyHitters(col("token"), capacity).as("hh"),
+        count(lit(1)).as("total"))
+    val candidates = sketch
       .select(explode(col("hh")).as("c"))
       .select(col("c.token").as("token"))
     val exact = toks.join(broadcast(candidates), Seq("token"), "left_semi")
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    val total = sketch.select(col("total"))
     exact.crossJoin(broadcast(total))
       .filter(col("cnt") * ratio > col("total"))
       .select(col("token"), col("cnt"))
@@ -317,16 +327,19 @@ object TextAnalysis {
         s"ratio=$ratio filters below that floor")
     val toks = df.select(col(groupCol).as("grp"),
       explode(tokens(normalize(col(textCol)))).as("token"))
-    val candidates = toks
+    // per-group totals fold into the sketch pass (no third scan)
+    val sketch = toks
       .groupBy(col("grp"))
-      .agg(graft.functions.F.heavyHitters(col("token"), capacity).as("hh"))
+      .agg(graft.functions.F.heavyHitters(col("token"), capacity).as("hh"),
+        count(lit(1)).as("total"))
+    val candidates = sketch
       .select(col("grp"), explode(col("hh")).as("c"))
       .select(col("grp"), col("c.token").as("token"))
     val exact = toks
       .join(broadcast(candidates), Seq("grp", "token"), "left_semi")
       .groupBy(col("grp"), col("token"))
       .agg(count(lit(1)).as("cnt"))
-    val totals = toks.groupBy(col("grp")).agg(count(lit(1)).as("total"))
+    val totals = sketch.select(col("grp"), col("total"))
     exact.join(totals, "grp")
       .filter(col("cnt") * ratio > col("total"))
       .select(col("grp").as(groupCol), col("token"), col("cnt"))
@@ -406,7 +419,10 @@ object TextAnalysis {
       .select(col(idCol),
         col("n_tokens"),
         (col("rare_ct").cast(DoubleType) / col("n_tokens")).as("rare_rate"),
-        (col("freq_sum").cast(DoubleType) / (col("n_tokens") * col("total")))
+        // divisor multiplies as DOUBLE: n_tokens * total as Long*Long
+        // overflows around 2e13-token corpora and wraps negative
+        (col("freq_sum").cast(DoubleType) /
+          (col("n_tokens").cast(DoubleType) * col("total")))
           .as("mean_freq"))
   }
 
@@ -630,10 +646,12 @@ object TextAnalysis {
           (a, b) => concat_ws(" ", a, b))).as("bigram"))
     val unigrams = df.select(explode(toks).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-    val c2 = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
-      .filter(col("c2") >= minCount)
+    val census = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val c2 = census.filter(col("c2") >= minCount)
+    // t_b derives from the vocab-grain census — a bigrams.count() here
+    // would re-explode the whole corpus a second time
     val totals = unigrams.agg(sum(col("c1")).cast(LongType).as("t_u"))
-      .crossJoin(bigrams.agg(count(lit(1)).as("t_b")))
+      .crossJoin(census.agg(sum(col("c2")).as("t_b")))
     c2
       .join(unigrams.select(col("tok").as("__a"), col("c1").as("ca")),
         substring_index(col("bigram"), " ", 1) === col("__a"))

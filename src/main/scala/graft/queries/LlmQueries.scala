@@ -887,7 +887,7 @@ object LlmQueries {
                 COUNT(*) AS n_tokens,
                 CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
                   / COUNT(*) AS rare_rate,
-                CAST(SUM(cnt) AS DOUBLE) / (COUNT(*) * t.total) AS mean_freq
+                CAST(SUM(cnt) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * t.total) AS mean_freq
               FROM j, t GROUP BY doc_id, t.total ORDER BY doc_id""")),
 
     // Markov bigram-transition fluency (the exact-rational stand-in for
@@ -1558,10 +1558,10 @@ object LlmQueries {
           .orderBy(col("detected")),
       Some("""WITH scored AS (
                 SELECT
-                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_en,
-                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_de,
-                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['le','la','les','et','est','un','une','pas','avec','pour'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_fr,
-                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['el','la','los','y','es','un','una','no','con','para'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_es
+                CAST(len(list_filter(string_split(trim(lower(text)), ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(lower(text)), ' ')), 0) AS s_en,
+                CAST(len(list_filter(string_split(trim(lower(text)), ' '), t -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(lower(text)), ' ')), 0) AS s_de,
+                CAST(len(list_filter(string_split(trim(lower(text)), ' '), t -> list_contains(['le','la','les','et','est','un','une','pas','avec','pour'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(lower(text)), ' ')), 0) AS s_fr,
+                CAST(len(list_filter(string_split(trim(lower(text)), ' '), t -> list_contains(['el','la','los','y','es','un','una','no','con','para'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(lower(text)), ' ')), 0) AS s_es
                 FROM documents
               )
               SELECT detected, COUNT(*) AS n FROM (
@@ -3411,10 +3411,10 @@ object LlmQueries {
                 SELECT source, text,
                 CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,
                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_en,
-                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_de,
-                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['le','la','les','et','est','un','une','pas','avec','pour'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_fr,
-                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['el','la','los','y','es','un','una','no','con','para'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_es
+                CAST(len(list_filter(string_split(trim(lower(text)), ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(lower(text)), ' ')), 0) AS s_en,
+                CAST(len(list_filter(string_split(trim(lower(text)), ' '), t -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(lower(text)), ' ')), 0) AS s_de,
+                CAST(len(list_filter(string_split(trim(lower(text)), ' '), t -> list_contains(['le','la','les','et','est','un','une','pas','avec','pour'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(lower(text)), ' ')), 0) AS s_fr,
+                CAST(len(list_filter(string_split(trim(lower(text)), ' '), t -> list_contains(['el','la','los','y','es','un','una','no','con','para'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(lower(text)), ' ')), 0) AS s_es
                 FROM documents
               ),
               lang AS (
@@ -3877,10 +3877,10 @@ object LlmQueries {
               f AS (
                 SELECT doc_id, text, norm, md5(norm) AS fp,
                   string_split(norm, ' ') AS toks,
-                  CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_en,
-                  CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_de,
-                  CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['le','la','les','et','est','un','une','pas','avec','pour'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_fr,
-                  CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['el','la','los','y','es','un','una','no','con','para'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_es
+                  CAST(len(list_filter(string_split(trim(lower(text)), ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(lower(text)), ' ')), 0) AS s_en,
+                  CAST(len(list_filter(string_split(trim(lower(text)), ' '), t -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(lower(text)), ' ')), 0) AS s_de,
+                  CAST(len(list_filter(string_split(trim(lower(text)), ' '), t -> list_contains(['le','la','les','et','est','un','une','pas','avec','pour'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(lower(text)), ' ')), 0) AS s_fr,
+                  CAST(len(list_filter(string_split(trim(lower(text)), ' '), t -> list_contains(['el','la','los','y','es','un','una','no','con','para'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(lower(text)), ' ')), 0) AS s_es
                 FROM n
               ),
               g AS (
@@ -4036,10 +4036,10 @@ object LlmQueries {
           .orderBy(col("lang")),
       Some("""WITH scored AS (
                 SELECT text,
-                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_en,
-                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_de,
-                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['le','la','les','et','est','un','une','pas','avec','pour'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_fr,
-                CAST(len(list_filter(string_split(trim(text), ' '), t -> list_contains(['el','la','los','y','es','un','una','no','con','para'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(text), ' ')), 0) AS s_es
+                CAST(len(list_filter(string_split(trim(lower(text)), ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','was'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(lower(text)), ' ')), 0) AS s_en,
+                CAST(len(list_filter(string_split(trim(lower(text)), ' '), t -> list_contains(['der','die','das','und','ist','ein','eine','nicht','mit','zu'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(lower(text)), ' ')), 0) AS s_de,
+                CAST(len(list_filter(string_split(trim(lower(text)), ' '), t -> list_contains(['le','la','les','et','est','un','une','pas','avec','pour'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(lower(text)), ' ')), 0) AS s_fr,
+                CAST(len(list_filter(string_split(trim(lower(text)), ' '), t -> list_contains(['el','la','los','y','es','un','una','no','con','para'], t))) AS DOUBLE) / NULLIF(len(string_split(trim(lower(text)), ' ')), 0) AS s_es
                 FROM documents
               ),
               tagged AS (
