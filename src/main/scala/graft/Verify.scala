@@ -4,6 +4,25 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Count IEEE negative-zero values across top-level double/float columns.
+    * -0.0 is float-equal to +0.0 but bit-distinct, so the driver's hash
+    * compare flags it; the string cast preserves the sign bit ("-0.0")
+    * without tripping ANSI division-by-zero. */
+  def negZeroCount(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, sum, when}
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val cols = df.schema.fields
+      .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
+    if (cols.isEmpty) 0L
+    else {
+      val conds = cols.toSeq.map { f =>
+        sum(when(col(f.name).cast("string") === "-0.0", 1L).otherwise(0L))
+      }
+      val row = df.agg(conds.head, conds.tail: _*).head()
+      cols.indices.map(i => if (row.isNullAt(i)) 0L else row.getLong(i)).sum
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,10 +56,23 @@ object Verify {
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val negZero = scala.collection.mutable.ArrayBuffer.empty[String]
     selected.foreach { case (name, fn) =>
-      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // Signed-zero audit (round 8, after d16): a rounded difference can
+        // emit IEEE -0.0 where the oracle emits +0.0 — float-equal, hash-
+        // different. Scan the (small) written result for -0.0 doubles so
+        // the hazard surfaces here instead of as an opaque hash mismatch.
+        val n = negZeroCount(spark.read.parquet(s"$outDir/$name"))
+        if (n > 0) {
+          negZero += name
+          System.err.println(
+            s"[verify] $name emits $n negative-zero double(s) — " +
+              "normalize with `+ lit(0.0)` after the round/diff")
+        }
+      } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -59,7 +91,8 @@ object Verify {
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/corpus_complete")
     }
     println(s"""{"declared":$declared,"reported":$written,"failed":[${
-      failed.map("\"" + _ + "\"").mkString(",")}]}""")
+      failed.map("\"" + _ + "\"").mkString(",")}],"neg_zero":[${
+      negZero.map("\"" + _ + "\"").mkString(",")}]}""")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -219,7 +219,11 @@ object DashboardQueries {
         col("min_pace"), col("max_pace"), col("pace_stddev"),
         col("raw_avg_pace"))
       .join(broadcast(courseAvg), col("course_id") === col("ca_course_id"))
-      .withColumn("pace_vs_avg", round(col("raw_avg_pace") - col("course_avg_pace"), 1))
+      // + 0.0 normalizes IEEE signed zero: the raw difference can be a
+      // ±1e-14 summation-order residue, and round() preserves the sign
+      // bit (-0.0 vs +0.0 hash differently downstream). -0.0 + 0.0 = +0.0.
+      .withColumn("pace_vs_avg",
+        round(col("raw_avg_pace") - col("course_avg_pace"), 1) + lit(0.0))
       .withColumn("hole_category",
         when(col("raw_avg_pace") > col("course_avg_pace") * 1.15, "bottleneck")
           .when(col("raw_avg_pace") < col("course_avg_pace") * 0.85, "fast")

@@ -593,7 +593,7 @@ object DashQueries {
                SELECT course_id, hole_number, sample_rounds, sample_events,
                avg_pace, min_pace, max_pace,
                ROUND(course_avg_raw, 1) AS course_avg_pace,
-               ROUND(raw_avg - ROUND(course_avg_raw, 1), 1) AS pace_vs_avg,
+               ROUND(raw_avg - ROUND(course_avg_raw, 1), 1) + 0e0 AS pace_vs_avg,
                CASE WHEN raw_avg > ROUND(course_avg_raw, 1) * 1.15 THEN 'bottleneck'
                     WHEN raw_avg < ROUND(course_avg_raw, 1) * 0.85 THEN 'fast'
                     ELSE 'normal' END AS hole_category,

@@ -38,6 +38,10 @@ def eq(a, b):
             return str(a) == str(b)
         if math.isnan(af) and math.isnan(bf):
             return True
+        if af == bf == 0.0:
+            # the driver hashes bit patterns, which split -0.0 from +0.0
+            # (this is exactly how d16 slipped past this mirror in r7)
+            return math.copysign(1.0, af) == math.copysign(1.0, bf)
         return af == bf
     if isinstance(a, list) and isinstance(b, list):
         return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
