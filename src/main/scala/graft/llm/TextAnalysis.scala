@@ -16,6 +16,16 @@ object TextAnalysis {
   /** Whitespace tokens of trimmed text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** [[tokens]] minus split-of-empty's `[""]` phantom: an empty or
+    * whitespace-only document splits to a single empty-string token,
+    * which would otherwise enter vocabularies, censuses and df tables
+    * as a real type. The unified guard for every token-STREAM consumer
+    * (r8 — previously each consumer guarded individually or not at
+    * all); the in-array filter is codegen and cheaper than a
+    * post-explode row filter. */
+  def cleanTokens(text: Column): Column =
+    filter(tokens(text), t => length(t) > 0)
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -188,7 +198,7 @@ object TextAnalysis {
     * Ties break lexicographically so the cut is deterministic. */
   def vocabulary(df: DataFrame, textCol: String, topK: Int): DataFrame = {
     val counts = df
-      .select(explode(tokens(normalize(col(textCol)))).as("token"))
+      .select(explode(cleanTokens(normalize(col(textCol)))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
@@ -231,9 +241,14 @@ object TextAnalysis {
       .select(
         // DIV (integer floor division — operands are non-negative), not
         // `/`: double division then floor can land one ulp off on large
-        // ids, and the oracle's integer arithmetic would diverge
-        expr(s"CAST(((CAST($idCol AS BIGINT) - __lo) * $buckets) " +
-          "DIV (__hi - __lo + 1) + 1 AS INT)").as("__bucket"),
+        // ids, and the oracle's integer arithmetic would diverge.
+        // DECIMAL(38,0), not BIGINT (r8): a 64-bit-hash id space makes
+        // (id - lo) up to 2^64 and the × buckets product overflows
+        // BIGINT silently; the ≤24-digit decimal product is exact and
+        // value-identical to the old formula wherever it didn't wrap.
+        expr(s"CAST(((CAST($idCol AS DECIMAL(38,0)) - __lo) * $buckets) " +
+          "DIV (CAST(__hi AS DECIMAL(38,0)) - __lo + 1) + 1 AS INT)")
+          .as("__bucket"),
         explode(tokens(normalize(col(textCol)))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("__bucket"), col("w")).agg(count(lit(1)).as("cnt"))
@@ -286,7 +301,8 @@ object TextAnalysis {
     require(ratio > 0 && ratio < capacity + 1,
       s"MG(capacity=$capacity) only guarantees hitters above total/${capacity + 1}; " +
         s"ratio=$ratio filters below that floor")
-    val toks = df.select(explode(tokens(normalize(col(textCol)))).as("token"))
+    val toks =
+      df.select(explode(cleanTokens(normalize(col(textCol)))).as("token"))
     // the stream total folds into the sketch pass — a separate
     // count() would re-scan and re-explode the corpus a third time
     val sketch = toks
@@ -326,7 +342,7 @@ object TextAnalysis {
       s"MG(capacity=$capacity) only guarantees hitters above total/${capacity + 1}; " +
         s"ratio=$ratio filters below that floor")
     val toks = df.select(col(groupCol).as("grp"),
-      explode(tokens(normalize(col(textCol)))).as("token"))
+      explode(cleanTokens(normalize(col(textCol)))).as("token"))
     // per-group totals fold into the sketch pass (no third scan)
     val sketch = toks
       .groupBy(col("grp"))
@@ -529,7 +545,7 @@ object TextAnalysis {
     // the same vocab-grain tables, broadcast into the scoring join
     val totals = c2.agg(count(lit(1)).as("bt"))
       .crossJoin(
-        train.select(explode(tokens(normalize(col(textCol)))).as("w"))
+        train.select(explode(cleanTokens(normalize(col(textCol)))).as("w"))
           .agg(count_distinct(col("w")).as("v")))
     val tb = bigramsOf(target, col(idCol))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
@@ -610,7 +626,14 @@ object TextAnalysis {
         expr("""if(size(__arr) = 0, cast(null as double),
                element_at(__arr, cast((2 * size(__arr) + 2) div 3 as int)).__f)""")
           .as("t2"))
-    scored.crossJoin(broadcast(cutoffs))
+    // Every input doc gets a bucket row: docs with fewer than 2 tokens
+    // have no bigram signal ([[bigramFluency]] emits nothing for them),
+    // so they carry NULL fluency and land in 'tail' — the contract is
+    // "no fluency evidence buckets with the worst tercile", not a
+    // silent drop from the corpus. They are likewise absent from the
+    // cutoff sample (cutoffs describe the scoreable population).
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .crossJoin(broadcast(cutoffs))
       .select(col(idCol), col("fluency"),
         when(col("fluency") > col("t2"), "head")
           .when(col("fluency") > col("t1"), "middle")
@@ -644,7 +667,10 @@ object TextAnalysis {
           slice(col("toks"), lit(1), size(col("toks")) - 1),
           slice(col("toks"), lit(2), size(col("toks")) - 1),
           (a, b) => concat_ws(" ", a, b))).as("bigram"))
-    val unigrams = df.select(explode(toks).as("tok"))
+    // cleanTokens (not the bigram-side raw toks): an empty doc would
+    // otherwise inject "" into the unigram census and inflate t_u
+    val unigrams = df
+      .select(explode(cleanTokens(normalize(col(textCol)))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
     val census = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
     val c2 = census.filter(col("c2") >= minCount)
@@ -949,11 +975,25 @@ object TextAnalysis {
     * where AQE's skew split handles the hot tokens. */
   def tfidfTopTerms(
       df: DataFrame, idCol: String, textCol: String, topK: Int,
-      broadcastVocabLimit: Long = 1L << 21): DataFrame = {
+      broadcastVocabLimit: Long = 1L << 21): DataFrame =
+    tfidfTopTermsReleasable(df, idCol, textCol, topK, broadcastVocabLimit)._1
+
+  /** [[tfidfTopTerms]] plus a release handle for the shared df-table
+    * cache: the term-grain df table is cached so the broadcast-fits
+    * probe and the scoring join share one corpus aggregation, but the
+    * cache outlives the returned (lazy) plan. A single-shot caller can
+    * ignore the handle (one vocab table, bounded); a caller LOOPING
+    * over corpus slices must call release() after consuming each
+    * result, or the cached vocab tables accumulate for the session's
+    * lifetime. release() is idempotent; consuming the result after
+    * release is correct but recomputes the df table once. */
+  def tfidfTopTermsReleasable(
+      df: DataFrame, idCol: String, textCol: String, topK: Int,
+      broadcastVocabLimit: Long = 1L << 21): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     val tf = df
       .select(col(idCol).as("doc_id"),
-        explode(tokens(normalize(col(textCol)))).as("token"))
+        explode(cleanTokens(normalize(col(textCol)))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     // Cached so the LIMIT-bounded fits-probe and the join below share one
     // term-grain aggregation instead of re-running the corpus explode.
@@ -966,13 +1006,14 @@ object TextAnalysis {
     val vocabFits = dfT.limit(probeLimit).count() <= broadcastVocabLimit
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(desc("score"), asc("token"))
-    tf.join(if (vocabFits) broadcast(dfT) else dfT, "token")
+    val out = tf.join(if (vocabFits) broadcast(dfT) else dfT, "token")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf") * col("n_docs") / col("df_t"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("doc_id"), col("token"), col("tf"), col("df_t"),
         col("score"), col("rank"))
+    (out, () => { dfT.unpersist(); () })
   }
 
   /** C4-style line filter: drop lines with fewer than `minWords`

@@ -18,6 +18,7 @@ object Corpus {
         GoldQueries.defs ++
         GoldQueries2.defs ++
         GoldQueries3.defs ++
+        GoldenQueries.defs ++
         MaintenanceQueries.defs ++
         DashQueries.defs ++
         DashQueries2.defs ++

@@ -1,0 +1,90 @@
+package graft.queries
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.functions._
+
+import graft.gold.{GoldModels, GoldenFixture}
+
+/** SURVEY §5's golden-number layer as a DRIVER-VISIBLE gate (round 8 —
+  * previously only GoldenNumbersSpec covered it): the reference's
+  * published analytics constants, reproduced from engineered raw JSON
+  * through the REAL ingest→silver→gold path and hash-checked against a
+  * literal oracle. The oracle is a VALUES table BY DESIGN — the claim
+  * under test is "the pipeline reproduces these published constants
+  * exactly", so the expected side IS the constants; any drift in the
+  * explode / padding-flag / nine-derivation / gold-rollup stages moves
+  * the Spark side and breaks the hash. */
+object GoldenQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "g1_golden_numbers",
+      (s, _) => {
+        val work =
+          Paths.get(QueryDef.oracleScratch, "golden_fixture").toString
+        val silver = GoldenFixture.silver(s, work)
+        // fatigue factor: the reference's Trino verification query,
+        // verbatim semantics (avg of per-(round, hole, nine) avg pace)
+        val perf = GoldModels.factRoundHolePerformance(
+          silver, GoldenFixture.emptyTopology(s))
+        val fatigue = perf
+          .filter(col("course_id") === "americanfalls" &&
+            col("hole_number") === 5)
+          .groupBy(col("nine_number"))
+          .agg(avg(col("avg_pace_sec")).as("value_num"))
+          .select(lit("fatigue_avg_pace").as("metric"),
+            concat(lit("americanfalls_nine_"), col("nine_number"))
+              .as("entity"),
+            col("value_num"),
+            lit(null).cast("string").as("value_str"))
+        // course typing by max section seen
+        val typing = GoldModels
+          .courseConfigurationAnalysis(GoldModels.factRounds(silver))
+          .select(lit("course_type").as("metric"),
+            col("course_id").as("entity"),
+            col("max_section_seen").cast("double").as("value_num"),
+            col("likely_course_type").as("value_str"))
+        // usability ranking: 5-course dim — one bounded collect into a
+        // sorted struct array (no unpartitioned WindowExec, the house
+        // rule), rank = 1-based array position
+        val gaps = GoldModels.criticalColumnGaps(silver)
+        val ranked = gaps
+          .agg(sort_array(collect_list(struct(
+            (-col("usability_score")).as("neg_score"),
+            col("course_id")))).as("arr"))
+          .select(posexplode(col("arr")).as(Seq("pos", "c")))
+          .select(lit("usability_rank").as("metric"),
+            col("c.course_id").as("entity"),
+            (col("pos") + 1).cast("double").as("value_num"),
+            lit(null).cast("string").as("value_str"))
+        // indiancreek's published key issue: 100% missing pace_gap must
+        // rate CRITICAL
+        val pace = gaps.filter(col("course_id") === "indiancreek")
+          .select(lit("pace_critical").as("metric"),
+            col("course_id").as("entity"),
+            lit(null).cast("double").as("value_num"),
+            when(col("pace_data_status").contains("CRITICAL"),
+              "CRITICAL").otherwise(col("pace_data_status"))
+              .as("value_str"))
+        fatigue.unionByName(typing).unionByName(ranked).unionByName(pace)
+          .orderBy(col("metric"), col("entity"))
+      },
+      Some("""SELECT * FROM (VALUES
+              ('course_type', 'americanfalls', 24e0, '9-hole'),
+              ('course_type', 'bradshawfarm', 80e0, '27-hole'),
+              ('course_type', 'erinhills', 55e0, '27-hole'),
+              ('course_type', 'indiancreek', 53e0, '18-hole'),
+              ('course_type', 'pinehurst4', 54e0, '18-hole'),
+              ('fatigue_avg_pace', 'americanfalls_nine_1', 207e0, CAST(NULL AS VARCHAR)),
+              ('fatigue_avg_pace', 'americanfalls_nine_2', 247e0, NULL),
+              ('pace_critical', 'indiancreek', CAST(NULL AS DOUBLE), 'CRITICAL'),
+              ('usability_rank', 'americanfalls', 3e0, NULL),
+              ('usability_rank', 'bradshawfarm', 4e0, NULL),
+              ('usability_rank', 'erinhills', 2e0, NULL),
+              ('usability_rank', 'indiancreek', 5e0, NULL),
+              ('usability_rank', 'pinehurst4', 1e0, NULL)
+              ) AS v(metric, entity, value_num, value_str)
+              ORDER BY metric, entity"""))
+  )
+}

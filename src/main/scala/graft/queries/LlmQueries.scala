@@ -812,7 +812,8 @@ object LlmQueries {
                 SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
                 FROM documents
               ),
-              c AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token),
+              c AS (SELECT token, COUNT(*) AS cnt FROM tk
+                    WHERE len(token) > 0 GROUP BY token),
               t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
               SELECT token, cnt, CAST(cnt AS DOUBLE) / total AS frac
               FROM c, t ORDER BY cnt DESC, token ASC LIMIT 50""")),
@@ -833,7 +834,8 @@ object LlmQueries {
                 SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
               ),
               t AS (
-                SELECT CAST(((d.doc_id - b.lo) * 4) // (b.hi - b.lo + 1) + 1 AS INT) AS bucket,
+                SELECT CAST(((CAST(d.doc_id AS HUGEINT) - b.lo) * 4)
+                    // (CAST(b.hi AS HUGEINT) - b.lo + 1) + 1 AS INT) AS bucket,
                   unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
                 FROM documents d, b
               ),
@@ -961,7 +963,8 @@ object LlmQueries {
               tt AS (SELECT (SELECT COUNT(*) FROM c2) AS bt,
                             (SELECT COUNT(DISTINCT w)
                              FROM (SELECT unnest(toks) AS w
-                                   FROM hb WHERE h = 0)) AS v),
+                                   FROM hb WHERE h = 0)
+                             WHERE len(w) > 0) AS v),
               tgb AS (
                 SELECT doc_id,
                   unnest(list_transform(generate_series(1, len(toks) - 1),
@@ -1436,7 +1439,8 @@ object LlmQueries {
                 SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
                 FROM documents
               ),
-              c AS (SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token),
+              c AS (SELECT token, COUNT(*) AS cnt FROM tk
+                    WHERE len(token) > 0 GROUP BY token),
               t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
               SELECT token, cnt FROM c, t
               WHERE cnt * 200 > total
@@ -1538,7 +1542,7 @@ object LlmQueries {
                 FROM documents
               ),
               c AS (SELECT source, token, COUNT(*) AS cnt
-                    FROM tk GROUP BY source, token),
+                    FROM tk WHERE len(token) > 0 GROUP BY source, token),
               t AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS total
                     FROM c GROUP BY source)
               SELECT c.source, c.token, c.cnt
@@ -2265,7 +2269,8 @@ object LlmQueries {
                   unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
                 FROM documents
               ),
-              tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY doc_id, token),
+              tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk
+                     WHERE len(token) > 0 GROUP BY doc_id, token),
               dft AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token),
               n AS (SELECT COUNT(*) AS n_docs FROM documents),
               s AS (SELECT tf.doc_id, tf.token, tf.tf, dft.df_t,
@@ -3621,11 +3626,12 @@ object LlmQueries {
                   MIN(CASE WHEN rn = (2 * k + 2) // 3 THEN fluency END) AS t2
                 FROM rk
               )
-              SELECT s.doc_id, s.fluency,
+              SELECT d.doc_id, s.fluency,
                 CASE WHEN s.fluency > th.t2 THEN 'head'
                      WHEN s.fluency > th.t1 THEN 'middle'
                      ELSE 'tail' END AS bucket
-              FROM scored s, th ORDER BY s.doc_id""")),
+              FROM documents d LEFT JOIN scored s USING (doc_id)
+              CROSS JOIN th ORDER BY d.doc_id""")),
 
     // Train/test split-leakage audit: near-dup pairs (MinHash candidates
     // + exact Jaccard verify) classified by each side's deterministic
@@ -3743,7 +3749,8 @@ object LlmQueries {
                 FROM documents
               ),
               uni AS (SELECT unnest(toks) AS tok FROM tk),
-              u AS (SELECT tok, COUNT(*) AS c1 FROM uni GROUP BY tok),
+              u AS (SELECT tok, COUNT(*) AS c1 FROM uni
+                    WHERE len(tok) > 0 GROUP BY tok),
               bg AS (
                 SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
                   i -> toks[i] || ' ' || toks[i+1])) AS bigram

@@ -123,7 +123,7 @@ object ContinuousRefresh {
           IncrementalTable.refreshPartitions(batch, tablePath, partitionCols): Unit
           if (IncrementalTable.versions(viewPath).isEmpty)
             IncrementalView.buildGrouped(
-              spark, tablePath, viewPath, keys, model): Unit
+              spark, tablePath, viewPath, keys, model, attachKeys): Unit
           else
             IncrementalView.maintainGrouped(
               spark, tablePath, viewPath, keys, model, attachKeys): Unit

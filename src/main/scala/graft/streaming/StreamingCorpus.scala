@@ -119,6 +119,18 @@ object StreamingCorpus {
     // (A restore/rollback on this table rewrites the ledger by design —
     // reset the stream checkpoint with it.)
     val applied = IncrementalTable.currentVersion(censusPath).getOrElse(0)
+    // Contract: before batch b the table is at version b (every prior
+    // batch committed exactly one version), or b+1 when b itself already
+    // committed but the checkpoint didn't record it (at-least-once
+    // replay). applied > b+1 is unreachable except via a checkpoint /
+    // table MISMATCH — typically a fresh checkpoint (batch ids restart
+    // at 0) pointed at an existing census — under which the old silent
+    // skip would freeze the table forever with no error.
+    require(applied <= batchId + 1,
+      s"census at $censusPath is at version $applied but the stream " +
+        s"delivered batch $batchId: the checkpoint and the table " +
+        "disagree (fresh checkpoint against an existing table?) — " +
+        "reset the table with the checkpoint, or point one elsewhere")
     if (applied > batchId) () // replay of an already-committed batch
     else {
       val delta = TextAnalysis.wordCensus(batch, textCol)
@@ -205,6 +217,11 @@ object StreamingCorpus {
       // vacuum of old manifests; each listing is taken once per table
       val dictApplied =
         IncrementalTable.currentVersion(dictPath).getOrElse(0)
+      // same checkpoint/table-mismatch tripwire as applyCensusBatch:
+      // applied can only ever be batchId or batchId + 1
+      require(dictApplied <= batchId + 1,
+        s"dict at $dictPath is at version $dictApplied but the stream " +
+          s"delivered batch $batchId: checkpoint/table mismatch")
       if (dictApplied <= batchId) {
         val delta = tf.groupBy(col("token")).agg(count(lit(1)).as("df_t"))
         val merged =
@@ -216,6 +233,9 @@ object StreamingCorpus {
       }
       val statsApplied =
         IncrementalTable.currentVersion(statsPath).getOrElse(0)
+      require(statsApplied <= batchId + 1,
+        s"stats at $statsPath is at version $statsApplied but the stream " +
+          s"delivered batch $batchId: checkpoint/table mismatch")
       if (statsApplied <= batchId) {
         val delta = dl.agg(
           count(lit(1)).as("n_docs"),
@@ -303,13 +323,28 @@ object StreamingCorpus {
       case r if r.isNullAt(0) => -1L
       case r => r.getLong(0)
     }
+    // The fence lands BEFORE the merged commit, atomically (temp file +
+    // rename). Ordering proof: if we crash after the fence but before
+    // the commit, the per-shard layout is still live, and a replayed
+    // batch at-or-below the fence merely SKIPS rewriting a shard whose
+    // identical rows already exist (refreshPartitions is content-
+    // idempotent) — nothing is lost or doubled. The old order (commit,
+    // then fence) had the fatal window: merged layout live + stale
+    // fence, so a replayed folded batch landed its shard NEXT TO the
+    // merged copy and doubled every BM25 contribution.
+    // max() with the previous fence: re-compacting an already-merged
+    // table sees only shard = -1 and would otherwise REGRESS the fence,
+    // reopening the same window.
+    val fence = math.max(maxShard, compactedThrough(path))
+    val tmp = java.nio.file.Paths.get(
+      path, s"._compacted_through.tmp-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.writeString(tmp, fence.toString)
+    java.nio.file.Files.move(
+      tmp, java.nio.file.Paths.get(path, "_compacted_through"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
     val merged = cur.withColumn("shard", lit(-1L))
-    val v = IncrementalTable.commitFull(
-      merged, path, partitionCols = Seq("shard"))
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(path, "_compacted_through"),
-      maxShard.toString): Unit
-    v
+    IncrementalTable.commitFull(merged, path, partitionCols = Seq("shard"))
   }
 
   /** Read the live index: (postings, dict, stats) as of the latest

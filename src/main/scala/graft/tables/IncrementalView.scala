@@ -123,12 +123,19 @@ object IncrementalView {
   def buildGrouped(
       spark: SparkSession, tablePath: String, viewPath: String,
       keys: Seq[String], model: DataFrame => DataFrame,
+      attachKeys: DataFrame => DataFrame = identity,
       store: CommitStore = LocalCommitStore): Int = {
     val v = IncrementalTable.currentVersion(tablePath, store).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $tablePath"))
     val base = IncrementalTable.read(spark, tablePath, Some(v), store)
+    // UNIFORM model input contract (r8): `model` always receives
+    // attachKeys(base rows) — here, in maintainGrouped's empty-view
+    // rebuild, and in its affected-group recompute — so a model that
+    // relies on pre-attached derived keys behaves identically on the
+    // bootstrap and every maintenance path.
     IncrementalTable.commitFull(
-      model(base).withColumn("__src_version", lit(v)), viewPath, store = store)
+      model(attachKeys(base)).withColumn("__src_version", lit(v)),
+      viewPath, store = store)
     v
   }
 
@@ -150,7 +157,11 @@ object IncrementalView {
     * key columns (identity when the table already stores them; a
     * derivation — e.g. course_id/round_id from raw telemetry fields —
     * when the model's grain is computed). It must be row-local: each
-    * row's key depends only on that row. */
+    * row's key depends only on that row. The model input contract is
+    * UNIFORM: `model` receives attachKeys-ed rows on every path —
+    * [[buildGrouped]]'s bootstrap, the empty-view rebuild here, and the
+    * affected-group recompute — so pass the SAME attachKeys to
+    * buildGrouped and maintainGrouped. */
   def maintainGrouped(
       spark: SparkSession, tablePath: String, viewPath: String,
       keys: Seq[String], model: DataFrame => DataFrame,

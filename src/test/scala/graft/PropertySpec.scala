@@ -301,10 +301,16 @@ class PropertySpec extends SparkSpec {
     check(Prop.forAll(Gen.nonEmptyListOf(textGen)) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
-      val out = graft.llm.TextAnalysis
+      val rows = graft.llm.TextAnalysis
         .perplexityBuckets(df, "doc_id", "text")
-        .collect().map(r => (r.getDouble(1), r.getString(2)))
+        .collect()
+      // r8 contract: every input doc gets a row; docs without a bigram
+      // signal (<2 tokens) carry NULL fluency and bucket as 'tail'
+      val (unscored, scored) = rows.partition(_.isNullAt(1))
+      val out = scored.map(r => (r.getDouble(1), r.getString(2)))
       def sc(b: String) = out.filter(_._2 == b).map(_._1)
+      rows.length == texts.length &&
+      unscored.forall(_.getString(2) == "tail") &&
       // every bucket boundary respects the fluency ordering: head
       // strictly outscores middle, middle strictly outscores tail
       (sc("head").isEmpty || sc("middle").isEmpty ||

@@ -1,140 +1,26 @@
 package graft.gold
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.ingest.SilverEtl
-import graft.ingest.SilverEtl.SilverConfig
 
 /** The reference's PUBLISHED analytics numbers, reproduced end-to-end
   * through the REAL ingest→silver→gold path from raw JSON engineered to
-  * produce them — the "golden numbers in docs" oracle layer (SURVEY §5):
-  *
-  *   - fatigue factor 207 s / 247 s on americanfalls hole 5
-  *     (reference PRESENTATION_NOTES.md:77-83, the Trino verification
-  *     query over gold.fact_round_hole_performance);
-  *   - course typing by max section 80/55/53/54/24 →
-  *     27/27/18/18/9-hole (docs/learning/client_data_insights.md:222-229);
-  *   - usability-score ranking pinehurst4 > erinhills > americanfalls >
-  *     bradshawfarm > indiancreek (client_data_insights.md:108-114),
-  *     with indiancreek's published key issue (100% missing pace_gap)
-  *     surfacing as the CRITICAL pace status.
-  *
-  * The fixture values are engineered so each published number is the
-  * EXACT arithmetic consequence of the raw telemetry — if any stage of
-  * the pipeline (explode, padding flag, nine derivation, the gold
-  * rollups) drifts, the numbers move.
-  */
+  * produce them — the "golden numbers in docs" oracle layer (SURVEY §5).
+  * The fixture lives in [[GoldenFixture]] (main sources) because the
+  * g1_golden_numbers gate hash-checks the same constants against the
+  * driver's DuckDB oracle; this spec keeps the assertion-level coverage
+  * (exact maps, orderings, status text) that a hash can't articulate. */
 class GoldenNumbersSpec extends SparkSpec {
 
-  // ------------------------------------------------------ fixture builder
-
-  private def loc(
-      hole: Option[Int], section: Int, off: Double,
-      pace: Option[Double] = Some(100.0),
-      paceGap: Option[Double] = Some(10.0),
-      battery: Option[Double] = Some(90.0)): String = {
-    val parts = Seq(
-      hole.map(h => s""""hole": $h"""),
-      Some(s""""holeSection": 1"""),
-      Some(s""""sectionNumber": $section"""),
-      Some(s""""startTime": $off"""),
-      Some(s""""fixCoordinates": [-112.85, 42.78]"""),
-      Some(s""""isProjected": false"""),
-      Some(s""""isProblem": false"""),
-      Some(s""""isCache": false"""),
-      paceGap.map(p => s""""paceGap": $p"""),
-      Some(s""""positionalGap": 5.5"""),
-      pace.map(p => s""""pace": $p"""),
-      battery.map(b => s""""batteryPercentage": $b""")).flatten
-    "{" + parts.mkString(", ") + "}"
-  }
-
-  private def roundJson(
-      id: String, course: String, day: Int, nine: Int, nineHole: Boolean,
-      locs: Seq[String]): String =
-    s"""{"_id": "$id", "course": "$course",
-        "startTime": "2024-03-${f"$day%02d"}T10:00:00Z",
-        "endTime": "2024-03-${f"$day%02d"}T14:00:00Z",
-        "device": "tag-9", "startHole": 1, "goalTime": 14400,
-        "isNineHole": $nineHole, "currentNine": $nine, "complete": true,
-        "locations": [${locs.mkString(",")}]}"""
-
-  private def silverFor(course: String, rounds: Seq[String]): DataFrame = {
-    val dir = Files.createTempDirectory("golden")
-    val f = dir.resolve(s"$course.json")
-    Files.writeString(f, rounds.mkString("[\n", ",\n", "\n]"))
-    SilverEtl.transform(
-      SilverEtl.readJson(spark, f.toString),
-      SilverConfig(course, "2024-03-20"))._1
-  }
-
-  // americanfalls (9-hole loop, max section 24): four rounds on hole 5,
-  // two per nine. Per-(round, hole, nine) avg pace: 207, 207, 247, 247 →
-  // the published avg-of-avgs 207 / 247. One battery gap (the course's
-  // small device-health ding).
-  private lazy val americanfalls = silverFor("americanfalls", Seq(
-    roundJson("af1", "americanfalls", 1, 1, nineHole = true, Seq(
-      loc(Some(5), 13, 0.0, pace = Some(200.0), battery = None),
-      loc(Some(5), 14, 300.0, pace = Some(214.0)))),
-    roundJson("af2", "americanfalls", 2, 1, nineHole = true, Seq(
-      loc(Some(5), 13, 0.0, pace = Some(207.0)),
-      loc(Some(5), 14, 300.0, pace = Some(207.0)))),
-    roundJson("af3", "americanfalls", 3, 2, nineHole = true, Seq(
-      loc(Some(5), 13, 0.0, pace = Some(240.0)),
-      loc(Some(5), 14, 300.0, pace = Some(254.0)))),
-    roundJson("af4", "americanfalls", 4, 2, nineHole = true, Seq(
-      loc(Some(5), 23, 0.0, pace = Some(247.0)),
-      loc(Some(5), 24, 300.0, pace = Some(247.0))))))
-
-  // erinhills (27-hole, max section 55): one battery gap in 20 events.
-  private lazy val erinhills = silverFor("erinhills", Seq(
-    roundJson("eh1", "erinhills", 5, 1, nineHole = false,
-      (1 to 10).map(i => loc(Some(i), i, i * 60.0,
-        battery = if (i == 7) None else Some(88.0)))),
-    roundJson("eh2", "erinhills", 6, 3, nineHole = false,
-      (46 to 55).map(i => loc(Some(i - 37), i, (i - 45) * 60.0)))))
-
-  // indiancreek (18-hole, max section 53): pace_gap missing on EVERY
-  // event — the published key issue that craters its usability score.
-  private lazy val indiancreek = silverFor("indiancreek", Seq(
-    roundJson("ic1", "indiancreek", 7, 2, nineHole = false,
-      (46 to 53).map(i => loc(Some(i - 36), i, (i - 45) * 60.0,
-        paceGap = None)))))
-
-  // pinehurst4 (18-hole, max section 54): fully clean — the top score.
-  private lazy val pinehurst4 = silverFor("pinehurst4", Seq(
-    roundJson("ph1", "pinehurst4", 8, 2, nineHole = false,
-      (47 to 54).map(i => loc(Some(i - 37), i, (i - 46) * 60.0)))))
-
-  // bradshawfarm (27-hole, max section 80): hole missing on 2 of 7
-  // events — the published "missing hole numbers" issue.
-  private lazy val bradshawfarm = silverFor("bradshawfarm", Seq(
-    roundJson("bf1", "bradshawfarm", 9, 3, nineHole = false,
-      (74 to 80).map(i => loc(
-        if (i <= 75) None else Some(i - 60), i, (i - 73) * 60.0)))))
-
-  private lazy val silver: DataFrame =
-    Seq(americanfalls, erinhills, indiancreek, pinehurst4, bradshawfarm)
-      .reduce(_ unionByName _).persist()
-
-  // ------------------------------------------------------------ the gates
+  private lazy val silver: DataFrame = GoldenFixture.silver(
+    spark,
+    java.nio.file.Files.createTempDirectory("golden").toString).persist()
 
   test("fatigue factor: americanfalls hole 5 averages 207s / 247s by nine") {
     val perf = GoldModels.factRoundHolePerformance(
-      silver, spark.emptyDataFrame
-        .sparkSession.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("facility_id",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("nine_number",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("unit_name",
-              org.apache.spark.sql.types.StringType)))))
+      silver, GoldenFixture.emptyTopology(spark))
     // the reference's Trino verification query, verbatim semantics
     val fatigue = perf
       .filter(col("course_id") === "americanfalls" && col("hole_number") === 5)

@@ -8,6 +8,14 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import StreamingTelemetry._
 
+/** TOP-LEVEL, not nested in the spec: an inner case class gives Spark's
+  * encoder an outer-instance reference that whole-stage codegen can't
+  * compile, so every use fell back to interpreted eval behind a WARN
+  * storm that buried real codegen regressions in the test log. */
+private[streaming] case class Doc(
+    doc_id: Long, text: String, lang: String, source: String,
+    ingest_ts: Timestamp)
+
 /** Streaming semantics via MemoryStream + memory sink: watermarked dedup,
   * windowed aggregation, and stateful round summarization.
   */
@@ -149,10 +157,6 @@ class StreamingSpec extends SparkSpec {
       assert(r1.avgPace === Some(200.0))
     } finally q.stop()
   }
-
-  private case class Doc(
-      doc_id: Long, text: String, lang: String, source: String,
-      ingest_ts: Timestamp)
 
   test("streaming corpus: fingerprint dedup collapses cross-source copies") {
     implicit val sqlCtx = spark.sqlContext
@@ -337,6 +341,80 @@ class StreamingSpec extends SparkSpec {
         .select("shard").distinct().collect().map(_.getLong(0)).toSeq
         === Seq(-1L))
       assert(dict() == expDict && stats() == expStats)
+    } finally graft.tables.FsUtil.deleteRec(java.nio.file.Paths.get(dir))
+  }
+
+  test("census maintenance: fresh checkpoint against an existing table " +
+      "fails loudly instead of freezing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmix").toString
+    try {
+      val b0 = Seq((1L, "the cat")).toDF("doc_id", "text")
+      val b1 = Seq((2L, "the dog")).toDF("doc_id", "text")
+      StreamingCorpus.applyCensusBatch(b0, "text", dir, 0L)
+      StreamingCorpus.applyCensusBatch(b1, "text", dir, 1L)
+      // a NEW checkpoint restarts batch ids at 0 against the version-2
+      // table: applied (2) > batchId (0) + 1 is unreachable under the
+      // contract — the old silent skip would freeze the census forever
+      val e = intercept[IllegalArgumentException] {
+        StreamingCorpus.applyCensusBatch(b0, "text", dir, 0L)
+      }
+      assert(e.getMessage.contains("checkpoint"))
+      // the legitimate replay (applied == batchId + 1) still no-ops
+      StreamingCorpus.applyCensusBatch(b1, "text", dir, 1L)
+      assert(graft.tables.IncrementalTable.versions(dir).size == 2)
+    } finally graft.tables.FsUtil.deleteRec(java.nio.file.Paths.get(dir))
+  }
+
+  test("index maintenance: dict/stats mismatch tripwire fires on a " +
+      "fresh checkpoint") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_imix").toString
+    try {
+      val b0 = Seq((1L, "cat dog")).toDF("doc_id", "text")
+      val b1 = Seq((2L, "dog bird")).toDF("doc_id", "text")
+      StreamingCorpus.applyIndexBatch(b0, "doc_id", "text", dir, 0L)
+      StreamingCorpus.applyIndexBatch(b1, "doc_id", "text", dir, 1L)
+      val e = intercept[IllegalArgumentException] {
+        StreamingCorpus.applyIndexBatch(b0, "doc_id", "text", dir, 0L)
+      }
+      assert(e.getMessage.contains("mismatch"))
+    } finally graft.tables.FsUtil.deleteRec(java.nio.file.Paths.get(dir))
+  }
+
+  test("compaction fence: pre-commit write and monotonicity close the " +
+      "crash/replay windows") {
+    import spark.implicits._
+    val it = graft.tables.IncrementalTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_fence").toString
+    try {
+      val b0 = Seq((1L, "cat dog"), (2L, "cat fish")).toDF("doc_id", "text")
+      val b1 = Seq((3L, "dog bird")).toDF("doc_id", "text")
+      StreamingCorpus.applyIndexBatch(b0, "doc_id", "text", dir, 0L)
+      StreamingCorpus.applyIndexBatch(b1, "doc_id", "text", dir, 1L)
+      def postings(): Set[(String, Long)] =
+        it.read(spark, s"$dir/postings").select("token", "doc_id")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val exp = postings()
+      // crash window: fence landed but the merged commit did NOT — the
+      // per-shard layout is live with fence=1. A replayed batch 1 must
+      // skip its rewrite AND lose nothing (its rows already exist).
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/postings", "_compacted_through"), "1")
+      StreamingCorpus.applyIndexBatch(b1, "doc_id", "text", dir, 1L)
+      assert(postings() == exp, "fence-skip lost or doubled rows")
+      // full compaction now folds everything; compacting AGAIN (all
+      // shards already -1) must not regress the fence to -1
+      StreamingCorpus.compactIndex(spark, dir)
+      StreamingCorpus.compactIndex(spark, dir)
+      val fence = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$dir/postings", "_compacted_through")).trim
+      assert(fence === "1", s"fence regressed to $fence")
+      // with the fence intact, replay of the folded batch stays clean
+      StreamingCorpus.applyIndexBatch(b1, "doc_id", "text", dir, 1L)
+      assert(postings() == exp)
+      assert(it.read(spark, s"$dir/postings").select("shard").distinct()
+        .collect().map(_.getLong(0)).toSeq === Seq(-1L))
     } finally graft.tables.FsUtil.deleteRec(java.nio.file.Paths.get(dir))
   }
 }

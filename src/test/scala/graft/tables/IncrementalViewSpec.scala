@@ -133,12 +133,15 @@ class IncrementalViewSpec extends SparkSpec {
       attach(df).groupBy($"bucket").agg(max($"m").as("m_max"))
     IncrementalTable.commitFull(
       rows((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)), t, Seq("grp"))
+    // the UNIFORM contract: the model reads pre-attached keys and the
+    // SAME attachKeys goes to both the bootstrap and the maintenance
+    val keyedModel = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy($"bucket").agg(max($"m").as("m_max"))
     IncrementalView.buildGrouped(spark, t, v, Seq("bucket"),
-      df => model(df))
+      keyedModel, attachKeys = attach)
     IncrementalTable.refreshPartitions(rows((5L, "b", 50.0)), t, Seq("grp"))
     IncrementalView.maintainGrouped(spark, t, v, Seq("bucket"),
-      df => df.groupBy($"bucket").agg(max($"m").as("m_max")),
-      attachKeys = attach)
+      keyedModel, attachKeys = attach)
     val got = IncrementalTable.read(spark, v).drop("__src_version")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // the refresh replaced partition b (dropping id 3, adding id 5), so
