@@ -21,10 +21,13 @@ object TextAnalysis {
     * which would otherwise enter vocabularies, censuses and df tables
     * as a real type. The unified guard for every token-STREAM consumer
     * (r8 — previously each consumer guarded individually or not at
-    * all); the in-array filter is codegen and cheaper than a
-    * post-explode row filter. */
+    * all). array_remove, NOT `filter(arr, t -> ...)`: higher-order
+    * functions are CodegenFallback and would break the whole-stage
+    * codegen span of every consumer's scan projection; array_remove is
+    * a codegen'd builtin, and after trim the phantom "" is the only
+    * empty element split can produce. */
   def cleanTokens(text: Column): Column =
-    filter(tokens(text), t => length(t) > 0)
+    array_remove(tokens(text), "")
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
