@@ -91,11 +91,13 @@ object Bench {
     // production GoldRunner materializes it once before any model runs;
     // without this the alphabetically-first gm_* query absorbs the whole
     // build (the gm_course_configuration slope-1.6 artifact in SCALE.md).
-    try graft.queries.GoldQueries.cachedFactRounds(spark, sfDir)
-      .write.mode("overwrite").format("noop").save()
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] fact_rounds prewarm failed: ${e.getMessage}")
-    }
+    def prewarm(): Unit =
+      try graft.queries.GoldQueries.cachedFactRounds(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] fact_rounds prewarm failed: ${e.getMessage}")
+      }
+    prewarm()
     def sentinel(): Double = {
       val t0 = System.nanoTime()
       try spark.read.parquet(s"$sfDir/nation.parquet")
@@ -118,7 +120,18 @@ object Bench {
     // one) brackets each round for the contention diagnosis.
     val samples = Array.fill(ordered.size)(Vector.empty[Double])
     val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
-    for (_ <- 1 to repeats) {
+    // NOTE on heap sizing (r8 ×10-campaign finding): persisted frames
+    // accumulate across the interleaved traversals (shared fact_rounds /
+    // index caches, per-gate persists), and when the corpus outgrows the
+    // heap the later traversals degrade 3-5× from GC churn (measured:
+    // wordpiece-encode 18.9 → 29.1 → 92.5 s across ×10 traversals at
+    // 48 g; sf0.1 was flat). Clearing the cache manager between
+    // traversals was tried and REJECTED: it re-attributes every shared
+    // cache rebuild into whichever gate touches it first per traversal,
+    // which distorts more than the GC does. The remedy is headroom —
+    // size SPARK_DRIVER_MEM to the scale under test (the ×10 campaign
+    // runs at 80 g); real clusters isolate per-executor heaps.
+    for (r <- 1 to repeats) {
       sentinels += sentinel()
       ordered.zipWithIndex.foreach { case ((name, fn), i) =>
         samples(i) :+= timeOne(spark, sfDir, name, fn)

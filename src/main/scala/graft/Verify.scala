@@ -15,8 +15,9 @@ object Verify {
       .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
     if (cols.isEmpty) 0L
     else {
+      // df.col (not functions.col): immune to dots/spaces in names
       val conds = cols.toSeq.map { f =>
-        sum(when(col(f.name).cast("string") === "-0.0", 1L).otherwise(0L))
+        sum(when(df.col(f.name).cast("string") === "-0.0", 1L).otherwise(0L))
       }
       val row = df.agg(conds.head, conds.tail: _*).head()
       cols.indices.map(i => if (row.isNullAt(i)) 0L else row.getLong(i)).sum
@@ -65,12 +66,19 @@ object Verify {
         // emit IEEE -0.0 where the oracle emits +0.0 — float-equal, hash-
         // different. Scan the (small) written result for -0.0 doubles so
         // the hazard surfaces here instead of as an opaque hash mismatch.
-        val n = negZeroCount(spark.read.parquet(s"$outDir/$name"))
-        if (n > 0) {
-          negZero += name
-          System.err.println(
-            s"[verify] $name emits $n negative-zero double(s) — " +
-              "normalize with `+ lit(0.0)` after the round/diff")
+        // Its own try: the parquet already landed, so a scan hiccup must
+        // not mislabel the query as failed.
+        try {
+          val n = negZeroCount(spark.read.parquet(s"$outDir/$name"))
+          if (n > 0) {
+            negZero += name
+            System.err.println(
+              s"[verify] $name emits $n negative-zero double(s) — " +
+                "normalize with `+ lit(0.0)` after the round/diff")
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name neg-zero scan errored " +
+            s"(result still written): ${e.getMessage}")
         }
       } catch { case e: Throwable =>
         failed += name
