@@ -98,6 +98,15 @@ object Bench {
         System.err.println(s"[bench] fact_rounds prewarm failed: ${e.getMessage}")
       }
     prewarm()
+    // Same contract for the retrieval indexes: production materializes the
+    // inverted/positional index once and every query batch probes it
+    // (Retrieval.invertedIndex scaladoc). Without this the alphabetically-
+    // first bm25/phrase gate absorbs the whole shared build — its median
+    // then includes a cold index build the gate doesn't own.
+    try graft.queries.LlmQueries.prewarmSharedIndexes(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] index prewarm failed: ${e.getMessage}")
+    }
     def sentinel(): Double = {
       val t0 = System.nanoTime()
       try spark.read.parquet(s"$sfDir/nation.parquet")
@@ -131,7 +140,7 @@ object Bench {
     // which distorts more than the GC does. The remedy is headroom —
     // size SPARK_DRIVER_MEM to the scale under test (the ×10 campaign
     // runs at 80 g); real clusters isolate per-executor heaps.
-    for (r <- 1 to repeats) {
+    for (_ <- 1 to repeats) {
       sentinels += sentinel()
       ordered.zipWithIndex.foreach { case ((name, fn), i) =>
         samples(i) :+= timeOne(spark, sfDir, name, fn)
@@ -153,6 +162,10 @@ object Bench {
     val streamTotal = streamR.map(_._2).sum
     val hs = results.collect { case (k, m, _) if headline.contains(k) => (k, m) }
     val sent = sentinels.map(num).mkString("[", ",", "]")
+    // Heap size travels IN the record (r8 finding: a 48g run's GC-regime
+    // contamination was undiagnosable because the committed JSON carried
+    // no heap size). maxMemory is the -Xmx the JVM actually got.
+    val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
     // Full map incl. every repeat for local iteration (not part of the
     // driver contract). Subset runs (args given) go to a side file so a
     // quick profiling run can't clobber the full-corpus artifact.
@@ -162,6 +175,7 @@ object Bench {
       s"""{"total":${num(total)},"batch_total":${num(batchTotal)},
          |"streaming_total":${num(streamTotal)},
          |"n_queries":${results.size},"repeats":$repeats,
+         |"heap_gb":$heapGb,
          |"sentinel_sec":$sent,
          |"queries":${fmtMap(results.map(r => (r._1, r._2)))},
          |"runs":${results.map(r => "\"" + r._1 + "\":[" + r._3.map(num).mkString(",") + "]")
@@ -169,7 +183,7 @@ object Bench {
          |"sf":"$sfDir"}""".stripMargin.replace("\n", ""))
     catch { case _: Throwable => () }
     println(
-      s"""{"metric":"total_sec_all_${results.size}_queries_median_of_$repeats","value":${num(total)},"unit":"sec","batch_total":${num(batchTotal)},"streaming_total":${num(streamTotal)},"n_batch":${batchR.size},"n_streaming":${streamR.size},"queries":${fmtMap(hs)},"sentinel_sec":$sent,"sf":"$sfDir"}""")
+      s"""{"metric":"total_sec_all_${results.size}_queries_median_of_$repeats","value":${num(total)},"unit":"sec","batch_total":${num(batchTotal)},"streaming_total":${num(streamTotal)},"n_batch":${batchR.size},"n_streaming":${streamR.size},"heap_gb":$heapGb,"queries":${fmtMap(hs)},"sentinel_sec":$sent,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,6 +17,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-replica doc_id stride used by the scale-campaign replicator
+    * (ScaleStress.replicate) — and therefore the boundary of the BASE id
+    * block. Gates that pin a fixed artifact to the base corpus (the
+    * eval-leak report's eval set) derive their bound from THIS constant,
+    * in both the engine filter and the interpolated oracle SQL, so the
+    * replicator and the gates can never silently disagree. If the base
+    * corpus ever approaches this size, raising the stride here moves
+    * every consumer at once. */
+  val ReplicaStride: Long = 1000000L
+
   /** Declared timestamp columns, normalized to session-TZ `TimestampType`
     * WHATEVER the parquet physical type. The generator has shipped three
     * physical encodings across rounds — TIMESTAMP(NANOS) (read as raw

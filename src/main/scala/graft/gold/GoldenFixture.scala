@@ -70,26 +70,47 @@ object GoldenFixture {
       SilverConfig(course, "2024-03-20"))._1
   }
 
+  /** Filler telemetry for the americanfalls battery anomaly: events on
+    * holes 1-4 / sections 1-6 (below the hole-5 fatigue rows and the
+    * max-section-24 typing anchor, so neither published number moves),
+    * with caller-chosen battery readings. */
+  private def dqFill(batteries: Seq[Option[Double]]): Seq[String] =
+    batteries.zipWithIndex.map { case (b, i) =>
+      loc(Some(i % 4 + 1), i + 1, 600.0 + i * 60.0, battery = b)
+    }
+
+  private val low = Some(15.0)
+  private val ok = Some(90.0)
+
   /** The five-course fixture silver, built through the REAL raw-JSON →
     * silver path under `workDir` (caller-scoped scratch). */
   def silver(spark: SparkSession, workDir: String): DataFrame = {
     // americanfalls (9-hole loop, max section 24): four rounds on hole
     // 5, two per nine. Per-(round, hole, nine) avg pace: 207, 207, 247,
-    // 247 → the published avg-of-avgs 207 / 247. One battery gap (the
-    // course's small device-health ding).
+    // 247 → the published avg-of-avgs 207 / 247. DQ anchor
+    // (client_data_insights.md:10,148-156): EXACTLY 16 of the course's
+    // 31 events read battery < 20 → ROUND(100·16/31, 1) = the published
+    // 51.6% low-battery anomaly. Exactly two events carry a NULL battery,
+    // placing the usability score (99.4) between erinhills' (99.5) and
+    // bradshawfarm's (98.0) so the published ranking stays the exact
+    // arithmetic consequence.
     val americanfalls = silverFor(spark, workDir, "americanfalls", Seq(
       roundJson("af1", "americanfalls", 1, 1, nineHole = true, Seq(
         loc(Some(5), 13, 0.0, pace = Some(200.0), battery = None),
-        loc(Some(5), 14, 300.0, pace = Some(214.0)))),
+        loc(Some(5), 14, 300.0, pace = Some(214.0))) ++
+        dqFill(Seq(low, low, low, low, ok, ok))),
       roundJson("af2", "americanfalls", 2, 1, nineHole = true, Seq(
         loc(Some(5), 13, 0.0, pace = Some(207.0)),
-        loc(Some(5), 14, 300.0, pace = Some(207.0)))),
+        loc(Some(5), 14, 300.0, pace = Some(207.0))) ++
+        dqFill(Seq(low, low, low, low, None, ok))),
       roundJson("af3", "americanfalls", 3, 2, nineHole = true, Seq(
         loc(Some(5), 13, 0.0, pace = Some(240.0)),
-        loc(Some(5), 14, 300.0, pace = Some(254.0)))),
+        loc(Some(5), 14, 300.0, pace = Some(254.0))) ++
+        dqFill(Seq(low, low, low, low, ok, ok))),
       roundJson("af4", "americanfalls", 4, 2, nineHole = true, Seq(
         loc(Some(5), 23, 0.0, pace = Some(247.0)),
-        loc(Some(5), 24, 300.0, pace = Some(247.0))))))
+        loc(Some(5), 24, 300.0, pace = Some(247.0))) ++
+        dqFill(Seq(low, low, low, low, ok)))))
     // erinhills (27-hole, max section 55): one battery gap in 20 events.
     val erinhills = silverFor(spark, workDir, "erinhills", Seq(
       roundJson("eh1", "erinhills", 5, 1, nineHole = false,
@@ -107,12 +128,18 @@ object GoldenFixture {
     val pinehurst4 = silverFor(spark, workDir, "pinehurst4", Seq(
       roundJson("ph1", "pinehurst4", 8, 2, nineHole = false,
         (47 to 54).map(i => loc(Some(i - 37), i, (i - 46) * 60.0)))))
-    // bradshawfarm (27-hole, max section 80): hole missing on 2 of 7
-    // events — the published "missing hole numbers" issue.
+    // bradshawfarm (27-hole, max section 80): the published missing-hole
+    // anomaly engineered exactly — 17 of 125 events lack hole_number →
+    // 13.60% at ANY rounding scale (client_data_insights.md:113,182-196;
+    // the "empty location slot" class). 125 = 80 + 45 locations over two
+    // rounds; section 80 appears in both, pinning the typing anchor.
     val bradshawfarm = silverFor(spark, workDir, "bradshawfarm", Seq(
       roundJson("bf1", "bradshawfarm", 9, 3, nineHole = false,
-        (74 to 80).map(i => loc(
-          if (i <= 75) None else Some(i - 60), i, (i - 73) * 60.0)))))
+        (1 to 80).map(i => loc(
+          if (i <= 17) None else Some((i - 1) % 27 + 1), i, i * 60.0))),
+      roundJson("bf2", "bradshawfarm", 10, 3, nineHole = false,
+        (36 to 80).map(i =>
+          loc(Some((i - 1) % 27 + 1), i, (i - 35) * 60.0)))))
     Seq(americanfalls, erinhills, indiancreek, pinehurst4, bradshawfarm)
       .reduce(_ unionByName _)
   }

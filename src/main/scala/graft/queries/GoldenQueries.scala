@@ -67,7 +67,30 @@ object GoldenQueries {
             when(col("pace_data_status").contains("CRITICAL"),
               "CRITICAL").otherwise(col("pace_data_status"))
               .as("value_str"))
+        // the three published DQ anomalies (round 9), each read off the
+        // REAL engine surface that owns it: americanfalls' 51.6%
+        // low-battery events (client_data_insights.md:10 — deviceStats),
+        // indiancreek's 100% missing pace_gap (:165-180 —
+        // paceGapCoverage), bradshawfarm's 13.6% missing hole numbers
+        // (:182-196 — nullAnalysis)
+        def anchor(df: org.apache.spark.sql.DataFrame, course: String,
+            metric: String, valueCol: String) =
+          df.filter(col("course_id") === course)
+            .select(lit(metric).as("metric"),
+              col("course_id").as("entity"),
+              col(valueCol).cast("double").as("value_num"),
+              lit(null).cast("string").as("value_str"))
+        val anomalies = anchor(
+          graft.analytics.DashboardQueries2.deviceStats(silver),
+          "americanfalls", "dq_low_battery_pct", "low_battery_pct")
+          .unionByName(anchor(
+            graft.analytics.ExplorationQueries.paceGapCoverage(silver),
+            "indiancreek", "dq_missing_pace_gap_pct", "pct_missing"))
+          .unionByName(anchor(
+            graft.analytics.ExplorationQueries.nullAnalysis(silver),
+            "bradshawfarm", "dq_missing_hole_pct", "pct_null_hole"))
         fatigue.unionByName(typing).unionByName(ranked).unionByName(pace)
+          .unionByName(anomalies)
           .orderBy(col("metric"), col("entity"))
       },
       Some("""SELECT * FROM (VALUES
@@ -76,7 +99,10 @@ object GoldenQueries {
               ('course_type', 'erinhills', 55e0, '27-hole'),
               ('course_type', 'indiancreek', 53e0, '18-hole'),
               ('course_type', 'pinehurst4', 54e0, '18-hole'),
-              ('fatigue_avg_pace', 'americanfalls_nine_1', 207e0, CAST(NULL AS VARCHAR)),
+              ('dq_low_battery_pct', 'americanfalls', 51.6e0, CAST(NULL AS VARCHAR)),
+              ('dq_missing_hole_pct', 'bradshawfarm', 13.6e0, NULL),
+              ('dq_missing_pace_gap_pct', 'indiancreek', 100e0, NULL),
+              ('fatigue_avg_pace', 'americanfalls_nine_1', 207e0, NULL),
               ('fatigue_avg_pace', 'americanfalls_nine_2', 247e0, NULL),
               ('pace_critical', 'indiancreek', CAST(NULL AS DOUBLE), 'CRITICAL'),
               ('usability_rank', 'americanfalls', 3e0, NULL),

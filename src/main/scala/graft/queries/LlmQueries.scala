@@ -69,6 +69,17 @@ object LlmQueries {
         t(k._1, k._2, "documents"), "doc_id", "text").persist()
     })
 
+  /** Force-build the shared retrieval index caches (inverted index +
+    * corpus stats + positional index) so a bench traversal doesn't charge
+    * the whole build to whichever gate touches them first. Production
+    * contract: these are materialized once, probed per query batch. */
+  def prewarmSharedIndexes(s: SparkSession, d: String): Unit = {
+    val (idx, st) = cachedIndex(s, d)
+    idx.write.mode("overwrite").format("noop").save()
+    st.write.mode("overwrite").format("noop").save()
+    cachedPosIndex(s, d).write.mode("overwrite").format("noop").save()
+  }
+
   /** DuckDB bigram-shingle set of a text expression — mirrors
     * Dedup.wordShingles(_, 2) (normalize → split → distinct bigrams). */
   private def bigramSql(textExpr: String): String = {
@@ -1631,9 +1642,13 @@ object LlmQueries {
         // train, not an eval slice growing with the corpus (the r7
         // campaign's 3.03 "slope" measured exactly that artifact;
         // leak_scale.json's production-shape row measured 0.08).
-        // Hash-neutral at gate scale: every base doc_id is < 1e6.
-        val evalDocs =
-          docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < 1000000L)
+        // Hash-neutral at gate scale: every base doc_id is below the
+        // stride. The bound is Tables.ReplicaStride — the SAME constant
+        // the replicator strides by — so the two can't silently diverge
+        // if the base corpus ever grows toward the stride.
+        val evalDocs = docs.filter(
+          col("doc_id") % 10 === 0 &&
+            col("doc_id") < graft.core.Tables.ReplicaStride)
         val train = docs.filter(col("doc_id") % 10 =!= 0)
           .unionByName(docs.filter(col("doc_id") % 20 === 0)
             .select((col("doc_id") + 50000).as("doc_id"), col("text"),
@@ -1652,7 +1667,8 @@ object LlmQueries {
       },
       Some(s"""WITH ev AS (
                  SELECT doc_id, text FROM documents
-                 WHERE doc_id % 10 = 0 AND doc_id < 1000000
+                 WHERE doc_id % 10 = 0
+                   AND doc_id < ${graft.core.Tables.ReplicaStride}
                ),
                tr AS (
                  SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0

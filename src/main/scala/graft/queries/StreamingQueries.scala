@@ -42,13 +42,29 @@ object StreamingQueries {
     * sizes this up with the data; the gates' claim is SEMANTICS (which
     * are partition-count-invariant), so the corpus runs streaming at 8.
     * The returned DataFrame's final batch aggregation executes outside
-    * the override at the session default — also fine. */
+    * the override at the session default — also fine.
+    *
+    * CONCURRENCY CONTRACT: the override mutates shared session conf, so
+    * gates must run SERIALLY on the session (Verify/Bench/the specs all
+    * do). The re-entrancy guard below turns a concurrent second gate into
+    * a loud failure instead of a silently raced partition count. The
+    * returned DataFrame's only post-restore work is a final batch
+    * aggregation over the (tiny) sink — partition-count-irrelevant. */
+  private val shuffleOverrideActive =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def withShufflePartitions[T](
       s: SparkSession, n: Int)(body: => T): T = {
+    require(shuffleOverrideActive.compareAndSet(false, true),
+      "streaming gates must run serially: a concurrent gate would race " +
+        "the session-level shuffle-partition override")
     val key = "spark.sql.shuffle.partitions"
     val saved = s.conf.get(key)
     s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, saved)
+    try body finally {
+      s.conf.set(key, saved)
+      shuffleOverrideActive.set(false)
+    }
   }
 
   /** Exact multiset equality in ONE evaluation of each side. The
@@ -60,6 +76,12 @@ object StreamingQueries {
     * (groupBy normalizes NaN and -0.0 in keys the same way exceptAll
     * does, so the semantics match.) */
   private def multisetEqual(a: DataFrame, b: DataFrame): Boolean = {
+    // Fail LOUDLY on schema drift (like the old exceptAll idiom did):
+    // b.select(a's columns) would silently ignore a column only b has, so
+    // a recompute that GAINS a column could pass the identity pin unseen.
+    require(a.columns.toSet == b.columns.toSet,
+      s"multisetEqual schema drift: a=${a.columns.sorted.mkString(",")} " +
+        s"b=${b.columns.sorted.mkString(",")}")
     val cols = a.columns.toSeq
     a.withColumn("__side", lit(1L))
       .unionByName(b.select(cols.map(col): _*).withColumn("__side", lit(-1L)))
@@ -130,8 +152,18 @@ object StreamingQueries {
     * ~600k lineitem rows twice — JSON serialize + re-parse was ~40% of
     * the gate's wall time; the JSON-ingest surface stays covered by the
     * telemetry/doc gates). Same pinned-mtime batch sequencing. */
-  private def landParquet(df: DataFrame, landDir: String, name: String,
+  private def landParquet(df0: DataFrame, landDir: String, name: String,
       mtimeMs: Long): Unit = {
+    // Same NTZ→session-TZ normalization as landJson: an NTZ column landed
+    // under a TIMESTAMP readStream schema would null/fail at the parquet
+    // source. (Today's callers pre-normalize via Tables.load; this keeps
+    // the helper safe for future gates.) Session TZ is pinned UTC, so the
+    // cast is the wall-clock identity.
+    val df = df0.select(df0.schema.fields.map { f =>
+      if (f.dataType == TimestampNTZType)
+        col(f.name).cast(TimestampType).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
     val tmp = Paths.get(landDir).resolve(s".tmp-$name")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val listing = Files.list(tmp)

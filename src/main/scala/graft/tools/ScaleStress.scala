@@ -167,9 +167,12 @@ object ScaleStress {
       .drop("__rep"), "events")
 
     // doc_id stride is a multiple of 20000 so gates that slice by
-    // doc_id % 20000 keep their per-replica semantics
+    // doc_id % 20000 keep their per-replica semantics; it is the SHARED
+    // Tables.ReplicaStride constant so gates that pin fixed artifacts to
+    // the base id block (l_eval_leak_report's eval set) stay in lockstep
     val docs0 = reps(src("documents"))
-      .withColumn("doc_id", col("doc_id") + col("__rep") * 1000000L)
+      .withColumn("doc_id",
+        col("doc_id") + col("__rep") * graft.core.Tables.ReplicaStride)
       // per-replica token: replicas are near-dup families, not exact
       // clones of one giant duplicate class
       .withColumn("text", concat(col("text"), lit(" r"), col("__rep")))

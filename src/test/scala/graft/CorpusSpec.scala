@@ -19,9 +19,16 @@ class CorpusSpec extends SparkSpec {
   }
 
   Corpus.defs.foreach { q =>
-    test(s"${q.name} runs and returns rows on sf0.001") {
+    test(s"${q.name} runs, returns rows, and emits no -0.0 on sf0.001") {
       val df = q.run(spark, sfDir)
-      assert(df.count() > 0, s"${q.name} returned no rows")
+      // one-pass count + signed-zero audit: -0.0 is float-equal to +0.0
+      // but hash-distinct in the driver's compare (the d16 escape class);
+      // this keeps that class dead as the corpus grows
+      val (n, negZero) = Verify.countAndNegZero(df)
+      assert(n > 0, s"${q.name} returned no rows")
+      assert(negZero == 0L,
+        s"${q.name} emits $negZero IEEE -0.0 double(s) — normalize with " +
+          "`+ lit(0.0)` after the round/diff")
     }
   }
 }

@@ -59,4 +59,23 @@ class GoldenNumbersSpec extends SparkSpec {
     // scores are percentages
     gaps.foreach { case (_, s, _) => assert(s <= 100.0) }
   }
+
+  test("published DQ anomalies: 51.6% low battery, 100% missing pace_gap, 13.6% missing holes") {
+    // americanfalls battery anomaly (client_data_insights.md:10,148-156)
+    val battery = graft.analytics.DashboardQueries2.deviceStats(silver)
+      .filter(col("course_id") === "americanfalls")
+      .select("low_battery_pct").head.getDouble(0)
+    assert(battery === 51.6, s"published 51.6% low battery, got $battery")
+    // indiancreek pace_gap anomaly (:165-180)
+    val paceGap = graft.analytics.ExplorationQueries.paceGapCoverage(silver)
+      .filter(col("course_id") === "indiancreek")
+      .select("pct_missing").head.getDouble(0)
+    assert(paceGap === 100.0, s"published 100% missing pace_gap, got $paceGap")
+    // bradshawfarm hole-number anomaly (:182-196); 17/125 is exact at any
+    // rounding scale
+    val holes = graft.analytics.ExplorationQueries.nullAnalysis(silver)
+      .filter(col("course_id") === "bradshawfarm")
+      .select("pct_null_hole").head.getDouble(0)
+    assert(holes === 13.6, s"published 13.6% missing holes, got $holes")
+  }
 }
