@@ -181,6 +181,40 @@ object StreamingQueries {
     deleteTree(tmp)
   }
 
+  /** Multi-file twin of [[landParquet]]: lands `df` as `n` parquet files
+    * written by n PARALLEL tasks, mtime-pinned to `mtimeMs`, `mtimeMs+1`,
+    * … — a caller whose micro-batch carries 10⁵–10⁶ rows pairs this with
+    * `maxFilesPerTrigger = n` so the whole group drains as ONE batch
+    * while the landing write stops serializing a single-task parquet
+    * encode (the single-file form put the entire scan+encode on one
+    * core — ~40% of st_fact_rounds' landing wall). repartition, not
+    * coalesce: coalesce(1..n) collapses the SCAN into the same tasks,
+    * serializing the read too. */
+  private def landParquetParts(df0: DataFrame, n: Int, landDir: String,
+      prefix: String, mtimeMs: Long): Unit = {
+    val df = df0.select(df0.schema.fields.map { f =>
+      if (f.dataType == TimestampNTZType)
+        col(f.name).cast(TimestampType).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
+    val tmp = Paths.get(landDir).resolve(s".tmp-$prefix")
+    df.repartition(n).write.mode("overwrite").parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    val parts =
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      } finally listing.close()
+    require(parts.sizeIs == n, s"expected $n parts in $tmp, got ${parts.size}")
+    parts.zipWithIndex.foreach { case (part, i) =>
+      val target = Paths.get(landDir).resolve(f"$prefix-$i%02d.parquet")
+      Files.move(part, target)
+      Files.setLastModifiedTime(target, FileTime.fromMillis(mtimeMs + i)); ()
+    }
+    deleteTree(tmp)
+  }
+
   /** events → the streaming Fix shape. */
   private def asFixes(ev: DataFrame): DataFrame =
     ev.select(
@@ -1182,10 +1216,15 @@ object StreamingQueries {
     // sections, distinct holes/nines, CASE round-length ladder — nothing
     // signed-mergeable) maintained across micro-batches by re-aggregating
     // ONLY the groups each batch's row-diff touched
-    // (IncrementalView.maintainGrouped). Batch 1 lands the odd
-    // linenumbers (every round appears), batch 2 the even ones (~2/3 of
-    // rounds gain rows → recompute; the rest carry forward untouched —
-    // both maintenance paths exercised). matches_recompute pins the
+    // (IncrementalView.maintainGrouped). Batch 1 bootstraps the model
+    // over ~97% of rows; batch 2 is a PRODUCTION-SHAPED delta — the even
+    // linenumbers of one round in eight (~3% of rows touching ~1/8 of
+    // groups) — so the maintenance micro-batch demonstrates O(changed
+    // groups) cost: the 1/8 recompute AND the 7/8 carry-forward path
+    // both execute, and a bug in either breaks the full-view identity
+    // pin below. (Round 9: the earlier odd/even split made batch 2
+    // touch ~every group, so "maintenance" cost a full rebuild — the
+    // degenerate delta, not the claim.) matches_recompute pins the
     // maintained view bit-identical to the batch model over the landed
     // table; the DuckDB oracle independently reproduces the rollup from
     // the same lineitem mapping.
@@ -1200,17 +1239,21 @@ object StreamingQueries {
           col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
           col("l_discount"), col("l_tax"), col("l_returnflag"),
           col("l_shipdate"),
-          when(col("l_linenumber") % 2 === 1, "d1").otherwise("d2").as("pday"))
+          when(col("l_linenumber") % 2 === 0 && col("l_orderkey") % 8 === 0,
+            "d2").otherwise("d1").as("pday"))
         val t0 = System.currentTimeMillis()
-        landParquet(li.filter(col("pday") === "d1"), land, "b1.parquet", t0)
-        landParquet(li.filter(col("pday") === "d2"), land, "b2.parquet",
+        // batch 1 = four parallel-written files drained as ONE micro-batch
+        // (maxFilesPerTrigger=4 takes the 4 oldest mtimes); batch 2 = the
+        // one delta file, 60s later in mtime order
+        landParquetParts(li.filter(col("pday") === "d1"), 4, land, "b1", t0)
+        landParquetParts(li.filter(col("pday") === "d2"), 1, land, "b2",
           t0 + 60000)
         val stream = s.readStream
           .schema("l_orderkey LONG, l_partkey LONG, l_suppkey LONG, " +
             "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, " +
             "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, " +
             "l_shipdate TIMESTAMP, pday STRING")
-          .option("maxFilesPerTrigger", "1")
+          .option("maxFilesPerTrigger", "4")
           .parquet(land)
         val model: DataFrame => DataFrame = rows =>
           graft.gold.GoldModels.factRounds(
