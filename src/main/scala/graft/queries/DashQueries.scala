@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.DashboardQueries2
@@ -21,6 +21,24 @@ object DashQueries {
     GoldQueries.silverView(s, d)
       .withColumn("round_duration_minutes",
         col("goal_time") / 60.0 + col("current_section") * 5)
+
+  /** Exact sample stddev via the sum-of-squares formula, NULL for n < 2:
+    * the n=1 denominator is zero — for an INTEGRAL measure that's an
+    * ANSI divide-by-zero ERROR, not a NaN (the round-9 neg-zero audit
+    * caught d19 crashing on sf0.001's singleton hole groups; the old
+    * count()-only spec never evaluated the column because Catalyst
+    * pruned it). stddev of one observation is undefined — NULL matches
+    * stddev_samp, and the paired *_within_tol pins treat two-sided NULL
+    * as vacuously true via [[tolOrBothNull]]. */
+  private def sdExact(c: Column): Column =
+    when(count(c) > 1,
+      sqrt((sum(c * c) - sum(c) * sum(c) / count(c)) / (count(c) - 1)))
+
+  /** `cmp` when decidable, TRUE when both sides are NULL (the n=1
+    * stddev case: library stddev_samp and the exact formula are both
+    * undefined — agreeing on undefined is agreement). */
+  private def tolOrBothNull(a: Column, b: Column, cmp: Column): Column =
+    coalesce(cmp, a.isNull && b.isNull)
 
   /** The d18 course-summary oracle body, shared with d34's CTE so the
     * two gates can never drift to different summary semantics. */
@@ -500,15 +518,14 @@ object DashQueries {
           col("pace").isNotNull && col("pace") > 0 && col("pace") < 600)
         val exact = base.groupBy(col("course_id")).agg(
           round(expr("percentile(pace, 0.5)"), 1).as("median_pace_exact"),
-          sqrt((sum(col("pace") * col("pace")) -
-            sum(col("pace")) * sum(col("pace")) / count(col("pace"))) /
-            (count(col("pace")) - 1)).as("__sd_exact"))
+          sdExact(col("pace")).as("__sd_exact"))
         lib.join(exact, Seq("course_id"))
           .withColumn("median_within_tol",
             abs(col("median_pace") - col("median_pace_exact")) <=
               greatest(col("median_pace_exact") * 0.02, lit(2.0)))
-          .withColumn("stddev_within_tol",
-            abs(col("pace_stddev") - col("__sd_exact")) <= lit(0.1))
+          .withColumn("stddev_within_tol", tolOrBothNull(
+            col("pace_stddev"), col("__sd_exact"),
+            abs(col("pace_stddev") - col("__sd_exact")) <= lit(0.1)))
           .withColumn("pace_stddev_formula", round(col("__sd_exact"), 1))
           .drop("median_pace", "pace_stddev", "__sd_exact")
           .orderBy(col("course_id"))
@@ -530,8 +547,9 @@ object DashQueries {
                ROUND(QUANTILE_CONT(pace, 0.5e0), 1) AS median_pace_exact,
                TRUE AS median_within_tol,
                TRUE AS stddev_within_tol,
-               ROUND(SQRT((SUM(pace * pace) - SUM(pace) * SUM(pace) / COUNT(pace))
-                 / (COUNT(pace) - 1)), 1) AS pace_stddev_formula
+               CASE WHEN COUNT(pace) > 1 THEN
+                 ROUND(SQRT((SUM(pace * pace) - SUM(pace) * SUM(pace) / COUNT(pace))
+                 / (COUNT(pace) - 1)), 1) END AS pace_stddev_formula
                FROM p GROUP BY course_id ORDER BY course_id""")),
 
     // PACE_BY_HOLE via the per-course wrapper (queries.py:1319-1411,
@@ -549,15 +567,14 @@ object DashQueries {
           col("hole_number").isNotNull && col("course_id") === "A")
         val exact = base.groupBy(col("course_id"), col("hole_number")).agg(
           round(expr("percentile(pace, 0.5)"), 1).as("median_pace_exact"),
-          sqrt((sum(col("pace") * col("pace")) -
-            sum(col("pace")) * sum(col("pace")) / count(col("pace"))) /
-            (count(col("pace")) - 1)).as("__sd_exact"))
+          sdExact(col("pace")).as("__sd_exact"))
         lib.join(exact, Seq("course_id", "hole_number"))
           .withColumn("median_within_tol",
             abs(col("median_pace") - col("median_pace_exact")) <=
               greatest(col("median_pace_exact") * 0.02, lit(2.0)))
-          .withColumn("stddev_within_tol",
-            abs(col("pace_stddev") - col("__sd_exact")) <= lit(0.1))
+          .withColumn("stddev_within_tol", tolOrBothNull(
+            col("pace_stddev"), col("__sd_exact"),
+            abs(col("pace_stddev") - col("__sd_exact")) <= lit(0.1)))
           .withColumn("pace_stddev_formula", round(col("__sd_exact"), 1))
           .drop("median_pace", "pace_stddev", "__sd_exact")
           .orderBy(col("course_id"), col("hole_number"))
@@ -584,9 +601,10 @@ object DashQueries {
                  AVG(hp.pace) AS raw_avg,
                  MAX(ca.course_avg_raw) AS course_avg_raw,
                  ROUND(QUANTILE_CONT(hp.pace, 0.5e0), 1) AS median_pace_exact,
-                 ROUND(SQRT((SUM(hp.pace * hp.pace)
+                 CASE WHEN COUNT(hp.pace) > 1 THEN
+                   ROUND(SQRT((SUM(hp.pace * hp.pace)
                    - SUM(hp.pace) * SUM(hp.pace) / COUNT(hp.pace))
-                   / (COUNT(hp.pace) - 1)), 1) AS pace_stddev_formula
+                   / (COUNT(hp.pace) - 1)), 1) END AS pace_stddev_formula
                  FROM hp JOIN ca ON hp.course_id = ca.course_id
                  GROUP BY hp.course_id, hp.hole_number
                )
@@ -655,9 +673,7 @@ object DashQueries {
           .filter(col("dm") > 0 && col("dm") < 60)
         val exact = durs.groupBy(col("hole_number")).agg(
           round(expr("percentile(dm, 0.5)"), 1).as("median_duration_exact"),
-          sqrt((sum(col("dm") * col("dm")) -
-            sum(col("dm")) * sum(col("dm")) / count(col("dm"))) /
-            (count(col("dm")) - 1)).as("__sd_exact"))
+          sdExact(col("dm")).as("__sd_exact"))
         // These groups are SMALL and sparse-valued (≈ 10-20 quantized
         // durations), where the approx median (an ELEMENT) and the exact
         // continuous median (an interpolation) legitimately diverge by a
@@ -676,8 +692,9 @@ object DashQueries {
               count(lit(1)) / 2)).as("median_within_tol"))
         lib.join(exact, Seq("hole_number"))
           .join(medCheck, Seq("hole_number"))
-          .withColumn("stddev_within_tol",
-            abs(col("stddev_duration") - col("__sd_exact")) <= lit(0.1))
+          .withColumn("stddev_within_tol", tolOrBothNull(
+            col("stddev_duration"), col("__sd_exact"),
+            abs(col("stddev_duration") - col("__sd_exact")) <= lit(0.1)))
           .withColumn("stddev_duration_formula", round(col("__sd_exact"), 1))
           .drop("median_duration_min", "stddev_duration", "__sd_exact")
           .orderBy(col("hole_number"))
@@ -708,8 +725,9 @@ object DashQueries {
                ROUND(QUANTILE_CONT(dm, 0.5e0), 1) AS median_duration_exact,
                TRUE AS median_within_tol,
                TRUE AS stddev_within_tol,
-               ROUND(SQRT((SUM(dm * dm) - SUM(dm) * SUM(dm) / COUNT(dm))
-                 / (COUNT(dm) - 1)), 1) AS stddev_duration_formula
+               CASE WHEN COUNT(dm) > 1 THEN
+                 ROUND(SQRT((SUM(dm * dm) - SUM(dm) * SUM(dm) / COUNT(dm))
+                 / (COUNT(dm) - 1)), 1) END AS stddev_duration_formula
                FROM b GROUP BY hole_number ORDER BY hole_number""")),
 
     // get_nine_loop_pace_comparison (queries.py:1460-1502): the fatigue
@@ -729,15 +747,14 @@ object DashQueries {
           col("hole_number").isNotNull && col("nine_number").isNotNull)
         val exact = base.groupBy(col("hole_number"), col("nine_number")).agg(
           round(expr("percentile(pace, 0.5)"), 1).as("median_pace_exact"),
-          sqrt((sum(col("pace") * col("pace")) -
-            sum(col("pace")) * sum(col("pace")) / count(col("pace"))) /
-            (count(col("pace")) - 1)).as("__sd_exact"))
+          sdExact(col("pace")).as("__sd_exact"))
         lib.join(exact, Seq("hole_number", "nine_number"))
           .withColumn("median_within_tol",
             abs(col("median_pace") - col("median_pace_exact")) <=
               greatest(col("median_pace_exact") * 0.02, lit(2.0)))
-          .withColumn("stddev_within_tol",
-            abs(col("pace_stddev") - col("__sd_exact")) <= lit(0.1))
+          .withColumn("stddev_within_tol", tolOrBothNull(
+            col("pace_stddev"), col("__sd_exact"),
+            abs(col("pace_stddev") - col("__sd_exact")) <= lit(0.1)))
           .withColumn("pace_stddev_formula", round(col("__sd_exact"), 1))
           .drop("median_pace", "pace_stddev", "__sd_exact")
           .orderBy(col("hole_number"), col("nine_number"))
@@ -764,8 +781,9 @@ object DashQueries {
                ROUND(QUANTILE_CONT(pace, 0.5e0), 1) AS median_pace_exact,
                TRUE AS median_within_tol,
                TRUE AS stddev_within_tol,
-               ROUND(SQRT((SUM(pace * pace) - SUM(pace) * SUM(pace) / COUNT(pace))
-                 / (COUNT(pace) - 1)), 1) AS pace_stddev_formula
+               CASE WHEN COUNT(pace) > 1 THEN
+                 ROUND(SQRT((SUM(pace * pace) - SUM(pace) * SUM(pace) / COUNT(pace))
+                 / (COUNT(pace) - 1)), 1) END AS pace_stddev_formula
                FROM p GROUP BY hole_number, nine_number
                ORDER BY hole_number, nine_number""")),
 
@@ -865,15 +883,14 @@ object DashQueries {
           .agg(max(col("round_duration_minutes")).as("dmin"))
         val exact = perRound.groupBy(col("course_id")).agg(
           round(expr("percentile(dmin, 0.5)"), 0).as("median_duration_exact"),
-          sqrt((sum(col("dmin") * col("dmin")) -
-            sum(col("dmin")) * sum(col("dmin")) / count(col("dmin"))) /
-            (count(col("dmin")) - 1)).as("__sd_exact"))
+          sdExact(col("dmin")).as("__sd_exact"))
         lib.join(exact, Seq("course_id"))
           .withColumn("median_within_tol",
             abs(col("median_duration_min") - col("median_duration_exact")) <=
               greatest(col("median_duration_exact") * 0.02, lit(2.0)))
-          .withColumn("stddev_within_tol",
-            abs(col("duration_stddev") - round(col("__sd_exact"), 0)) <= lit(1.0))
+          .withColumn("stddev_within_tol", tolOrBothNull(
+            col("duration_stddev"), col("__sd_exact"),
+            abs(col("duration_stddev") - round(col("__sd_exact"), 0)) <= lit(1.0)))
           .withColumn("duration_stddev_formula", round(col("__sd_exact"), 0))
           .drop("median_duration_min", "duration_stddev", "__sd_exact")
           .orderBy(col("course_id"))
@@ -899,8 +916,9 @@ object DashQueries {
                ROUND(QUANTILE_CONT(dmin, 0.5e0), 0) AS median_duration_exact,
                TRUE AS median_within_tol,
                TRUE AS stddev_within_tol,
-               ROUND(SQRT((SUM(dmin * dmin) - SUM(dmin) * SUM(dmin) / COUNT(dmin))
-                 / (COUNT(dmin) - 1)), 0) AS duration_stddev_formula
+               CASE WHEN COUNT(dmin) > 1 THEN
+                 ROUND(SQRT((SUM(dmin * dmin) - SUM(dmin) * SUM(dmin) / COUNT(dmin))
+                 / (COUNT(dmin) - 1)), 0) END AS duration_stddev_formula
                FROM pr GROUP BY course_id ORDER BY course_id"""))
   )
 }
