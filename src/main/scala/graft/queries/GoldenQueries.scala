@@ -17,13 +17,29 @@ import graft.gold.{GoldModels, GoldenFixture}
   * the Spark side and breaks the hash. */
 object GoldenQueries {
 
+  private val silverCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame]()
+
+  /** The fixture silver, built ONCE per session through the real
+    * raw-JSON ingest path and persisted (192 rows): the gate reads it
+    * from seven sub-queries (fatigue, typing, ranking, the pace pin,
+    * three DQ anomalies), and without the cache each one re-ran the
+    * whole ingest. One entry per session — NOT per gate run — so bench
+    * traversals reuse it instead of stacking persisted copies (the
+    * campaign heap-pressure hazard). */
+  private def cachedSilver(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    silverCache.computeIfAbsent(s, { k =>
+      val work =
+        Paths.get(QueryDef.oracleScratch, "golden_fixture").toString
+      GoldenFixture.silver(k, work).persist()
+    })
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "g1_golden_numbers",
       (s, _) => {
-        val work =
-          Paths.get(QueryDef.oracleScratch, "golden_fixture").toString
-        val silver = GoldenFixture.silver(s, work)
+        val silver = cachedSilver(s)
         // fatigue factor: the reference's Trino verification query,
         // verbatim semantics (avg of per-(round, hole, nine) avg pace)
         val perf = GoldModels.factRoundHolePerformance(
