@@ -123,6 +123,16 @@ object StFrProfile {
               .unionByName(model2(baseK.join(broadcast(affected),
                 keyCond(baseK, affected), "left_semi"))),
             s"$base/view4") }
+        timed("  mg: splice commit, affected persisted") {
+          val aff = affected.persist()
+          aff.count()
+          try it2.commitFull(
+            cur.join(broadcast(aff), keyCond(cur, aff), "left_anti")
+              .unionByName(model2(baseK.join(broadcast(aff),
+                keyCond(baseK, aff), "left_semi"))),
+            s"$base/view5")
+          finally { aff.unpersist(); () }
+        }
       }
     }
 
