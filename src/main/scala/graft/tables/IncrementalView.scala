@@ -84,7 +84,27 @@ object IncrementalView {
       keys: Seq[String], measures: Seq[String],
       store: CommitStore = LocalCommitStore): Int = {
     val cur = IncrementalTable.read(spark, viewPath, None, store)
-    val fromV = cur.agg(max(col("__src_version"))).head.getInt(0)
+    val verRow = cur.agg(max(col("__src_version"))).head
+    if (verRow.isNullAt(0)) {
+      // EMPTY view — prior deletes legitimately emptied every group
+      // ("a group deleted down to zero rows leaves the view"), so there
+      // is no watermark to diff from. Rebuild at the current version
+      // instead of NPE-ing on the NULL max — maintainGrouped gained
+      // this guard in round 8; the signed-delta path had the identical
+      // hazard (found by IvmPropertySpec's random delete-everything-
+      // then-refresh sequence: a maintaining stream would die
+      // unrecoverably, replaying the same path on every restart).
+      val toV = IncrementalTable.currentVersion(tablePath, store)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no committed version at $tablePath"))
+      val base = IncrementalTable.read(spark, tablePath, Some(toV), store)
+      IncrementalTable.commitFull(
+        signedRollup(base, keys, measures, lit(1L))
+          .withColumn("__src_version", lit(toV)),
+        viewPath, store = store)
+      return toV
+    }
+    val fromV = verRow.getInt(0)
     val toV = IncrementalTable.currentVersion(tablePath, store).getOrElse(fromV)
     if (toV == fromV) return fromV
     val delta = signedRollup(
