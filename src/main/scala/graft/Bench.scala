@@ -43,7 +43,7 @@ object Bench {
     "l_dsir_weights", "l_ccnet_buckets", "l_pipeline_funnel",
     "l_split_leakage", "l_collocations",
     "l_boilerplate_strip", "l_hnsw_topk", "d15_global_pace_comparison",
-    "d20_nine_loop_pace")
+    "d20_nine_loop_pace", "l_knn_pagerank")
 
   /** Locale-pinned number rendering: a comma-decimal default locale would
     * otherwise print "0,850" and break the driver's JSON parse. */
@@ -106,6 +106,12 @@ object Bench {
     try graft.queries.LlmQueries.prewarmSharedIndexes(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] index prewarm failed: ${e.getMessage}")
+    }
+    // The graph gates' IVF cell assignment is the same contract: a
+    // production-materialized index no gate's median should cold-build.
+    try graft.queries.GraphQueries.prewarmSharedCells(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] cell prewarm failed: ${e.getMessage}")
     }
     def sentinel(): Double = {
       val t0 = System.nanoTime()

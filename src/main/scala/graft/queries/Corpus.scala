@@ -23,6 +23,7 @@ object Corpus {
         DashQueries.defs ++
         DashQueries2.defs ++
         LlmQueries.defs ++
+        GraphQueries.defs ++
         StreamingQueries.defs
     base :+ corpusComplete(base.size + 1)
   }

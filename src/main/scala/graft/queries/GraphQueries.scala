@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llm.{Graph, Similarity}
+
+/** Embedding-graph gates: k-NN-graph density pruning (the D4-style
+  * "drop the over-represented regions" diversification step) and damped
+  * PageRank centrality over the same graph (representative / canonical
+  * selection inside similarity neighborhoods) — the corpus' first
+  * iterative-fixpoint operator.
+  *
+  * Graph construction is CLUSTER-BOUNDED, the SemDeDup/D4 recipe and
+  * the only shape that stays linear on a uniform embedding corpus:
+  * an auto-k IVF assignment (k ∝ n, mean cell size pinned — exactly
+  * `semanticDedupPairsAuto`'s argument; the testdata embeddings are
+  * uniform on the unit sphere, where E2LSH buckets are fixed spatial
+  * regions and their occupancy — hence candidate pairs — grows n²)
+  * caps each node's candidate set at its own cell, then exact cosine +
+  * per-node top-k rank inside the cell. The quantizer is seed/engine-
+  * specific, so the gates materialize the (id, cell) ASSIGNMENT — a
+  * linear artifact, never the quadratic pair list — and DuckDB derives
+  * the within-cell pairs, the ranking, and everything downstream
+  * independently. */
+object GraphQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  private val OracleScratch = QueryDef.oracleScratch
+
+  private def materialize(df: DataFrame, name: String): DataFrame = {
+    val path = s"$OracleScratch/$name"
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Mean cell size the auto-k quantizer targets: small enough that a
+    * cell's all-pairs cosine block stays cheap, large enough that every
+    * node sees well over k candidates. Within-cell pair volume is
+    * ~n·CellTarget/2 — linear in the corpus. */
+  private val CellTarget = 256L
+
+  private val cellsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  /** The auto-k IVF cell assignment (id, cell), materialized to scratch
+    * once per (session, sfDir) and persisted — the quantizer is an
+    * INDEX by production contract (`cachedIndex` / `cachedFactRounds`
+    * discipline): built once, probed by every graph query. Both graph
+    * gates read the same assignment; the materialized copy is what the
+    * DuckDB oracles derive their pairs from. */
+  private[queries] def cellAssignment(s: SparkSession, d: String): DataFrame =
+    cellsCache.computeIfAbsent((s, d), { k =>
+      val vecs = t(k._1, k._2, "embeddings")
+      val n = vecs.count()
+      val kk = math.max(8L, (n + CellTarget - 1) / CellTarget).toInt
+      val centroids = Similarity.trainIvfCentroids(vecs, "embedding", kk)
+      materialize(
+        Similarity.withIvfList(
+            vecs.select(col("vec_id").as("id"), col("embedding").as("v")),
+            "v", centroids)
+          .filter(col("__ivf_list") >= 0) // unassignable: no pseudo-cluster
+          .select(col("id"), col("__ivf_list").as("cell")),
+        "knn_cells").persist()
+    })
+
+  /** Bench hook, same contract as `LlmQueries.prewarmSharedIndexes`: the
+    * assignment is production-materialized, so no gate's median should
+    * absorb its cold build. */
+  def prewarmSharedCells(s: SparkSession, d: String): Unit =
+    cellAssignment(s, d).write.mode("overwrite").format("noop").save()
+
+  /** Within-cell CANONICAL candidate pairs from a materialized
+    * assignment — one equi-join on the cell id. */
+  private def cellCandidates(cells: DataFrame): DataFrame =
+    cells.select(col("cell"), col("id").as("id_a"))
+      .join(cells.select(col("cell"), col("id").as("id_b")), "cell")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+
+  /** Shared oracle prefix: read the materialized assignment, derive
+    * directed within-cell pairs, exact cosine, per-src top-k rank. */
+  private def edgeSql(cells: String, k: Int): String =
+    s"""v AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings
+       ),
+       cells AS (SELECT id, cell FROM read_parquet('$OracleScratch/$cells/*.parquet')),
+       ce AS (
+         SELECT a.id AS src, b.id AS dst
+         FROM cells a JOIN cells b ON a.cell = b.cell AND a.id <> b.id
+       ),
+       p AS (
+         SELECT ce.src, ce.dst,
+           list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i])) /
+             (SQRT(list_sum(list_transform(a.e, x -> x * x))) *
+              SQRT(list_sum(list_transform(b.e, x -> x * x)))) AS cosine
+         FROM ce JOIN v a ON a.vec_id = ce.src JOIN v b ON b.vec_id = ce.dst
+       ),
+       e AS (
+         SELECT src, dst, cosine FROM (
+           SELECT src, dst, cosine, ROW_NUMBER() OVER (PARTITION BY src
+             ORDER BY cosine DESC NULLS LAST, dst ASC NULLS LAST) AS rk
+           FROM p
+         ) WHERE rk <= $k
+       )"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // k-NN density prune (D4-style diversification): per-node mean
+    // cosine to its 8 nearest within-cell neighbors; nodes denser than
+    // 1.02× the corpus mean are flagged for pruning. Density and
+    // threshold decimal-accumulate; the flag compares the rounded
+    // density both engines see.
+    QueryDef(
+      "l_knn_density_prune",
+      (s, d) => {
+        val edges = Graph.knnEdgesFromCandidates(
+          cellCandidates(cellAssignment(s, d)), t(s, d, "embeddings"),
+          "vec_id", "embedding", k = 8)
+        Graph.knnDensityPrune(edges, marginFactor = 1.02)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH ${edgeSql("knn_cells", 8)},
+               den AS (
+                 SELECT src AS vec_id,
+                   ROUND(CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE)
+                     / COUNT(*), 9) AS density
+                 FROM e GROUP BY src
+               ),
+               thr AS (
+                 SELECT CAST(SUM(CAST(density AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*) AS m
+                 FROM den
+               )
+               SELECT vec_id, density, density > m * 1.02e0 AS pruned
+               FROM den CROSS JOIN thr
+               ORDER BY vec_id""")),
+
+    // PageRank centrality over the 4-NN graph: three unrolled damped
+    // (0.85) power iterations from the uniform vector, teleport mass to
+    // every SOURCE node, in-degree-0 nodes keep the teleport term only.
+    // Output: the 20 most-central nodes (rank value rounded to 9, ties
+    // broken by id). Every iteration decimal-accumulates its per-dst
+    // rank mass, so the fixpoint is bit-identical across engines.
+    QueryDef(
+      "l_knn_pagerank",
+      (s, d) => {
+        val edges = Graph.knnEdgesFromCandidates(
+          cellCandidates(cellAssignment(s, d)), t(s, d, "embeddings"),
+          "vec_id", "embedding", k = 4)
+        val pr = Graph.pageRank(edges, iters = 3, damping = 0.85)
+        pr.select(col("id").as("vec_id"), col("in_deg"),
+            round(col("r"), 9).as("pagerank"), col("r"))
+          .withColumn("pr_rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(desc_nulls_last("r"), asc_nulls_last("vec_id"))))
+          .filter(col("pr_rank") <= 20)
+          .select(col("pr_rank"), col("vec_id"), col("in_deg"),
+            col("pagerank"))
+          .orderBy(col("pr_rank"))
+      },
+      Some(s"""WITH ${edgeSql("knn_cells", 4)},
+               deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+               nodes AS (SELECT DISTINCT src AS id FROM e),
+               nn AS (SELECT COUNT(*) AS n FROM nodes),
+               r0 AS (SELECT id, n, 1.0e0 / n AS r FROM nodes CROSS JOIN nn),
+               s1 AS (
+                 SELECT e.dst AS id,
+                   CAST(SUM(CAST(r.r / deg.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS s
+                 FROM e JOIN r0 r ON r.id = e.src JOIN deg ON deg.src = e.src
+                 GROUP BY e.dst
+               ),
+               r1 AS (
+                 SELECT r0.id, r0.n,
+                   (1.0e0 - 0.85e0) / r0.n + 0.85e0 * COALESCE(s1.s, 0e0) AS r
+                 FROM r0 LEFT JOIN s1 ON s1.id = r0.id
+               ),
+               s2 AS (
+                 SELECT e.dst AS id,
+                   CAST(SUM(CAST(r.r / deg.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS s
+                 FROM e JOIN r1 r ON r.id = e.src JOIN deg ON deg.src = e.src
+                 GROUP BY e.dst
+               ),
+               r2 AS (
+                 SELECT r1.id, r1.n,
+                   (1.0e0 - 0.85e0) / r1.n + 0.85e0 * COALESCE(s2.s, 0e0) AS r
+                 FROM r1 LEFT JOIN s2 ON s2.id = r1.id
+               ),
+               s3 AS (
+                 SELECT e.dst AS id,
+                   CAST(SUM(CAST(r.r / deg.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS s
+                 FROM e JOIN r2 r ON r.id = e.src JOIN deg ON deg.src = e.src
+                 GROUP BY e.dst
+               ),
+               r3 AS (
+                 SELECT r2.id, r2.n,
+                   (1.0e0 - 0.85e0) / r2.n + 0.85e0 * COALESCE(s3.s, 0e0) AS r
+                 FROM r2 LEFT JOIN s3 ON s3.id = r2.id
+               ),
+               indeg AS (SELECT dst AS id, COUNT(*) AS c FROM e GROUP BY dst)
+               SELECT pr_rank, vec_id, in_deg, pagerank FROM (
+                 SELECT r3.id AS vec_id,
+                   CAST(COALESCE(indeg.c, 0) AS BIGINT) AS in_deg,
+                   ROUND(r3.r, 9) AS pagerank,
+                   ROW_NUMBER() OVER (
+                     ORDER BY r3.r DESC NULLS LAST, r3.id ASC) AS pr_rank
+                 FROM r3 LEFT JOIN indeg ON indeg.id = r3.id
+               ) WHERE pr_rank <= 20
+               ORDER BY pr_rank"""))
+  )
+}
