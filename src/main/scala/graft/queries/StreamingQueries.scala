@@ -1242,10 +1242,10 @@ object StreamingQueries {
           when(col("l_linenumber") % 2 === 0 && col("l_orderkey") % 8 === 0,
             "d2").otherwise("d1").as("pday"))
         val t0 = System.currentTimeMillis()
-        // batch 1 = four parallel-written files drained as ONE micro-batch
-        // (maxFilesPerTrigger=4 takes the 4 oldest mtimes); batch 2 = the
+        // batch 1 = eight parallel-written files drained as ONE micro-batch
+        // (maxFilesPerTrigger=8 takes the 8 oldest mtimes); batch 2 = the
         // one delta file, 60s later in mtime order
-        landParquetParts(li.filter(col("pday") === "d1"), 4, land, "b1", t0)
+        landParquetParts(li.filter(col("pday") === "d1"), 8, land, "b1", t0)
         landParquetParts(li.filter(col("pday") === "d2"), 1, land, "b2",
           t0 + 60000)
         val stream = s.readStream
@@ -1253,7 +1253,7 @@ object StreamingQueries {
             "l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, " +
             "l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, " +
             "l_shipdate TIMESTAMP, pday STRING")
-          .option("maxFilesPerTrigger", "4")
+          .option("maxFilesPerTrigger", "8")
           .parquet(land)
         val model: DataFrame => DataFrame = rows =>
           graft.gold.GoldModels.factRounds(

@@ -568,8 +568,16 @@ object IncrementalTable {
     val added = toFiles.toSet -- fromFiles.toSet
     val before = readFiles(spark, path, toSchema, removed.toSeq.sorted)
     val after = readFiles(spark, path, toSchema, added.toSeq.sorted)
-    after.exceptAll(before).withColumn("__change", lit("insert"))
-      .unionByName(before.exceptAll(after).withColumn("__change", lit("delete")))
+    // Pure-insert / pure-delete transitions (a new partition lands, a
+    // partition is dropped) need no multiset subtraction: exceptAll
+    // against an EMPTY side is the identity on the other, so the
+    // aggregate round both exceptAlls plan is pure overhead. Decided at
+    // the FILE level — no data is read to pick the path.
+    if (removed.isEmpty) after.withColumn("__change", lit("insert"))
+    else if (added.isEmpty) before.withColumn("__change", lit("delete"))
+    else
+      after.exceptAll(before).withColumn("__change", lit("insert"))
+        .unionByName(before.exceptAll(after).withColumn("__change", lit("delete")))
   }
 
   /** Drop all but the newest `keep` versions (current always kept), then
