@@ -43,6 +43,18 @@ object GraphQueries {
     * ~n·CellTarget/2 — linear in the corpus. */
   private val CellTarget = 256L
 
+  /** Skew guard (the bucketCap/dfCap discipline applied to cells):
+    * auto-k pins the MEAN cell size, but a skewed embedding mass — one
+    * mega-cluster holding most of the corpus — still lands in one cell
+    * and its within-cell join goes quadratic. Cells above this cap
+    * split deterministically by id-hash into ⌈size/cap⌉ sub-cells;
+    * neighborhoods inside a mega-cell become approximate (each node
+    * ranks within its sub-cell — the capped-cluster approximation
+    * SemDeDup-family pipelines make), and candidate volume stays
+    * ≤ size·cap per cell. At 4×CellTarget the cap never binds on a
+    * balanced assignment, so unskewed results are exact. */
+  private val CellCap = 4 * CellTarget
+
   private val cellsCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
 
@@ -51,19 +63,31 @@ object GraphQueries {
     * INDEX by production contract (`cachedIndex` / `cachedFactRounds`
     * discipline): built once, probed by every graph query. Both graph
     * gates read the same assignment; the materialized copy is what the
-    * DuckDB oracles derive their pairs from. */
+    * DuckDB oracles derive their pairs from (sub-splitting included —
+    * the oracle sees only the final cell key). */
   private[queries] def cellAssignment(s: SparkSession, d: String): DataFrame =
     cellsCache.computeIfAbsent((s, d), { k =>
       val vecs = t(k._1, k._2, "embeddings")
       val n = vecs.count()
       val kk = math.max(8L, (n + CellTarget - 1) / CellTarget).toInt
       val centroids = Similarity.trainIvfCentroids(vecs, "embedding", kk)
+      val assigned = Similarity.withIvfList(
+          vecs.select(col("vec_id").as("id"), col("embedding").as("v")),
+          "v", centroids)
+        .filter(col("__ivf_list") >= 0) // unassignable: no pseudo-cluster
+        .select(col("id"), col("__ivf_list").as("cell"))
+      // cell-size census is cell-grain (tiny) — broadcast back for the
+      // oversize sub-split; balanced assignments take sub = 0 everywhere
+      val sizes = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("__csz"))
       materialize(
-        Similarity.withIvfList(
-            vecs.select(col("vec_id").as("id"), col("embedding").as("v")),
-            "v", centroids)
-          .filter(col("__ivf_list") >= 0) // unassignable: no pseudo-cluster
-          .select(col("id"), col("__ivf_list").as("cell")),
+        assigned.join(broadcast(sizes), "cell")
+          .select(col("id"),
+            concat(col("cell"), lit(":"),
+              when(col("__csz") <= CellCap, lit(0L)).otherwise(
+                pmod(xxhash64(col("id")),
+                  ceil(col("__csz") / lit(CellCap.toDouble))
+                    .cast("long")))).as("cell")),
         "knn_cells").persist()
     })
 
@@ -153,12 +177,21 @@ object GraphQueries {
           cellCandidates(cellAssignment(s, d)), t(s, d, "embeddings"),
           "vec_id", "embedding", k = 4)
         val pr = Graph.pageRank(edges, iters = 3, damping = 0.85)
-        pr.select(col("id").as("vec_id"), col("in_deg"),
+        // top-20 via TakeOrderedAndProject (k-row heap merge — never a
+        // global sort), then rank by broadcast self-join over the bounded
+        // 20-row frame (the w5 discipline: no unpartitioned window, ever)
+        val top = pr
+          .orderBy(desc_nulls_last("r"), asc_nulls_last("id"))
+          .limit(20)
+          .select(col("id").as("vec_id"), col("in_deg"),
             round(col("r"), 9).as("pagerank"), col("r"))
-          .withColumn("pr_rank", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(desc_nulls_last("r"), asc_nulls_last("vec_id"))))
-          .filter(col("pr_rank") <= 20)
+        val o = top.select(col("vec_id").as("o_id"), col("r").as("o_r"))
+        top.join(broadcast(o),
+            col("o_r") > col("r") ||
+              (col("o_r") === col("r") && col("o_id") < col("vec_id")),
+            "left")
+          .groupBy(col("vec_id"), col("in_deg"), col("pagerank"))
+          .agg((count(col("o_id")) + 1).cast("int").as("pr_rank"))
           .select(col("pr_rank"), col("vec_id"), col("in_deg"),
             col("pagerank"))
           .orderBy(col("pr_rank"))
