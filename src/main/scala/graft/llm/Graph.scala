@@ -65,6 +65,33 @@ object Graph {
     rankTopK(joined, k)
   }
 
+  /** k-NN edges computed INSIDE a cell assignment (`cellsV` = (id,
+    * cell, v)) — the at-scale constructor. ONE shuffle, keyed by cell,
+    * carries the vector payloads into the self-join, so pair-grain rows
+    * never re-join the corpus (the candidates-then-fetch form joins the
+    * vector table twice AT PAIR GRAIN — measured 5× slower at ×100,
+    * where 3×10⁷ pairs each dragged two 64-float payloads through two
+    * extra shuffles). Per-src top-k is the bounded-heap aggregate
+    * ([[graft.functions.TopKStructs]]): map-side combined, only k rows
+    * per (src, partition) cross the wire — never a pair-grain
+    * window/sort. Ordering matches [[knnEdges]]: cosine DESC, dst ASC
+    * on ties (via the negated-dst struct field). */
+  def knnEdgesWithinCells(cellsV: DataFrame, k: Int): DataFrame = {
+    val a = cellsV.select(col("cell"), col("id").as("src"), col("v").as("av"))
+    val b = cellsV.select(col("cell").as("__c2"), col("id").as("dst"),
+      col("v").as("bv"))
+    a.join(b, col("cell") === col("__c2") && col("src") =!= col("dst"))
+      .withColumn("cosine", F.cosineSim(col("av"), col("bv")))
+      .groupBy(col("src"))
+      .agg(F.topKStructs(
+        struct(col("cosine"), (-col("dst")).as("__negDst"), col("dst")),
+        k).as("__top"))
+      .select(col("src"), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("src"), col("__t.dst").as("dst"),
+        col("__t.cosine").as("cosine"),
+        (col("__pos") + 1).cast("int").as("rank"))
+  }
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("src"))
       .orderBy(desc_nulls_last("cosine"), asc_nulls_last("dst"))

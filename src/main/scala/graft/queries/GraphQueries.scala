@@ -71,8 +71,14 @@ object GraphQueries {
       val n = vecs.count()
       val kk = math.max(8L, (n + CellTarget - 1) / CellTarget).toInt
       val centroids = Similarity.trainIvfCentroids(vecs, "embedding", kk)
+      // The assignment kernel is O(k·dim) per ROW over a byte-compact
+      // columnar input: a single 50 MB parquet file is one scan task by
+      // maxPartitionBytes, which serializes ~10¹⁰ multiply-adds on one
+      // core at ×100. Repartition to the session's parallelism first —
+      // a node-grain shuffle, trivial next to the compute it unblocks.
       val assigned = Similarity.withIvfList(
-          vecs.select(col("vec_id").as("id"), col("embedding").as("v")),
+          vecs.select(col("vec_id").as("id"), col("embedding").as("v"))
+            .repartition(k._1.sparkContext.defaultParallelism),
           "v", centroids)
         .filter(col("__ivf_list") >= 0) // unassignable: no pseudo-cluster
         .select(col("id"), col("__ivf_list").as("cell"))
@@ -97,13 +103,15 @@ object GraphQueries {
   def prewarmSharedCells(s: SparkSession, d: String): Unit =
     cellAssignment(s, d).write.mode("overwrite").format("noop").save()
 
-  /** Within-cell CANONICAL candidate pairs from a materialized
-    * assignment — one equi-join on the cell id. */
-  private def cellCandidates(cells: DataFrame): DataFrame =
-    cells.select(col("cell"), col("id").as("id_a"))
-      .join(cells.select(col("cell"), col("id").as("id_b")), "cell")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+  /** The materialized assignment re-joined with its vectors — the
+    * (id, cell, v) frame [[Graph.knnEdgesWithinCells]] consumes. One
+    * node-grain equi-join; the cell self-join downstream then carries
+    * the payloads in its single shuffle. */
+  private def cellsWithVectors(s: SparkSession, d: String): DataFrame =
+    cellAssignment(s, d).join(
+      t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("v")),
+      "id")
 
   /** Shared oracle prefix: read the materialized assignment, derive
     * directed within-cell pairs, exact cosine, per-src top-k rank. */
@@ -142,9 +150,7 @@ object GraphQueries {
     QueryDef(
       "l_knn_density_prune",
       (s, d) => {
-        val edges = Graph.knnEdgesFromCandidates(
-          cellCandidates(cellAssignment(s, d)), t(s, d, "embeddings"),
-          "vec_id", "embedding", k = 8)
+        val edges = Graph.knnEdgesWithinCells(cellsWithVectors(s, d), k = 8)
         Graph.knnDensityPrune(edges, marginFactor = 1.02)
           .orderBy(col("vec_id"))
       },
@@ -173,9 +179,7 @@ object GraphQueries {
     QueryDef(
       "l_knn_pagerank",
       (s, d) => {
-        val edges = Graph.knnEdgesFromCandidates(
-          cellCandidates(cellAssignment(s, d)), t(s, d, "embeddings"),
-          "vec_id", "embedding", k = 4)
+        val edges = Graph.knnEdgesWithinCells(cellsWithVectors(s, d), k = 4)
         val pr = Graph.pageRank(edges, iters = 3, damping = 0.85)
         // top-20 via TakeOrderedAndProject (k-row heap merge — never a
         // global sort), then rank by broadcast self-join over the bounded

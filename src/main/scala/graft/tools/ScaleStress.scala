@@ -72,6 +72,11 @@ object ScaleStress {
     // two-level timestamp agg and the fatigue rollup under skew
     "l_boilerplate_strip", "l_corpus_diff", "l_fertility",
     "d19_hole_durations", "d20_nine_loop_pace",
+    // round-9 additions: the embedding-graph gates — the auto-k cell
+    // assignment must keep the within-cell candidate join linear as the
+    // vector corpus scales (k ∝ n), and the pagerank chain's structural
+    // caches must hold at a ×100 edge list
+    "l_knn_density_prune", "l_knn_pagerank",
     // round-7 corpus close: the dashboard tail's heavy hitters under
     // the hot course (the 16-metric conditional-agg composite, the
     // round-grain validation ladder, the full round listing — output-

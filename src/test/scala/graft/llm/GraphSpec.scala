@@ -27,6 +27,21 @@ class GraphSpec extends SparkSpec {
       exact.exceptAll(fromCands).isEmpty)
   }
 
+  test("knnEdgesWithinCells equals the candidates-then-fetch form per cell") {
+    val cells = vecs.select(col("vec_id").as("id"),
+      (col("vec_id") % 3).as("cell"), col("embedding").as("v"))
+    val viaHeap = Graph.knnEdgesWithinCells(cells, k = 5)
+    val cands = cells.select(col("cell"), col("id").as("id_a"))
+      .join(cells.select(col("cell"), col("id").as("id_b")), "cell")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val viaWindow = Graph.knnEdgesFromCandidates(
+      cands, vecs, "vec_id", "embedding", k = 5)
+    assert(viaHeap.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaHeap).isEmpty,
+      "bounded-heap ranking must match the window ranking edge-for-edge")
+  }
+
   test("pageRank over a symmetric k-NN graph conserves rank mass") {
     val edges = Graph.knnEdges(vecs, "vec_id", "embedding", k = 4)
     val pr = Graph.pageRank(edges, iters = 3, damping = 0.85)
