@@ -156,6 +156,14 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
     val e = persistOnce(edges.select(col("src"), col("dst")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Fill the edge cache EAGERLY: the lazy chain's independent branches
+    // (degrees, node set, per-iteration contributions) schedule
+    // concurrently and would each recompute the un-filled cache's
+    // partitions — measured as ~3× the edge-construction cost leaking
+    // back in. One count() is one cheap barrier; everything after reads
+    // the cache. (The per-ITERATION barriers stay gone — rank levels are
+    // node-grain and referenced once, so they never duplicate work.)
+    e.count()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("id")).distinct()
     val n1 = nodes.agg(count(lit(1)).as("n"))
