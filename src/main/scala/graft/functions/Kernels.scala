@@ -52,6 +52,31 @@ object Kernels {
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  /** Dense mat-vec y = M·v (M = outDim × inDim literal weights) — the
+    * Johnson–Lindenstrauss projection kernel. Each output coordinate
+    * accumulates in Double, strictly left to right (the corpus'
+    * list_sum contract, so the DuckDB oracle reproduces it bit-exact).
+    * Row-length mismatch or a null element → null. */
+  def matVec(v: ArrayData, m: Array[Array[Double]], isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    if (m.length == 0 || m(0).length != n) return null
+    val out = new Array[Double](m.length)
+    var j = 0
+    while (j < m.length) {
+      val row = m(j)
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i)) return null
+        s += row(i) * elem(v, i, isFloat)
+        i += 1
+      }
+      out(j) = s
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** euclidean distance, one pass. */
   def euclidean(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()

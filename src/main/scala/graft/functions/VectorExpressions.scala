@@ -428,6 +428,39 @@ case class XxHash64Array(child: Expression) extends UnaryExpression {
 /** Nearest-centroid (L2) assignment against a fixed centroid table —
   * the IVF coarse quantizer. Centroids ride along as a reference object
   * (one shared array, not per-row literals). */
+/** Dense projection y = M·v with a literal weight matrix (outDim ×
+  * inDim), codegen'd via [[Kernels.matVec]] — the Johnson–Lindenstrauss
+  * random-projection step of an embedding pipeline. The matrix rides
+  * into generated code as one reference object shared across rows
+  * (same mechanism as [[NearestCentroid]]'s centroid table). */
+case class MatVec(child: Expression, matrix: Array[Array[Double]])
+    extends UnaryExpression {
+  override def prettyName: String = "mat_vec"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mat_vec requires array<float|double>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.matVec(input.asInstanceOf[ArrayData], matrix, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matrix", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Kernels.matVec($a, $ref, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
   override def prettyName: String = "nearest_centroid"
@@ -567,6 +600,8 @@ object F {
   def xxhash64Array(strings: Column): Column = c(XxHash64Array(e(strings)))
   def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
     c(NearestCentroid(e(v), centroids))
+  def matVec(v: Column, matrix: Array[Array[Double]]): Column =
+    c(MatVec(e(v), matrix))
   def maxTokenFreqRatio(tokens: Column): Column = c(MaxTokenFreqRatio(e(tokens)))
   def maxTokenFreq(tokens: Column): Column = c(MaxTokenFreq(e(tokens)))
   def winnow(text: Column, k: Int, w: Int): Column = c(Winnow(e(text), k, w))

@@ -753,18 +753,36 @@ object Dedup {
     * doc the minimum id of its component as `canonical_id` — the
     * keep-one step every dedup pipeline runs after MinHash/SimHash.
     *
-    * Iterative min-label propagation: each step joins current labels to
-    * the (bidirected) edge list and takes the min over self + neighbors,
-    * until a fixpoint (checked distributed — no label stream ever hits
-    * the driver). Converges in O(component diameter) rounds; near-dup
-    * components are shallow in practice. Each round is one shuffle on id.
-    * Every 5 rounds the label frame is locally checkpointed, so the plan
-    * tree stays bounded for deep components instead of growing one join
-    * per round. A non-converged exit (diameter > maxIter) is logged
-    * loudly — the labels would be only partially propagated.
+    * Since round 9 this routes through
+    * [[graft.llm.Graph.connectedComponents]] (alternating large-star /
+    * small-star contraction): O(log diameter) rounds instead of the
+    * label-propagation baseline's O(diameter), which is the difference
+    * between "runs" and "doesn't" on chain-shaped components (templated
+    * / serially-edited docs where consecutive versions overlap but
+    * endpoints don't). Docs in no pair keep their own id.
     *
     * `ids` = one row per doc id; `pairs` = (id_a, id_b) near-dup pairs. */
   def canonicalizeNearDups(
+      ids: DataFrame, pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val labels = Graph.connectedComponents(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")),
+      maxRounds = maxIter)
+    ids.select(col(ids.columns.head).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("canonical_id"))
+  }
+
+  /** The O(diameter) min-label-propagation fixpoint — superseded by the
+    * star-contraction path above, KEPT as the independent small-slice
+    * verification baseline (GraphSpec pins the two implementations
+    * multiset-identical on random graphs): each step joins current
+    * labels to the (bidirected) edge list and takes the min over self +
+    * neighbors until a distributed fixpoint check passes. One shuffle
+    * per diameter hop; every 5 rounds the label frame is locally
+    * checkpointed so the plan tree stays bounded. A non-converged exit
+    * (diameter > maxIter) is logged loudly. */
+  private[graft] def canonicalizeNearDupsLabelProp(
       ids: DataFrame, pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val checkpointEvery = 5
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -801,7 +819,7 @@ object Dedup {
       }
       if (!converged)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"canonicalizeNearDups did NOT converge after $maxIter iterations; " +
+          s"canonicalizeNearDupsLabelProp did NOT converge after $maxIter iterations; " +
             "canonical_id values are only partially propagated " +
             "(component diameter exceeds maxIter)")
       labels

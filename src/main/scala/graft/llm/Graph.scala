@@ -190,6 +190,99 @@ object Graph {
         col("r"))
   }
 
+  /** Connected components over an undirected pair list via alternating
+    * large-star / small-star rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — the O(log d)
+    * fixpoint, vs min-label propagation's O(d) rounds
+    * ([[graft.llm.Dedup.canonicalizeNearDupsLabelProp]], kept as the
+    * small-slice verification baseline).
+    *
+    * Why it matters at 100 TB: near-dup components are usually shallow
+    * (clone clusters), but templated / serially-edited corpora produce
+    * CHAINS — A~B~C~… where consecutive versions overlap but endpoints
+    * don't. Label propagation pays one full edge-grain shuffle round
+    * per hop of diameter (a 300-deep chain = 300 shuffle rounds — not
+    * runnable); star contraction halves every path each (large, small)
+    * pair, so the same chain converges in ~⌈log₂ d⌉ + 2 rounds. Both
+    * star steps are a groupBy(min) + a co-partitioned self-join on the
+    * SAME key (one real exchange each), edge counts never grow
+    * (each step's output ≤ its input, per the paper's Lemma 1), and the
+    * intermediate state stays edge-grain — no node ever sees more than
+    * its neighborhood, so a mega-component costs its edges, not n².
+    *
+    * Invariant maintained between rounds: edges oriented (u, v) with
+    * u > v, distinct, no self-loops. At the fixpoint the edge set is a
+    * star forest — every u points directly at its component's minimum —
+    * and labels read straight off the edges. Nodes absent from `edges`
+    * are the caller's to label (they're singletons).
+    *
+    * Returns (id, component) for every node incident to ≥1 edge,
+    * component = min id of the connected component. */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 20): DataFrame =
+    ccWithRounds(edges, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of (large-star, small-star)
+    * rounds the fixpoint took — exposed for the convergence-rate specs. */
+  private[graft] def ccWithRounds(
+      edges0: DataFrame, maxRounds: Int): (DataFrame, Int) = {
+    var e = edges0
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    var eCount = e.count()
+    var converged = eCount == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star: every node connects its strictly-LARGER neighbors to
+      // the minimum of its closed neighborhood. Output rows (b, m) keep
+      // the u > v orientation for free: b > a >= m.
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+      val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("mb"), col("a")).as("m"))
+      val ls = sym.join(mins, "a")
+        .filter(col("b") > col("a") && col("b") =!= col("m"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: edges already point large→small, so each node's
+      // smaller neighborhood min m = min(v); connect every smaller
+      // neighbor AND the node itself to m. v >= m by construction.
+      val minsS = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val stepped = ls.join(minsS, "u")
+        .select(col("v").as("nu"), col("m").as("nv"))
+        .unionByName(minsS.select(col("u").as("nu"), col("m").as("nv")))
+        .filter(col("nu") =!= col("nv"))
+        .select(col("nu").as("u"), col("nv").as("v"))
+        .distinct()
+      // Lineage MUST truncate every round: one (large, small) step
+      // references its input ~a dozen times through the two self-joins
+      // (sym ×2 → mins/join ×2 → minsS/join ×2), so the un-truncated
+      // logical tree grows ~12× PER ROUND — exponential, and it OOMs
+      // the driver building plan strings long before executing. An
+      // eager localCheckpoint per round makes each round's input a leaf
+      // (the label-prop baseline gets away with every-5 because its
+      // step references the label frame only twice). Rounds are
+      // O(log d), so this is a handful of node-grain materializations.
+      val next = stepped.localCheckpoint()
+      val nextCount = next.count()
+      // distinct sets: equal size + (next \ e) empty ⇒ identical
+      converged = nextCount == eCount &&
+        next.except(e).limit(1).count() == 0
+      e = next // old checkpoint blocks are ContextCleaner-reclaimed
+      eCount = nextCount
+      round += 1
+    }
+    if (!converged && round >= maxRounds)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did NOT converge after $maxRounds rounds; " +
+          "labels read off a non-star edge set may be transitively stale")
+    val labels = e.select(col("u").as("id"), col("v").as("component"))
+      .unionByName(
+        e.select(col("v").as("id"), col("v").as("component")).distinct())
+    (labels, round)
+  }
+
   /** persist() that tolerates re-running the same lineage (bench
     * repeats): an already-cached plan is reused, not re-registered —
     * avoids CacheManager's "already cached" churn. The final rank frame

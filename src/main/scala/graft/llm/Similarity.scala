@@ -44,6 +44,39 @@ object Similarity {
       a: DataFrame, b: DataFrame, vecCol: String): DataFrame =
     embeddingDriftAgainstMeans(dimMeans(a, vecCol, "a"), b, vecCol)
 
+  /** Deterministic Achlioptas-sparse Johnson–Lindenstrauss projection
+    * matrix (outDim × inDim): entries √(3/outDim)·{+1 w.p. 1/6,
+    * −1 w.p. 1/6, 0 w.p. 2/3}, each derived independently from
+    * xxhash64(seed, j·P+i) — order-free reproducible, 2/3 of the
+    * multiplies vanish, and the JL distance-preservation guarantee
+    * holds with the same ε as the dense Gaussian matrix (Achlioptas,
+    * "Database-friendly random projections", PODS 2001). */
+  def jlMatrix(inDim: Int, outDim: Int, seed: Long): Array[Array[Double]] = {
+    val scale = math.sqrt(3.0 / outDim)
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(j.toLong * 1000003L + i, seed)
+      java.lang.Math.floorMod(h, 6L) match {
+        case 0L => scale
+        case 1L => -scale
+        case _ => 0.0
+      }
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection of an embedding column to
+    * `outDim` dimensions — the pre-ANN / pre-clustering compression step
+    * (64→16 cuts every downstream distance pass 4×, preserving pairwise
+    * distances within the JL ε). ZERO shuffles: the matrix rides into
+    * whole-stage codegen as one shared reference object
+    * ([[graft.functions.MatVec]]) and each row is one fused mat-vec —
+    * at 100 TB this is a map-only pass that scales with the scan. */
+  def randomProject(
+      df: DataFrame, idCol: String, vecCol: String,
+      inDim: Int, outDim: Int, seed: Long): DataFrame =
+    df.select(col(idCol),
+      F.matVec(col(vecCol), jlMatrix(inDim, outDim, seed)).as("proj"))
+
   /** One side's per-dimension decimal-exact means — dims-sized. Compute
     * ONCE for a fixed reference snapshot and reuse across comparisons
     * ([[graft.streaming.StreamingCorpus.startDriftMonitor]] does): the

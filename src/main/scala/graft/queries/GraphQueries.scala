@@ -247,6 +247,51 @@ object GraphQueries {
                      ORDER BY r3.r DESC NULLS LAST, r3.id ASC) AS pr_rank
                  FROM r3 LEFT JOIN indeg ON indeg.id = r3.id
                ) WHERE pr_rank <= 20
-               ORDER BY pr_rank"""))
+               ORDER BY pr_rank""")),
+
+    // Connected components on a DEEP graph — the star-contraction
+    // fixpoint (Graph.connectedComponents, O(log d) rounds) on exactly
+    // the shape min-label propagation cannot run: stride-7 chains over
+    // the doc-id line (~n/7 nodes deep — 714 at sf0.1) bridged every
+    // 100 ids so residue-class chains merge into two multi-chain
+    // components. Label propagation at the default 25-iteration cap
+    // would leave these labels hundreds of hops stale; contraction
+    // converges in ~⌈log₂ d⌉ + 2 rounds (GraphSpec pins the round
+    // count). Oracle: min-id transitive closure via recursive CTE over
+    // the same arithmetically-derived edge list.
+    QueryDef(
+      "l_cc_deep_chain",
+      (s, d) => {
+        val ids = t(s, d, "documents").select(col("doc_id"))
+        val present = ids.select(col("doc_id").as("id_b"))
+        val chain = ids
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 7).as("id_b"))
+          .join(present, Seq("id_b"), "left_semi")
+        val bridges = ids.filter(pmod(col("doc_id"), lit(100)) === 0)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+          .join(present, Seq("id_b"), "left_semi")
+        graft.llm.Dedup.canonicalizeNearDups(
+            ids, chain.unionByName(bridges))
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE ids AS (SELECT doc_id FROM documents),
+              chain AS (
+                SELECT a.doc_id AS src, a.doc_id + 7 AS dst FROM ids a
+                WHERE EXISTS (SELECT 1 FROM ids b WHERE b.doc_id = a.doc_id + 7)
+                UNION ALL
+                SELECT a.doc_id, a.doc_id + 1 FROM ids a
+                WHERE a.doc_id % 100 = 0
+                  AND EXISTS (SELECT 1 FROM ids b WHERE b.doc_id = a.doc_id + 1)
+              ),
+              edges AS (
+                SELECT src, dst FROM chain UNION ALL SELECT dst, src FROM chain
+              ),
+              reach(id, r) AS (
+                SELECT doc_id, doc_id FROM ids
+                UNION
+                SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+              )
+              SELECT id, MIN(r) AS canonical_id FROM reach
+              GROUP BY id ORDER BY id"""))
   )
 }

@@ -2967,6 +2967,45 @@ object LlmQueries {
                   ELSE 0.0e0 END AS max_err
               FROM s ORDER BY vec_id""")),
 
+    // Johnson–Lindenstrauss random projection 64→16 (the pre-ANN /
+    // pre-clustering compression pass): a deterministic Achlioptas-
+    // sparse matrix rides into whole-stage codegen as one shared
+    // reference object and every row is one fused mat-vec — zero
+    // shuffles, scales with the scan. The seeded matrix generator is
+    // engine-specific (xxhash64 mixing), so the MATRIX is materialized
+    // (outDim rows — trivially linear) and the oracle recomputes every
+    // projection from it with the same strict left-to-right list_sum.
+    QueryDef(
+      "l_random_projection",
+      (s, d) => {
+        import s.implicits._
+        val m = Similarity.jlMatrix(inDim = 64, outDim = 16, seed = 2024L)
+        materialize(
+          m.zipWithIndex.map { case (w, j) => (j, w.toSeq) }.toSeq
+            .toDF("j", "w"), "jl_matrix")
+        Similarity.randomProject(
+            t(s, d, "embeddings"), "vec_id", "embedding",
+            inDim = 64, outDim = 16, seed = 2024L)
+          .select(col("vec_id"),
+            transform(col("proj"), x => round(x, 9)).as("proj"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH m AS (
+                 SELECT j, w FROM read_parquet('$OracleScratch/jl_matrix/*.parquet')
+               ),
+               v AS (
+                 SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings
+               ),
+               p AS (
+                 SELECT v.vec_id, m.j,
+                   list_sum(list_transform(range(1, len(v.e) + 1),
+                     i -> m.w[i] * v.e[i])) AS y
+                 FROM v CROSS JOIN m
+               )
+               SELECT vec_id, list(ROUND(y, 9) + 0e0 ORDER BY j) AS proj
+               FROM p GROUP BY vec_id ORDER BY vec_id""")),
+
     // Deterministic md5-bucket train/val/test split: assignment depends
     // only on the id (stable under re-runs, appends, engines — md5 is
     // portable where xxhash64 seeds are not). Row-local codegen, no

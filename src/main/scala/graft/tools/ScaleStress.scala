@@ -77,6 +77,13 @@ object ScaleStress {
     // vector corpus scales (k ∝ n), and the pagerank chain's structural
     // caches must hold at a ×100 edge list
     "l_knn_density_prune", "l_knn_pagerank",
+    // star-contraction CC: replicas are disjoint 1e6-stride id blocks,
+    // so ×100 holds diameter (~714) while multiplying component count
+    // and edge volume ×100 — the slope measures edge-grain scaling at
+    // fixed round count (diameter growth is GraphSpec's axis)
+    "l_cc_deep_chain",
+    // JL projection: map-only by claim — the slope IS the plan assertion
+    "l_random_projection",
     // round-7 corpus close: the dashboard tail's heavy hitters under
     // the hot course (the 16-metric conditional-agg composite, the
     // round-grain validation ladder, the full round listing — output-

@@ -78,4 +78,86 @@ class GraphSpec extends SparkSpec {
     val pruned = den.filter(col("pruned")).count()
     assert(pruned > 0 && pruned < n, s"pruned $pruned of $n")
   }
+
+  // ------------------------------------------- connected components
+
+  /** Driver-side union-find ground truth for small random graphs. */
+  private def unionFind(
+      nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-id labeling: the root chosen above is always the smaller id
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("connectedComponents matches union-find on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val nodes = (0L until n).toSeq
+      val m = rnd.nextInt(2 * n) + n / 2
+      val edges = Seq.fill(m)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val expected = unionFind(nodes, edges)
+      val got = Dedup.canonicalizeNearDups(
+          nodes.toDF("id"), edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial: n=$n m=$m")
+      // independent engine baseline: label propagation (O(diameter)
+      // rounds — fine at this scale) must agree edge-for-edge
+      val lp = Dedup.canonicalizeNearDupsLabelProp(
+          nodes.toDF("id"), edges.toDF("id_a", "id_b"), maxIter = 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lp === expected, s"label-prop baseline diverged on trial $trial")
+    }
+  }
+
+  test("star contraction converges in O(log d) rounds on a 200-deep path") {
+    import spark.implicits._
+    val n = 200
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = Graph.ccWithRounds(edges, maxRounds = 20)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === n)
+    assert(got.values.forall(_ == 0L), "all labels must reach the chain min")
+    // ⌈log₂ 200⌉ = 8; allow slack for the contraction constant. Label
+    // propagation would need 199 rounds on this graph — the point.
+    assert(rounds <= 12, s"contraction took $rounds rounds on diameter $n")
+  }
+
+  test("connectedComponents handles self-loops, duplicates and orientation") {
+    import spark.implicits._
+    val edges = Seq(
+      (5L, 5L),          // self-loop: dropped
+      (3L, 1L), (1L, 3L),// both orientations of one edge
+      (2L, 1L), (2L, 1L) // duplicate
+    ).toDF("src", "dst")
+    val got = Graph.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 5 had only a self-loop: absent from edge-incident labels —
+    // the caller (canonicalizeNearDups) owns singleton labeling
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val canon = Dedup.canonicalizeNearDups(
+        Seq(1L, 2L, 3L, 5L, 9L).toDF("id"),
+        Seq((5L, 5L), (3L, 1L), (2L, 1L)).toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 9L -> 9L))
+  }
+
+  test("connectedComponents of an empty pair list labels nothing") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.connectedComponents(empty).isEmpty)
+  }
 }

@@ -322,16 +322,20 @@ class LlmSpec extends SparkSpec {
 
   test("canonicalization converges on deep chains (checkpointed lineage)") {
     // A 14-node path has component diameter > checkpointEvery (5), so the
-    // loop crosses at least two localCheckpoint generations — the labels
-    // must still reach the fixpoint (all canonical to the min id) and the
+    // label-prop BASELINE crosses at least two localCheckpoint
+    // generations — the labels must still reach the fixpoint and the
     // returned frame must stay collectable after lineage truncation.
+    // The public path (star contraction since round 9) must agree.
     val n = 14
     val ids = (0L until n).toDF("id")
     val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.canonicalizeNearDups(ids, pairs, maxIter = 20)
+    val labels = Dedup.canonicalizeNearDupsLabelProp(ids, pairs, maxIter = 20)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size === n)
     assert(labels.values.forall(_ == 0L), s"not converged: $labels")
+    val cc = Dedup.canonicalizeNearDups(ids, pairs, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === labels, "contraction path diverged from label-prop")
   }
 
   test("LSH top-k probe finds the query's injected identical vector first") {
@@ -1429,5 +1433,43 @@ class LlmSpec extends SparkSpec {
         sampleMod = 5L, sampleCap = 2)
       .select("bucket").distinct().collect().map(_.getString(0)).toSet
     assert(capped.nonEmpty && capped.subsetOf(Set("head", "middle", "tail")))
+  }
+
+  test("JL random projection preserves pairwise distances and stays map-only") {
+    val proj = Similarity.randomProject(
+      vecs, "vec_id", "embedding", inDim = 64, outDim = 16, seed = 2024L)
+    // map-only: the projection must plan with ZERO exchanges — at scale
+    // it is a pure scan-side pass
+    assert(!proj.queryExecution.executedPlan.toString.contains("Exchange"),
+      "randomProject must not shuffle")
+    val p = proj.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(p.values.forall(_.length == 16))
+    val v = vecs.select("vec_id", "embedding").collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // JL guarantee: squared distances within (1±ε); at outDim=16 the ε
+    // is loose, so assert the MEDIAN ratio over a fixed pair sample is
+    // near 1 and every ratio stays within a wide sanity band
+    val ids = v.keys.toSeq.sorted.take(40)
+    val ratios = for {
+      (a, i) <- ids.zipWithIndex; b <- ids.drop(i + 1)
+      da = d2(v(a), v(b)) if da > 0
+    } yield d2(p(a), p(b)) / da
+    val sortedR = ratios.sorted
+    val median = sortedR(sortedR.size / 2)
+    assert(math.abs(median - 1.0) < 0.25, s"median distortion $median")
+    assert(ratios.forall(r => r > 0.1 && r < 3.5),
+      s"pair distortion out of band: ${ratios.filterNot(r => r > 0.1 && r < 3.5).take(3)}")
+    // deterministic: same seed, same matrix, same projections
+    val again = Similarity.randomProject(
+        vecs, "vec_id", "embedding", inDim = 64, outDim = 16, seed = 2024L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p.keys.forall(k => again(k) == p(k).toSeq))
+    // Achlioptas sparsity: ~2/3 of matrix entries are exactly zero
+    val m = Similarity.jlMatrix(64, 16, 2024L)
+    val zeros = m.map(_.count(_ == 0.0)).sum.toDouble / (64 * 16)
+    assert(zeros > 0.55 && zeros < 0.78, s"zero fraction $zeros")
   }
 }
