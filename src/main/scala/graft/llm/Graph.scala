@@ -230,13 +230,30 @@ object Graph {
         least(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint()
-    var eCount = e.count()
-    var converged = eCount == 0L
+    // Convergence test = "is e a star forest?": (1) no edge's parent is
+    // itself a child (a.v never appears as some b.u), and (2) every
+    // child has exactly ONE parent (u unique — condition 1 alone would
+    // accept a two-parent node with no grandparents). Star forests are
+    // exactly the fixpoints of the (large, small) pair, so this probe
+    // replaces the count+except pair AND fires on the earliest
+    // converged round instead of one round later (these per-round
+    // driver actions, not the contraction itself, dominate the gate's
+    // wall time on small graphs). The && short-circuits: probe (2) only
+    // runs once probe (1) passes, i.e. at/near convergence.
+    def isStarForest: Boolean =
+      e.alias("a")
+        .join(e.alias("b"), col("a.v") === col("b.u"), "left_semi")
+        .isEmpty &&
+      e.groupBy(col("u")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).isEmpty
+    var converged = isStarForest
     var round = 0
     while (!converged && round < maxRounds) {
       // large-star: every node connects its strictly-LARGER neighbors to
       // the minimum of its closed neighborhood. Output rows (b, m) keep
-      // the u > v orientation for free: b > a >= m.
+      // the u > v orientation for free: b > a >= m. No distinct here —
+      // the small-star min aggregation absorbs duplicates and the final
+      // distinct canonicalizes the round's output.
       val sym = e.select(col("u").as("a"), col("v").as("b"))
         .unionByName(e.select(col("v").as("a"), col("u").as("b")))
       val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
@@ -244,7 +261,6 @@ object Graph {
       val ls = sym.join(mins, "a")
         .filter(col("b") > col("a") && col("b") =!= col("m"))
         .select(col("b").as("u"), col("m").as("v"))
-        .distinct()
       // small-star: edges already point large→small, so each node's
       // smaller neighborhood min m = min(v); connect every smaller
       // neighbor AND the node itself to m. v >= m by construction.
@@ -264,13 +280,8 @@ object Graph {
       // (the label-prop baseline gets away with every-5 because its
       // step references the label frame only twice). Rounds are
       // O(log d), so this is a handful of node-grain materializations.
-      val next = stepped.localCheckpoint()
-      val nextCount = next.count()
-      // distinct sets: equal size + (next \ e) empty ⇒ identical
-      converged = nextCount == eCount &&
-        next.except(e).limit(1).count() == 0
-      e = next // old checkpoint blocks are ContextCleaner-reclaimed
-      eCount = nextCount
+      e = stepped.localCheckpoint() // old blocks ContextCleaner-reclaimed
+      converged = isStarForest
       round += 1
     }
     if (!converged && round >= maxRounds)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Tables
-import graft.llm.{Curation, Dedup, MediaCodecs, Multimodal, Packing, Retrieval, Similarity, TextAnalysis}
+import graft.llm.{Curation, Dedup, MediaCodecs, Multimodal, Packing, Pca, Retrieval, Similarity, TextAnalysis}
 import QueryDef._
 
 /** LLM-training-data operators (builder brief §extensions) over the
@@ -3005,6 +3005,105 @@ object LlmQueries {
                )
                SELECT vec_id, list(ROUND(y, 9) + 0e0 ORDER BY j) AS proj
                FROM p GROUP BY vec_id ORDER BY vec_id""")),
+
+    // Distributed PCA (the MLlib RowMatrix recipe): ONE dim²-key
+    // distributed pass aggregates exact second-moment sums (decimal-
+    // accumulated — bit-identical across engines and partitionings),
+    // the 64×64 eigenproblem solves driver-side with deterministic
+    // cyclic Jacobi, and the basis materializes as an artifact. The
+    // eigensolver's float micro-steps are engine-specific, so the
+    // oracle VERIFIES rather than re-derives: it recomputes the scatter
+    // matrix from raw embeddings with the same exact arithmetic, then
+    // checks from the materialized basis that S·b = λ·b (residual) and
+    // the basis is orthonormal — every intermediate double identical by
+    // construction (sequential list_sum mirrors the driver loops).
+    QueryDef(
+      "l_pca_variance",
+      (s, d) => {
+        import s.implicits._
+        val dim = 64; val k = 8
+        val sMat = Pca.scatterMatrix(t(s, d, "embeddings"), "embedding", dim)
+        val (values, basis) = Pca.jacobiEigen(sMat)
+        val (lam, b) = (values.take(k), basis.take(k))
+        materialize(
+          b.zipWithIndex.map { case (row, j) =>
+            (j + 1, lam(j), row.toSeq) }.toSeq.toDF("j", "lambda", "b"),
+          "pca_basis")
+        var trace = 0.0
+        for (i <- 0 until dim) trace += sMat(i)(i)
+        def dotSeq(x: Array[Double], y: Array[Double]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < x.length) { acc += x(i) * y(i); i += 1 }
+          acc
+        }
+        val rows = (0 until k).map { j =>
+          val resid = (0 until dim).map { i =>
+            math.abs(dotSeq(sMat(i), b(j)) - lam(j) * b(j)(i))
+          }.max
+          val ortho = (0 until k).map { kk =>
+            math.abs(dotSeq(b(j), b(kk)) - (if (j == kk) 1.0 else 0.0))
+          }.max
+          def r9(x: Double) = BigDecimal(x)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (j + 1, r9(lam(j)), r9(lam(j) / trace),
+            resid < 1e-6, ortho < 1e-9)
+        }
+        rows.toDF("component", "eigenvalue", "evr",
+            "residual_ok", "ortho_ok")
+          .orderBy(col("component"))
+      },
+      Some(s"""WITH v AS (
+                 SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings
+               ),
+               nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+               pairs AS (
+                 SELECT t1.range AS i, t2.range AS j,
+                   CAST(SUM(CAST(e[t1.range] * e[t2.range]
+                     AS DECIMAL(38,18))) AS DOUBLE) AS raw
+                 FROM v, range(1, 65) t1, range(1, 65) t2
+                 WHERE t2.range >= t1.range
+                 GROUP BY t1.range, t2.range
+               ),
+               m AS (
+                 SELECT t1.range AS i,
+                   CAST(SUM(CAST(e[t1.range] AS DECIMAL(38,18))) AS DOUBLE)
+                     / (SELECT n FROM nn) AS m
+                 FROM v, range(1, 65) t1 GROUP BY t1.range
+               ),
+               s_up AS (
+                 SELECT p.i, p.j,
+                   p.raw - (SELECT n FROM nn) * mi.m * mj.m AS s
+                 FROM pairs p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j
+               ),
+               s_full AS (
+                 SELECT i, j, s FROM s_up
+                 UNION ALL SELECT j, i, s FROM s_up WHERE i <> j
+               ),
+               srow AS (SELECT i, list(s ORDER BY j) AS sr FROM s_full GROUP BY i),
+               tr AS (
+                 SELECT list_sum(list(s ORDER BY i)) AS trace
+                 FROM s_full WHERE i = j
+               ),
+               b AS (SELECT j, lambda, b
+                     FROM read_parquet('$OracleScratch/pca_basis/*.parquet')),
+               res AS (
+                 SELECT b.j AS comp, MAX(ABS(
+                   list_sum(list_transform(range(1, 65), k -> srow.sr[k] * b.b[k]))
+                   - b.lambda * b.b[srow.i])) AS r
+                 FROM b CROSS JOIN srow GROUP BY b.j
+               ),
+               o AS (
+                 SELECT b1.j AS comp, MAX(ABS(
+                   list_sum(list_transform(range(1, 65), k -> b1.b[k] * b2.b[k]))
+                   - CASE WHEN b1.j = b2.j THEN 1e0 ELSE 0e0 END)) AS o
+                 FROM b b1 CROSS JOIN b b2 GROUP BY b1.j
+               )
+               SELECT b.j AS component, ROUND(b.lambda, 9) + 0e0 AS eigenvalue,
+                 ROUND(b.lambda / (SELECT trace FROM tr), 9) + 0e0 AS evr,
+                 res.r < 1e-6 AS residual_ok, o.o < 1e-9 AS ortho_ok
+               FROM b JOIN res ON res.comp = b.j JOIN o ON o.comp = b.j
+               ORDER BY component""")),
 
     // Deterministic md5-bucket train/val/test split: assignment depends
     // only on the id (stable under re-runs, appends, engines — md5 is

@@ -84,6 +84,10 @@ object ScaleStress {
     "l_cc_deep_chain",
     // JL projection: map-only by claim — the slope IS the plan assertion
     "l_random_projection",
+    // PCA: the dim²-key moment pass is the claim under test — generator
+    // fan-out is n·dim² rows but the shuffle stays 2080 keys; the
+    // driver eigen is O(dim³), scale-invariant
+    "l_pca_variance",
     // round-7 corpus close: the dashboard tail's heavy hitters under
     // the hot course (the 16-metric conditional-agg composite, the
     // round-grain validation ladder, the full round listing — output-
