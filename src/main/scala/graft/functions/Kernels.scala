@@ -349,6 +349,21 @@ object Kernels {
     ArrayData.toArrayData(out.toArray)
   }
 
+  /** Two-level IVF list assignment: nearest coarse centroid, then
+    * nearest sub-centroid within that coarse cell — list id =
+    * coarse·k2max + sub. Cost per row is (k1 + k2)·dim multiply-adds
+    * instead of the flat quantizer's k·dim ≈ k1·k2·dim (the FAISS
+    * IVF-in-IVF recipe that keeps auto-k assignment from going
+    * quadratic when k ∝ n). -1 on mismatch, ties to lowest index. */
+  def twoLevelList(
+      v: ArrayData, coarse: Array[Array[Double]],
+      subs: Array[Array[Array[Double]]], k2max: Int, isFloat: Boolean): Int = {
+    val c = nearestCentroid(v, coarse, isFloat)
+    if (c < 0) return -1
+    val s = nearestCentroid(v, subs(c), isFloat)
+    if (s < 0) -1 else c * k2max + s
+  }
+
   /** Index of the nearest centroid (L2) for a float/double vector; -1
     * when the vector is null-element'd or dimension-mismatched. Ties
     * break to the lowest index. */

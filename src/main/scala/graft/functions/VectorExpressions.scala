@@ -461,6 +461,40 @@ case class MatVec(child: Expression, matrix: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** Two-level IVF assignment (nearest coarse centroid, then nearest
+  * sub-centroid within that cell) — see [[Kernels.twoLevelList]]. Both
+  * centroid tables ride into generated code as shared reference
+  * objects, so the per-row cost is (k1 + k2)·dim instead of k·dim. */
+case class NearestCentroidTwoLevel(
+    child: Expression, coarse: Array[Array[Double]],
+    subs: Array[Array[Array[Double]]], k2max: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "nearest_centroid_two_level"
+  override def dataType: DataType = IntegerType
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid_two_level requires array<float|double>, got ${other.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Kernels.twoLevelList(input.asInstanceOf[ArrayData], coarse, subs, k2max, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refC = ctx.addReferenceObj("coarse", coarse, "double[][]")
+    val refS = ctx.addReferenceObj("subs", subs, "double[][][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Kernels.twoLevelList($a, $refC, $refS, $k2max, $isFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression {
   override def prettyName: String = "nearest_centroid"
@@ -602,6 +636,9 @@ object F {
     c(NearestCentroid(e(v), centroids))
   def matVec(v: Column, matrix: Array[Array[Double]]): Column =
     c(MatVec(e(v), matrix))
+  def twoLevelList(v: Column, coarse: Array[Array[Double]],
+      subs: Array[Array[Array[Double]]], k2max: Int): Column =
+    c(NearestCentroidTwoLevel(e(v), coarse, subs, k2max))
   def maxTokenFreqRatio(tokens: Column): Column = c(MaxTokenFreqRatio(e(tokens)))
   def maxTokenFreq(tokens: Column): Column = c(MaxTokenFreq(e(tokens)))
   def winnow(text: Column, k: Int, w: Int): Column = c(Winnow(e(text), k, w))

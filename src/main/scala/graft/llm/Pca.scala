@@ -34,15 +34,20 @@ object Pca {
     * per-dimension sums and the row count, in ONE distributed pass
     * shape (two generator stages, one dim²-key shuffle). Returns
     * (gramSums, dimSums, n) with gramSums(i)(j) filled for i ≤ j. */
-  private[llm] def momentSums(
-      df: DataFrame, vecCol: String, dim: Int): (Array[Array[Double]], Array[Double], Long) = {
-    val pairs = df.select(col(vecCol).as("__v"))
+  /** The distributed pair-sum plan (i, j, s) the moment pass collects —
+    * exposed so PlanSpec can pin its map-side partial aggregation. */
+  private[graft] def momentPairsPlan(df: DataFrame, vecCol: String): DataFrame =
+    df.select(col(vecCol).as("__v"))
       .select(posexplode(col("__v")).as(Seq("i", "xi")), col("__v"))
       .select(col("i"), col("xi"), posexplode(col("__v")).as(Seq("j", "xj")))
       .filter(col("j") >= col("i"))
       .groupBy(col("i"), col("j"))
       .agg(sum((col("xi").cast(DoubleType) * col("xj").cast(DoubleType))
         .cast(DecimalType(38, 18))).cast(DoubleType).as("s"))
+
+  private[llm] def momentSums(
+      df: DataFrame, vecCol: String, dim: Int): (Array[Array[Double]], Array[Double], Long) = {
+    val pairs = momentPairsPlan(df, vecCol)
       .collect() // dim·(dim+1)/2 rows — bounded by the declared dim, not n
     val g = Array.ofDim[Double](dim, dim)
     pairs.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getDouble(2))

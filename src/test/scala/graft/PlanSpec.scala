@@ -69,6 +69,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no partial aggregation in:\n$p")
   }
 
+  test("PCA moment sums combine map-side; the shuffle stays dim²-keyed") {
+    // the generator fan-out (n·dim² rows) must reduce to ≤ dim² rows per
+    // task BEFORE the exchange — a plan that shuffles the exploded pairs
+    // raw would move n·dim² rows instead of 2080 keys per task
+    val df = graft.llm.Pca.momentPairsPlan(
+      Tables.load(spark, sfDir, "embeddings"), "embedding")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("HashAggregate") && p.contains("partial_"),
+      s"moment pass must partial-aggregate before the exchange:\n$p")
+  }
+
   test("tfidf broadcasts the vocab-grain df table when bounded") {
     // the doc-term matrix must NOT shuffle on the Zipf-skewed token key
     // when the vocabulary fits the broadcast cap (slope 1.88 → 0.32 at

@@ -1435,6 +1435,38 @@ class LlmSpec extends SparkSpec {
     assert(capped.nonEmpty && capped.subsetOf(Set("head", "middle", "tail")))
   }
 
+  test("two-level IVF assignment matches the driver's nearest-sub rule") {
+    val (coarse, subs) = Similarity.trainTwoLevelIvf(vecs, "embedding", k = 25)
+    assert(coarse.length == 5 && subs.length == 5) // k1 = ceil(sqrt(25))
+    val k2max = subs.map(_.length).max
+    val got = Similarity.withTwoLevelIvfList(
+        vecs.select(col("vec_id"), col("embedding")), "embedding", coarse, subs)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      for (c <- cs.indices) {
+        val d = v.zip(cs(c)).map { case (a, b) => (a - b) * (a - b) }.sum
+        if (d < bestD) { bestD = d; best = c }
+      }
+      best
+    }
+    val raw = vecs.select("vec_id", "embedding").collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    raw.foreach { case (id, v) =>
+      val c = nearest(v, coarse)
+      val s = nearest(v, subs(c))
+      assert(got(id) == c * k2max + s, s"vec $id: got ${got(id)}, want ($c,$s)")
+    }
+    // the composite partitioning is non-trivial and k-bounded
+    val cells = got.values.toSet
+    assert(cells.size > coarse.length && cells.size <= 5 * k2max,
+      s"${cells.size} cells")
+    // deterministic retrain
+    val (c2, s2) = Similarity.trainTwoLevelIvf(vecs, "embedding", k = 25)
+    assert(c2.map(_.toSeq).toSeq == coarse.map(_.toSeq).toSeq &&
+      s2.map(_.map(_.toSeq).toSeq).toSeq == subs.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("JL random projection preserves pairwise distances and stays map-only") {
     val proj = Similarity.randomProject(
       vecs, "vec_id", "embedding", inDim = 64, outDim = 16, seed = 2024L)
