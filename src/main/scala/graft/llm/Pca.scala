@@ -31,9 +31,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object Pca {
 
   /** Exact upper-triangle second-moment sums Σ xᵢ·xⱼ (i ≤ j) plus the
-    * per-dimension sums and the row count, in ONE distributed pass
-    * shape (two generator stages, one dim²-key shuffle). Returns
-    * (gramSums, dimSums, n) with gramSums(i)(j) filled for i ≤ j. */
+    * per-dimension sums and the row count — two corpus passes, each
+    * with bounded (≤ dim²-row) output: the pair pass is two stacked
+    * generator stages into one dim²-key shuffle; the mean pass is one
+    * explode into a dim-key shuffle. Returns (gramSums, dimSums, n)
+    * with gramSums(i)(j) filled for i ≤ j. */
   /** The distributed pair-sum plan (i, j, s) the moment pass collects —
     * exposed so PlanSpec can pin its map-side partial aggregation. */
   private[graft] def momentPairsPlan(df: DataFrame, vecCol: String): DataFrame =
