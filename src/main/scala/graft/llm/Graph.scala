@@ -154,35 +154,107 @@ object Graph {
     * (~50+ iterations) persist + checkpoint every ~10 levels to bound
     * plan depth. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
+    val (e, deg, nodesN) = prSetup(edges)
+    var ranks = prInit(nodesN)
+    for (_ <- 1 to iters) ranks = prStep(e, deg, nodesN, damping, ranks)
+    prFinish(e, ranks)
+  }
+
+  /** Convergence-length PageRank: iterate until the per-step L1 drift
+    * ||r_k − r_{k−1}||₁ drops below `tol` (or `maxIters`), with plan
+    * depth BOUNDED regardless of how many iterations convergence takes.
+    * Arithmetic per step is the exact [[pageRank]] step (shared
+    * [[prStep]]), so at equal iteration counts the two paths are
+    * bit-identical — PageRankConvergenceSpec pins that.
+    *
+    * Execution shape: iterations run in lazy blocks of `checkEvery`
+    * (default 10 — the unrolled-plan depth the fixed-`iters` path's
+    * scaladoc already recommends); each block boundary localCheckpoints
+    * the level (truncating lineage to a node-grain leaf, exactly the
+    * star-contraction discipline above) and pays ONE extra node-grain
+    * traversal to measure the TRUE consecutive-level L1 delta
+    * (decimal-accumulated — the stop decision is order-independent and
+    * engine-exact). Power iteration contracts the L1 step delta by ≥
+    * the damping factor each step, so once the measured delta is below
+    * tol every later one is too — checking only at block boundaries
+    * overshoots by at most `checkEvery−1` cheap iterations, and costs
+    * O(iters/checkEvery) barriers instead of O(iters).
+    *
+    * Returns (ranks in [[pageRank]]'s output shape, iterations run). */
+  def pageRankUntilConvergence(
+      edges: DataFrame, damping: Double, tol: Double,
+      maxIters: Int = 100, checkEvery: Int = 10): (DataFrame, Int) = {
+    require(checkEvery >= 1, "checkEvery must be >= 1")
+    require(maxIters >= 1, "maxIters must be >= 1")
+    val (e, deg, nodesN) = prSetup(edges)
+    var ranks = prInit(nodesN)
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      val block = math.min(checkEvery, maxIters - it)
+      var prev = ranks
+      for (_ <- 1 until block) prev = prStep(e, deg, nodesN, damping, prev)
+      val next = prStep(e, deg, nodesN, damping, prev)
+      // One barrier per block: the checkpoint both truncates lineage
+      // (the next block starts from a leaf) and materializes the level
+      // the drift probe reads — `prev` re-executes one lazy step off
+      // the same checkpointed base, so the probe costs one node-grain
+      // join-agg, not a replay of the block.
+      ranks = next.localCheckpoint()
+      it += block
+      val l1 = ranks.as("a")
+        .join(prev.select(col("id"), col("r").as("r_prev")), "id")
+        .agg(sum(abs(col("r") - col("r_prev")).cast(DecimalType(38, 18)))
+          .cast(DoubleType).as("l1"))
+        .first().getDouble(0)
+      done = l1 < tol
+    }
+    (prFinish(e, ranks), it)
+  }
+
+  /** Shared PageRank prologue: persisted edge cache, out-degrees, and
+    * the constant (id, n) node frame every level's teleport term reads
+    * (NOT its predecessor — that's what keeps the unrolled plan linear).
+    * The edge cache fills EAGERLY: the lazy chain's independent branches
+    * (degrees, node set, per-iteration contributions) schedule
+    * concurrently and would each recompute the un-filled cache's
+    * partitions — measured as ~3× the edge-construction cost leaking
+    * back in. One count() is one cheap barrier; everything after reads
+    * the cache. (The per-ITERATION barriers stay gone — rank levels are
+    * node-grain and referenced once, so they never duplicate work.) */
+  private def prSetup(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val e = persistOnce(edges.select(col("src"), col("dst")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Fill the edge cache EAGERLY: the lazy chain's independent branches
-    // (degrees, node set, per-iteration contributions) schedule
-    // concurrently and would each recompute the un-filled cache's
-    // partitions — measured as ~3× the edge-construction cost leaking
-    // back in. One count() is one cheap barrier; everything after reads
-    // the cache. (The per-ITERATION barriers stay gone — rank levels are
-    // node-grain and referenced once, so they never duplicate work.)
     e.count()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("id")).distinct()
     val n1 = nodes.agg(count(lit(1)).as("n"))
-    // constant across iterations; every level's teleport term reads THIS,
-    // not its predecessor, which is what keeps the unrolled plan linear
     val nodesN = persistOnce(nodes.crossJoin(broadcast(n1)))
-    var ranks = nodesN.select(col("id"), (lit(1.0) / col("n")).as("r"))
-    for (_ <- 1 to iters) {
-      val contrib = e.join(deg, "src")
-        .join(ranks.select(col("id").as("src"), col("r")), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(sum((col("r") / col("outdeg")).cast(DecimalType(38, 18)))
-          .cast(DoubleType).as("__s"))
-      ranks = nodesN
-        .join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          ((lit(1.0) - lit(damping)) / col("n") +
-            lit(damping) * coalesce(col("__s"), lit(0.0))).as("r"))
-    }
+    (e, deg, nodesN)
+  }
+
+  private def prInit(nodesN: DataFrame): DataFrame =
+    nodesN.select(col("id"), (lit(1.0) / col("n")).as("r"))
+
+  /** One power-iteration step — the single arithmetic definition both
+    * PageRank entry points unroll, mirroring the oracle's SQL exactly:
+    * r_{i+1} = (1-d)/n + d * decimalSum(r_i(u) / outdeg(u) over u→v). */
+  private def prStep(
+      e: DataFrame, deg: DataFrame, nodesN: DataFrame,
+      damping: Double, ranks: DataFrame): DataFrame = {
+    val contrib = e.join(deg, "src")
+      .join(ranks.select(col("id").as("src"), col("r")), "src")
+      .groupBy(col("dst").as("id"))
+      .agg(sum((col("r") / col("outdeg")).cast(DecimalType(38, 18)))
+        .cast(DoubleType).as("__s"))
+    nodesN
+      .join(contrib, Seq("id"), "left")
+      .select(col("id"),
+        ((lit(1.0) - lit(damping)) / col("n") +
+          lit(damping) * coalesce(col("__s"), lit(0.0))).as("r"))
+  }
+
+  private def prFinish(e: DataFrame, ranks: DataFrame): DataFrame = {
     val indeg = e.groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_deg"))
     ranks
       .join(indeg, Seq("id"), "left")
@@ -284,13 +356,26 @@ object Graph {
       converged = isStarForest
       round += 1
     }
-    if (!converged && round >= maxRounds)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"connectedComponents did NOT converge after $maxRounds rounds; " +
-          "labels read off a non-star edge set may be transitively stale")
-    val labels = e.select(col("u").as("id"), col("v").as("component"))
+    val rawLabels = e.select(col("u").as("id"), col("v").as("component"))
       .unionByName(
         e.select(col("v").as("id"), col("v").as("component")).distinct())
+    // On a converged star forest every id appears exactly once. On a
+    // non-converged exit a node can still have TWO parents, and a
+    // multi-row-per-id label frame breaks every downstream join grain
+    // (canonicalizeNearDups' left join would duplicate documents). So
+    // the fallback path collapses to one deterministic (possibly
+    // transitively stale) label per id — min(component) — and says so;
+    // the converged path keeps the cheap no-aggregation plan.
+    val labels =
+      if (converged) rawLabels
+      else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"connectedComponents did NOT converge after $maxRounds rounds; " +
+            "collapsing to min(component) per id — labels may be " +
+            "transitively stale")
+        rawLabels.groupBy(col("id"))
+          .agg(min(col("component")).as("component"))
+      }
     (labels, round)
   }
 

@@ -58,9 +58,19 @@ object Pca {
       .agg(sum(col("x").cast(DoubleType).cast(DecimalType(38, 18)))
         .cast(DoubleType).as("s"), count(lit(1)).as("n"))
       .collect() // dim rows
+    // Fail loudly on the shapes that would otherwise poison the scatter
+    // matrix silently: an empty corpus (n=0 → NaN via 0/0 downstream)
+    // and ragged/null-element vectors (per-dimension counts disagree, so
+    // "the" row count is undefined and the mean-centering term is wrong).
+    require(sums.nonEmpty,
+      s"momentSums: no vector elements found in column '$vecCol' (empty input?)")
+    val counts = sums.map(_.getLong(2)).distinct
+    require(counts.length == 1,
+      s"momentSums: per-dimension element counts differ (${counts.sorted.mkString(", ")}) — " +
+        s"column '$vecCol' has ragged or null-element vectors; PCA needs rectangular input")
     val m = Array.ofDim[Double](dim)
-    var n = 0L
-    sums.foreach { r => m(r.getInt(0)) = r.getDouble(1); n = r.getLong(2) }
+    sums.foreach { r => m(r.getInt(0)) = r.getDouble(1) }
+    val n = counts.head
     (g, m, n)
   }
 
@@ -109,11 +119,21 @@ object Pca {
           val apq = a(p)(q)
           if (apq != 0.0) {
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
-            val t = math.signum(theta) /
-              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
-                case 0.0 => 1.0 // theta == 0 → 45° rotation
-                case x => x
-              }
+            // Three explicit branches (the Numerical-Recipes guard):
+            //  theta == 0      → 45° rotation (t = 1), the true tie;
+            //  |theta| > 1e150 → theta² would overflow to Infinity and
+            //                    the stable formula underflows to ±0.0,
+            //                    which the old `case 0.0` then mistook
+            //                    for the 45° tie — use the asymptotic
+            //                    t ≈ 1/(2θ) (a near-zero rotation, the
+            //                    correct limit for a near-diagonal pair);
+            //  otherwise       → the stable smaller-root formula, bit-
+            //                    identical to the previous path.
+            val t =
+              if (theta == 0.0) 1.0
+              else if (math.abs(theta) > 1e150) 1.0 / (2.0 * theta)
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
             val c = 1.0 / math.sqrt(t * t + 1.0)
             val s = t * c
             var k = 0

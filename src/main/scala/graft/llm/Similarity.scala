@@ -326,11 +326,20 @@ object Similarity {
       math.min(1.0, sampleSize * 1.2 / math.max(total.toDouble, 1.0))
     val sample = df.select(col(vecCol)).sample(withReplacement = false, frac, seed)
       .limit(sampleSize)
-      .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(sample.nonEmpty, "empty training sample")
-    lloydOnSample(sample, k, iters, seed)
+    val sampleVecs = rowsToVecs(sample.collect())
+    require(sampleVecs.nonEmpty, "empty training sample")
+    lloydOnSample(sampleVecs, k, iters, seed)
   }
+
+  /** Element-type-agnostic conversion of a collected single-column
+    * vector sample: accepts array<float> AND array<double> columns
+    * alike (gates carry float32 embeddings; pipelines routinely carry
+    * doubles after a projection/normalization step). Float inputs widen
+    * via Number.doubleValue — bit-identical to the old getSeq[Float]
+    * path — so existing seeds/centroids are unchanged. */
+  private def rowsToVecs(
+      rows: Array[org.apache.spark.sql.Row]): Array[Array[Double]] =
+    rows.map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
 
   /** In-driver Lloyd over an already-bounded sample (shared by the IVF
     * coarse quantizer and the per-subspace PQ codebooks). */
@@ -411,7 +420,7 @@ object Similarity {
     val frac = math.min(1.0, sampleSize * 1.2 / math.max(total.toDouble, 1.0))
     val sample = df.select(col(vecCol))
       .sample(withReplacement = false, frac, seed).limit(sampleSize)
-      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sampleVecs = rowsToVecs(sample.collect())
     def nearestIdx(v: Array[Double]): Int = {
       var best = 0; var bestD = Double.MaxValue; var c = 0
       while (c < coarse.length) {
@@ -422,7 +431,7 @@ object Similarity {
       }
       best
     }
-    val byCell = sample.groupBy(nearestIdx)
+    val byCell = sampleVecs.groupBy(nearestIdx)
     val subs = Array.tabulate(coarse.length) { c =>
       byCell.get(c) match {
         case Some(members) if members.length > 1 =>
@@ -707,9 +716,8 @@ object Similarity {
       df: DataFrame, vecCol: String, m: Int = 8, k: Int = 16,
       sampleSize: Int = 10000, iters: Int = 8,
       seed: Long = 42L): Array[Array[Array[Double]]] = {
-    val sample = df.select(col(vecCol))
-      .limit(sampleSize).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sample = rowsToVecs(
+      df.select(col(vecCol)).limit(sampleSize).collect())
     require(sample.nonEmpty, "empty PQ training sample")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")

@@ -2975,6 +2975,11 @@ object LlmQueries {
     // engine-specific (xxhash64 mixing), so the MATRIX is materialized
     // (outDim rows — trivially linear) and the oracle recomputes every
     // projection from it with the same strict left-to-right list_sum.
+    // The gate emits SCALAR rows (vec_id, j, value) — the driver's
+    // pandas canonicalizer cannot sort ARRAY cells — while the library
+    // API (Similarity.randomProject) keeps its array-valued `proj`
+    // column; the explode is gate-only projection, not a plan change
+    // (posexplode fuses into the same map-only codegen stage).
     QueryDef(
       "l_random_projection",
       (s, d) => {
@@ -2986,9 +2991,10 @@ object LlmQueries {
         Similarity.randomProject(
             t(s, d, "embeddings"), "vec_id", "embedding",
             inDim = 64, outDim = 16, seed = 2024L)
-          .select(col("vec_id"),
-            transform(col("proj"), x => round(x, 9)).as("proj"))
-          .orderBy(col("vec_id"))
+          .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "value")))
+          .select(col("vec_id"), col("j"),
+            (round(col("value"), 9) + lit(0d)).as("value"))
+          .orderBy(col("vec_id"), col("j"))
       },
       Some(s"""WITH m AS (
                  SELECT j, w FROM read_parquet('$OracleScratch/jl_matrix/*.parquet')
@@ -3003,8 +3009,8 @@ object LlmQueries {
                      i -> m.w[i] * v.e[i])) AS y
                  FROM v CROSS JOIN m
                )
-               SELECT vec_id, list(ROUND(y, 9) + 0e0 ORDER BY j) AS proj
-               FROM p GROUP BY vec_id ORDER BY vec_id""")),
+               SELECT vec_id, j, ROUND(y, 9) + 0e0 AS value
+               FROM p ORDER BY vec_id, j""")),
 
     // Distributed PCA (the MLlib RowMatrix recipe): ONE dim²-key
     // distributed pass aggregates exact second-moment sums (decimal-

@@ -65,6 +65,66 @@ class GraphSpec extends SparkSpec {
       "decimal-accumulated iterations must be partitioning-invariant")
   }
 
+  test("pageRankUntilConvergence with tol=0 is bit-identical to the unrolled form") {
+    val edges = Graph.knnEdges(vecs, "vec_id", "embedding", k = 4)
+    // tol=0 never satisfies `l1 < tol`, so exactly maxIters run — and
+    // checkEvery=2 forces uneven blocks (2+2+1), exercising the block
+    // boundary / localCheckpoint seams
+    val (conv, it) = Graph.pageRankUntilConvergence(
+      edges, damping = 0.85, tol = 0.0, maxIters = 5, checkEvery = 2)
+    assert(it === 5)
+    val unrolled = Graph.pageRank(edges, iters = 5, damping = 0.85)
+    assert(conv.exceptAll(unrolled).isEmpty && unrolled.exceptAll(conv).isEmpty,
+      "shared prStep must make both entry points bit-identical at equal iters")
+  }
+
+  test("pageRankUntilConvergence stops early under a real tolerance") {
+    val edges = Graph.knnEdges(vecs, "vec_id", "embedding", k = 4)
+    val (conv, it) = Graph.pageRankUntilConvergence(
+      edges, damping = 0.85, tol = 1e-7, maxIters = 100, checkEvery = 5)
+    assert(it < 100, s"expected early stop, ran all $it iterations")
+    assert(it % 5 === 0, "iterations advance in whole blocks")
+    // the converged vector is still a proper rank vector
+    val total = conv.agg(sum(col("r").cast(DecimalType(38, 18)))
+      .cast(DoubleType)).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, s"rank mass $total != 1")
+    // and genuinely converged: one more unrolled step barely moves it
+    val more = Graph.pageRank(edges, iters = it + 1, damping = 0.85)
+    val drift = conv.select(col("id"), col("r"))
+      .join(more.select(col("id"), col("r").as("r2")), "id")
+      .agg(sum(abs(col("r") - col("r2")).cast(DecimalType(38, 18)))
+        .cast(DoubleType)).head.getDouble(0)
+    assert(drift < 1e-7, s"post-stop step moved L1 by $drift")
+  }
+
+  test("pageRankUntilConvergence holds 25 iterations with bounded plan depth") {
+    val edges = Graph.knnEdges(vecs, "vec_id", "embedding", k = 4)
+    // ≥20 iterations across 3 checkpointed blocks: the per-block
+    // localCheckpoint keeps every lazy segment ≤ checkEvery levels deep
+    // no matter how long convergence takes
+    val (conv, it) = Graph.pageRankUntilConvergence(
+      edges, damping = 0.85, tol = 0.0, maxIters = 25, checkEvery = 10)
+    assert(it === 25)
+    val unrolled = Graph.pageRank(edges, iters = 25, damping = 0.85)
+    assert(conv.exceptAll(unrolled).isEmpty && unrolled.exceptAll(conv).isEmpty)
+  }
+
+  test("non-converged connectedComponents still yields ONE label row per id") {
+    import spark.implicits._
+    // a 64-deep chain needs ~8 contraction rounds; cap at 2 to force the
+    // non-converged exit, which must collapse to one (possibly stale)
+    // label per id — a multi-row-per-id frame would break every
+    // downstream join grain (canonicalizeNearDups' left join)
+    val n = 64
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = Graph.ccWithRounds(edges, maxRounds = 2)
+    assert(rounds === 2)
+    val perId = labels.groupBy(col("id")).agg(count(lit(1)).as("c"))
+    assert(perId.filter(col("c") > 1).isEmpty,
+      "non-converged exit must stay node-grain")
+    assert(labels.count() === n.toLong, "every incident node keeps a label")
+  }
+
   test("knnDensityPrune flags a strict, non-trivial dense subset") {
     val edges = Graph.knnEdges(vecs, "vec_id", "embedding", k = 8)
     val den = Graph.knnDensityPrune(edges, marginFactor = 1.0)

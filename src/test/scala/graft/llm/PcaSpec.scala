@@ -86,4 +86,43 @@ class PcaSpec extends SparkSpec {
     assert(v1.toSeq == v2.toSeq && b1.map(_.toSeq).toSeq == b2.map(_.toSeq).toSeq,
       "pcaTrain must be bit-deterministic")
   }
+
+  test("scatterMatrix fails loudly on empty input (no silent NaN matrix)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Pca.scatterMatrix(empty, "v", dim = 4)
+    }
+    assert(e.getMessage.contains("empty input"))
+  }
+
+  test("scatterMatrix fails loudly on ragged vectors (no wrong centering)") {
+    import spark.implicits._
+    val ragged = Seq(
+      (1L, Seq(1.0, 2.0, 3.0)),
+      (2L, Seq(4.0, 5.0)) // one element short: per-dim counts disagree
+    ).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Pca.scatterMatrix(ragged, "v", dim = 3)
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
+
+  test("jacobiEigen large-theta guard: near-diagonal pair gets a near-zero rotation") {
+    // a(p)(p) and a(q)(q) differ astronomically vs the off-diagonal:
+    // theta ~ 5e155 overflows theta² to Infinity; pre-fix the stable
+    // formula underflowed to ±0.0 and the `case 0.0` branch applied a
+    // 45° rotation, wrecking a nearly-diagonal matrix. Post-fix the
+    // asymptotic t≈1/(2θ) applies and the eigenvalues are the
+    // diagonal entries (off-diagonal mass is negligible).
+    val a = Array(
+      Array(1e160, 1.0e-3),
+      Array(1.0e-3, -1e160))
+    val (values, vectors) = Pca.jacobiEigen(a)
+    assert(math.abs(values(0) - 1e160) / 1e160 < 1e-12)
+    assert(math.abs(values(1) + 1e160) / 1e160 < 1e-12)
+    // eigenvectors stay ~axis-aligned (no spurious 45° mix-in)
+    assert(math.abs(math.abs(vectors(0)(0)) - 1.0) < 1e-9)
+    assert(math.abs(math.abs(vectors(1)(1)) - 1.0) < 1e-9)
+  }
 }
