@@ -168,6 +168,27 @@ object Bench {
     val streamTotal = streamR.map(_._2).sum
     val hs = results.collect { case (k, m, _) if headline.contains(k) => (k, m) }
     val sent = sentinels.map(num).mkString("[", ",", "]")
+    // Drift diagnosis IN the record (r9 finding: the 260→378 s round-
+    // over-round delta read as a plan regression until untouched gates
+    // were re-benched out of band — machine drift, adjudicated only via
+    // extra measurements the committed record didn't carry):
+    //  - per-traversal totals localize a contention burst to one round;
+    //  - the warm-sentinel ratio vs a PINNED reference converts the
+    //    total into machine-normalized seconds a reader can compare
+    //    across rounds without re-running anything.
+    // Reference = the BENCH_r08 record's warm-sentinel median (same
+    // probe, same sf0.1 corpus class, the fast-machine baseline the r9
+    // adjudication compared against). The first sentinel is cold
+    // (parquet footer reads + codegen warmup) and excluded.
+    val SentinelRefSec = 0.094
+    val traversalTotals = (0 until repeats)
+      .map(r => results.map(_._3(r)).sum)
+    val warm = sentinels.drop(1).sorted
+    val warmMedian =
+      if (warm.isEmpty) SentinelRefSec else warm((warm.size - 1) / 2)
+    val sentinelRatio = warmMedian / SentinelRefSec
+    val totalNorm = if (sentinelRatio > 0) total / sentinelRatio else total
+    val travTot = traversalTotals.map(num).mkString("[", ",", "]")
     // Heap size travels IN the record (r8 finding: a 48g run's GC-regime
     // contamination was undiagnosable because the committed JSON carried
     // no heap size). maxMemory is the -Xmx the JVM actually got.
@@ -183,13 +204,22 @@ object Bench {
          |"n_queries":${results.size},"repeats":$repeats,
          |"heap_gb":$heapGb,
          |"sentinel_sec":$sent,
+         |"traversal_totals":$travTot,
+         |"sentinel_ref_sec":${num(SentinelRefSec)},
+         |"sentinel_warm_median":${num(warmMedian)},
+         |"sentinel_ratio":${num(sentinelRatio)},
+         |"total_norm_sec":${num(totalNorm)},
          |"queries":${fmtMap(results.map(r => (r._1, r._2)))},
          |"runs":${results.map(r => "\"" + r._1 + "\":[" + r._3.map(num).mkString(",") + "]")
         .mkString("{", ",", "}")},
          |"sf":"$sfDir"}""".stripMargin.replace("\n", ""))
     catch { case _: Throwable => () }
     println(
-      s"""{"metric":"total_sec_all_${results.size}_queries_median_of_$repeats","value":${num(total)},"unit":"sec","batch_total":${num(batchTotal)},"streaming_total":${num(streamTotal)},"n_batch":${batchR.size},"n_streaming":${streamR.size},"heap_gb":$heapGb,"queries":${fmtMap(hs)},"sentinel_sec":$sent,"sf":"$sfDir"}""")
+      s"""{"metric":"total_sec_all_${results.size}_queries_median_of_$repeats","value":${num(total)},"unit":"sec","batch_total":${num(batchTotal)},"streaming_total":${num(streamTotal)},"n_batch":${batchR.size},"n_streaming":${streamR.size},"heap_gb":$heapGb,"queries":${fmtMap(hs)},"sentinel_sec":$sent,"traversal_totals":$travTot,"sentinel_ref_sec":${num(SentinelRefSec)},"sentinel_warm_median":${num(warmMedian)},"sentinel_ratio":${num(sentinelRatio)},"total_norm_sec":${num(totalNorm)},"sf":"$sfDir"}""")
+    // Timing phase over: release the session-keyed shared caches — the
+    // lifecycle hook stays exercised on every bench run rather than
+    // only documented.
+    SparkEntry.clearSharedCaches(spark)
     spark.stop()
   }
 }

@@ -24,4 +24,20 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Corpus.oracleSql
+
+  /** Session-cache lifecycle hook: evict every shared frame the query
+    * corpus pinned for `spark` — the gold fact_rounds cache, the
+    * retrieval index caches, the graph cell assignments, and the graph
+    * operators' structural persists. The caches are keyed by session
+    * and deliberately never self-evict (within one Verify/Bench run the
+    * retention IS the production contract — indexes build once, every
+    * gate probes them); a long-lived session running many workloads
+    * calls this between them to keep executor memory bounded. Verify
+    * and Bench call it when their query phase ends. */
+  def clearSharedCaches(spark: SparkSession): Unit = {
+    graft.queries.GoldQueries.clearSharedFactRounds(spark)
+    graft.queries.LlmQueries.clearSharedIndexes(spark)
+    graft.queries.GraphQueries.clearSharedCells(spark)
+    graft.llm.Graph.clearRetainedCaches()
+  }
 }

@@ -125,6 +125,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Query phase over: release the session-keyed shared caches (index /
+    // fact_rounds / cell frames) so the JVM's teardown isn't holding
+    // gigabytes it no longer needs — and so the hook itself stays
+    // exercised on every driver run, not just in a scaladoc promise.
+    SparkEntry.clearSharedCaches(spark)
     spark.stop()
   }
 }

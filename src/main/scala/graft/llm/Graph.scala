@@ -194,16 +194,17 @@ object Graph {
       val block = math.min(checkEvery, maxIters - it)
       var prev = ranks
       for (_ <- 1 until block) prev = prStep(e, deg, nodesN, damping, prev)
-      val next = prStep(e, deg, nodesN, damping, prev)
-      // One barrier per block: the checkpoint both truncates lineage
-      // (the next block starts from a leaf) and materializes the level
-      // the drift probe reads — `prev` re-executes one lazy step off
-      // the same checkpointed base, so the probe costs one node-grain
-      // join-agg, not a replay of the block.
-      ranks = next.localCheckpoint()
+      // Two node-grain checkpoints per block: `prevCp` truncates the
+      // block's lazy chain AND gives the drift probe a materialized
+      // level to read (probing an un-checkpointed `prev` would replay
+      // the whole block a second time); `ranks` makes the block's final
+      // level the next block's leaf. Each power-iteration step still
+      // executes exactly once.
+      val prevCp = if (block > 1) prev.localCheckpoint() else prev
+      ranks = prStep(e, deg, nodesN, damping, prevCp).localCheckpoint()
       it += block
       val l1 = ranks.as("a")
-        .join(prev.select(col("id"), col("r").as("r_prev")), "id")
+        .join(prevCp.select(col("id"), col("r").as("r_prev")), "id")
         .agg(sum(abs(col("r") - col("r_prev")).cast(DecimalType(38, 18)))
           .cast(DoubleType).as("l1"))
         .first().getDouble(0)
@@ -292,6 +293,58 @@ object Graph {
     * component = min id of the connected component. */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 20): DataFrame =
     ccWithRounds(edges, maxRounds)._1
+
+  /** k-core decomposition (Seidman 1983; the Batagelj–Zaveršnik peel,
+    * distributed): iteratively remove every node of degree < `coreK`
+    * until no removal happens; the survivors are the maximal subgraph
+    * where everyone keeps ≥ `coreK` neighbors. The curation use: a
+    * near-dup / similarity component's CORE is its genuinely-replicated
+    * mass — chains, bridge nodes and one-off fringe attach to clusters
+    * at low degree and survive naive CC labeling, but a 2-3-core strips
+    * them, so "keep one doc per cluster" deletes the actual clones
+    * instead of half a chain of barely-related pairs.
+    *
+    * Execution shape per round: one degree census (groupBy(node), map-
+    * side combined) + two semi-joins filtering the edge list — all
+    * equi-shuffles on the node key; state stays EDGE-grain, nothing
+    * all-pairs. The edge frame is re-referenced by census and filter, so
+    * each round localCheckpoints (the star-contraction discipline; an
+    * un-truncated chain re-expands every prior round's filters). Round
+    * count is data-dependent: each round removes at least one node or
+    * stops, and real fringes are shallow (the gate's 4-NN graph cores
+    * out in a handful of rounds; a worst-case k=2 path graph peels from
+    * the ends in ~n/2 rounds — cap with `maxRounds` and read the flag).
+    *
+    * Input: undirected pair list (src, dst), self-loops ignored. Returns
+    * ((id, degree) survivors with their degree INSIDE the core,
+    * rounds-taken, converged flag). */
+  def kCore(edges: DataFrame, coreK: Int, maxRounds: Int = 30)
+    : (DataFrame, Int, Boolean) = {
+    var e = edges
+      .select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint()
+    def degrees(g: DataFrame): DataFrame =
+      g.select(col("src").as("id"))
+        .unionByName(g.select(col("dst").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val deg = degrees(e)
+      val keep = deg.filter(col("degree") >= coreK).select(col("id"))
+      val removed = deg.filter(col("degree") < coreK).limit(1).count()
+      if (removed == 0L) converged = true
+      else {
+        e = e.join(keep.select(col("id").as("src")), "src", "left_semi")
+          .join(keep.select(col("id").as("dst")), "dst", "left_semi")
+          .select(col("src"), col("dst"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    (degrees(e), round, converged)
+  }
 
   /** [[connectedComponents]] plus the number of (large-star, small-star)
     * rounds the fixpoint took — exposed for the convergence-rate specs. */
@@ -383,11 +436,36 @@ object Graph {
     * repeats): an already-cached plan is reused, not re-registered —
     * avoids CacheManager's "already cached" churn. The final rank frame
     * deliberately STAYS cached (node-grain, one double per node): the
-    * caller consumes it immediately and repeat runs hit it. */
+    * caller consumes it immediately and repeat runs hit it. Every frame
+    * persisted here registers in [[retained]] so a long-lived session
+    * can reclaim the lot via [[clearRetainedCaches]] — within one
+    * verify/bench run the retention is the point (repeat traversals hit
+    * the cache), across workloads it would accumulate. */
   private def persistOnce(df: DataFrame,
       level: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist(level)
-    else df
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      val p = df.persist(level)
+      retained.add(p)
+      p
+    } else df
+
+  /** Identity set of the edge/structural frames [[persistOnce]] pinned:
+    * node/edge-grain, small per entry, but unbounded across workloads in
+    * a session that never restarts. */
+  private val retained = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+
+  /** Lifecycle hook: unpersist every structural frame the graph
+    * operators pinned (edge caches, node frames, density frames) and
+    * clear the registry. Called from
+    * [[graft.SparkEntry.clearSharedCaches]] when a Verify/Bench query
+    * phase ends; embedding sessions should call it between workloads. */
+  def clearRetainedCaches(): Unit = {
+    val it = retained.iterator()
+    while (it.hasNext) {
+      try it.next().unpersist() catch { case _: Throwable => () }
+      it.remove()
+    }
+  }
 }

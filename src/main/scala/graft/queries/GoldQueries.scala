@@ -221,6 +221,19 @@ object GoldQueries {
         syntheticSilver(Tables.load(k._1, k._2, "lineitem"))).persist()
     })
 
+  /** Lifecycle hook: evict this session's cached fact_rounds frames
+    * (see `GraphQueries.clearSharedCells` for the rationale). */
+  def clearSharedFactRounds(s: SparkSession): Unit = {
+    val it = frCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        try e.getValue.unpersist() catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
+
   private def silverOf(s: SparkSession, d: String): DataFrame =
     silverView(s, d)
 

@@ -118,6 +118,26 @@ object GraphQueries {
   def prewarmSharedCells(s: SparkSession, d: String): Unit =
     cellAssignment(s, d).write.mode("overwrite").format("noop").save()
 
+  /** Lifecycle hook, the prewarm's twin: evict this session's cached
+    * cell assignments (unpersist the frames, drop the map entries). The
+    * cache is keyed by (session, sfDir) and deliberately never evicts on
+    * its own — correct for the bench/verify lifecycle where the JVM ends
+    * with the run, but a LONG-LIVED multi-tenant session iterating over
+    * many sfDirs would accumulate node-grain persisted frames without
+    * bound. Verify/Bench call the aggregate hook
+    * ([[graft.SparkEntry.clearSharedCaches]]) when their query phase
+    * ends; embedding sessions should do the same between workloads. */
+  def clearSharedCells(s: SparkSession): Unit = {
+    val it = cellsCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        try e.getValue.unpersist() catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+  }
+
   /** The materialized assignment re-joined with its vectors — the
     * (id, cell, v) frame [[Graph.knnEdgesWithinCells]] consumes. One
     * node-grain equi-join; the cell self-join downstream then carries
@@ -154,6 +174,126 @@ object GraphQueries {
            FROM p
          ) WHERE rk <= $k
        )"""
+
+  /** Generated oracle for the CONVERGENCE-mode PageRank gate: unrolls
+    * `maxIters` power-iteration levels (the l_knn_pagerank CTE shape),
+    * computes the consecutive-level L1 drift at every `checkEvery`
+    * block boundary with the same decimal-exact arithmetic the engine
+    * uses, picks the FIRST boundary whose drift is below `tol` (else
+    * `maxIters`) — i.e. the oracle re-derives the STOPPING DECISION
+    * itself, not just the rank values — and reads the final ranks off
+    * that boundary's level. `maxIters` must be a multiple of
+    * `checkEvery` so the no-convergence fallback is itself a boundary
+    * level. `dampingSql`/`tolSql` are the exact literals the Spark side
+    * passes as doubles (both engines parse to the same IEEE double, so
+    * the `< tol` comparisons agree bit-for-bit). */
+  private def prConvSql(cells: String, k: Int, dampingSql: String,
+      tolSql: String, maxIters: Int, checkEvery: Int): String = {
+    require(maxIters % checkEvery == 0)
+    // Every generated CTE is MATERIALIZED: each level references its
+    // predecessor twice (the contribution join + the teleport LEFT
+    // JOIN), and DuckDB inlines plain CTEs per reference — the same
+    // 2^iters expansion trap the engine's lazy plan avoids by design
+    // (Graph.pageRank scaladoc). Un-materialized, binding 24 levels
+    // exhausted the binder before ever executing.
+    val levels = (1 to maxIters).map { i =>
+      s"""s$i AS MATERIALIZED (
+            SELECT em.dst AS id,
+              CAST(SUM(CAST(r.r / deg.outdeg AS DECIMAL(38,18))) AS DOUBLE) AS s
+            FROM em JOIN r${i - 1} r ON r.id = em.src JOIN deg ON deg.src = em.src
+            GROUP BY em.dst
+          ),
+          r$i AS MATERIALIZED (
+            SELECT r${i - 1}.id, r${i - 1}.n,
+              (1.0e0 - $dampingSql) / r${i - 1}.n +
+                $dampingSql * COALESCE(s$i.s, 0e0) AS r
+            FROM r${i - 1} LEFT JOIN s$i ON s$i.id = r${i - 1}.id
+          )""".stripMargin
+    }.mkString(",\n")
+    val boundaries = checkEvery to maxIters by checkEvery
+    val deltas = boundaries.map { b =>
+      s"""d$b AS MATERIALIZED (
+            SELECT CAST(SUM(CAST(ABS(cur.r - prv.r) AS DECIMAL(38,18)))
+              AS DOUBLE) AS l
+            FROM r$b cur JOIN r${b - 1} prv ON prv.id = cur.id
+          )"""
+    }.mkString(",\n")
+    val convCase = boundaries
+      .map(b => s"WHEN (SELECT l FROM d$b) < $tolSql THEN $b")
+      .mkString(" ")
+    val fin = boundaries
+      .map(b => s"SELECT id, r FROM r$b WHERE (SELECT it FROM conv) = $b")
+      .mkString(" UNION ALL ")
+    s"""WITH ${edgeSql(cells, k)},
+        em AS MATERIALIZED (SELECT src, dst FROM e),
+        deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM em GROUP BY src),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM em),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS MATERIALIZED (SELECT id, n, 1.0e0 / n AS r FROM nodes CROSS JOIN nn),
+        $levels,
+        $deltas,
+        conv AS MATERIALIZED (SELECT CASE $convCase ELSE $maxIters END AS it),
+        fin AS MATERIALIZED ($fin),
+        indeg AS (SELECT dst AS id, COUNT(*) AS c FROM em GROUP BY dst)
+        SELECT pr_rank, vec_id, in_deg, pagerank, iters FROM (
+          SELECT fin.id AS vec_id,
+            CAST(COALESCE(indeg.c, 0) AS BIGINT) AS in_deg,
+            ROUND(fin.r, 9) AS pagerank,
+            CAST((SELECT it FROM conv) AS INT) AS iters,
+            ROW_NUMBER() OVER (
+              ORDER BY fin.r DESC NULLS LAST, fin.id ASC) AS pr_rank
+          FROM fin LEFT JOIN indeg ON indeg.id = fin.id
+        ) WHERE pr_rank <= 20
+        ORDER BY pr_rank"""
+  }
+
+  /** Generated oracle for the k-core gate: unrolls `rounds` peel steps
+    * (each = a degree census HAVING >= coreK + an endpoint filter) as
+    * MATERIALIZED CTEs (same inlining-blowup rationale as
+    * [[prConvSql]]), re-derives the ROUND COUNT from the first step
+    * whose edge count stops shrinking (peeling is idempotent at the
+    * fixpoint, so the final level is always g_rounds), and emits the
+    * survivors with their in-core degree. A removal round always
+    * strictly shrinks the edge list (every node in it has degree ≥ 1),
+    * so "edge count unchanged" ⟺ "the engine's probe found nothing to
+    * remove" — the convergence flag is (rounds < maxRounds) on both
+    * engines. */
+  private def kCoreSql(cells: String, k: Int, coreK: Int,
+      rounds: Int): String = {
+    val gs = (1 to rounds).map { i =>
+      s"""n$i AS MATERIALIZED (
+            SELECT id FROM (
+              SELECT u AS id FROM g${i - 1}
+              UNION ALL SELECT v AS id FROM g${i - 1}
+            ) GROUP BY id HAVING COUNT(*) >= $coreK
+          ),
+          g$i AS MATERIALIZED (
+            SELECT g.u, g.v FROM g${i - 1} g
+            JOIN n$i a ON a.id = g.u JOIN n$i b ON b.id = g.v
+          )"""
+    }.mkString(",\n")
+    val ec = (0 to rounds)
+      .map(i => s"ec$i AS (SELECT COUNT(*) AS c FROM g$i)")
+      .mkString(",\n")
+    val convCase = (1 to rounds).map(i =>
+      s"WHEN (SELECT c FROM ec$i) = (SELECT c FROM ec${i - 1}) THEN ${i - 1}")
+      .mkString(" ")
+    s"""WITH ${edgeSql(cells, k)},
+        g0 AS MATERIALIZED (
+          SELECT a.src AS u, a.dst AS v
+          FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src
+          WHERE a.src < a.dst
+        ),
+        $gs,
+        $ec,
+        conv AS (SELECT CASE $convCase ELSE $rounds END AS r)
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS degree,
+          CAST((SELECT r FROM conv) AS INT) AS rounds,
+          (SELECT r FROM conv) < $rounds AS converged
+        FROM (SELECT u AS id FROM g$rounds
+              UNION ALL SELECT v AS id FROM g$rounds)
+        GROUP BY id ORDER BY id"""
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -263,6 +403,78 @@ object GraphQueries {
                  FROM r3 LEFT JOIN indeg ON indeg.id = r3.id
                ) WHERE pr_rank <= 20
                ORDER BY pr_rank""")),
+
+    // CONVERGENCE-mode PageRank: iterate until the consecutive-level L1
+    // drift drops below tol (blocked lazy unrolls, per-block node-grain
+    // checkpoints — plan depth stays bounded however long convergence
+    // takes), and emit the top-20 ranks PLUS the iteration count the
+    // stop landed on, so the STOPPING DECISION itself is hash-checked:
+    // the oracle unrolls every level, recomputes each block boundary's
+    // drift with the identical decimal arithmetic, and re-derives the
+    // first-converged boundary in SQL. Damping 0.5 (not the centrality
+    // gate's 0.85) so the tolerance path, not the maxIters cap, decides
+    // within an oracle-unrollable horizon: the L1 step delta contracts
+    // by ≥ the damping factor per iteration, so 0.85 needs ~80
+    // iterations to reach 1e-5 while 0.5 lands near iteration 16.
+    QueryDef(
+      "l_pagerank_converged",
+      (s, d) => {
+        val edges = Graph.knnEdgesWithinCells(cellsWithVectors(s, d), k = 4)
+        val (pr, it) = Graph.pageRankUntilConvergence(
+          edges, damping = 0.5, tol = 1e-5, maxIters = 24, checkEvery = 4)
+        val top = pr
+          .orderBy(desc_nulls_last("r"), asc_nulls_last("id"))
+          .limit(20)
+          .select(col("id").as("vec_id"), col("in_deg"),
+            round(col("r"), 9).as("pagerank"), col("r"))
+        val o = top.select(col("vec_id").as("o_id"), col("r").as("o_r"))
+        top.join(broadcast(o),
+            col("o_r") > col("r") ||
+              (col("o_r") === col("r") && col("o_id") < col("vec_id")),
+            "left")
+          .groupBy(col("vec_id"), col("in_deg"), col("pagerank"))
+          .agg((count(col("o_id")) + 1).cast("int").as("pr_rank"))
+          .select(col("pr_rank"), col("vec_id"), col("in_deg"),
+            col("pagerank"), lit(it).cast("int").as("iters"))
+          .orderBy(col("pr_rank"))
+      },
+      Some(prConvSql("knn_cells", k = 4, dampingSql = "0.5e0",
+        tolSql = "1e-5", maxIters = 24, checkEvery = 4))),
+
+    // k-core of the MUTUAL 4-NN similarity graph (Seidman; Batagelj–
+    // Zaveršnik peel): keep an edge only when BOTH endpoints rank each
+    // other in their top-4 (the mutual-proximity graph near-dup
+    // pipelines cluster on — one-directional edges are exactly how
+    // fringe docs attach to clone clusters), then strip nodes with
+    // fewer than 2 in-core mutual neighbors until nothing strips. This
+    // is the cluster-CORING step between near-dup labeling and "keep
+    // one per cluster": the core holds the genuinely-replicated mass,
+    // the peel discards chain fringe CC labeling would keep. Emits
+    // survivors with their in-core degree plus the peel-round count and
+    // convergence flag, so the fixpoint decision itself is hash-checked
+    // (the prConvSql discipline). Parameter note: on the directed 4-NN
+    // graph every node has undirected degree ≥ 4 by construction, so
+    // cores there are all-or-nothing (coreK ≤ 4 keeps everything,
+    // coreK = 5 cascades to empty at verify scale) — the mutual graph's
+    // degree spectrum (1..4) is where a core is informative.
+    QueryDef(
+      "l_kcore_prune",
+      (s, d) => {
+        val knn = Graph.knnEdgesWithinCells(cellsWithVectors(s, d), k = 4)
+        val e = knn.select(col("src"), col("dst"))
+        val mutual = e.as("a").join(e.as("b"),
+            col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+          .filter(col("a.src") < col("a.dst"))
+          .select(col("a.src").as("src"), col("a.dst").as("dst"))
+        val (core, rounds, converged) =
+          Graph.kCore(mutual, coreK = 2, maxRounds = 12)
+        core
+          .select(col("id"), col("degree"),
+            lit(rounds).cast("int").as("rounds"),
+            lit(converged).as("converged"))
+          .orderBy(col("id"))
+      },
+      Some(kCoreSql("knn_cells", k = 4, coreK = 2, rounds = 12))),
 
     // Connected components on a DEEP graph — the star-contraction
     // fixpoint (Graph.connectedComponents, O(log d) rounds) on exactly

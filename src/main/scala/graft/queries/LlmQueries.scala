@@ -80,6 +80,30 @@ object LlmQueries {
     cachedPosIndex(s, d).write.mode("overwrite").format("noop").save()
   }
 
+  /** Lifecycle hook, the prewarm's twin: evict this session's cached
+    * retrieval indexes (see `GraphQueries.clearSharedCells` for the
+    * rationale — keyed-by-session caches are correct for the run
+    * lifecycle but unbounded in a long-lived session). */
+  def clearSharedIndexes(s: SparkSession): Unit = {
+    val it = idxCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        try { e.getValue._1.unpersist(); e.getValue._2.unpersist() }
+        catch { case _: Throwable => () }
+        it.remove()
+      }
+    }
+    val it2 = posIdxCache.entrySet().iterator()
+    while (it2.hasNext) {
+      val e = it2.next()
+      if (e.getKey._1 eq s) {
+        try e.getValue.unpersist() catch { case _: Throwable => () }
+        it2.remove()
+      }
+    }
+  }
+
   /** DuckDB bigram-shingle set of a text expression — mirrors
     * Dedup.wordShingles(_, 2) (normalize → split → distinct bigrams). */
   private def bigramSql(textExpr: String): String = {

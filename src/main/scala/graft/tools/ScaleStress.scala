@@ -77,6 +77,11 @@ object ScaleStress {
     // vector corpus scales (k ∝ n), and the pagerank chain's structural
     // caches must hold at a ×100 edge list
     "l_knn_density_prune", "l_knn_pagerank",
+    // r10: convergence-mode PageRank — the per-block checkpoint + L1
+    // probe must stay node-grain while iterations run to the tolerance —
+    // and the k-core peel, whose per-round census + semi-join filters
+    // must stay edge-grain while the round count is data-dependent
+    "l_pagerank_converged", "l_kcore_prune",
     // star-contraction CC: replicas are disjoint 1e6-stride id blocks,
     // so ×100 holds diameter (~714) while multiplying component count
     // and edge volume ×100 — the slope measures edge-grain scaling at

@@ -215,6 +215,74 @@ class GraphSpec extends SparkSpec {
     assert(canon === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 9L -> 9L))
   }
 
+  /** Driver-side reference peel for small graphs. */
+  private def refKCore(
+      edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    var es = edges.filter(e => e._1 != e._2).distinct
+    var changed = true
+    while (changed) {
+      val deg = es.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (id, xs) => id -> xs.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != es.size
+      es = next
+    }
+    es.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (id, xs) => id -> xs.size }
+  }
+
+  test("kCore matches the driver reference peel on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 4) {
+      val n = 40 + trial * 15
+      val edges = Seq.fill(3 * n)(
+          (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+        .distinct
+      val expected = refKCore(edges, 3)
+      val (core, rounds, converged) =
+        Graph.kCore(edges.toDF("src", "dst"), coreK = 3)
+      assert(converged, s"trial $trial must reach the fixpoint")
+      val got = core.collect()
+        .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got === expected, s"trial $trial: n=$n m=${edges.size}")
+      assert(rounds <= edges.size, "rounds bounded by removals")
+    }
+  }
+
+  test("kCore peels a fringe chain off a clique and respects maxRounds") {
+    import spark.implicits._
+    // K5 clique (degree 4 each) + a 6-node path hanging off one corner:
+    // the 2-core keeps the clique, peels the whole path end-inward
+    val clique = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val path = (0 until 6).map(i => (4L + i, 5L + i)) // 4-5-6-...-10
+    val all = (clique ++ path).toDF("src", "dst")
+    val (core, rounds, converged) = Graph.kCore(all, coreK = 2)
+    assert(converged)
+    val ids = core.collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(0L, 1L, 2L, 3L, 4L), "only the clique survives")
+    assert(rounds >= 5, "a 6-node path peels one end-pair per round")
+    // the same graph under a too-small cap exits unconverged, still
+    // one row per id
+    val (partial, r2, c2) = Graph.kCore(all, coreK = 2, maxRounds = 2)
+    assert(!c2 && r2 === 2)
+    val perId = partial.groupBy(col("id")).agg(count(lit(1)).as("c"))
+    assert(perId.filter(col("c") > 1).isEmpty)
+  }
+
+  test("kCore of an empty or all-self-loop list is empty and converged") {
+    import spark.implicits._
+    val (c1, r1, ok1) = Graph.kCore(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), coreK = 2)
+    assert(ok1 && r1 === 0 && c1.isEmpty)
+    val (c2, r2, ok2) = Graph.kCore(
+      Seq((7L, 7L)).toDF("src", "dst"), coreK = 1)
+    assert(ok2 && r2 === 0 && c2.isEmpty)
+  }
+
   test("connectedComponents of an empty pair list labels nothing") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
