@@ -26,6 +26,33 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** Pinned measurement constants — every cross-round normalization
+    * reference lives HERE, with its provenance, so a machine swap
+    * re-pins deliberately (a one-line reviewed change) instead of
+    * silently normalizing against a dead reference.
+    *
+    * SentinelRefSec: warm-sentinel median of the BENCH_r08 record
+    * (pinned 2026-08 round 10) — the fast-machine baseline the r9 drift
+    * adjudication compared against. The sentinel PROBE this constant is
+    * only valid for: `nation.parquet` of the corpus under test, groupBy
+    * n_regionkey → count, noop sink, first (cold) sample excluded
+    * (see [[main]]'s `sentinel()`). If the probe query, its input
+    * table, or the corpus class changes, THIS CONSTANT IS STALE — bump
+    * it from a fresh reference record in the same commit. The record
+    * always carries the raw `sentinel_sec` samples alongside, so a
+    * stale pin is detectable after the fact. */
+  private[graft] object Pins {
+    val SentinelRefSec = 0.094
+    /** Movers flagging (drift gate): a query "moved" when its machine-
+      * normalized median shifted by more than this factor vs the prior
+      * committed record, in either direction… */
+    val MoverRatio = 1.5
+    /** …and at least one side's normalized median clears this floor —
+      * sub-half-second gates jitter across the ratio on fixed costs
+      * alone and would bury real movers in noise. */
+    val MoverFloorSec = 0.5
+  }
+
   /** Headline set: the heavy gold models, the scale-sensitive LLM ops,
     * and one representative per operator family. */
   private val headline: Seq[String] = Seq(
@@ -43,7 +70,10 @@ object Bench {
     "l_dsir_weights", "l_ccnet_buckets", "l_pipeline_funnel",
     "l_split_leakage", "l_collocations",
     "l_boilerplate_strip", "l_hnsw_topk", "d15_global_pace_comparison",
-    "d20_nine_loop_pace", "l_knn_pagerank")
+    "d20_nine_loop_pace", "l_knn_pagerank",
+    // the two iterative fixpoints — among the five most expensive gates,
+    // so the round-over-round console diff must track them directly
+    "l_pagerank_converged", "l_kcore_prune")
 
   /** Locale-pinned number rendering: a comma-decimal default locale would
     * otherwise print "0,850" and break the driver's JSON parse. */
@@ -51,6 +81,62 @@ object Bench {
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
+
+  /** Minimal reader for OUR OWN bench_full.json format (flat scalar
+    * fields + one-level numeric maps, written by [[main]] below) —
+    * recovers the prior committed record's (sf, sentinel_ratio,
+    * per-query medians) for the movers diff without a JSON dependency.
+    * Returns None on any mismatch, in which case the run simply emits
+    * no movers list (first run, format change, foreign file). */
+  private[graft] def parsePriorRecord(json: String)
+    : Option[(String, Double, Map[String, Double])] =
+    try {
+      val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(json).map(_.group(1))
+      val ratio = "\"sentinel_ratio\":([-0-9.eE+]+)".r
+        .findFirstMatchIn(json).map(_.group(1).toDouble)
+      val qTag = "\"queries\":{"
+      val qStart = json.indexOf(qTag)
+      if (sf.isEmpty || ratio.isEmpty || qStart < 0) None
+      else {
+        // values are plain numbers, so the first '}' closes the map
+        val body = json.substring(qStart + qTag.length)
+        val end = body.indexOf('}')
+        if (end < 0) None
+        else {
+          val qs = "\"([^\"]+)\":([-0-9.eE+]+)".r
+            .findAllMatchIn(body.substring(0, end))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          Some((sf.get, ratio.get, qs))
+        }
+      }
+    } catch { case _: Throwable => None }
+
+  /** Per-query drift gate (the per-query edition of the whole-run
+    * sentinel normalization): compare each gate's machine-NORMALIZED
+    * median (median ÷ sentinel_ratio) against the prior committed
+    * record's, and flag those that shifted by more than
+    * [[Pins.MoverRatio]] in either direction with at least one side
+    * above [[Pins.MoverFloorSec]]. A nonempty list means "these plans
+    * (or their cache regimes) moved beyond what machine drift
+    * explains — profile them"; r10's gm_coverage_audit 3.0→8.5 s raw
+    * move took a manual sample-level read to adjudicate exactly because
+    * the record had no such gate. Returns (query, priorNorm, curNorm,
+    * ratio) sorted worst-first. */
+  private[graft] def movers(
+      cur: Map[String, Double], curRatio: Double,
+      prior: Map[String, Double], priorRatio: Double)
+    : Seq[(String, Double, Double, Double)] = {
+    val cr = if (curRatio > 0) curRatio else 1.0
+    val pr = if (priorRatio > 0) priorRatio else 1.0
+    cur.keySet.intersect(prior.keySet).toSeq.flatMap { q =>
+      val c = cur(q) / cr
+      val p = prior(q) / pr
+      if (p > 0 && math.max(c, p) >= Pins.MoverFloorSec &&
+          (c / p >= Pins.MoverRatio || p / c >= Pins.MoverRatio))
+        Some((q, p, c, c / p))
+      else None
+    }.sortBy { case (_, p, c, _) => -math.max(c / p, p / c) }
+  }
 
   /** One timed run of one query through the noop sink. */
   private def timeOne(spark: SparkSession, sfDir: String,
@@ -176,11 +262,9 @@ object Bench {
     //  - the warm-sentinel ratio vs a PINNED reference converts the
     //    total into machine-normalized seconds a reader can compare
     //    across rounds without re-running anything.
-    // Reference = the BENCH_r08 record's warm-sentinel median (same
-    // probe, same sf0.1 corpus class, the fast-machine baseline the r9
-    // adjudication compared against). The first sentinel is cold
-    // (parquet footer reads + codegen warmup) and excluded.
-    val SentinelRefSec = 0.094
+    // Reference pin + provenance live in [[Pins]]. The first sentinel
+    // is cold (parquet footer reads + codegen warmup) and excluded.
+    val SentinelRefSec = Pins.SentinelRefSec
     val traversalTotals = (0 until repeats)
       .map(r => results.map(_._3(r)).sum)
     val warm = sentinels.drop(1).sorted
@@ -193,6 +277,29 @@ object Bench {
     // contamination was undiagnosable because the committed JSON carried
     // no heap size). maxMemory is the -Xmx the JVM actually got.
     val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
+    // Per-query drift gate: diff this run's machine-normalized medians
+    // against the PRIOR committed record (the bench_full.json this run
+    // is about to overwrite), same-corpus only. Read BEFORE the write
+    // below clobbers it.
+    val curMedians = results.map(r => (r._1, r._2)).toMap
+    val priorRecord =
+      if (args.nonEmpty) None
+      else try {
+        val p = java.nio.file.Paths.get("bench_full.json")
+        if (java.nio.file.Files.exists(p))
+          parsePriorRecord(java.nio.file.Files.readString(p))
+            .filter(_._1 == sfDir)
+        else None
+      } catch { case _: Throwable => None }
+    val moved = priorRecord
+      .map { case (_, pRatio, pQs) =>
+        movers(curMedians, sentinelRatio, pQs, pRatio) }
+      .getOrElse(Seq.empty)
+    val moversJson = moved.map { case (q, p, c, r) =>
+      s"""{"query":"$q","prior_norm":${num(p)},"cur_norm":${num(c)},"ratio":${num(r)}}"""
+    }.mkString("[", ",", "]")
+    val moversNames = moved.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val normDiv = if (sentinelRatio > 0) sentinelRatio else 1.0
     // Full map incl. every repeat for local iteration (not part of the
     // driver contract). Subset runs (args given) go to a side file so a
     // quick profiling run can't clobber the full-corpus artifact.
@@ -209,13 +316,16 @@ object Bench {
          |"sentinel_warm_median":${num(warmMedian)},
          |"sentinel_ratio":${num(sentinelRatio)},
          |"total_norm_sec":${num(totalNorm)},
+         |"movers":$moversJson,
+         |"movers_vs_prior":${priorRecord.isDefined},
          |"queries":${fmtMap(results.map(r => (r._1, r._2)))},
+         |"queries_norm":${fmtMap(results.map(r => (r._1, r._2 / normDiv)))},
          |"runs":${results.map(r => "\"" + r._1 + "\":[" + r._3.map(num).mkString(",") + "]")
         .mkString("{", ",", "}")},
          |"sf":"$sfDir"}""".stripMargin.replace("\n", ""))
     catch { case _: Throwable => () }
     println(
-      s"""{"metric":"total_sec_all_${results.size}_queries_median_of_$repeats","value":${num(total)},"unit":"sec","batch_total":${num(batchTotal)},"streaming_total":${num(streamTotal)},"n_batch":${batchR.size},"n_streaming":${streamR.size},"heap_gb":$heapGb,"queries":${fmtMap(hs)},"sentinel_sec":$sent,"traversal_totals":$travTot,"sentinel_ref_sec":${num(SentinelRefSec)},"sentinel_warm_median":${num(warmMedian)},"sentinel_ratio":${num(sentinelRatio)},"total_norm_sec":${num(totalNorm)},"sf":"$sfDir"}""")
+      s"""{"metric":"total_sec_all_${results.size}_queries_median_of_$repeats","value":${num(total)},"unit":"sec","batch_total":${num(batchTotal)},"streaming_total":${num(streamTotal)},"n_batch":${batchR.size},"n_streaming":${streamR.size},"heap_gb":$heapGb,"queries":${fmtMap(hs)},"sentinel_sec":$sent,"traversal_totals":$travTot,"sentinel_ref_sec":${num(SentinelRefSec)},"sentinel_warm_median":${num(warmMedian)},"sentinel_ratio":${num(sentinelRatio)},"total_norm_sec":${num(totalNorm)},"movers":$moversNames,"sf":"$sfDir"}""")
     // Timing phase over: release the session-keyed shared caches — the
     // lifecycle hook stays exercised on every bench run rather than
     // only documented.

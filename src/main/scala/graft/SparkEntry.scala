@@ -38,6 +38,6 @@ object SparkEntry {
     graft.queries.GoldQueries.clearSharedFactRounds(spark)
     graft.queries.LlmQueries.clearSharedIndexes(spark)
     graft.queries.GraphQueries.clearSharedCells(spark)
-    graft.llm.Graph.clearRetainedCaches()
+    graft.llm.Graph.clearRetainedCaches(spark)
   }
 }

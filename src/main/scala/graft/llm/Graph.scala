@@ -203,10 +203,16 @@ object Graph {
       val prevCp = if (block > 1) prev.localCheckpoint() else prev
       ranks = prStep(e, deg, nodesN, damping, prevCp).localCheckpoint()
       it += block
+      // coalesce: an EMPTY edge frame (no nodes, no ranks) sums over
+      // zero rows → SQL NULL; treat it as drift 0 so the empty graph
+      // exits converged like the fixed-iters path, instead of NPE-ing
+      // on getDouble.
       val l1 = ranks.as("a")
         .join(prevCp.select(col("id"), col("r").as("r_prev")), "id")
-        .agg(sum(abs(col("r") - col("r_prev")).cast(DecimalType(38, 18)))
-          .cast(DoubleType).as("l1"))
+        .agg(coalesce(
+          sum(abs(col("r") - col("r_prev")).cast(DecimalType(38, 18)))
+            .cast(DoubleType),
+          lit(0.0)).as("l1"))
         .first().getDouble(0)
       done = l1 < tol
     }
@@ -315,14 +321,22 @@ object Graph {
     * out in a handful of rounds; a worst-case k=2 path graph peels from
     * the ends in ~n/2 rounds — cap with `maxRounds` and read the flag).
     *
-    * Input: undirected pair list (src, dst), self-loops ignored. Returns
-    * ((id, degree) survivors with their degree INSIDE the core,
+    * Input: undirected pair list (src, dst), self-loops ignored. The
+    * input is CANONICALIZED here — each pair re-oriented (least,
+    * greatest) and deduplicated — so the common both-orientations edge
+    * representation (and accidental duplicate rows) cannot inflate the
+    * degree census and silently keep sub-core nodes; callers that
+    * already pass one row per undirected pair (the gate's mutual join)
+    * see identical results, paying one distinct on round 0 only.
+    * Returns ((id, degree) survivors with their degree INSIDE the core,
     * rounds-taken, converged flag). */
   def kCore(edges: DataFrame, coreK: Int, maxRounds: Int = 30)
     : (DataFrame, Int, Boolean) = {
     var e = edges
-      .select(col("src"), col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
+      .distinct()
       .localCheckpoint()
     def degrees(g: DataFrame): DataFrame =
       g.select(col("src").as("id"))
@@ -330,11 +344,18 @@ object Graph {
         .groupBy(col("id")).agg(count(lit(1)).as("degree"))
     var round = 0
     var converged = false
+    var coreDeg: DataFrame = null
     while (!converged && round < maxRounds) {
-      val deg = degrees(e)
+      // The census is read three ways per round (the removed-count probe
+      // and both semi-join branches through `keep`): localCheckpoint the
+      // NODE-grain frame so the groupBy over the edge list runs once per
+      // round, not up to 3× (measured on the ×100 replica: recomputation
+      // was the dominant per-round cost). Eager, like every fixpoint
+      // checkpoint here; old blocks are ContextCleaner-reclaimed.
+      val deg = degrees(e).localCheckpoint()
       val keep = deg.filter(col("degree") >= coreK).select(col("id"))
       val removed = deg.filter(col("degree") < coreK).limit(1).count()
-      if (removed == 0L) converged = true
+      if (removed == 0L) { converged = true; coreDeg = deg }
       else {
         e = e.join(keep.select(col("id").as("src")), "src", "left_semi")
           .join(keep.select(col("id").as("dst")), "dst", "left_semi")
@@ -343,7 +364,9 @@ object Graph {
         round += 1
       }
     }
-    (degrees(e), round, converged)
+    // Converged exits reuse the final round's checkpointed census (it IS
+    // the in-core degree frame); only a maxRounds bail recomputes.
+    (if (coreDeg != null) coreDeg else degrees(e), round, converged)
   }
 
   /** [[connectedComponents]] plus the number of (large-star, small-star)
@@ -457,15 +480,21 @@ object Graph {
     new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
 
   /** Lifecycle hook: unpersist every structural frame the graph
-    * operators pinned (edge caches, node frames, density frames) and
-    * clear the registry. Called from
-    * [[graft.SparkEntry.clearSharedCaches]] when a Verify/Bench query
-    * phase ends; embedding sessions should call it between workloads. */
-  def clearRetainedCaches(): Unit = {
+    * operators pinned FOR THIS SESSION (edge caches, node frames,
+    * density frames) and drop them from the registry. Session-keyed
+    * like every other hook [[graft.SparkEntry.clearSharedCaches]]
+    * reaches (`clearSharedCells` et al.): in a multi-session JVM one
+    * session's cleanup must not unpersist another session's live
+    * structural caches. Called when a Verify/Bench query phase ends;
+    * embedding sessions should call it between workloads. */
+  def clearRetainedCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
     val it = retained.iterator()
     while (it.hasNext) {
-      try it.next().unpersist() catch { case _: Throwable => () }
-      it.remove()
+      val df = it.next()
+      if (df.sparkSession eq spark) {
+        try df.unpersist() catch { case _: Throwable => () }
+        it.remove()
+      }
     }
   }
 }

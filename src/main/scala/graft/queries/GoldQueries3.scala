@@ -169,7 +169,21 @@ object GoldQueries3 {
     QueryDef(
       "gm_coverage_audit",
       (s, d) => {
-        val silver = silverOf(s, d)
+        // The audit is the widest consumer in the corpus: SEVEN distinct
+        // silver subtrees (dimCourse's dq/completeness/base plus the
+        // audit's courses/rowCounts/roundCounts/holePerf), and Spark
+        // cannot eliminate the LEFT-joined dimCourse builds (no
+        // uniqueness info ⇒ no outer-join elimination), so un-shared
+        // they are seven full synthetic-silver recomputes per run —
+        // also the corpus' biggest single allocation burst (r10's
+        // bimodal 8.5 s samples). localCheckpoint (NOT persist: eager,
+        // per-invocation, so every bench sample pays the same one
+        // materialization instead of inheriting a prior sample's cache
+        // state) makes it one scan + seven in-memory reads. The global
+        // silverView deliberately stays unpersisted — per-gate consumers
+        // elsewhere read 2-3 pruned columns and a wide cache loses;
+        // HERE the consumers collectively touch most of the width.
+        val silver = silverOf(s, d).localCheckpoint()
         val topo = GoldQueries.syntheticTopology(s)
         val fr = GoldQueries.cachedFactRounds(s, d)
         val dimCourse = GoldModels.dimCourse(

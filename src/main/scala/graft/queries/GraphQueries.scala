@@ -55,21 +55,32 @@ object GraphQueries {
     * balanced assignment, so unskewed results are exact. */
   private val CellCap = 4 * CellTarget
 
-  private val cellsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
+  /** Mean cell size for the FORCED two-level assignment
+    * ([[twoLevelCellAssignment]]): small enough that kk far exceeds the
+    * production two-level threshold (64) at EVERY verify scale — at
+    * sf0.01's 500 vectors, kk = ⌈500/6⌉ = 84 — so the scale path runs
+    * under the driver's DuckDB hash check, not only in ScalaTest and
+    * the unchecked ×100 harness. */
+  private val TwoLevelCellTarget = 6L
 
-  /** The auto-k IVF cell assignment (id, cell), materialized to scratch
-    * once per (session, sfDir) and persisted — the quantizer is an
-    * INDEX by production contract (`cachedIndex` / `cachedFactRounds`
-    * discipline): built once, probed by every graph query. Both graph
-    * gates read the same assignment; the materialized copy is what the
-    * DuckDB oracles derive their pairs from (sub-splitting included —
-    * the oracle sees only the final cell key). */
-  private[queries] def cellAssignment(s: SparkSession, d: String): DataFrame =
-    cellsCache.computeIfAbsent((s, d), { k =>
+  private val cellsCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  /** Shared assignment builder: auto-k (k ∝ n/cellTarget) quantization
+    * of the embeddings table into (id, cell), oversize cells sub-split,
+    * materialized to scratch under `name` and persisted — the quantizer
+    * is an INDEX by production contract (`cachedIndex` /
+    * `cachedFactRounds` discipline): built once, probed by every graph
+    * query. The materialized copy is what the DuckDB oracles derive
+    * their pairs from (sub-splitting included — the oracle sees only
+    * the final cell key). */
+  private def buildAssignment(
+      s: SparkSession, d: String, name: String, cellTarget: Long,
+      cellCap: Long, forceTwoLevel: Boolean): DataFrame =
+    cellsCache.computeIfAbsent((s, d, name), { k =>
       val vecs = t(k._1, k._2, "embeddings")
       val n = vecs.count()
-      val kk = math.max(8L, (n + CellTarget - 1) / CellTarget).toInt
+      val kk = math.max(8L, (n + cellTarget - 1) / cellTarget).toInt
       // The assignment kernel runs per ROW over a byte-compact columnar
       // input: a single 50 MB parquet file is one scan task by
       // maxPartitionBytes, which serializes ~10¹⁰ multiply-adds on one
@@ -83,10 +94,12 @@ object GraphQueries {
       // (IVF-in-IVF) quantizer: (√k + √k)·dim per row, which holds the
       // assignment below the gate's linear terms through ~10⁸ vectors.
       // The threshold keeps verify-scale corpora (sf ≤ 0.1 → kk ≤ 20)
-      // on the flat path, so the materialized assignments — and every
-      // oracle derivation downstream — are bit-identical to before.
+      // on the flat path for the DEFAULT assignment, so its
+      // materialized cells — and every oracle derivation downstream —
+      // are bit-identical to before; the forced gate exercises the
+      // two-level path at every scale.
       val listed =
-        if (kk <= 64)
+        if (!forceTwoLevel && kk <= 64)
           Similarity.withIvfList(spread, "v",
             Similarity.trainIvfCentroids(vecs, "embedding", kk))
         else {
@@ -105,18 +118,36 @@ object GraphQueries {
         assigned.join(broadcast(sizes), "cell")
           .select(col("id"),
             concat(col("cell"), lit(":"),
-              when(col("__csz") <= CellCap, lit(0L)).otherwise(
+              when(col("__csz") <= cellCap, lit(0L)).otherwise(
                 pmod(xxhash64(col("id")),
-                  ceil(col("__csz") / lit(CellCap.toDouble))
+                  ceil(col("__csz") / lit(cellCap.toDouble))
                     .cast("long")))).as("cell")),
-        "knn_cells").persist()
+        name).persist()
     })
+
+  /** The production auto-k assignment every standing graph gate reads
+    * (flat quantizer below the 64-cell threshold). */
+  private[queries] def cellAssignment(s: SparkSession, d: String): DataFrame =
+    buildAssignment(s, d, "knn_cells", CellTarget, CellCap,
+      forceTwoLevel = false)
+
+  /** The FORCED two-level assignment (`trainTwoLevelIvf` →
+    * `withTwoLevelIvfList`, the ≥10⁸-vector scale path) at a cell
+    * target small enough that kk > 64 at verify scale — built so a
+    * driver-hash-checked gate exercises the exact code the big-corpus
+    * branch of [[cellAssignment]] runs. */
+  private[queries] def twoLevelCellAssignment(
+      s: SparkSession, d: String): DataFrame =
+    buildAssignment(s, d, "twolevel_cells", TwoLevelCellTarget,
+      4 * TwoLevelCellTarget, forceTwoLevel = true)
 
   /** Bench hook, same contract as `LlmQueries.prewarmSharedIndexes`: the
     * assignment is production-materialized, so no gate's median should
     * absorb its cold build. */
-  def prewarmSharedCells(s: SparkSession, d: String): Unit =
+  def prewarmSharedCells(s: SparkSession, d: String): Unit = {
     cellAssignment(s, d).write.mode("overwrite").format("noop").save()
+    twoLevelCellAssignment(s, d).write.mode("overwrite").format("noop").save()
+  }
 
   /** Lifecycle hook, the prewarm's twin: evict this session's cached
     * cell assignments (unpersist the frames, drop the map entries). The
@@ -131,7 +162,7 @@ object GraphQueries {
     val it = cellsCache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey._1 eq s) {
+      if (e.getKey._1 eq s) { // both assignments: keys are (session, dir, name)
         try e.getValue.unpersist() catch { case _: Throwable => () }
         it.remove()
       }
@@ -143,7 +174,14 @@ object GraphQueries {
     * node-grain equi-join; the cell self-join downstream then carries
     * the payloads in its single shuffle. */
   private def cellsWithVectors(s: SparkSession, d: String): DataFrame =
-    cellAssignment(s, d).join(
+    withVectors(s, d, cellAssignment(s, d))
+
+  private def twoLevelCellsWithVectors(s: SparkSession, d: String): DataFrame =
+    withVectors(s, d, twoLevelCellAssignment(s, d))
+
+  private def withVectors(
+      s: SparkSession, d: String, cells: DataFrame): DataFrame =
+    cells.join(
       t(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("v")),
       "id")
@@ -310,6 +348,42 @@ object GraphQueries {
           .orderBy(col("vec_id"))
       },
       Some(s"""WITH ${edgeSql("knn_cells", 8)},
+               den AS (
+                 SELECT src AS vec_id,
+                   ROUND(CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE)
+                     / COUNT(*), 9) AS density
+                 FROM e GROUP BY src
+               ),
+               thr AS (
+                 SELECT CAST(SUM(CAST(density AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*) AS m
+                 FROM den
+               )
+               SELECT vec_id, density, density > m * 1.02e0 AS pruned
+               FROM den CROSS JOIN thr
+               ORDER BY vec_id""")),
+
+    // The SAME density-prune semantics over the FORCED two-level
+    // (IVF-in-IVF) assignment — the ≥10⁸-vector scale path of
+    // cellAssignment, which the 64-cell threshold otherwise keeps off
+    // every verify-scale corpus (kk ≤ 20 at sf ≤ 0.1). TwoLevelCellTarget
+    // drives kk to 84+ here, so trainTwoLevelIvf → withTwoLevelIvfList
+    // (the codegen two-level nearest-centroid kernel) runs END-TO-END
+    // under the DuckDB hash check: the materialized (id, cell)
+    // assignment is the engine-specific artifact, and the oracle
+    // independently derives within-cell pairs, exact cosines, per-node
+    // top-4 neighborhoods, densities, and the prune flags from it —
+    // any drift in the assignment kernel (list arithmetic, sub-split,
+    // unassignable filter) lands as a hash mismatch.
+    QueryDef(
+      "l_twolevel_density_prune",
+      (s, d) => {
+        val edges =
+          Graph.knnEdgesWithinCells(twoLevelCellsWithVectors(s, d), k = 4)
+        Graph.knnDensityPrune(edges, marginFactor = 1.02)
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""WITH ${edgeSql("twolevel_cells", 4)},
                den AS (
                  SELECT src AS vec_id,
                    ROUND(CAST(SUM(CAST(cosine AS DECIMAL(38,18))) AS DOUBLE)

@@ -91,7 +91,7 @@ object PrConvScale {
         // OUTSIDE persistOnce and survives)
         (pr, it)
       }
-      Graph.clearRetainedCaches()
+      Graph.clearRetainedCaches(spark)
       (iters, t)
     }
 

@@ -273,6 +273,42 @@ class GraphSpec extends SparkSpec {
     assert(perId.filter(col("c") > 1).isEmpty)
   }
 
+  test("kCore canonicalizes both-orientations and duplicate edge input") {
+    import spark.implicits._
+    // K4 on {0..3}: canonical one-row-per-pair form vs the common
+    // both-orientations representation PLUS duplicate rows. Without
+    // input canonicalization the latter doubles every degree and the
+    // 3-core keeps nodes whose true degree is below 3.
+    val canonical = (for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b))
+      .toDF("src", "dst")
+    val noisy = (for (a <- 0L to 3L; b <- 0L to 3L; if a != b)
+      yield (a, b)).toDF("src", "dst")
+      .unionAll((for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b))
+        .toDF("src", "dst"))
+    val (c1, _, ok1) = Graph.kCore(canonical, coreK = 3)
+    val (c2, _, ok2) = Graph.kCore(noisy, coreK = 3)
+    assert(ok1 && ok2)
+    val r1 = c1.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val r2 = c2.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(r1.toSeq === r2.toSeq)
+    assert(r1.map(_._2).forall(_ === 3L), "K4's 3-core degree is 3")
+    // and a graph that ONLY looks core-worthy with doubled degrees
+    // (a triangle, coreK=3) cores out empty under either representation
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+    val triBoth = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val (c3, _, _) = Graph.kCore(triBoth, coreK = 3)
+    assert(c3.isEmpty, "double-counted orientations must not fake a 3-core")
+  }
+
+  test("pageRankUntilConvergence on an empty edge frame exits gracefully") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val (pr, it) = Graph.pageRankUntilConvergence(
+      empty, damping = 0.85, tol = 1e-6, maxIters = 12, checkEvery = 4)
+    assert(pr.isEmpty, "no nodes, no ranks — same as the fixed-iters path")
+    assert(it === 4, "the first block's zero drift converges it")
+  }
+
   test("kCore of an empty or all-self-loop list is empty and converged") {
     import spark.implicits._
     val (c1, r1, ok1) = Graph.kCore(

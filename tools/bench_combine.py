@@ -41,6 +41,19 @@ def main() -> None:
         "repeats_lo": lo.get("repeats"),
         "repeats_hi": hi.get("repeats"),
         "sentinel_sec_hi": hi.get("sentinel_sec"),
+        # drift-normalization fields, ported from the per-run records so
+        # the x10 campaign record adjudicates machine drift by itself the
+        # same way the sf0.1 record does (r10 verdict ask): the hi run's
+        # warm-sentinel median vs the pinned reference (Bench.Pins), and
+        # the machine-normalized totals for both sides.
+        "sentinel_ref_sec": hi.get("sentinel_ref_sec"),
+        "sentinel_warm_median_lo": lo.get("sentinel_warm_median"),
+        "sentinel_warm_median_hi": hi.get("sentinel_warm_median"),
+        "sentinel_ratio_lo": lo.get("sentinel_ratio"),
+        "sentinel_ratio_hi": hi.get("sentinel_ratio"),
+        "total_norm_lo_sec": lo.get("total_norm_sec"),
+        "total_norm_hi_sec": hi.get("total_norm_sec"),
+        "traversal_totals_hi": hi.get("traversal_totals"),
         "total_lo_sec": lo["total"],
         "total_hi_sec": hi["total"],
         "n_queries": len(shared),
