@@ -68,26 +68,43 @@ object Quantiles {
           sum(when(v < lit(lows(i)), 1L).otherwise(0L)).as(s"c_$i")): _*)
         .collect()(0)
 
-    // pass 2b: exact element per p from the bracketed slice
-    val rows = ps.zipWithIndex.map { case (p, i) =>
+    // pass 2b: exact element per p from the bracketed slice. Every
+    // valid p's TakeOrdered aggregate is a 1-row frame; crossJoin them
+    // into ONE plan and collect once — previously this was one
+    // sequential job per p (5 driver round trips, 5 separate scans with
+    // idle tails). The per-p subtrees are unchanged, so each picked
+    // element is bit-identical; the crossJoin of 1-row frames adds no
+    // shuffle (guide §2.6: overlap independent work — here folded into
+    // a single action).
+    val kRanks = ps.indices.map { i =>
+      val p = ps(i)
       val k = math.max(1L, math.ceil(p * n).toLong)
       val cLo =
         if (n == 0 || belowRow.isNullAt(1 + i)) 0L
         else belowRow.getLong(1 + i)
-      val sliceRank = k - cLo
-      // sliceRank far beyond the design bound (≈ 10n/accuracy) means the
-      // bracket did not hold — report unbracketed rather than TakeOrdered
-      // a corpus-sized prefix
-      if (sliceRank <= 0 || n == 0 || sliceRank > Int.MaxValue.toLong)
-        (p, n, k, null: Any, false)
+      (k, k - cLo)
+    }
+    // sliceRank far beyond the design bound (≈ 10n/accuracy) means the
+    // bracket did not hold — report unbracketed rather than TakeOrdered
+    // a corpus-sized prefix
+    val valid = ps.indices.filter { i =>
+      val sliceRank = kRanks(i)._2
+      sliceRank > 0 && n > 0 && sliceRank <= Int.MaxValue.toLong
+    }
+    val pickedRow: Row =
+      if (valid.isEmpty) null
+      else valid.map { i =>
+        df.filter(v >= lit(lows(i)) && v <= lit(highs(i)))
+          .orderBy(v.asc).limit(kRanks(i)._2.toInt)
+          .agg(max(v).as(s"m_$i"), count(lit(1)).as(s"c_$i"))
+      }.reduce(_.crossJoin(_)).collect()(0)
+    val rows = ps.zipWithIndex.map { case (p, i) =>
+      val (k, sliceRank) = kRanks(i)
+      if (!valid.contains(i)) (p, n, k, null: Any, false)
       else {
-        val slice = df.filter(v >= lit(lows(i)) && v <= lit(highs(i)))
-        val picked = slice
-          .orderBy(v.asc).limit(sliceRank.toInt)
-          .agg(max(v).as("m"), count(lit(1)).as("c"))
-          .collect()(0)
-        val reached = picked.getLong(1) == sliceRank
-        (p, n, k, if (reached) picked.get(0) else null, reached)
+        val pos = valid.indexOf(i)
+        val reached = pickedRow.getLong(2 * pos + 1) == sliceRank
+        (p, n, k, if (reached) pickedRow.get(2 * pos) else null, reached)
       }
     }
     val valueType = df.schema(valueCol).dataType

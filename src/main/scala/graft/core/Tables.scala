@@ -66,4 +66,30 @@ object Tables {
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Spread a NARROW scan across the session's cores: when the plan's
+    * scan parallelism is below defaultParallelism — a single-file /
+    * single-row-group input, which parquet cannot split, so every
+    * downstream map-side stage (wide projections, generators, partial
+    * aggregation) serializes on ONE core — insert one round-robin
+    * repartition right after the read (guide §2.5: "Input skew: one
+    * huge unsplittable file … otherwise repartition immediately after
+    * the read"). Scale-adaptive by construction: the condition is
+    * MEASURED scan parallelism, so a corpus that arrives as many
+    * files/row-groups (any real 100 TB layout) never pays the extra
+    * exchange — this fires only on the degenerate testdata shape.
+    * Catalyst pushes column pruning AND predicate pushdown through
+    * Repartition, so PushedFilters/ReadSchema at the scan are
+    * unchanged. Use on paths whose per-row work dwarfs a row shuffle
+    * (the silver projection, explode-heavy text kernels) — a plain
+    * column-count-preserving filter gate gains nothing and should not
+    * pay the exchange. */
+  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val parts =
+      try df.rdd.getNumPartitions
+      catch { case _: Throwable => Int.MaxValue }
+    if (parts >= sc.defaultParallelism) df
+    else df.repartition(sc.defaultParallelism)
+  }
 }

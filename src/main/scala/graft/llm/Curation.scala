@@ -287,7 +287,16 @@ object Curation {
       col(labelCol).cast(LongType).as("y"))
     val feats = hashedBow(df, idCol, textCol, dim)
       .join(labels, "__id").persist()
-    try {
+    // Eager fill: every epoch's plan references `feats` TWICE (the
+    // margin subtree + the gradient join), so the first epoch against a
+    // cold cache re-runs the tokenize+hash build through both branches.
+    // The count also measures the (doc × bucket)-grain state, which
+    // sizes the epochs' shuffle partitions below — per-epoch state is a
+    // few bytes per (doc, bucket), and the session-wide fan-out
+    // dominated epoch wall time at gate scale.
+    val nFeats = feats.count()
+    try graft.core.ShuffleSizing.withSizedShuffle(
+        df.sparkSession, nFeats, 48L) {
       val w = Array.fill(dim)(0L)
       for (_ <- 1 to epochs) {
         val wLit = typedlit(w.toSeq)

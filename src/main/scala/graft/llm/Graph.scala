@@ -32,6 +32,21 @@ import graft.functions.F
   */
 object Graph {
 
+  /** Conservative unsafe-row estimate for an edge row (2-3 longs +
+    * header) — only used to SIZE partitions, never in results. */
+  private val EdgeRowBytes = 48L
+
+  /** Fixpoint loops execute their per-round shuffles at a partition
+    * count derived from the MEASURED edge count — see
+    * [[graft.core.ShuffleSizing]] (measured: the sf0.1 convergence
+    * fixpoint drops ~35% under the derived count; a ×100 replica
+    * derives its own from 8×10⁵ edges, and real corpora saturate the
+    * session ceiling). */
+  private def withSizedShuffle[T](
+      spark: org.apache.spark.sql.SparkSession, rows: Long,
+      bytesPerRow: Long)(body: => T): T =
+    graft.core.ShuffleSizing.withSizedShuffle(spark, rows, bytesPerRow)(body)
+
   /** Exact k-NN edge list (src, dst, cosine, rank) over a corpus whose
     * vectors fit a broadcast (queries stream, neighbors broadcast).
     * Ranking is total: cosine DESC then dst ASC, so the edge set is
@@ -154,10 +169,20 @@ object Graph {
     * (~50+ iterations) persist + checkpoint every ~10 levels to bound
     * plan depth. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double): DataFrame = {
-    val (e, deg, nodesN) = prSetup(edges)
-    var ranks = prInit(nodesN)
-    for (_ <- 1 to iters) ranks = prStep(e, deg, nodesN, damping, ranks)
-    prFinish(e, ranks)
+    val (eDeg, nodesN, nEdges) = prSetup(edges)
+    withSizedShuffle(eDeg.sparkSession, nEdges, EdgeRowBytes) {
+      var ranks = prInit(nodesN)
+      for (_ <- 1 to iters) ranks = prStep(eDeg, nodesN, damping, ranks)
+      // Materialize the final level under the sized shuffle conf (the
+      // conf is read at EXECUTION time, so a fully-lazy return would
+      // run the iteration chain at the session fan-out after the
+      // override is restored). The checkpoint also makes callers that
+      // reference the ranks more than once — the top-k rank self-join
+      // pattern references them twice — execute the chain ONCE; the
+      // chain is deterministic decimal arithmetic, so collapsing the
+      // duplicate execution cannot change a bit of the result.
+      prFinish(eDeg, ranks.localCheckpoint())
+    }
   }
 
   /** Convergence-length PageRank: iterate until the per-step L1 drift
@@ -186,14 +211,15 @@ object Graph {
       maxIters: Int = 100, checkEvery: Int = 10): (DataFrame, Int) = {
     require(checkEvery >= 1, "checkEvery must be >= 1")
     require(maxIters >= 1, "maxIters must be >= 1")
-    val (e, deg, nodesN) = prSetup(edges)
+    val (eDeg, nodesN, nEdges) = prSetup(edges)
+    withSizedShuffle(eDeg.sparkSession, nEdges, EdgeRowBytes) {
     var ranks = prInit(nodesN)
     var it = 0
     var done = false
     while (!done && it < maxIters) {
       val block = math.min(checkEvery, maxIters - it)
       var prev = ranks
-      for (_ <- 1 until block) prev = prStep(e, deg, nodesN, damping, prev)
+      for (_ <- 1 until block) prev = prStep(eDeg, nodesN, damping, prev)
       // Two node-grain checkpoints per block: `prevCp` truncates the
       // block's lazy chain AND gives the drift probe a materialized
       // level to read (probing an un-checkpointed `prev` would replay
@@ -201,7 +227,7 @@ object Graph {
       // level the next block's leaf. Each power-iteration step still
       // executes exactly once.
       val prevCp = if (block > 1) prev.localCheckpoint() else prev
-      ranks = prStep(e, deg, nodesN, damping, prevCp).localCheckpoint()
+      ranks = prStep(eDeg, nodesN, damping, prevCp).localCheckpoint()
       it += block
       // coalesce: an EMPTY edge frame (no nodes, no ranks) sums over
       // zero rows → SQL NULL; treat it as drift 0 so the empty graph
@@ -216,28 +242,42 @@ object Graph {
         .first().getDouble(0)
       done = l1 < tol
     }
-    (prFinish(e, ranks), it)
+    (prFinish(eDeg, ranks), it)
+    } // withSizedShuffle: every checkpoint/probe of the loop above runs
+      // under the state-derived partition count; prFinish is lazy but
+      // reads only checkpointed node-grain leaves plus one cached-edge
+      // aggregation, both fine at the session fan-out.
   }
 
-  /** Shared PageRank prologue: persisted edge cache, out-degrees, and
+  /** Shared PageRank prologue: persisted degree-annotated edge cache and
     * the constant (id, n) node frame every level's teleport term reads
     * (NOT its predecessor — that's what keeps the unrolled plan linear).
+    * The out-degree join is LOOP-INVARIANT, so it happens HERE, once:
+    * the cached frame is (src, dst, outdeg), and every power-iteration
+    * step joins only the rank vector — previously each step re-joined
+    * edges⋈degrees inside the loop, one avoidable edge-grain join (and
+    * its exchange) per iteration (guide §2.4: remove shuffles outright;
+    * at 130 convergence-length iterations that is 130 saved joins).
     * The edge cache fills EAGERLY: the lazy chain's independent branches
-    * (degrees, node set, per-iteration contributions) schedule
-    * concurrently and would each recompute the un-filled cache's
-    * partitions — measured as ~3× the edge-construction cost leaking
-    * back in. One count() is one cheap barrier; everything after reads
-    * the cache. (The per-ITERATION barriers stay gone — rank levels are
-    * node-grain and referenced once, so they never duplicate work.) */
-  private def prSetup(edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val e = persistOnce(edges.select(col("src"), col("dst")),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * (node set, per-iteration contributions) schedule concurrently and
+    * would each recompute the un-filled cache's partitions — measured as
+    * ~3× the edge-construction cost leaking back in. The raw edge frame
+    * persists only while the census join materializes (deg derives from
+    * e, so the join would otherwise run the edge construction twice in
+    * one job); it unpersists as soon as eDeg is built. */
+  private def prSetup(edges: DataFrame): (DataFrame, DataFrame, Long) = {
+    val e = edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val nodes = e.select(col("src").as("id")).distinct()
+    val eDeg = persistOnce(e.join(deg, "src"),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = eDeg.count()
+    e.unpersist()
+    val nodes = eDeg.select(col("src").as("id")).distinct()
     val n1 = nodes.agg(count(lit(1)).as("n"))
     val nodesN = persistOnce(nodes.crossJoin(broadcast(n1)))
-    (e, deg, nodesN)
+    (eDeg, nodesN, nEdges)
   }
 
   private def prInit(nodesN: DataFrame): DataFrame =
@@ -245,11 +285,14 @@ object Graph {
 
   /** One power-iteration step — the single arithmetic definition both
     * PageRank entry points unroll, mirroring the oracle's SQL exactly:
-    * r_{i+1} = (1-d)/n + d * decimalSum(r_i(u) / outdeg(u) over u→v). */
+    * r_{i+1} = (1-d)/n + d * decimalSum(r_i(u) / outdeg(u) over u→v).
+    * `eDeg` carries outdeg pre-joined ([[prSetup]]), so the step is one
+    * rank join + one dst aggregation — the two exchanges an edge-grain
+    * power iteration fundamentally needs, and nothing else. */
   private def prStep(
-      e: DataFrame, deg: DataFrame, nodesN: DataFrame,
+      eDeg: DataFrame, nodesN: DataFrame,
       damping: Double, ranks: DataFrame): DataFrame = {
-    val contrib = e.join(deg, "src")
+    val contrib = eDeg
       .join(ranks.select(col("id").as("src"), col("r")), "src")
       .groupBy(col("dst").as("id"))
       .agg(sum((col("r") / col("outdeg")).cast(DecimalType(38, 18)))
@@ -342,6 +385,13 @@ object Graph {
       g.select(col("src").as("id"))
         .unionByName(g.select(col("dst").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    // Peel-loop shuffles (census + the two semi-joins, per round) run at
+    // a partition count derived from the checkpointed edge count — the
+    // canonicalization above already materialized e, so the count is a
+    // metadata read. State only SHRINKS across rounds, so the round-0
+    // size is a sound bound for every round.
+    val nEdges = e.count()
+    withSizedShuffle(e.sparkSession, nEdges, EdgeRowBytes) {
     var round = 0
     var converged = false
     var coreDeg: DataFrame = null
@@ -367,6 +417,7 @@ object Graph {
     // Converged exits reuse the final round's checkpointed census (it IS
     // the in-core degree frame); only a maxRounds bail recomputes.
     (if (coreDeg != null) coreDeg else degrees(e), round, converged)
+    } // withSizedShuffle
   }
 
   /** [[connectedComponents]] plus the number of (large-star, small-star)
@@ -378,22 +429,34 @@ object Graph {
         least(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint()
+    // Contraction-loop shuffles run at a partition count derived from
+    // the materialized round-0 edge count (metadata read off the
+    // checkpoint). Edge counts never GROW across rounds (Kiveris et
+    // al. Lemma 1), so the bound is sound for every round.
+    val nEdges = e.count()
+    withSizedShuffle(e.sparkSession, nEdges, EdgeRowBytes) {
     // Convergence test = "is e a star forest?": (1) no edge's parent is
     // itself a child (a.v never appears as some b.u), and (2) every
     // child has exactly ONE parent (u unique — condition 1 alone would
     // accept a two-parent node with no grandparents). Star forests are
     // exactly the fixpoints of the (large, small) pair, so this probe
     // replaces the count+except pair AND fires on the earliest
-    // converged round instead of one round later (these per-round
-    // driver actions, not the contraction itself, dominate the gate's
-    // wall time on small graphs). The && short-circuits: probe (2) only
-    // runs once probe (1) passes, i.e. at/near convergence.
+    // converged round instead of one round later. Both violation sets
+    // evaluate in ONE unioned plan / ONE driver action per round (the
+    // round-11 change): the per-round driver actions, not the
+    // contraction itself, dominate the gate's wall time on small
+    // graphs, and one action halves them — at the price of running the
+    // (cheaper, groupBy-shaped) probe (2) on rounds where probe (1)
+    // would have short-circuited it. Identical boolean: the union is
+    // empty iff both sides are.
     def isStarForest: Boolean =
       e.alias("a")
         .join(e.alias("b"), col("a.v") === col("b.u"), "left_semi")
-        .isEmpty &&
-      e.groupBy(col("u")).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).isEmpty
+        .select(lit(1L).as("__viol"))
+        .unionByName(
+          e.groupBy(col("u")).agg(count(lit(1)).as("c"))
+            .filter(col("c") > 1).select(lit(1L).as("__viol")))
+        .isEmpty
     var converged = isStarForest
     var round = 0
     while (!converged && round < maxRounds) {
@@ -453,6 +516,9 @@ object Graph {
           .agg(min(col("component")).as("component"))
       }
     (labels, round)
+    } // withSizedShuffle: the probes and per-round checkpoints above all
+      // execute inside; the returned label frame is lazy but reads only
+      // the final checkpointed leaf.
   }
 
   /** persist() that tolerates re-running the same lineage (bench

@@ -49,11 +49,23 @@ object Pca {
 
   private[llm] def momentSums(
       df: DataFrame, vecCol: String, dim: Int): (Array[Array[Double]], Array[Double], Long) = {
-    val pairs = momentPairsPlan(df, vecCol)
+    // The pair pass does dim²-grain work per ROW (the stacked generators
+    // emit ~dim² rows each) over a byte-compact columnar input: a single
+    // small parquet file is ONE scan task by maxPartitionBytes, which
+    // serializes the whole generate+aggregate on one core (the
+    // GraphQueries.buildAssignment finding; guide §2.2/§6). Repartition
+    // to session parallelism first — a node-grain shuffle, trivial next
+    // to the dim²-per-row compute it unblocks — and share the spread
+    // frame with the (also generator-shaped) mean pass. Decimal partial
+    // sums are order-free exact, so the sums are bit-identical under any
+    // partitioning.
+    val spread = df.select(col(vecCol).as("__v"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val pairs = momentPairsPlan(spread, "__v")
       .collect() // dim·(dim+1)/2 rows — bounded by the declared dim, not n
     val g = Array.ofDim[Double](dim, dim)
     pairs.foreach(r => g(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-    val sums = df.select(posexplode(col(vecCol)).as(Seq("i", "x")))
+    val sums = spread.select(posexplode(col("__v")).as(Seq("i", "x")))
       .groupBy(col("i"))
       .agg(sum(col("x").cast(DoubleType).cast(DecimalType(38, 18)))
         .cast(DoubleType).as("s"), count(lit(1)).as("n"))

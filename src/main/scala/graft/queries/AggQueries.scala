@@ -285,6 +285,8 @@ object AggQueries {
         // aggregation co-partitioned on the same key joins back without
         // an extra exchange (both sides hash on l_orderkey) — the
         // standard distinct-decomposition for wide rollups at scale.
+        // (A narrow-scan spread was tried in r11 and reverted: A/B 1.56×
+        // — the rollup is too cheap per row to buy back the exchange.)
         val li = t(s, d, "lineitem")
         val base = li.groupBy(col("l_orderkey"))
           .agg(

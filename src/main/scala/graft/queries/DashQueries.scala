@@ -799,14 +799,28 @@ object DashQueries {
           !col("is_location_padding") &&
           col("pace").isNotNull && col("pace") > 0 && col("pace") < 60 &&
           col("hole_number").isNotNull && col("section_number").isNotNull)
+        // INHERITED-STATE FIX (r11): the tolerance flag compared the
+        // lib's percentile_approx — which returns an actual ELEMENT of
+        // the group — against the INTERPOLATED exact median; an
+        // even-sized group whose two middle elements sit > 2·tol apart
+        // (e.g. sf0.001's (hole 5, section 23): middles 25 and 30,
+        // interp 27.5, approx 25) made the flag FALSE against the
+        // oracle's TRUE. The flag now compares element-vs-element: the
+        // exact DISCRETE median (lower-middle element — exactly what an
+        // exact-capacity sketch returns), same tolerance. The OUTPUT
+        // column median_pace_exact stays the interpolated statistic
+        // (it hash-matches the oracle's QUANTILE_CONT).
         val exact = base
           .groupBy(col("course_id"), col("hole_number"), col("section_number"))
-          .agg(round(expr("percentile(pace, 0.5)"), 1).as("median_pace_exact"))
+          .agg(
+            round(expr("percentile(pace, 0.5)"), 1).as("median_pace_exact"),
+            round(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY pace)"), 1)
+              .as("__med_disc"))
         lib.join(exact, Seq("course_id", "hole_number", "section_number"))
           .withColumn("median_within_tol",
-            abs(col("median_pace") - col("median_pace_exact")) <=
-              greatest(col("median_pace_exact") * 0.02, lit(2.0)))
-          .drop("median_pace")
+            abs(col("median_pace") - col("__med_disc")) <=
+              greatest(col("__med_disc") * 0.02, lit(2.0)))
+          .drop("median_pace", "__med_disc")
           .orderBy(col("course_id"), col("hole_number"), col("section_number"))
       },
       Some(s"""WITH ${GoldQueries.SilverSql},

@@ -206,7 +206,17 @@ object GoldQueries {
     * The mapping is pure projections, so Catalyst prunes it back to just
     * the lineitem columns each model touches; a persisted copy would
     * materialize all ~40 columns and every downstream read would scan
-    * the wide cache instead of a pruned parquet scan (measured slower). */
+    * the wide cache instead of a pruned parquet scan (measured slower).
+    * A narrow-scan spread ([[Tables.spreadIfNarrow]]) was TRIED here in
+    * r11 and REVERTED on measurement: the drift-immune interleaved A/B
+    * (tools/SpreadAb) put the spread at 0.97-1.50× the narrow form
+    * across the silver consumers — the ~50-expression projection is too
+    * cheap per row to buy back the added exchange. (It also surfaced
+    * two latent order-dependencies, d27/d28 ROW_NUMBER ties and the
+    * d-family approx-median tolerance flags, documented in
+    * OPTIMIZATION_r11.md.) The spread pays only where per-row work
+    * dwarfs a row shuffle — the PCA moment pass (0.15×) and the
+    * positioned-gram kernel (0.73×) keep it. */
   def silverView(s: SparkSession, d: String): DataFrame =
     syntheticSilver(Tables.load(s, d, "lineitem"))
 

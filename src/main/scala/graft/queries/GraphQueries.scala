@@ -176,6 +176,12 @@ object GraphQueries {
   private def cellsWithVectors(s: SparkSession, d: String): DataFrame =
     withVectors(s, d, cellAssignment(s, d))
 
+  /** Profiling hook (tools.PrProfile): the 4-NN edge frame the graph
+    * gates consume, exposed so phase timings can split edge
+    * construction from the fixpoint iteration. Not driver contract. */
+  private[graft] def profEdges(s: SparkSession, d: String): DataFrame =
+    Graph.knnEdgesWithinCells(cellsWithVectors(s, d), k = 4)
+
   private def twoLevelCellsWithVectors(s: SparkSession, d: String): DataFrame =
     withVectors(s, d, twoLevelCellAssignment(s, d))
 

@@ -131,6 +131,12 @@ object LlmQueries {
 
   /** documents ∪ a near-duplicate copy (id + 20000, one word appended). */
   private def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
+    // A narrow-scan spread here was TRIED in r11 and REVERTED on
+    // measurement: the interleaved A/B (tools/SpreadAb) put the spread
+    // at 1.5-1.8× for the cheap-kernel consumers (minhash bands,
+    // winnowing) — their per-row work doesn't buy back the exchange.
+    // Only the positioned-gram kernel keeps it, at ITS gate
+    // (l_substring_runs, A/B 0.73×).
     val docs = t(s, d, "documents")
     docs.unionByName(docs.select(
       (col("doc_id") + 20000).as("doc_id"),
@@ -3224,14 +3230,24 @@ object LlmQueries {
         val train = docs.filter(col("doc_id") % 10 =!= 0)
           .unionByName(evalDocs.select((col("doc_id") + 50000).as("doc_id"),
             col("text"), col("lang"), col("source"), col("n_chars")))
-        val clean = Curation.decontaminateBloom(
-          train, evalDocs, "doc_id", "text", n = 3)
+        // The identity pin previously ran `clean.exceptAll(exact).isEmpty
+        // && exact.exceptAll(clean).isEmpty` — each side is a full
+        // decontamination pass (bloom probe resp. exact explode-join over
+        // every training doc), and the idiom evaluates both plans twice,
+        // plus `clean` a third time for the output: five corpus passes
+        // for one answer. Round 11: localCheckpoint the (doc-grain, id-
+        // only) clean set once, compare via the signed-union
+        // multisetEqual (ONE evaluation of each side, ONE action), and
+        // serve the output from the checkpoint — two passes total, same
+        // boolean, same rows (guide §1.2).
+        val cleanIds = Curation.decontaminateBloom(
+            train, evalDocs, "doc_id", "text", n = 3)
+          .select(col("doc_id")).localCheckpoint()
         val exact = Curation.decontaminate(
           train, evalDocs, "doc_id", "text", n = 3)
         val identical =
-          clean.select("doc_id").exceptAll(exact.select("doc_id")).isEmpty &&
-            exact.select("doc_id").exceptAll(clean.select("doc_id")).isEmpty
-        clean.select(col("doc_id"))
+          QueryDef.multisetEqual(cleanIds, exact.select(col("doc_id")))
+        cleanIds
           .withColumn("matches_exact_path", lit(identical))
           .orderBy(col("doc_id"))
       },
@@ -3310,7 +3326,11 @@ object LlmQueries {
         // scale-stress hot phrase makes this explode without the guard.
         // No-op at gate scale; runs through a dropped gram split in two
         // (documented lower-bound semantics of sharedTokenRuns).
-        Dedup.sharedTokenRuns(docsWithNearDups(s, d), "doc_id", "text",
+        // spreadIfNarrow: the positioned-8-gram generator is the one
+        // dedup kernel heavy enough per row to buy back the exchange
+        // (interleaved A/B 0.73×; no-op on multi-split corpora).
+        Dedup.sharedTokenRuns(
+            Tables.spreadIfNarrow(docsWithNearDups(s, d)), "doc_id", "text",
             gramSize = 8, minRunTokens = 16, dfCap = Some(500L))
           .orderBy(col("id_a"), col("id_b")),
       Some("""WITH docs AS (

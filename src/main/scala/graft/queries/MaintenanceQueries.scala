@@ -1150,9 +1150,10 @@ object MaintenanceQueries {
             sum(col("o_totalprice").cast(DecimalType(28, 4)))
               .cast(DoubleType).as("o_totalprice_sum"),
             count(lit(1)).as("__rows"))
-        val matches =
-          maintained.exceptAll(recomputed).isEmpty &&
-            recomputed.exceptAll(maintained).isEmpty
+        // Signed-union multiset compare: one evaluation of each side and
+        // one action, vs the exceptAll pair's two of each (round 11 —
+        // the same rewrite the streaming identity pins got in round 9).
+        val matches = QueryDef.multisetEqual(maintained, recomputed)
         maintained
           .withColumn("view_matches_recompute",
             lit(matches && reflects == it.currentVersion(base).get))

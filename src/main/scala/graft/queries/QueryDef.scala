@@ -83,4 +83,30 @@ object QueryDef {
 
   def davgSql(expr: String, scale: Int = 4): String =
     s"(${dsumSql(expr, scale)} / COUNT(CASE WHEN $expr IS NOT NULL THEN 1 END))"
+
+  /** Exact multiset equality in ONE evaluation of each side and ONE
+    * driver action. The `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty`
+    * idiom evaluates both plans twice and shuffles four times — for
+    * identity pins whose sides are full recomputes, the pair doubles the
+    * gate's cost (guide §1.2: don't compute things you throw away).
+    * Signed union + groupBy over every column: any nonzero residue means
+    * a row whose multiplicities differ. (groupBy normalizes NaN and -0.0
+    * in keys the same way exceptAll does, so the semantics match.)
+    * Hoisted from StreamingQueries (round 9) for the batch identity pins
+    * (round 11). */
+  def multisetEqual(a: DataFrame, b: DataFrame): Boolean = {
+    // Fail LOUDLY on schema drift (like the exceptAll idiom did):
+    // b.select(a's columns) would silently ignore a column only b has, so
+    // a recompute that GAINS a column could pass the identity pin unseen.
+    require(a.columns.toSet == b.columns.toSet,
+      s"multisetEqual schema drift: a=${a.columns.sorted.mkString(",")} " +
+        s"b=${b.columns.sorted.mkString(",")}")
+    val cols = a.columns.toSeq
+    a.withColumn("__side", lit(1L))
+      .unionByName(b.select(cols.map(col): _*).withColumn("__side", lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("__side")).as("__d"))
+      .filter(col("__d") =!= 0L)
+      .isEmpty
+  }
 }

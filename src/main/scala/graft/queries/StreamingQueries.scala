@@ -67,29 +67,12 @@ object StreamingQueries {
     }
   }
 
-  /** Exact multiset equality in ONE evaluation of each side. The
-    * `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty` idiom evaluates
-    * both plans twice and shuffles four times — for the maintained-view
-    * identity pins below, `b` is a full model recompute, so the pair
-    * doubled the gate's cost. Signed union + groupBy over every column:
-    * any nonzero residue means a row whose multiplicities differ.
-    * (groupBy normalizes NaN and -0.0 in keys the same way exceptAll
-    * does, so the semantics match.) */
-  private def multisetEqual(a: DataFrame, b: DataFrame): Boolean = {
-    // Fail LOUDLY on schema drift (like the old exceptAll idiom did):
-    // b.select(a's columns) would silently ignore a column only b has, so
-    // a recompute that GAINS a column could pass the identity pin unseen.
-    require(a.columns.toSet == b.columns.toSet,
-      s"multisetEqual schema drift: a=${a.columns.sorted.mkString(",")} " +
-        s"b=${b.columns.sorted.mkString(",")}")
-    val cols = a.columns.toSeq
-    a.withColumn("__side", lit(1L))
-      .unionByName(b.select(cols.map(col): _*).withColumn("__side", lit(-1L)))
-      .groupBy(cols.map(col): _*)
-      .agg(sum(col("__side")).as("__d"))
-      .filter(col("__d") =!= 0L)
-      .isEmpty
-  }
+  /** Exact multiset equality in ONE evaluation of each side — hoisted to
+    * [[QueryDef.multisetEqual]] (round 11) so the batch identity pins
+    * (m25, l_decontaminate_bloom) share it; alias kept for the call
+    * sites below. */
+  private def multisetEqual(a: DataFrame, b: DataFrame): Boolean =
+    QueryDef.multisetEqual(a, b)
 
   /** Recursive delete that CLOSES the walk stream (Files.walk holds a
     * directory handle until closed; leaking one per gate adds up over a
